@@ -1,0 +1,7 @@
+"""Query definitions backing ``__spark_entry__.queries()``.
+
+Importing this package populates ``csv2db_spark.registry.REGISTRY``.
+Each module covers one operator family from SURVEY.md §2.2.
+"""
+
+from csv2db_spark.queries import core  # noqa: F401

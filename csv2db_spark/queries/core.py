@@ -1,0 +1,70 @@
+"""Flagship query: TPC-H-Q1-style pricing summary.
+
+Proves the full scan → pushed filter → hash-aggregate → sort pipeline in
+one declarative plan. At scale: the filter and the 4-column projection are
+pushed into the parquet scan; aggregation is partial (map-side combine)
+before a 2-key shuffle onto a tiny key space; the final sort is on the
+already-tiny aggregate output.
+
+The reference has no aggregation operators at all (SURVEY.md §2.2) — this
+is the first operator of the analytics extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2db_spark.functions.numeric import (
+    davg,
+    dsum,
+    money,
+    rate,
+    sql_davg,
+    sql_dsum,
+    sql_money,
+    sql_rate,
+)
+from csv2db_spark.registry import query
+from csv2db_spark.sources import load_table
+
+CUTOFF = "2000-12-01"
+
+_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum("l_quantity")} AS sum_qty,
+  {sql_dsum("l_extendedprice", 12, 2)} AS sum_base_price,
+  cast(sum({sql_money("l_extendedprice")} * (1 - {sql_rate("l_discount")})) as double) AS sum_disc_price,
+  cast(sum({sql_money("l_extendedprice")} * (1 - {sql_rate("l_discount")}) * (1 + {sql_rate("l_tax")})) as double) AS sum_charge,
+  {sql_davg("l_quantity")} AS avg_qty,
+  {sql_davg("l_extendedprice", 12, 2)} AS avg_price,
+  {sql_davg("l_discount", 4, 2)} AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q01_pricing_summary", oracle=_ORACLE, bench=True)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    charge = disc_price * (F.lit(1) + rate("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice", 12, 2).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice", 12, 2).alias("avg_price"),
+            davg("l_discount", 4, 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -1,0 +1,43 @@
+"""Local replica of the driver's correctness gate: every registered query
+runs on Spark and (when an oracle exists) on DuckDB over the same parquet
+fixtures; results must match order-insensitively and bit-exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from csv2db_spark.registry import load_all_queries
+from tests.compare import assert_frames_match
+
+QUERIES = load_all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_parity(name, spark, duck, sf_dir):
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, sf_dir)
+    pdf = sdf.toPandas()
+    if qd.oracle is None:
+        # rows-only check, mirroring the driver's weaker path
+        assert pdf is not None
+        return
+    odf = duck.execute(qd.oracle).df()
+    assert_frames_match(pdf, odf, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_contract_shapes():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(callable(f) for f in qs.values())
