@@ -1,0 +1,76 @@
+"""As-of join (point-in-time join) as a composition of built-in operators.
+
+Spark's DataFrame API has no native as-of join (pandas-on-Spark's
+``merge_asof`` exists but routes through a union trick internally anyway).
+This implementation uses the classic scalable formulation:
+
+    union(left tagged 1, right tagged 0)
+      -> window over (by, ts, tag) rows unbounded-preceding..current
+      -> last(right_payload, ignorenulls) carries the most recent right row
+      -> filter tag==1
+
+Scale properties: exactly ONE shuffle (hash-partition by ``by``) plus an
+in-partition sort — identical cost shape to a sort-merge join, no
+broadcast/materialization of either side, arbitrarily large both sides.
+Skewed ``by`` keys behave like any skewed window (AQE cannot split a
+window partition; salt upstream if one entity dominates).
+
+Tie semantics: at equal timestamps the right row sorts BEFORE the left row
+(tag 0 < 1), i.e. matches ``left.ts >= right.ts`` — the same rule as
+DuckDB's ``ASOF JOIN`` (used as the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    right_payload: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right[on] <= left[on]`` within the same ``by`` group.
+
+    Left rows with no prior right row keep NULL payload columns
+    (left-outer as-of semantics).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in by and c != on]
+
+    carried = {c: f"{c}{suffix}" if c in left.columns else c for c in right_payload}
+    carried[on] = f"{on}{suffix}"
+
+    l_tagged = left.withColumn(_TAG, F.lit(1))
+    for src, dst in carried.items():
+        l_tagged = l_tagged.withColumn(dst, F.lit(None).cast(right.schema[src].dataType))
+
+    r_tagged = right.select(
+        *by,
+        F.col(on).alias(on),  # keep for ordering
+        F.lit(0).alias(_TAG),
+        *[F.col(src).alias(dst) for src, dst in carried.items()],
+    )
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(l_tagged.schema[c].dataType))
+
+    unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for dst in carried.values():
+        unioned = unioned.withColumn(dst, F.last(dst, ignorenulls=True).over(w))
+
+    return unioned.where(F.col(_TAG) == 1).drop(_TAG)

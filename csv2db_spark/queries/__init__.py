@@ -4,4 +4,13 @@ Importing this package populates ``csv2db_spark.registry.REGISTRY``.
 Each module covers one operator family from SURVEY.md §2.2.
 """
 
-from csv2db_spark.queries import core  # noqa: F401
+from csv2db_spark.queries import (  # noqa: F401
+    aggregates,
+    core,
+    relational,
+    reshape,
+    scalar,
+    setops,
+    subqueries,
+    windows,
+)

@@ -1,0 +1,221 @@
+"""Aggregation operator coverage (SURVEY.md §2.2 row 'Aggregations' —
+absent in the reference).
+
+All money aggregates route through exact DECIMAL (functions/numeric.py).
+Multi-level grouping (rollup/cube/grouping sets) maps 1:1 onto Spark's
+native operators — a single shuffle with partial aggregation; Catalyst
+expands the grouping sets without extra passes over the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2db_spark.functions.numeric import (
+    davg,
+    dec,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from csv2db_spark.registry import query
+from csv2db_spark.sources import load_table
+
+
+@query(
+    "q_agg_groupby_multi",
+    oracle=f"""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", 12, 2)} AS total_price,
+           {sql_davg("o_totalprice", 12, 2)} AS avg_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+    bench=True,
+)
+def q_agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 12, 2).alias("total_price"),
+            davg("o_totalprice", 12, 2).alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct_count",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact distinct aggregates — Spark plans an Expand + two-phase
+    aggregation; at 100 TB prefer approx_count_distinct (next query) when
+    exactness isn't required."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query("q_agg_approx_distinct", oracle=None)  # HLL sketch — engine-specific,
+# no cross-engine oracle; the exact counterpart is q_agg_distinct_count.
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate: map-side-combinable sketch, no
+    Expand, one narrow shuffle — the 100 TB-scale path for cardinality."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           {sql_dsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           {sql_dsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           {sql_dsum("l_extendedprice", 12, 2)} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               {sql_dsum("l_extendedprice", 12, 2)} AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 3
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 3)
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           (cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2))) as double)
+            - cast(sum(cast(l_quantity as decimal(18,2))) as double)
+              * cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*)
+           ) / (count(*) - 1) AS var_qty,
+           sqrt(
+             (cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2))) as double)
+              - cast(sum(cast(l_quantity as decimal(18,2))) as double)
+                * cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*)
+             ) / (count(*) - 1)
+           ) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev via exact decimal sum-of-squares — both
+    engines derive the identical double from identical exact inputs
+    (built-in var_samp is a streaming double aggregate → order-dependent,
+    so it cannot be hash-compared across engines)."""
+    q = dec("l_quantity", 18, 2)
+    n = F.count(F.lit(1))
+    s = F.sum(q).cast("double")
+    sq = F.sum(q * q).cast("double")
+    var = (sq - s * s / n) / (n - F.lit(1))
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            n.alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            var.alias("var_qty"),
+            F.sqrt(var).alias("stddev_qty"),
+        )
+    )

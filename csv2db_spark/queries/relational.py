@@ -1,0 +1,291 @@
+"""Join operator coverage (SURVEY.md §2.2 row 'Joins' — absent in the
+reference, part of the analytics extension surface).
+
+Scale notes per query are in each docstring; common principles:
+- dimension sides (region/nation, inline band tables, scalar aggregates)
+  are explicitly ``broadcast()`` — zero shuffle of the fact table;
+- fact⋈fact equi-joins rely on shuffled hash/sort-merge with AQE skew
+  splitting enabled (session.py);
+- the as-of join is one shuffle + in-partition sort (operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from csv2db_spark.functions.numeric import (
+    davg,
+    dsum,
+    money,
+    rate,
+    sql_davg,
+    sql_dsum,
+    sql_money,
+    sql_rate,
+)
+from csv2db_spark.operators import asof_join, range_join, top_k
+from csv2db_spark.registry import query
+from csv2db_spark.sources import load_table
+
+_REV = "cast(sum({m} * (1 - {r})) as double)".format(
+    m=sql_money("l_extendedprice"), r=sql_rate("l_discount")
+)
+
+
+def _revenue():
+    return F.sum(money("l_extendedprice") * (F.lit(1) - rate("l_discount"))).cast(
+        "double"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3-style: shipping-priority top-k over a 3-way join
+# --------------------------------------------------------------------------
+@query(
+    "q_join_inner_topk",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_REV} AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+)
+def q_join_inner_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → join → agg → top-k. Filters land before the joins
+    (Catalyst pushdown), the final top-10 is TakeOrdered, not a global
+    sort."""
+    cutoff = F.lit("1998-07-01").cast("timestamp_ntz")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey).join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _revenue().alias("revenue")
+    )
+    return top_k(agg, 10, F.col("revenue").desc(), F.col("l_orderkey")).select(
+        "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5-style: 6-way join with broadcast dimensions
+# --------------------------------------------------------------------------
+@query(
+    "q_join_multiway_revenue",
+    oracle=f"""
+    SELECT n_name, {_REV} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+    bench=True,
+)
+def q_join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region/nation are broadcast (no shuffle); the fact-side joins
+    shuffle on their keys with AQE handling skew. The local-supplier
+    predicate (c_nationkey = s_nationkey) rides on the supplier join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").where(
+            F.col("r_name").isin("ASIA", "EUROPE")
+        )
+    )
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(_revenue().alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Left outer with NULL-preserving aggregation
+# --------------------------------------------------------------------------
+@query(
+    "q_join_left_nulls",
+    oracle=f"""
+    SELECT n_name,
+           count(c_custkey) AS n_customers,
+           coalesce({sql_dsum("c_acctbal", 12, 2)}, 0.0) AS total_acctbal
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_left_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.coalesce(dsum("c_acctbal", 12, 2), F.lit(0.0)).alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins
+# --------------------------------------------------------------------------
+_BIG_ORDER = 400000.0
+
+
+@query(
+    "q_join_semi",
+    oracle=f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > {_BIG_ORDER})
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > _BIG_ORDER
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle=f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > {_BIG_ORDER})
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > _BIG_ORDER
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Explicit broadcast join over two dimensions
+# --------------------------------------------------------------------------
+@query(
+    "q_join_broadcast_dim",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name, r_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        supp.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Range (band) join
+# --------------------------------------------------------------------------
+_BANDS = [(0.0, 100.0, "low"), (100.0, 300.0, "mid"), (300.0, 1e9, "high")]
+
+
+@query(
+    "q_join_range_band",
+    oracle=f"""
+    SELECT band,
+           count(*) AS n_events,
+           {sql_dsum("value", 12, 2)} AS total_value
+    FROM events
+    JOIN (VALUES (0.0, 100.0, 'low'), (100.0, 300.0, 'mid'), (300.0, 1e9, 'high'))
+         t(lo, hi, band)
+      ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join against a broadcast band table (operators/relational).
+    For a large ranges side the scale path is bucketizing the value into an
+    equi-key; here the bands are 3 rows — broadcast NLJ is the right plan."""
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        _BANDS,
+        T.StructType(
+            [
+                T.StructField("lo", T.DoubleType()),
+                T.StructField("hi", T.DoubleType()),
+                T.StructField("band", T.StringType()),
+            ]
+        ),
+    )
+    return (
+        range_join(events, bands, "value")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 12, 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (point-in-time): last 'view' before each 'purchase'
+# --------------------------------------------------------------------------
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, v.event_id AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union+window as-of join (operators/asof.py) vs DuckDB's native
+    ASOF JOIN as the oracle — same >= tie rule."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    return asof_join(
+        purchases, views, on="ts", by="user_id", right_payload=["view_event_id"]
+    ).select("event_id", "user_id", "ts", "view_event_id")
