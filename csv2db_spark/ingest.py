@@ -1,0 +1,205 @@
+"""CSV ingestion with and-hom/csv2db semantics (reference P1-P8).
+
+Reference behaviors reproduced (file:line cites into /root/reference):
+
+- P1/P3: CSV source with configurable single-char delimiter
+  (csv2db.go:170-205, config.go:67-72) → ``spark.read.csv`` options.
+- P2: charset decode via ``--encoding`` (csv2db.go:190-199) →
+  ``.option("encoding", ...)``.
+- P4: header row consumed as schema, else synthesized ``col0..colN``
+  names (common/schema.go:144-169) → header option + rename.
+- P7: schema reconcile — intersect CSV columns with target columns by
+  name or ordinal, drop extras with a warning, NULL-fill missing,
+  reorder to target order (common/schema.go:67-105).
+- P8: per-column cast with empty-string→NULL iff the target column is
+  nullable (common/val_mapper.go:33-42, common/insert_schema.go:23-26),
+  and FAILFAST on the first unparseable value (common/inserter.go:22-27).
+
+Scale design: everything is a declarative DataFrame plan — the CSV scan
+partitions by file split, the cast stage is whole-stage-codegen'd column
+expressions (zero Python in the row path), and errors surface through
+Spark task failure exactly where the reference called ``logrus.Fatal``.
+
+Known divergence from the reference (documented, not hidden): boolean
+parsing accepts Spark's cast vocabulary (adds ``y/yes/n/no`` to Go's
+``strconv.ParseBool`` set).
+"""
+
+from __future__ import annotations
+
+import csv as _pycsv
+import logging
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+log = logging.getLogger("csv2db_spark.ingest")
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_INT_RE = r"^[+-]?\d+$"
+
+
+def _sniff_ncols(spark: SparkSession, path: str, delimiter: str) -> int:
+    """Count fields of the first line (schema binding is deferred to the
+    first row in the reference too — csv2db.go:88-106)."""
+    first = spark.read.text(path).limit(1).collect()
+    if not first:
+        raise ValueError(f"empty CSV input: {path}")
+    return len(next(_pycsv.reader([first[0].value], delimiter=delimiter)))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    has_header: bool = True,
+    delimiter: str = ",",
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """Read a CSV as all-string columns, FAILFAST on malformed rows.
+
+    Headerless inputs get ``col0..colN`` names (reference ``NColsSchema``,
+    common/schema.go:157-169). Missing/empty fields are normalized to ""
+    so downstream cast logic owns the empty-vs-NULL decision per target
+    nullability — never the reader (SURVEY.md §7.5 risk 1).
+    """
+    if len(delimiter) != 1:
+        # config.go:67-72 rejects multi-char delimiters
+        raise ValueError(f"delimiter must be a single character, got {delimiter!r}")
+    ncols = _sniff_ncols(spark, path, delimiter)
+    if has_header:
+        header_line = spark.read.text(path).limit(1).collect()[0].value
+        names = next(_pycsv.reader([header_line], delimiter=delimiter))
+    else:
+        names = [f"col{i}" for i in range(ncols)]
+    schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+    df = (
+        spark.read.schema(schema)
+        .options(
+            header=str(has_header).lower(),
+            sep=delimiter,
+            encoding=encoding,
+            mode="FAILFAST",
+            quote='"',
+            escape='"',
+        )
+        .csv(path)
+    )
+    # empty field and quoted-empty both become "" — the Go csv reader
+    # yields "" for both and NULL never originates in the reader.
+    return df.select(
+        *[F.coalesce(F.col(n), F.lit("")).alias(n) for n in df.columns]
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7: reconcile
+# ---------------------------------------------------------------------------
+
+
+def reconcile_by_name(df: DataFrame, target: T.StructType) -> DataFrame:
+    """CSV has a header: match columns by name; DB side wins on type and
+    nullability; extra CSV columns dropped with a warning; missing target
+    columns become NULL (common/schema.go:67-83)."""
+    tnames = set(target.fieldNames())
+    for c in df.columns:
+        if c not in tnames:
+            log.warning("CSV column %r has no target column — dropped", c)
+    cols = []
+    for f in target.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name))
+        else:
+            cols.append(F.lit(None).cast("string").alias(f.name))
+    return df.select(*cols)
+
+
+def reconcile_by_index(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Headerless CSV: pair CSV column i with target column i; excess CSV
+    columns dropped (common/schema.go:85-105)."""
+    if len(df.columns) > len(target.fields):
+        for c in df.columns[len(target.fields) :]:
+            log.warning("CSV column %r beyond target width — dropped", c)
+    cols = []
+    for i, f in enumerate(target.fields):
+        if i < len(df.columns):
+            cols.append(F.col(df.columns[i]).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast("string").alias(f.name))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# P8: cast with reference NULL/FAILFAST semantics
+# ---------------------------------------------------------------------------
+
+
+def _cast_error(src: Column, field: T.StructField) -> Column:
+    return F.raise_error(
+        F.concat(
+            F.lit(f"csv2db_spark: cannot cast value '"),
+            src,
+            F.lit(f"' to {field.dataType.simpleString()} for column {field.name}"),
+        )
+    )
+
+
+def _cast_one(src: Column, field: T.StructField) -> Column:
+    """One column's ValMapper (common/val_mapper.go:9-70) as a codegen'd
+    expression: empty→NULL iff nullable; unparseable → raise (FAILFAST,
+    common/inserter.go:22-27)."""
+    t = field.dataType
+    if isinstance(t, T.StringType):
+        body = src  # identity mapper (val_mapper.go:44-46); "" stays ""
+    else:
+        # try_cast, not cast: Spark 4 runs ANSI mode by default, where a
+        # plain cast throws its own error before our FAILFAST guard runs.
+        casted = src.try_cast(t)
+        valid = casted.isNotNull()
+        if isinstance(t, _INT_TYPES):
+            # Go strconv.ParseInt rejects decimals/whitespace that Spark's
+            # cast would accept — enforce the stricter grammar.
+            valid = valid & src.rlike(_INT_RE)
+        body = F.when(valid, casted).otherwise(_cast_error(src, field).cast(t))
+    if field.nullable:
+        # NullableMapper (val_mapper.go:33-42): "" → NULL, even for strings
+        return F.when(src.isNull() | (src == ""), F.lit(None).cast(t)).otherwise(
+            body
+        )
+    # NOT NULL target: "" goes to the parser ("" is fine for String, fatal
+    # for numerics); absent column (src NULL) is fatal.
+    return F.when(src.isNull(), _cast_error(F.lit("<missing>"), field).cast(t)).otherwise(
+        body
+    )
+
+
+def cast_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Apply the per-column mappers; input columns must already be aligned
+    to ``target`` (use reconcile_by_name / reconcile_by_index first)."""
+    return df.select(
+        *[_cast_one(F.col(f.name), f).alias(f.name) for f in target.fields]
+    )
+
+
+def ingest_csv(
+    spark: SparkSession,
+    path: str,
+    target: T.StructType | None = None,
+    has_header: bool = True,
+    delimiter: str = ",",
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """Full P1-P8 pipeline: read → reconcile → cast.
+
+    With no target schema (table doesn't exist → reference creates an
+    all-string table, csv2db.go:157), returns the all-string frame as-is.
+    """
+    df = read_csv(spark, path, has_header, delimiter, encoding)
+    if target is None:
+        return df
+    aligned = (
+        reconcile_by_name(df, target)
+        if has_header
+        else reconcile_by_index(df, target)
+    )
+    return cast_to_schema(aligned, target)

@@ -1,0 +1,82 @@
+"""Ingestion-parity queries: exercise the P1-P8 CSV pipeline end-to-end
+inside the driver's correctness gate.
+
+Each query dumps a fixture table to CSV (distributed write, part files),
+re-ingests it through csv2db_spark.ingest (header/headerless, reconcile by
+name/ordinal, typed cast with empty→NULL semantics), then aggregates; the
+oracle runs the same aggregate on the original parquet — so any loss or
+corruption in the CSV path breaks the hash match.
+
+Doubles survive the text roundtrip bit-exactly: Spark writes shortest
+round-trip representations and the cast back is IEEE nearest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from csv2db_spark.functions.numeric import dsum, sql_dsum
+from csv2db_spark.ingest import ingest_csv
+from csv2db_spark.registry import query
+from csv2db_spark.sources import load_table
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType(), False),
+        T.StructField("c_name", T.StringType(), True),
+        T.StructField("c_nationkey", T.IntegerType(), True),
+        T.StructField("c_acctbal", T.DoubleType(), True),
+        T.StructField("c_mktsegment", T.StringType(), True),
+    ]
+)
+
+_ORACLE = f"""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       {sql_dsum("c_acctbal", 12, 2)} AS total_acctbal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def _tmp_dir(sf_dir: str, tag: str) -> str:
+    safe = sf_dir.strip("/").replace("/", "_")
+    return os.path.join("/tmp", f"csv2db_spark_{tag}_{safe}")
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", 12, 2).alias("total_acctbal"),
+    )
+
+
+@query("q_ingest_csv_roundtrip", oracle=_ORACLE)
+def q_ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header CSV → reconcile by name (scrambled column order on write to
+    prove the by-name path reorders)."""
+    cust = load_table(spark, sf_dir, "customer")
+    path = _tmp_dir(sf_dir, "rt_header")
+    scrambled = cust.select(
+        "c_mktsegment", "c_acctbal", "c_custkey", "c_name", "c_nationkey"
+    )
+    scrambled.write.mode("overwrite").option("header", True).csv(path)
+    df = ingest_csv(spark, path, CUSTOMER_SCHEMA, has_header=True)
+    return _agg(df)
+
+
+@query("q_ingest_csv_headerless", oracle=_ORACLE)
+def q_ingest_csv_headerless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headerless CSV → col0..colN synthesis → reconcile by ordinal."""
+    cust = load_table(spark, sf_dir, "customer")
+    path = _tmp_dir(sf_dir, "rt_headerless")
+    ordered = cust.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    ordered.write.mode("overwrite").option("header", False).csv(path)
+    df = ingest_csv(spark, path, CUSTOMER_SCHEMA, has_header=False)
+    return _agg(df)

@@ -1,0 +1,228 @@
+"""Sinks with and-hom/csv2db semantics (reference P9-P20, P24).
+
+Table-mode matrix (config.go:18-61, csv2db.go:133-161,219-241 →
+SURVEY.md §7.3):
+
+| mode            | table exists              | table missing   |
+|-----------------|---------------------------|-----------------|
+| create          | append                    | create + insert |
+| drop-and-create | drop, recreate, insert    | create + insert |
+| truncate        | truncate (keep DDL), append| ERROR          |
+| delete-all      | DELETE FROM, append       | ERROR           |
+| as-is           | append                    | ERROR           |
+
+The missing-table error reproduces csv2db.go:151-156 (manual case 1).
+
+JDBC specifics:
+- batch size default ``max(1, 1000 // ncols)`` keeps the reference's
+  <=1000-bind-params-per-statement heuristic (_postgres/postgres.go:152,
+  _mysql/mysql.go:143-148 — including MySQL's div-by-zero guard, which
+  Postgres lacks in the reference).
+- true multi-row INSERT needs ``rewriteBatchedStatements=true`` (MySQL) /
+  ``reWriteBatchedInserts=true`` (Postgres) on the URL; Spark's JDBC
+  writer handles statement generation (reference P13 is not re-built).
+- ``numPartitions`` = parallel connections. The reference runs ONE
+  transaction per load (common/inserter/batch.go:32-38); Spark commits
+  per partition — ``atomic=True`` forces numPartitions=1 for parity
+  (SURVEY.md §7.5 risk 5).
+- P17 (async pipeline stage) and P15 (per-connection transaction) are
+  inherent in Spark's executor model — no code.
+- P18 noop sink: ``format("noop")``.
+"""
+
+from __future__ import annotations
+
+import shutil
+from enum import Enum
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class TableMode(str, Enum):
+    CREATE = "create"
+    DROP_AND_CREATE = "drop-and-create"
+    TRUNCATE = "truncate"
+    DELETE_ALL = "delete-all"
+    AS_IS = "as-is"  # reference default "" (config.go:28-30)
+
+    @property
+    def creates(self) -> bool:
+        return self in (TableMode.CREATE, TableMode.DROP_AND_CREATE)
+
+
+class MissingTableError(RuntimeError):
+    """Reference: missing table without a create-capable mode is fatal
+    (csv2db.go:151-156)."""
+
+
+def default_batchsize(ncols: int) -> int:
+    """<=1000 bind params per INSERT (reference heuristic, with MySQL's
+    zero guard applied to both dialects)."""
+    return max(1, 1000 // max(1, ncols))
+
+
+# ---------------------------------------------------------------------------
+# JDBC sink (P13-P16, P20) — thin, defensible mapping onto Spark's writer
+# ---------------------------------------------------------------------------
+
+# Spark type → ANSI-ish DDL used for createTableColumnTypes; mirrors the
+# reference's Go-type→DDL registry (common/db.go:44-50) generalized to
+# both dialects' shared vocabulary (_postgres/postgres.go:26-34,
+# _mysql/mysql.go:35-43).
+_DDL_TYPES: dict[type, str] = {
+    T.LongType: "BIGINT",
+    T.IntegerType: "INTEGER",
+    T.ShortType: "SMALLINT",
+    T.ByteType: "SMALLINT",
+    T.DoubleType: "DOUBLE PRECISION",
+    T.FloatType: "REAL",
+    T.BooleanType: "BOOLEAN",
+    T.StringType: "TEXT",
+}
+
+
+def create_table_column_types(schema: T.StructType) -> str:
+    parts = []
+    for f in schema.fields:
+        ddl = _DDL_TYPES.get(type(f.dataType))
+        if ddl is None:
+            continue  # unregistered types are skipped with a warning in the
+            # reference (_postgres/postgres.go:104-108); Spark will use its
+            # own default mapping for them instead
+        parts.append(f"{f.name} {ddl}")
+    return ", ".join(parts)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: TableMode | str = TableMode.AS_IS,
+    user: str | None = None,
+    password: str | None = None,
+    batchsize: int | None = None,
+    num_partitions: int | None = None,
+    atomic: bool = False,
+) -> None:
+    """Write ``df`` into a JDBC table under the reference's mode matrix.
+
+    Untestable in this container (no JDBC driver/database); the mapping is
+    exercised through ParquetTableStore below, which implements the same
+    matrix against parquet-backed tables.
+    """
+    mode = TableMode(mode)
+    opts: dict[str, str] = {
+        "batchsize": str(batchsize or default_batchsize(len(df.columns))),
+    }
+    if user:
+        opts["user"] = user
+    if password:
+        opts["password"] = password
+    if num_partitions and not atomic:
+        opts["numPartitions"] = str(num_partitions)
+    if atomic:
+        # single transaction per load, like the reference's one-tx sink
+        df = df.coalesce(1)
+
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+
+    if mode is TableMode.DROP_AND_CREATE:
+        writer.option(
+            "createTableColumnTypes", create_table_column_types(df.schema)
+        ).mode("overwrite").save()
+    elif mode is TableMode.TRUNCATE:
+        writer.option("truncate", "true").mode("overwrite").save()
+    elif mode is TableMode.CREATE:
+        try:
+            writer.option(
+                "createTableColumnTypes", create_table_column_types(df.schema)
+            ).mode("errorifexists").save()
+        except Exception:
+            writer.mode("append").save()
+    elif mode is TableMode.DELETE_ALL:
+        raise NotImplementedError(
+            "delete-all needs a raw JDBC statement (DELETE FROM) before an "
+            "append; requires a live driver — see ParquetTableStore for the "
+            "semantics"
+        )
+    else:  # AS_IS — table must exist; Spark append errors if missing only
+        # at the DB layer, matching the reference's behavior coarsely
+        writer.mode("append").save()
+
+
+# ---------------------------------------------------------------------------
+# Parquet-backed table store: the same mode matrix, testable locally
+# ---------------------------------------------------------------------------
+
+
+class ParquetTableStore:
+    """A tiny 'database' of parquet tables used to exercise the table-mode
+    orchestration (P24) without a live DBMS. One directory per table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _path(self, table: str) -> Path:
+        return self.root / table
+
+    def exists(self, table: str) -> bool:  # P6 existence probe
+        return self._path(table).exists()
+
+    def schema(self, table: str) -> T.StructType:  # P5 catalog introspection
+        if not self.exists(table):
+            raise MissingTableError(table)
+        return self.spark.read.parquet(str(self._path(table))).schema
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(str(self._path(table)))
+
+    def drop(self, table: str) -> None:  # P10
+        shutil.rmtree(self._path(table), ignore_errors=True)
+
+    def truncate(self, table: str) -> None:  # P11 (keep schema, wipe rows)
+        empty = self.read(table).limit(0)
+        empty.write.mode("overwrite").parquet(str(self._path(table)))
+
+    def delete_all(self, table: str) -> None:  # P12 — same observable
+        self.truncate(table)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        df.write.mode("append").parquet(str(self._path(table)))
+
+    def create(self, df: DataFrame, table: str) -> None:  # P9
+        df.write.mode("errorifexists").parquet(str(self._path(table)))
+
+    def write(self, df: DataFrame, table: str, mode: TableMode | str) -> None:
+        """The reference's onTableExists + initInsertSchema orchestration
+        (csv2db.go:133-161, 219-241)."""
+        mode = TableMode(mode)
+        if not self.exists(table):
+            if not mode.creates:
+                raise MissingTableError(
+                    f"table {table!r} does not exist and mode {mode.value!r} "
+                    "does not create it"
+                )
+            self.create(df, table)
+            return
+        if mode is TableMode.DROP_AND_CREATE:
+            self.drop(table)
+            self.create(df, table)
+        elif mode is TableMode.TRUNCATE:
+            self.truncate(table)
+            self.append(df, table)
+        elif mode is TableMode.DELETE_ALL:
+            self.delete_all(table)
+            self.append(df, table)
+        else:  # CREATE (exists → append) and AS_IS
+            self.append(df, table)
+
+
+def write_noop(df: DataFrame) -> None:
+    """P18: discard rows after full execution (dry-run / benchmarking)."""
+    df.write.format("noop").mode("overwrite").save()

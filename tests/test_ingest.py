@@ -1,0 +1,174 @@
+"""Ported manual test corpus (reference sample/manual_test_cases.md →
+SURVEY.md §2.3) plus cast-semantics unit tests.
+
+The reference's golden outputs are reproduced as in-memory assertions on
+the reconciled/cast DataFrame; the JDBC sink is replaced by collect()
+(tests/test_sink.py covers the table-mode matrix against a local store).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors.exceptions.captured import SparkRuntimeException
+from pyspark.sql import types as T
+
+from csv2db_spark.ingest import (
+    cast_to_schema,
+    ingest_csv,
+    read_csv,
+    reconcile_by_index,
+    reconcile_by_name,
+)
+
+# FIXTURES.md A4: canonical existing-table schema (jsonb/date degrade to
+# string per _postgres/postgres.go:26-34)
+TARGET = T.StructType(
+    [
+        T.StructField("a", T.LongType(), True),
+        T.StructField("b", T.IntegerType(), False),
+        T.StructField("c", T.StringType(), True),
+        T.StructField("d", T.StringType(), True),
+        T.StructField("e", T.StringType(), True),
+    ]
+)
+
+NO_HEADER = "1,2,qqq,{},2017-01-01\n,4,,,"
+HEADER = "a,b,c,d,e\n" + NO_HEADER
+HEADER_SHORT = "a,c,d,e\n1,qqq,{},2017-01-01\n,,,"
+HEADER_SCRAMBLED = "e,c,a,b,d\n2017-01-01,qqq,1,2,{}\n,,,4,"
+
+
+@pytest.fixture
+def csv_file(tmp_path):
+    def write(content: str, name: str = "in.csv") -> str:
+        p = tmp_path / name
+        p.write_text(content)
+        return str(p)
+
+    return write
+
+
+def test_headerless_synthesized_names(spark, csv_file):
+    # manual case 2: headerless create → col0..colN (common/schema.go:157-169)
+    df = read_csv(spark, csv_file(NO_HEADER), has_header=False)
+    assert df.columns == ["col0", "col1", "col2", "col3", "col4"]
+    rows = df.collect()
+    assert rows[0].col0 == "1" and rows[0].col3 == "{}"
+    assert rows[1].col0 == "" and rows[1].col1 == "4"
+
+
+def test_header_names(spark, csv_file):
+    df = read_csv(spark, csv_file(HEADER))
+    assert df.columns == ["a", "b", "c", "d", "e"]
+
+
+def test_typed_cast_and_empty_null(spark, csv_file):
+    # manual cases 3/8: '1'→bigint, '{}' and date ride through as strings,
+    # ""→NULL for nullable targets
+    df = ingest_csv(spark, csv_file(HEADER), TARGET)
+    # types match the target; nullability of computed columns is always
+    # True in Spark — NOT NULL is enforced at runtime (test below)
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in TARGET.fields
+    ]
+    r1, r2 = df.collect()
+    assert r1.a == 1 and r1.b == 2 and r1.c == "qqq" and r1.d == "{}"
+    assert r1.e == "2017-01-01"
+    assert r2.a is None and r2.b == 4 and r2.c is None  # "" → NULL (nullable)
+
+
+def test_not_null_empty_aborts(spark, csv_file):
+    # manual case 3: NOT NULL b + empty value → abort the whole load
+    bad = "a,b,c,d,e\n1,,x,y,z"
+    df = ingest_csv(spark, csv_file(bad), TARGET)
+    with pytest.raises(SparkRuntimeException, match="cannot cast"):
+        df.collect()
+
+
+def test_wider_table_null_fill(spark, csv_file):
+    # manual case 4: target has column f that the CSV lacks → NULL
+    wider = T.StructType(TARGET.fields + [T.StructField("f", T.StringType(), True)])
+    df = ingest_csv(spark, csv_file(HEADER), wider)
+    assert df.columns == ["a", "b", "c", "d", "e", "f"]
+    assert all(r.f is None for r in df.collect())
+
+
+def test_narrower_table_drops_extra(spark, csv_file):
+    # manual case 5: CSV wider than target → extra columns silently dropped
+    narrower = T.StructType(TARGET.fields[:3])
+    df = ingest_csv(spark, csv_file(HEADER), narrower)
+    assert df.columns == ["a", "b", "c"]
+    assert df.count() == 2
+
+
+def test_by_name_reorder(spark, csv_file):
+    # manual case 6: header order differs from table order → match by name
+    df = ingest_csv(spark, csv_file(HEADER_SCRAMBLED), TARGET)
+    r1, r2 = df.collect()
+    assert (r1.a, r1.b, r1.c, r1.d, r1.e) == (1, 2, "qqq", "{}", "2017-01-01")
+    assert r2.b == 4 and r2.a is None
+
+
+def test_header_subset_null_fill(spark, csv_file):
+    # manual_test_cases.md:207-228: CSV missing column b → NULL (target b
+    # nullable in that scenario; a NOT NULL b would abort — next test)
+    nullable_b = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in TARGET.fields]
+    )
+    df = ingest_csv(spark, csv_file(HEADER_SHORT), nullable_b)
+    r1, r2 = df.collect()
+    assert r1.a == 1 and r1.b is None and r1.c == "qqq"
+    assert r2.a is None
+
+
+def test_header_subset_not_null_aborts(spark, csv_file):
+    # missing CSV column for a NOT NULL target → fatal, like the DB
+    # rejecting the NULL insert
+    df = ingest_csv(spark, csv_file(HEADER_SHORT), TARGET)
+    with pytest.raises(SparkRuntimeException, match="cannot cast"):
+        df.collect()
+
+
+def test_by_index_reconcile(spark, csv_file):
+    # headerless + existing table → pair by ordinal (common/schema.go:85-105)
+    df = ingest_csv(spark, csv_file(NO_HEADER), TARGET, has_header=False)
+    r1, _ = df.collect()
+    assert r1.a == 1 and r1.b == 2 and r1.e == "2017-01-01"
+
+
+def test_ragged_row_failfast(spark, csv_file):
+    # SURVEY.md §2.3 case 7: inconsistent field count is fatal
+    ragged = "a,b,c,d,e\n1,2,3,4,5\n1,2,3"
+    df = read_csv(spark, csv_file(ragged))
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        df.collect()
+
+
+def test_int_strictness(spark, csv_file):
+    # Go strconv.ParseInt rejects '1.5' — so do we
+    bad = "a,b,c,d,e\n1.5,2,x,y,z"
+    df = ingest_csv(spark, csv_file(bad), TARGET)
+    with pytest.raises(SparkRuntimeException, match="cannot cast"):
+        df.collect()
+
+
+def test_non_null_string_keeps_empty(spark, csv_file):
+    # "" parses to "" for a NOT NULL string target (val_mapper.go:44-46)
+    schema = T.StructType([T.StructField("c", T.StringType(), False)])
+    df = ingest_csv(spark, csv_file("c\nx\n\"\""), schema)
+    vals = [r.c for r in df.collect()]
+    assert vals == ["x", ""]
+
+
+def test_delimiter_and_encoding(spark, csv_file):
+    df = read_csv(spark, csv_file("a;b\n1;2"), delimiter=";")
+    assert df.columns == ["a", "b"]
+    with pytest.raises(ValueError, match="single character"):
+        read_csv(spark, csv_file("a,b\n1,2"), delimiter=";;")
+
+
+def test_latin1_encoding(spark, tmp_path):
+    p = tmp_path / "latin1.csv"
+    p.write_bytes("name\ncaf\xe9".encode("latin-1"))
+    df = read_csv(spark, str(p), encoding="ISO-8859-1")
+    assert df.collect()[0].name == "caf\xe9"

@@ -1,0 +1,87 @@
+"""Table-mode matrix tests (reference P9-P12, P20, P24) against the
+parquet-backed store, plus the batchsize heuristic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from csv2db_spark.sink import (
+    MissingTableError,
+    ParquetTableStore,
+    TableMode,
+    create_table_column_types,
+    default_batchsize,
+    write_noop,
+)
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return ParquetTableStore(spark, str(tmp_path / "db"))
+
+
+@pytest.fixture
+def df2(spark):
+    return spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+
+
+def test_missing_table_as_is_errors(store, df2):
+    # manual case 1: missing table + as-is → hard failure
+    with pytest.raises(MissingTableError):
+        store.write(df2, "t", TableMode.AS_IS)
+
+
+def test_missing_table_truncate_and_delete_all_error(store, df2):
+    for m in (TableMode.TRUNCATE, TableMode.DELETE_ALL):
+        with pytest.raises(MissingTableError):
+            store.write(df2, "t", m)
+
+
+def test_create_then_append(store, df2):
+    store.write(df2, "t", TableMode.CREATE)
+    assert store.read("t").count() == 2
+    store.write(df2, "t", TableMode.CREATE)  # exists → append
+    assert store.read("t").count() == 4
+
+
+def test_drop_and_create(store, df2):
+    store.write(df2, "t", TableMode.CREATE)
+    store.write(df2, "t", TableMode.DROP_AND_CREATE)
+    assert store.read("t").count() == 2
+
+
+def test_truncate_keeps_schema(store, df2):
+    store.write(df2, "t", TableMode.CREATE)
+    before = store.schema("t")
+    store.write(df2, "t", TableMode.TRUNCATE)
+    assert store.read("t").count() == 2
+    assert store.schema("t") == before
+
+
+def test_delete_all_then_append(store, df2):
+    store.write(df2, "t", TableMode.CREATE)
+    store.write(df2, "t", TableMode.DELETE_ALL)
+    assert store.read("t").count() == 2
+
+
+def test_as_is_appends(store, df2):
+    store.write(df2, "t", TableMode.CREATE)
+    store.write(df2, "t", TableMode.AS_IS)
+    assert store.read("t").count() == 4
+
+
+def test_batchsize_heuristic():
+    # 1000/ncols with MySQL's guard (reference: _mysql/mysql.go:143-148)
+    assert default_batchsize(10) == 100
+    assert default_batchsize(1) == 1000
+    assert default_batchsize(3000) == 1
+    assert default_batchsize(0) == 1000  # guard the PG div-by-zero bug away
+
+
+def test_create_table_column_types(df2):
+    assert create_table_column_types(df2.schema) == "a BIGINT, b TEXT"
+
+
+def test_noop_sink(df2):
+    write_noop(df2)  # executes the plan, discards rows, must not raise
