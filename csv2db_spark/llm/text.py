@@ -1,0 +1,150 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting — plus an Arrow-batched Pandas-UDF variant to
+exercise the Python fast path.
+
+Everything except the pandas_udf variant is pure ``pyspark.sql.functions``
+(whole-stage codegen, no Python in the row path).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from csv2db_spark.llm.corpus import shingles, tokens
+
+# ------------------------------------------------------------- token stats
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    nt = n_tokens(t)
+    # single-space-separated fixture text: chars minus separators / tokens
+    avg_len = (F.length(t) - (nt - 1)) / nt
+    return docs.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        avg_len.alias("avg_token_len"),
+    )
+
+
+# ------------------------------------------------------------ quality score
+
+_STOPWORDS = ("the", "a", "data", "table")
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Substring occurrence count via the length-difference trick (exactly
+    the same arithmetic is used in the oracle SQL)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, alpha ratio, whitespace ratio,
+    stopword density — combined into one deterministic score."""
+    t = F.col(text_col)
+    total = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^a-z]", ""))
+    spaces = total - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    stop_hits = None
+    for w in _STOPWORDS:
+        c = _count_occurrences(F.concat(F.lit(" "), t, F.lit(" ")), f" {w} ")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    nt = n_tokens(t)
+    alpha_ratio = alpha / total
+    space_ratio = spaces / total
+    stop_ratio = stop_hits / nt
+    score = alpha_ratio * 0.5 + stop_ratio * 0.3 + (1 - space_ratio) * 0.2
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("n_chars"),
+        alpha_ratio.alias("alpha_ratio"),
+        space_ratio.alias("space_ratio"),
+        stop_hits.alias("stop_hits"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+# -------------------------------------------------------------- language ID
+
+# marker words per language; scores are padded-substring occurrence counts
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "nicht"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        s = None
+        for w in words:
+            c = _count_occurrences(padded, f" {w} ")
+            s = c if s is None else s + c
+        out[lang] = s
+    return out
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-heuristic language ID. Deterministic argmax with a fixed
+    tie-break order (en > de > fr > es > unknown) — mirrored in the
+    oracle. Note the fixture text is synthetic word salad, so this tests
+    the operator's determinism, not linguistic accuracy."""
+    scores = lang_scores(F.col(text_col))
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, "unknown")
+    for lang in LANG_MARKERS:  # insertion order = tie-break priority
+        pred = pred.when(scores[lang] == best, lang)
+    cols = [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
+    return docs.select("doc_id", *cols, pred.alias("pred_lang"))
+
+
+# ------------------------------------------------------------- fingerprint
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the full text (exact identity) plus a
+    min-hash over word 3-grams (robust to reordering/truncation — the
+    1-seed special case of MinHash)."""
+    sh = shingles(tokens(text_col))
+    return docs.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("text_md5"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("shingle_fp"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )
+
+
+# ----------------------------------------------------- pandas-UDF token stats
+
+
+def token_stats_pandas(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Same n_tokens as token_stats but through an Arrow-batched Pandas
+    UDF — the sanctioned Python escape hatch (row-at-a-time Python UDFs
+    are 10-100x slower; never use them in the hot path).
+
+    The UDF is built lazily: decorating at import time would require an
+    active SparkSession for return-type parsing."""
+
+    @pandas_udf("long")
+    def pd_token_count(text: pd.Series) -> pd.Series:
+        return text.str.split(" ").str.len().astype("int64")
+
+    return docs.select(
+        "doc_id", pd_token_count(F.col(text_col)).alias("n_tokens")
+    )

@@ -8,6 +8,7 @@ from csv2db_spark.queries import (  # noqa: F401
     aggregates,
     core,
     ingest_q,
+    llm,
     relational,
     reshape,
     scalar,

@@ -1,0 +1,387 @@
+"""Driver-gate queries for the LLM-data operators (dedup, similarity,
+text analysis). Oracle SQL mirrors each algorithm step-for-step in DuckDB
+— same tokens, same md5-based hashes, same exact-decimal dot products —
+so the hash comparison validates the algorithm, not just row counts.
+
+Dedup queries run on the deterministic augmented corpus
+(llm/corpus.py) because the fixture has no duplicates of its own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2db_spark.llm import dedup as D
+from csv2db_spark.llm import text as X
+from csv2db_spark.llm import similarity as S
+from csv2db_spark.llm.corpus import SQL_AUG, SQL_SHINGLES, augmented_docs
+from csv2db_spark.registry import query
+from csv2db_spark.sources import load_table
+
+# shared oracle CTE prefix: augmented corpus -> tokens -> shingles -> exploded
+_SH = SQL_SHINGLES.format(t="t")
+_CTE_EX = f"""
+WITH {SQL_AUG.strip().removeprefix('aug AS')[0:0]}{SQL_AUG.strip()},
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+sh AS (SELECT doc_id, {_SH} AS s FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS s FROM sh)
+"""
+
+# ---------------------------------------------------------------- exact dedup
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    WITH {SQL_AUG.strip()}
+    SELECT md5(text) AS text_md5,
+           min(doc_id) AS rep_doc_id,
+           count(*) AS n_copies
+    FROM aug
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(augmented_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------------- n-gram Jaccard
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b, count(*) AS inter
+  FROM ex e1 JOIN ex e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT doc_a, doc_b,
+         inter / (sa.n + sb.n - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    {_CTE_EX},
+    {_JACCARD_TAIL.strip()}
+    SELECT doc_a, doc_b, jaccard FROM jacc WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = D.shingle_table(augmented_docs(spark, sf_dir))
+    return D.jaccard_pairs(ex, min_jaccard=0.5)
+
+
+# -------------------------------------------------------------- MinHash + LSH
+
+
+def _sql_minhash_cte(k: int = D.MINHASH_K, rows: int = D.BAND_ROWS) -> str:
+    mins = ",\n         ".join(
+        f"min(md5('{i}:' || s)) AS h{i}" for i in range(k)
+    )
+    bands = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_id, md5({concat}) AS bh FROM mh".format(
+            b=b,
+            concat=" || '|' || ".join(f"h{b * rows + j}" for j in range(rows)),
+        )
+        for b in range(k // rows)
+    )
+    return f"""
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
+              AND a.doc_id < b.doc_id
+)
+"""
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    {_CTE_EX},
+    {_sql_minhash_cte().strip()},
+    {_JACCARD_TAIL.strip()}
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= 0.5
+    """,
+    bench=True,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidates (banded signatures, llm/dedup.py) verified
+    with exact Jaccard — the standard scale recipe: pairwise work only on
+    band collisions."""
+    ex = D.shingle_table(augmented_docs(spark, sf_dir))
+    sig = D.minhash_signatures(ex)
+    cand = D.minhash_candidates(D.minhash_bands(sig))
+    verified = D.jaccard_pairs(ex, min_jaccard=0.5)
+    return cand.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+@query("q_dedup_simhash", oracle=None)  # bit-parallel hashing is not
+# reasonably expressible in DuckDB SQL; validated against a pure-Python
+# reference implementation in tests/test_llm.py
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.simhash(augmented_docs(spark, sf_dir))
+    return D.simhash_pairs(sig, max_hamming=3)
+
+
+# ------------------------------------------------------- embedding near-dup
+
+# scaled-long dot product (mirrors llm/similarity.py quantization)
+def _sql_iel(expr: str) -> str:
+    return f"cast(cast({expr} as decimal(9,8)) * 100000000 as bigint)"
+
+
+def _sql_cos(dot: str, na: str, nb: str) -> str:
+    return (
+        f"(cast({dot} as double) / 1e16)"
+        f" / (sqrt(cast({na} as double) / 1e16) * sqrt(cast({nb} as double) / 1e16))"
+    )
+
+
+_SQL_AUG_EMB = f"""
+base AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+         FROM embeddings),
+pert AS (SELECT vec_id + 100000 AS vec_id,
+                list_prepend(v[1] + 0.001, v[2:64]) AS v
+         FROM base WHERE vec_id < 30),
+augv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+norms AS (
+  SELECT vec_id,
+         sum({_sql_iel('v[i]')} * {_sql_iel('v[i]')}) AS nrm2
+  FROM augv, range(1, 65) r(i) GROUP BY vec_id
+)
+"""
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    pert = base.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + 0.001), F.slice("v", 2, 63)
+        ).alias("v"),
+    )
+    return base.unionByName(pert)
+
+
+@query(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_SQL_AUG_EMB.strip()},
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             sum({_sql_iel('a.v[i]')} * {_sql_iel('b.v[i]')}) AS dot
+      FROM augv a JOIN augv b ON a.vec_id < b.vec_id, range(1, 65) r(i)
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           {_sql_cos('dot', 'na.nrm2', 'nb.nrm2')} AS cos_sim
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE {_sql_cos('dot', 'na.nrm2', 'nb.nrm2')} >= 0.999
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors by cosine >= 0.999 over all pairs of the
+    augmented embedding set (originals + 30 perturbed copies)."""
+    aug = _aug_embeddings(spark, sf_dir)
+    a = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = S.cosine(F.col("va"), F.col("vb"))
+    return pairs.select("vec_a", "vec_b", cos.alias("cos_sim")).where(
+        F.col("cos_sim") >= 0.999
+    )
+
+
+# -------------------------------------------------------- similarity search
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    norms AS (
+      SELECT vec_id,
+             sum({_sql_iel('cast(embedding[i] as double)')}
+                 * {_sql_iel('cast(embedding[i] as double)')}) AS nrm2
+      FROM embeddings, range(1, 65) r(i) GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             sum({_sql_iel('cast(q.qv[i] as double)')}
+                 * {_sql_iel('cast(e.embedding[i] as double)')}) AS dot
+      FROM q, embeddings e, range(1, 65) r(i)
+      WHERE e.vec_id != q.query_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_sql_cos('dot', 'nq.nrm2', 'nn.nrm2')} AS cos_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nn ON nn.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    bench=True,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force ANN baseline: top-10 cosine neighbours for the
+    first 5 vectors (llm/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.cosine_topk(emb, queries, k=10)
+
+
+@query("q_sim_ann_lsh", oracle=None)  # approximate by construction — recall
+# vs the brute-force baseline is asserted in tests/test_llm.py
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.lsh_ann_topk(emb, queries, k=10)
+
+
+# ------------------------------------------------------------- text analysis
+
+
+@query(
+    "q_text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
+           cast(length(text) as bigint) AS n_chars,
+           (length(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_token_stats_pandas",
+    oracle="""
+    SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS n_tokens
+    FROM documents
+    """,
+)
+def q_text_token_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_stats_pandas(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_occurrences(padded: str, needle: str) -> str:
+    return (
+        f"(length({padded}) - length(replace({padded}, '{needle}', '')))"
+        f" / {len(needle)}"
+    )
+
+
+_PADDED = "(' ' || text || ' ')"
+
+_QUAL_STOPS = " + ".join(
+    f"cast({_sql_occurrences(_PADDED, ' ' + w + ' ')} as bigint)"
+    for w in X._STOPWORDS
+)
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           cast(length(text) as bigint) AS n_chars,
+           length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)
+               AS alpha_ratio,
+           (length(text) - length(replace(text, ' ', ''))) / length(text)
+               AS space_ratio,
+           {_QUAL_STOPS} AS stop_hits,
+           ({_QUAL_STOPS}) / len(string_split(text, ' ')) AS stop_ratio,
+           (length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)) * 0.5
+             + (({_QUAL_STOPS}) / len(string_split(text, ' '))) * 0.3
+             + (1 - (length(text) - length(replace(text, ' ', ''))) / length(text)) * 0.2
+               AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_lang_score(words: tuple[str, ...]) -> str:
+    return " + ".join(
+        f"cast({_sql_occurrences(_PADDED, ' ' + w + ' ')} as bigint)"
+        for w in words
+    )
+
+
+_LANG_SCORES = {
+    lang: _sql_lang_score(words) for lang, words in X.LANG_MARKERS.items()
+}
+_GREATEST = "greatest(" + ", ".join(f"({s})" for s in _LANG_SCORES.values()) + ")"
+_LANG_CASE = "CASE WHEN " + _GREATEST + " <= 0 THEN 'unknown' " + " ".join(
+    f"WHEN ({_LANG_SCORES[lang]}) = {_GREATEST} THEN '{lang}'"
+    for lang in X.LANG_MARKERS
+) + " END"
+
+
+@query(
+    "q_text_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           {", ".join(f"({s}) AS score_{lang}" for lang, s in _LANG_SCORES.items())},
+           {_LANG_CASE} AS pred_lang
+    FROM documents
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (SELECT doc_id, text, {_SH} AS s FROM toks)
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           list_min(list_transform(s, x -> md5(x))) AS shingle_fp,
+           cast(len(s) as bigint) AS n_shingles
+    FROM sh
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(load_table(spark, sf_dir, "documents"))

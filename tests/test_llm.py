@@ -1,0 +1,88 @@
+"""Validation for LLM-data operators that have no SQL oracle: SimHash
+against a pure-Python reference implementation, and LSH-ANN recall against
+the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from csv2db_spark.llm import dedup as D
+from csv2db_spark.llm import similarity as S
+from csv2db_spark.llm.corpus import augmented_docs
+from csv2db_spark.sources import load_table
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def _py_simhash(text: str) -> int:
+    """Independent reference implementation of the same algorithm."""
+    counters = [0] * D.SIMHASH_BITS
+    for tok in text.split(" "):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for i in range(D.SIMHASH_BITS):
+            counters[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i, c in enumerate(counters):
+        if c > 0:
+            out |= 1 << i
+    return out
+
+
+def test_simhash_matches_python_reference(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    got = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, text in texts.items():
+        assert got[doc_id] == _py_simhash(text), f"doc {doc_id}"
+
+
+def test_simhash_finds_exact_copies(spark, sf_dir):
+    # exact copies (doc_id+200000) have hamming distance 0 → must pair up
+    sig = D.simhash(augmented_docs(spark, sf_dir))
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_pairs(sig, max_hamming=3).collect()
+    }
+    for doc_id in range(30):
+        assert pairs.get((doc_id, doc_id + 200000)) == 0, f"doc {doc_id}"
+
+
+# ---------------------------------------------------------------- LSH ANN
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, queries, k=10).collect()
+    approx = S.lsh_ann_topk(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # random-gaussian fixture embeddings are a worst case for LSH; the
+    # bar asserts the machinery works, not production-grade recall
+    assert mean_recall >= 0.3, f"mean recall {mean_recall:.2f}, {recalls}"
+
+
+def test_minhash_finds_near_dups(spark, sf_dir):
+    # truncated near-copies (doc_id+100000) must surface as candidates
+    ex = D.shingle_table(augmented_docs(spark, sf_dir))
+    sig = D.minhash_signatures(ex)
+    cand = D.minhash_candidates(D.minhash_bands(sig))
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    hits = sum((d, d + 100000) in pairs for d in range(50))
+    # MinHash is probabilistic: with J~0.9 and 4 bands of 3 rows the pair
+    # probability is ~1-(1-0.9^3)^4 ≈ 0.995 — expect nearly all 50
+    assert hits >= 45, f"only {hits}/50 near-dup pairs found"
+    exact_hits = sum((d, d + 200000) in pairs for d in range(30))
+    assert exact_hits == 30  # identical docs always collide
