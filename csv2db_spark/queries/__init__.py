@@ -13,6 +13,7 @@ from csv2db_spark.queries import (  # noqa: F401
     reshape,
     scalar,
     setops,
+    streaming_q,
     subqueries,
     windows,
 )

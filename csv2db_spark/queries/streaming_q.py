@@ -1,0 +1,132 @@
+"""Driver-gate queries for the Structured Streaming surface.
+
+Each query replays the events fixture through a REAL streaming plan
+(readStream -> event-time op -> availableNow -> memory sink) and returns
+the materialized result. The DuckDB oracles reproduce the *streaming*
+semantics in batch SQL — including the append-mode watermark emission rule
+(windows withheld until the watermark passes their end: ``HAVING w_end <=
+max(ts) - delay``) and session-window merging (gaps-and-islands) — so the
+hash comparison checks late-data behavior, not just aggregate math.
+
+``q_stream_stateful_user_stats`` (applyInPandasWithState) keeps exact
+integer-cents state, so even the custom-state path is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from csv2db_spark.registry import query
+from csv2db_spark.streaming import (
+    events_stream,
+    run_to_df,
+    session_window_agg,
+    sliding_window_agg,
+    stateful_user_stats,
+    stream_dedup_keys,
+    tumbling_window_agg,
+)
+
+_E = "SELECT event_id, ts, user_id, event_type, value FROM events"
+
+
+@query(
+    "q_stream_tumbling_window",
+    oracle=f"""
+    WITH e AS ({_E}),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS t FROM e)
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS w_end,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM e
+    GROUP BY 1, 2, 3
+    HAVING w_end <= (SELECT t FROM wm)
+    """,
+)
+def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tumbling_window_agg(events_stream(spark, sf_dir), "6 hours", "1 hour")
+    return run_to_df(out, spark, "append")
+
+
+@query(
+    "q_stream_sliding_window",
+    oracle=f"""
+    WITH e AS ({_E}),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS t FROM e),
+    hops AS (SELECT unnest([0, 1, 2]) AS k)
+    SELECT time_bucket(INTERVAL '2 hours', ts) - k * INTERVAL '2 hours' AS w_start,
+           time_bucket(INTERVAL '2 hours', ts) - k * INTERVAL '2 hours'
+             + INTERVAL '6 hours' AS w_end,
+           count(*) AS n_events,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM e CROSS JOIN hops
+    GROUP BY 1, 2
+    HAVING w_end <= (SELECT t FROM wm)
+    """,
+)
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sliding_window_agg(events_stream(spark, sf_dir), "6 hours", "2 hours", "1 hour")
+    return run_to_df(out, spark, "append")
+
+
+@query(
+    "q_stream_session_window",
+    oracle=f"""
+    WITH e AS ({_E}),
+    wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS t FROM e),
+    brk AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM brk
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    HAVING session_end <= (SELECT t FROM wm)
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = session_window_agg(events_stream(spark, sf_dir), "30 minutes", "2 hours")
+    return run_to_df(out, spark, "append")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = stream_dedup_keys(events_stream(spark, sf_dir), ["user_id", "event_type"], "1 hour")
+    return run_to_df(out, spark, "append")
+
+
+@query(
+    "q_stream_stateful_user_stats",
+    oracle=f"""
+    WITH e AS ({_E})
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           arg_max(event_type, ts) AS last_event_type
+    FROM e
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = stateful_user_stats(events_stream(spark, sf_dir), "1 hour")
+    return run_to_df(out, spark, "update")

