@@ -1,0 +1,10 @@
+from csv2db_spark.multimodal.media import (  # noqa: F401
+    MEDIA_META_FIELDS,
+    audio_window_energy,
+    decode_image,
+    decode_image_real,
+    media_stats,
+    resize_image,
+    sample_video_frames,
+    synth_media,
+)

@@ -1,0 +1,214 @@
+"""Multimodal (image/audio/video) column surface.
+
+A 100 TB training-data pipeline carries media as **opaque binary columns
+with typed metadata** — decode/resize/feature-extract run as Arrow-batched
+Python over ``mapInPandas``, everything else (filtering, joining,
+partitioning, dedup-by-checksum) stays JVM-side on the metadata. The
+reference has no binary/media support at all (its only types are the 8
+scalar parses in ``common/val_mapper.go:44-70``); this module is part of
+the scale-oriented extension surface.
+
+Because the container ships no image/audio codecs, the *real* decode path
+is stubbed (``decode_image_real`` raises ``NotImplementedError`` unless
+PIL appears), and the tested path uses a **deterministic fake codec**:
+payload bytes are interpreted directly as pixels/samples/frames. The
+Spark-side plumbing — binary Arrow batches into pandas, fixed-shape
+array outputs, metadata structs, per-kind routing — is real and is what
+the driver's oracle hash-checks.
+
+Scale notes:
+- ``mapInPandas`` streams Arrow record batches; peak memory is one batch
+  of payloads per core, not one partition. For multi-MB media you bound
+  batches with ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+- All fake-codec outputs are pure functions of the payload bytes, so the
+  operators are deterministic under any partitioning / retry.
+- Checksum-level ops (``media_stats``) never leave the JVM: ``md5``,
+  ``octet_length`` on binary are Catalyst expressions inside whole-stage
+  codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pandas only on the worker path
+    import pandas as pd
+
+MEDIA_META_FIELDS = (
+    "width int, height int, channels int, sample_rate int, fps int, n_frames int"
+)
+
+_THUMB = 64  # fake resize target: 64 "pixels" (8x8)
+_FRAME_BYTES = 16  # fake video codec: 16 bytes per frame
+_WIN = 32  # fake audio codec: 32 bytes (samples) per energy window
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from the documents fixture:
+    payload = UTF-8 bytes of the text, kind round-robins image/audio/video,
+    metadata is a typed struct computed from n_chars. This is the fixture
+    for every media operator (and its DuckDB oracle re-derives the same
+    values from the text side)."""
+    from csv2db_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        (F.col("n_chars") % 64 + 16).cast("int").alias("width"),
+        (F.col("n_chars") * 7 % 64 + 16).cast("int").alias("height"),
+        F.lit(3).alias("channels"),
+        F.lit(16000).alias("sample_rate"),
+        F.lit(25).alias("fps"),
+        (F.ceil(F.col("n_chars") / _FRAME_BYTES)).cast("int").alias("n_frames"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-JVM metadata pass: size, checksum (dedup key), typed meta
+    projection. No Python in the loop — this is the op you run over the
+    full 100 TB before any decode."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+def decode_image_real(media: DataFrame) -> DataFrame:  # pragma: no cover
+    """REAL image decode (PIL) — STUB: the container has no codec libs.
+    Kept so the wiring point is explicit; swap in when Pillow exists."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode needs Pillow; use decode_image (deterministic "
+            "fake codec) in this environment"
+        ) from exc
+    raise NotImplementedError("real codec path not implemented in this container")
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Fake-codec 'decode' + feature extraction over Arrow batches:
+    bytes -> 16-bin intensity histogram (byte >> 4) + mean byte value.
+    Shape and batching are exactly what a real decoder would use."""
+    out_schema = "media_id bigint, n_bytes int, mean_byte double, hist array<bigint>"
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(b >> 4, minlength=16)
+                rows.append(
+                    (
+                        mid,
+                        int(b.size),
+                        float(b.mean()) if b.size else 0.0,
+                        hist.astype("int64").tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "mean_byte", "hist"]
+            )
+
+    imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(decode, out_schema)
+
+
+def resize_image(media: DataFrame) -> DataFrame:
+    """Fake resize: deterministic fixed-shape (64-element) thumbnail by
+    byte truncate/zero-pad — stands in for interpolation; output shape,
+    typing and batch flow match a real resizer."""
+    out_schema = f"media_id bigint, thumb array<int>"
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)[:_THUMB]
+                t = np.zeros(_THUMB, dtype="int32")
+                t[: b.size] = b
+                rows.append((mid, t.tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "thumb"])
+
+    imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(resize, out_schema)
+
+
+def sample_video_frames(media: DataFrame, stride: int = 4) -> DataFrame:
+    """Fake frame sampler: payload sliced into 16-byte 'frames', every
+    ``stride``-th frame emitted as (frame_idx, frame_md5, frame_bytes).
+    One input row fans out to n_frames/stride rows — the row-explosion
+    shape of real frame extraction."""
+    out_schema = "media_id bigint, frame_idx int, frame_bytes int, frame_md5 string"
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for k in range(0, max(1, -(-len(payload) // _FRAME_BYTES)), stride):
+                    frame = payload[k * _FRAME_BYTES : (k + 1) * _FRAME_BYTES]
+                    if not frame:
+                        continue
+                    rows.append(
+                        (mid, k, len(frame), hashlib.md5(frame).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_bytes", "frame_md5"]
+            )
+
+    vids = media.where(F.col("kind") == "video").select("media_id", "payload")
+    return vids.mapInPandas(sample, out_schema)
+
+
+def audio_window_energy(media: DataFrame) -> DataFrame:
+    """Fake audio featurizer: mean 'amplitude' (byte value) per 32-byte
+    window — the windowed-reduce shape of RMS/mel-energy extraction."""
+    out_schema = "media_id bigint, win_idx int, n_samples int, mean_amp double"
+
+    def energy(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                for k in range(0, b.size, _WIN):
+                    w = b[k : k + _WIN]
+                    rows.append(
+                        (mid, k // _WIN, int(w.size), float(w.mean()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "win_idx", "n_samples", "mean_amp"]
+            )
+
+    auds = media.where(F.col("kind") == "audio").select("media_id", "payload")
+    return auds.mapInPandas(energy, out_schema)

@@ -9,6 +9,7 @@ from csv2db_spark.queries import (  # noqa: F401
     core,
     ingest_q,
     llm,
+    multimodal_q,
     relational,
     reshape,
     scalar,
