@@ -16,6 +16,34 @@ import sys
 import time
 
 
+def _big_sample_csv(rows: int, cols: int, width: int) -> str:
+    """Deterministic replica of the reference's perf-workload generator
+    (random [a-zA-Z]{width} cells, header c-0..c-N); cached in /tmp."""
+    path = f"/tmp/big_sample_{rows}x{cols}x{width}.csv"
+    if os.path.exists(path):
+        return path
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    letters = np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ", dtype="S1"
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(",".join(f"c-{i}" for i in range(cols)) + "\n")
+        chunk = 20_000
+        for lo in range(0, rows, chunk):
+            n = min(chunk, rows - lo)
+            cells = letters[rng.integers(0, len(letters), size=(n, cols, width))]
+            rows_txt = [
+                ",".join(cells[r, c].tobytes().decode() for c in range(cols))
+                for r in range(n)
+            ]
+            f.write("\n".join(rows_txt) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
@@ -46,6 +74,18 @@ def main() -> None:
         t0 = time.perf_counter()
         qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+
+    # Secondary ingest bench (BASELINE.md): the reference's canonical
+    # workload — 200k rows x 10 cols x 32-char random strings (~66 MB CSV,
+    # sample/big_sample.go semantics, deterministic here) through the full
+    # P1-P8 pipeline (read -> header schema -> cast) to the noop sink.
+    csv_path = _big_sample_csv(rows=200_000, cols=10, width=32)
+    from csv2db_spark.ingest import ingest_csv
+
+    ingest_csv(spark, csv_path).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    ingest_csv(spark, csv_path).write.format("noop").mode("overwrite").save()
+    times["ingest_200k_x10_csv"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
     print(
