@@ -55,6 +55,42 @@ def cosine(a: Column, b: Column) -> Column:
     return exact_dot(a, b) / (norm(a) * norm(b))
 
 
+def quantize(
+    df: DataFrame, id_col: str, vec_col: str, id_alias: str, prefix: str
+) -> DataFrame:
+    """Precompute per-vector state ONCE, before any pairwise join: the
+    quantized long vector and its scaled squared norm. The pairwise hot
+    loop then folds longs only — no decimal casts, no norm recomputation
+    per pair. (Higher-order-function folds evaluate interpreted, so
+    minimizing per-pair fold work is the dominant cost lever.)"""
+    iv = F.transform(F.col(vec_col), _iel)
+    return df.select(
+        F.col(id_col).alias(id_alias), iv.alias(f"{prefix}iv")
+    ).withColumn(
+        f"{prefix}nrm2",
+        F.aggregate(
+            F.transform(F.col(f"{prefix}iv"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def dot_iv(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cos_from_parts(dot: Column, nrm2_a: Column, nrm2_b: Column) -> Column:
+    return (dot.cast("double") / F.lit(QUANT_SQ)) / (
+        F.sqrt(nrm2_a.cast("double") / F.lit(QUANT_SQ))
+        * F.sqrt(nrm2_b.cast("double") / F.lit(QUANT_SQ))
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,16 +99,19 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbours for each query vector (self excluded)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    joined = corpus.crossJoin(F.broadcast(q)).where(
-        F.col(id_col) != F.col("query_id")
+    q = quantize(queries, id_col, vec_col, "query_id", "q_")
+    c = quantize(corpus, id_col, vec_col, "neighbor_id", "c_")
+    joined = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
     )
     scored = joined.select(
         "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
+        "neighbor_id",
+        cos_from_parts(
+            dot_iv(F.col("q_iv"), F.col("c_iv")),
+            F.col("q_nrm2"),
+            F.col("c_nrm2"),
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -134,7 +173,9 @@ def lsh_ann_topk(
     """
     planes = _hyperplanes(dim, n_planes, n_tables)
 
-    def bucketize(df: DataFrame, id_alias: str) -> DataFrame:
+    def bucketize(df: DataFrame, id_alias: str, prefix: str) -> DataFrame:
+        """One projection per side: id, quantized vector + norm (scoring
+        state, computed once per vector), exploded (table, bucket) keys."""
         tables = [
             F.struct(
                 F.lit(t).alias("table_id"),
@@ -142,24 +183,37 @@ def lsh_ann_topk(
             )
             for t in range(n_tables)
         ]
+        iv = F.transform(F.col(vec_col), _iel)
+        nrm2 = F.aggregate(
+            F.transform(iv, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
         return df.select(
             F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(f"{id_alias}_vec"),
+            iv.alias(f"{prefix}iv"),
+            nrm2.alias(f"{prefix}nrm2"),
             F.explode(F.array(*tables)).alias("tb"),
-        ).select(id_alias, f"{id_alias}_vec", "tb.table_id", "tb.bucket")
+        ).select(
+            id_alias, f"{prefix}iv", f"{prefix}nrm2", "tb.table_id", "tb.bucket"
+        )
 
-    cb = bucketize(corpus, "neighbor_id")
-    qb = bucketize(queries, "query_id")
+    cb = bucketize(corpus, "neighbor_id", "c_")
+    qb = bucketize(queries, "query_id", "q_")
     cand = (
         cb.join(F.broadcast(qb), ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "query_id_vec", "neighbor_id", "neighbor_id_vec")
+        .select("query_id", "q_iv", "q_nrm2", "neighbor_id", "c_iv", "c_nrm2")
         .distinct()
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")).alias("cos_sim"),
+        cos_from_parts(
+            dot_iv(F.col("q_iv"), F.col("c_iv")),
+            F.col("q_nrm2"),
+            F.col("c_nrm2"),
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

@@ -14,6 +14,7 @@ from csv2db_spark.queries import (  # noqa: F401
     reshape,
     scalar,
     setops,
+    sources_q,
     streaming_q,
     subqueries,
     windows,

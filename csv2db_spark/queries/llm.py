@@ -9,7 +9,7 @@ Dedup queries run on the deterministic augmented corpus
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv2db_spark.llm import dedup as D
@@ -160,6 +160,53 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- duplicate clustering
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    {_CTE_EX.replace("WITH ", "WITH RECURSIVE ", 1)},
+    {_sql_minhash_cte().strip()},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT c.doc_id, c.component, s.cluster_size
+    FROM comp c JOIN sizes s USING (component)
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS via iterative connected
+    components (operators/graph.py): each doc labeled with the min doc_id
+    reachable through LSH-candidate edges, plus the cluster size — the
+    keep-one-per-cluster step of a dedup pipeline. Oracle: transitive
+    closure by recursive CTE."""
+    from csv2db_spark.operators.graph import connected_components
+
+    ex = D.shingle_table(augmented_docs(spark, sf_dir))
+    sig = D.minhash_signatures(D.shingle_hashes(ex))
+    cand = D.minhash_candidates(D.minhash_bands(sig))
+    comp = connected_components(cand, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 
@@ -237,10 +284,14 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors by cosine >= 0.999 over all pairs of the
     augmented embedding set (originals + 30 perturbed copies)."""
     aug = _aug_embeddings(spark, sf_dir)
-    a = aug.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = aug.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    a = S.quantize(aug, "vec_id", "v", "vec_a", "a_")
+    b = S.quantize(aug, "vec_id", "v", "vec_b", "b_")
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = S.cosine(F.col("va"), F.col("vb"))
+    cos = S.cos_from_parts(
+        S.dot_iv(F.col("a_iv"), F.col("b_iv")),
+        F.col("a_nrm2"),
+        F.col("b_nrm2"),
+    )
     return pairs.select("vec_a", "vec_b", cos.alias("cos_sim")).where(
         F.col("cos_sim") >= 0.999
     )
