@@ -54,15 +54,20 @@ BAND_ROWS = 3
 MINHASH_P = (1 << 48) - 59
 
 
-def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-grams per document as rows (doc_id, s).
+def shingle_table(
+    docs: DataFrame, text_col: str = "text", n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-grams per document as rows (doc_id, s).
 
     Built via posexplode + window ``lead`` rather than a higher-order
     ``transform`` lambda: HOF lambda bodies evaluate interpreted
     (outside whole-stage codegen) and measured ~4x slower. The window
     shuffle keys on doc_id — bounded per-document work, no skew risk at
-    scale for normal document lengths. Result set is identical to the
-    array-based ``shingles`` helper (used for per-doc counts elsewhere)."""
+    scale for normal document lengths.
+
+    ``distinct=False`` skips the per-doc dedup shuffle — correct for any
+    duplicate-insensitive consumer (min-hash aggregation); set consumers
+    (Jaccard) dedup their own, typically much smaller, slice."""
     toks = tokens(text_col)
     tok = docs.select(
         "doc_id",
@@ -71,12 +76,12 @@ def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     grams = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
-    return (
+    out = (
         tok.withColumn("s", F.concat_ws(" ", *grams))
         .where(F.col("pos") <= F.col("ntok") - n)
         .select("doc_id", "s")
-        .dropDuplicates(["doc_id", "s"])
     )
+    return out.dropDuplicates(["doc_id", "s"]) if distinct else out
 
 
 def shingle_hashes(exploded: DataFrame) -> DataFrame:
@@ -146,6 +151,8 @@ def jaccard_pairs(
     exploded: DataFrame,
     min_jaccard: float,
     candidate_pairs: DataFrame | None = None,
+    key: str = "s",
+    distinct_input: bool = True,
 ) -> DataFrame:
     """Exact pairwise Jaccard over shingle SETS via explode + equi-join.
 
@@ -162,12 +169,16 @@ def jaccard_pairs(
             .distinct()
         )
         exploded = exploded.join(F.broadcast(cand_docs), "doc_id", "semi")
+    if not distinct_input:
+        # set semantics over a multiset input: dedup AFTER the candidate
+        # restriction, so the shuffle only touches surviving docs
+        exploded = exploded.dropDuplicates(["doc_id", key])
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     e1, e2 = exploded.alias("e1"), exploded.alias("e2")
     inter = (
         e1.join(
             e2,
-            (F.col("e1.s") == F.col("e2.s"))
+            (F.col(f"e1.{key}") == F.col(f"e2.{key}"))
             & (F.col("e1.doc_id") < F.col("e2.doc_id")),
         )
         .groupBy(

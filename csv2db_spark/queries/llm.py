@@ -123,12 +123,33 @@ cand AS (
 """
 
 
+# Jaccard over 48-bit shingle-hash SETS (h1), mirroring the Spark side:
+# set identity is the hash, not the string — identical on both engines,
+# including any (astronomically rare) collisions.
+_JACCARD_H1_TAIL = """
+hset AS (SELECT DISTINCT doc_id, h1 FROM hsh),
+sizes AS (SELECT doc_id, count(*) AS n FROM hset GROUP BY doc_id),
+inter AS (
+  SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b, count(*) AS inter
+  FROM hset e1 JOIN hset e2 ON e1.h1 = e2.h1 AND e1.doc_id < e2.doc_id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT doc_a, doc_b,
+         inter / (sa.n + sb.n - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
 @query(
     "q_dedup_minhash_lsh",
     oracle=f"""
     {_CTE_EX},
     {_sql_minhash_cte().strip()},
-    {_JACCARD_TAIL.strip()}
+    {_JACCARD_H1_TAIL.strip()}
     SELECT c.doc_a, c.doc_b, j.jaccard
     FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
     WHERE j.jaccard >= 0.5
@@ -140,21 +161,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact Jaccard — the standard scale recipe: pairwise work only on
     band collisions.
 
-    The shingle table (explode + tokenization) feeds both the signature
-    aggregation and the verification join, so it is persisted — computed
-    once, read twice. Verification is restricted to candidate documents
-    (LSH contract); the oracle's corpus-wide jaccard CTE gives identical
-    results because the final join filters to candidates either way."""
+    Hot-path shape: the persisted intermediate is (doc_id, h1, h2) longs
+    — shingle strings are hashed once and never shuffled or cached; the
+    min-hash aggregation is duplicate-insensitive so the explode skips
+    per-doc dedup entirely; Jaccard runs on 48-bit hash SETS restricted
+    to candidate documents (the oracle mirrors the same hash-set math).
+    """
     from pyspark import StorageLevel
 
-    ex = D.shingle_table(augmented_docs(spark, sf_dir)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sig = D.minhash_signatures(D.shingle_hashes(ex))
+    raw = D.shingle_table(augmented_docs(spark, sf_dir), distinct=False)
+    exh = D.shingle_hashes(raw).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = D.minhash_signatures(exh)
     cand = D.minhash_candidates(D.minhash_bands(sig)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    verified = D.jaccard_pairs(ex, min_jaccard=0.5, candidate_pairs=cand)
+    verified = D.jaccard_pairs(
+        exh.select("doc_id", "h1"),
+        min_jaccard=0.5,
+        candidate_pairs=cand,
+        key="h1",
+        distinct_input=False,
+    )
     return cand.join(verified, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "jaccard"
     )
