@@ -237,9 +237,58 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------- SimHash
 
 
-@query("q_dedup_simhash", oracle=None)  # bit-parallel hashing is not
-# reasonably expressible in DuckDB SQL; validated against a pure-Python
-# reference implementation in tests/test_llm.py
+def _sql_simhash_cte() -> str:
+    """Mirror of llm/dedup.py simhash: 60-bit fingerprint from per-token
+    bit counters, 4-band pigeonhole join, bit_count(xor) verify."""
+    bits = D.SIMHASH_BITS
+    bands = D.SIMHASH_BANDS
+    width = bits // bands
+    mask = (1 << width) - 1
+    counters = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    weave = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        for i in range(bits)
+    )
+    bandt = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * width}) & {mask} AS bv FROM sim"
+        for b in range(bands)
+    )
+    return f"""
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM aug),
+th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+bits AS (
+  SELECT doc_id,
+         {counters}
+  FROM th GROUP BY doc_id
+),
+sim AS (SELECT doc_id, {weave} AS simhash FROM bits),
+bandt AS (
+  {bandt}
+),
+spairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM bandt a
+  JOIN bandt b ON a.band_id = b.band_id AND a.bv = b.bv
+              AND a.doc_id < b.doc_id
+)
+"""
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH {SQL_AUG.strip()},
+    {_sql_simhash_cte().strip()}
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+    FROM spairs
+    WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.simhash(augmented_docs(spark, sf_dir))
     return D.simhash_pairs(sig, max_hamming=3)
