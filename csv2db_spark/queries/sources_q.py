@@ -94,6 +94,78 @@ WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.o_orderkey = b.o_orderkey)
 """
 
 
+_SALT_ORACLE = f"""
+SELECT n.n_name,
+       count(*) AS n_items,
+       {sql_dsum("l.l_quantity")} AS sum_qty
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("q_join_salted_skew", oracle=_SALT_ORACLE)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skew.py): lineitem salted into 16
+    sub-keys, supplier⋈nation replicated per salt. The oracle is the PLAIN
+    join — hash-match proves salting is semantics-preserving; only the
+    shuffle distribution changes."""
+    from csv2db_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .select(F.col("s_suppkey").alias("l_suppkey"), "n_name")
+    )
+    joined = salted_join(li, dim, on="l_suppkey", salt=16)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+_PART_DIRS: dict[str, str] = {}
+
+
+@query(
+    "q_sink_partitioned_pruning",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           {sql_dsum("o_totalprice", 12, 2)} AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned scan: orders
+    written partitionBy(o_orderstatus); the o_orderstatus='F' filter then
+    prunes directories at planning time (PartitionFilters in the scan —
+    asserted in tests/test_partitioned_sink.py). At 100 TB, partition
+    layout is the first-order scan-cost lever."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    path = _PART_DIRS.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="c2s_part_"), "orders")
+        _PART_DIRS[sf_dir] = path
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", 12, 2).alias("sum_price"),
+        )
+    )
+
+
 @query("q_merge_upsert", oracle=_UPSERT_ORACLE)
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE semantics: derived change set (updates on key%10, inserts
