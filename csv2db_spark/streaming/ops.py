@@ -83,18 +83,35 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf.withColumn("ts_i", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_to_df(out: DataFrame, spark: SparkSession, mode: str = "append") -> DataFrame:
+def run_to_df(
+    out: DataFrame,
+    spark: SparkSession,
+    mode: str = "append",
+    state_partitions: int = 32,
+) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into a
-    memory sink; return the materialized result as a batch DataFrame."""
+    memory sink; return the materialized result as a batch DataFrame.
+
+    The state-store partition count is pinned from
+    ``spark.sql.shuffle.partitions`` at first batch; a vanilla session's
+    default (200) is far too many state files for a replay test, so it is
+    scoped down around the run and restored after. On a real cluster you
+    size this to executor count x cores before the FIRST run of a query
+    (it is frozen into the checkpoint thereafter)."""
     name = f"c2s_mem_{next(_MEMQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
