@@ -1,0 +1,55 @@
+"""Partition-invariance: results must be BIT-identical under any physical
+distribution of the input — the property that makes the engine's answers
+stable between local[32] and a 1000-executor cluster.
+
+Floating-point aggregation is order-dependent; the engine routes money/
+ratio aggregates through exact decimal accumulation (functions/numeric.py)
+precisely so this test can demand equality, not approximation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csv2db_spark.functions.numeric import dsum
+from csv2db_spark.sources import load_table
+
+
+@pytest.mark.parametrize("nparts", [1, 7, 64])
+def test_q1_aggregates_partition_invariant(spark, sf_dir, nparts):
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.groupBy("l_returnflag")
+        .agg(
+            dsum("l_extendedprice", 12, 2).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    shuffled = (
+        li.repartition(nparts, F.col("l_partkey"))  # arbitrary re-distribution
+        .groupBy("l_returnflag")
+        .agg(
+            dsum("l_extendedprice", 12, 2).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, base)) == sorted(map(tuple, shuffled))
+
+
+def test_minhash_signatures_partition_invariant(spark, sf_dir):
+    from csv2db_spark.llm import dedup as D
+    from csv2db_spark.llm.corpus import augmented_docs
+
+    docs = augmented_docs(spark, sf_dir)
+    a = D.minhash_signatures(
+        D.shingle_hashes(D.shingle_table(docs, distinct=False))
+    ).collect()
+    b = D.minhash_signatures(
+        D.shingle_hashes(
+            D.shingle_table(docs.repartition(13), distinct=False)
+        )
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
