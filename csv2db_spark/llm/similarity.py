@@ -240,3 +240,98 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other standard ANN
+    scale path next to random-hyperplane LSH:
+
+    1. TRAIN: k-means centroids over the corpus (at 100 TB: over a
+       sample; the model is tiny and broadcast).
+    2. ASSIGN: every corpus vector to its nearest centroid — the
+       'inverted list' is just a cell-id column, so the corpus stays one
+       partitioned table, no index structure to maintain.
+    3. PROBE: each query scores only the vectors in its ``n_probe``
+       nearest cells — an equi-join on cell id; cost drops from
+       |corpus| to ~|corpus| * n_probe / n_centroids per query.
+
+    Centroid distances for queries run in one Arrow-batched matmul;
+    candidate scoring reuses the exact quantized-cosine machinery, so
+    the approximation is ONLY in which candidates are probed.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    fv = array_to_vector(F.col(vec_col).cast("array<double>"))
+    corpus_v = corpus.select(F.col(id_col), F.col(vec_col), fv.alias("_fv"))
+    model = KMeans(
+        k=n_centroids, seed=42, maxIter=8, featuresCol="_fv", predictionCol="_cell"
+    ).fit(corpus_v)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    c_iv = F.transform(F.col(vec_col), _iel)
+    cb = model.transform(corpus_v).select(
+        F.col(id_col).alias("neighbor_id"),
+        c_iv.alias("c_iv"),
+        F.aggregate(
+            F.transform(c_iv, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("c_nrm2"),
+        F.col("_cell").alias("cell"),
+    )
+
+    def _probe(v):
+        x = np.stack(v.to_numpy()).astype("float64")  # n x dim
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    probe_udf = pandas_udf(_probe, "array<int>")
+
+    q_iv = F.transform(F.col(vec_col), _iel)
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        q_iv.alias("q_iv"),
+        F.aggregate(
+            F.transform(q_iv, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_nrm2"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+
+    cand = cb.join(F.broadcast(qb), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cos_from_parts(
+            dot_iv(F.col("q_iv"), F.col("c_iv")),
+            F.col("q_nrm2"),
+            F.col("c_nrm2"),
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -426,6 +426,17 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, queries, k=10)
 
 
+@query("q_sim_ann_ivf", oracle=None)  # approximate by construction — recall
+# vs the brute-force baseline is asserted in tests/test_llm.py
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-file) ANN — the centroid-bucketed scale path
+    (llm/similarity.ivf_ann_topk): train centroids, assign cells, probe
+    only the n_probe nearest cells per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ivf_ann_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
 # ------------------------------------------------------------- text analysis
 
 

@@ -74,6 +74,26 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert mean_recall >= 0.3, f"mean recall {mean_recall:.2f}, {recalls}"
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, queries, k=10).collect()
+    approx = S.ivf_ann_topk(emb, queries, k=10, n_centroids=16, n_probe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # gaussian fixture = worst case for cell-probing; the bar asserts the
+    # machinery (train/assign/probe/score) works, not production recall
+    assert mean_recall >= 0.2, f"mean recall {mean_recall:.2f}, {recalls}"
+
+
 def test_minhash_finds_near_dups(spark, sf_dir):
     # truncated near-copies (doc_id+100000) must surface as candidates
     ex = D.shingle_table(augmented_docs(spark, sf_dir))
