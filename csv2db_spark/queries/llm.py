@@ -360,17 +360,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors by cosine >= 0.999 over all pairs of the
     augmented embedding set (originals + 30 perturbed copies)."""
     aug = _aug_embeddings(spark, sf_dir)
-    a = S.quantize(aug, "vec_id", "v", "vec_a", "a_")
-    b = S.quantize(aug, "vec_id", "v", "vec_b", "b_")
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = S.cos_from_parts(
-        S.dot_iv(F.col("a_iv"), F.col("b_iv")),
-        F.col("a_nrm2"),
-        F.col("b_nrm2"),
-    )
-    return pairs.select("vec_a", "vec_b", cos.alias("cos_sim")).where(
-        F.col("cos_sim") >= 0.999
-    )
+    return S.blocked_all_pairs_cosine(aug, threshold=0.999, block=1024)
 
 
 # -------------------------------------------------------- similarity search
