@@ -538,3 +538,80 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------- end-to-end training-data pipeline
+
+
+@query(
+    "q_pipeline_training_data",
+    oracle=f"""
+    WITH RECURSIVE {SQL_AUG.strip()},
+    qual AS (
+      SELECT doc_id, text FROM aug
+      WHERE len(string_split(text, ' ')) >= 30
+    ),
+    exact AS (
+      SELECT min(doc_id) AS doc_id, text FROM qual GROUP BY text
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM exact),
+    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='t')} AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+    {_sql_minhash_cte().strip()},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    final AS (
+      SELECT e.doc_id, e.text FROM exact e
+      LEFT JOIN comp c ON c.doc_id = e.doc_id
+      WHERE c.doc_id IS NULL OR c.component = e.doc_id
+    )
+    SELECT doc_id,
+           cast(len(string_split(text, ' ')) as bigint) AS n_tokens
+    FROM final
+    """,
+)
+def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-data curation over the (duplicate-bearing)
+    augmented corpus, composed entirely from the engine's operators:
+
+      1. quality gate  — keep docs with >= 30 tokens;
+      2. exact dedup   — one survivor (min doc_id) per identical text
+                         (grouped by text here for oracle clarity; at
+                         100 TB group by md5 digest so the shuffle key is
+                         16 bytes, semantics identical);
+      3. near-dedup    — MinHash-LSH candidates -> connected components
+                         -> keep each cluster's canonical (min) doc;
+      4. emit          — surviving doc_ids with token counts.
+
+    The single hash-checked result pins the whole pipeline: quality
+    predicate, dedup choice, LSH banding, iterative clustering, and the
+    canonical-selection rule."""
+    from csv2db_spark.llm.corpus import tokens as _tokens
+    from csv2db_spark.operators.graph import connected_components
+
+    docs = augmented_docs(spark, sf_dir)
+    qual = docs.where(F.size(_tokens("text")) >= 30)
+    exact = qual.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exh = D.shingle_hashes(D.shingle_table(exact, distinct=False))
+    sig = D.minhash_signatures(exh)
+    cand = D.minhash_candidates(D.minhash_bands(sig))
+    comp = connected_components(cand, src="doc_a", dst="doc_b")
+    losers = comp.where(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    final = exact.join(losers, "doc_id", "left_anti")
+    return final.select(
+        "doc_id", F.size(_tokens("text")).cast("long").alias("n_tokens")
+    )
