@@ -110,6 +110,56 @@ def minhash_signatures(hashed: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_doc_signatures(
+    docs: DataFrame, text_col: str = "text", k: int = MINHASH_K
+) -> DataFrame:
+    """Per-document signatures in ONE Arrow pass — no shingle explode, no
+    shuffle: tokenize, shingle, md5 and reduce to K mins inside a
+    mapInPandas batch (hashlib's C md5 over ~50 shingles/doc). Also emits
+    the distinct-h1 set as an array column, so exact Jaccard verification
+    becomes `array_intersect` on candidate pairs — the corpus-wide
+    shingle table never materializes.
+
+    Embarrassingly parallel: one input row -> one output row, scales with
+    partitions, zero shuffle until the (tiny) band join. Identical values
+    to the explode-based path (same md5, same K-M arithmetic, verified by
+    the shared DuckDB oracle).
+
+    Docs with fewer than 3 tokens have no shingles and are omitted —
+    matching the groupBy-based path, which produces no group for them."""
+    import numpy as np  # noqa: F401 (worker side)
+
+    out_schema = "doc_id bigint, hset array<bigint>, " + ", ".join(
+        f"h{i} bigint" for i in range(k)
+    )
+    p = MINHASH_P
+
+    def batch(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        cols = ["doc_id", "hset"] + [f"h{i}" for i in range(k)]
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = text.split(" ")
+                if len(toks) < 3:
+                    continue
+                hexes = {
+                    hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()
+                    for i in range(len(toks) - 2)
+                }
+                h1 = np.array([int(x[:12], 16) for x in hexes], dtype=np.int64)
+                h2 = np.array([int(x[12:24], 16) for x in hexes], dtype=np.int64)
+                mins = [int(((h1 + i * h2 + i * i) % p).min()) for i in range(k)]
+                rows.append((did, np.unique(h1).tolist(), *mins))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id", text_col).mapInPandas(batch, out_schema)
+
+
 def minhash_bands(sig: DataFrame, k: int = MINHASH_K, rows: int = BAND_ROWS) -> DataFrame:
     """Band table keyed by the raw row values (long columns) — the LSH
     bucket join needs no digest at all; equality on 3 longs is cheaper

@@ -161,29 +161,28 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact Jaccard — the standard scale recipe: pairwise work only on
     band collisions.
 
-    Hot-path shape: the persisted intermediate is (doc_id, h1, h2) longs
-    — shingle strings are hashed once and never shuffled or cached; the
-    min-hash aggregation is duplicate-insensitive so the explode skips
-    per-doc dedup entirely; Jaccard runs on 48-bit hash SETS restricted
-    to candidate documents (the oracle mirrors the same hash-set math).
+    Hot-path shape: signatures + distinct-hash sets are computed per
+    document in ONE Arrow pass (minhash_doc_signatures) — the corpus-wide
+    shingle explode never materializes and nothing shuffles until the
+    band join on a 5k-row signature table. Jaccard verification is
+    `array_intersect` over the two hash-set arrays of each candidate
+    pair. The oracle mirrors the same hash-set math from relational CTEs.
     """
     from pyspark import StorageLevel
 
-    raw = D.shingle_table(augmented_docs(spark, sf_dir), distinct=False)
-    exh = D.shingle_hashes(raw).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = D.minhash_signatures(exh)
-    cand = D.minhash_candidates(D.minhash_bands(sig)).persist(
+    sig = D.minhash_doc_signatures(augmented_docs(spark, sf_dir)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    verified = D.jaccard_pairs(
-        exh.select("doc_id", "h1"),
-        min_jaccard=0.5,
-        candidate_pairs=cand,
-        key="h1",
-        distinct_input=False,
-    )
-    return cand.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    cand = D.minhash_candidates(D.minhash_bands(sig))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    jac = inter / (F.size("ha") + F.size("hb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
     )
 
 
