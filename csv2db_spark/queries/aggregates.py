@@ -219,3 +219,30 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(var).alias("stddev_qty"),
         )
     )
+
+
+@query(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.90) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Spark's percentile() and
+    DuckDB's quantile_cont share linear-interpolation semantics — probed
+    bit-identical on this data. Exact percentile sorts per group; at
+    100 TB switch to approx_percentile (t-digest) and accept the rows-only
+    gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.50).alias("p50"),
+        F.percentile("l_extendedprice", 0.90).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    )

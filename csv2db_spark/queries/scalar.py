@@ -199,3 +199,41 @@ def q_fn_casewhen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(cls.alias("priority_class")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@query(
+    "q_fn_levenshtein",
+    oracle="""
+    WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    b AS (
+      SELECT doc_id,
+             array_to_string(
+               (string_split(text, ' '))[1:len(string_split(text, ' ')) - 5],
+               ' ') AS text
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT a.doc_id,
+           levenshtein(a.text, b.text) AS edit_dist,
+           1.0 - levenshtein(a.text, b.text)
+                 / greatest(length(a.text), length(b.text)) AS sim_ratio
+    FROM a JOIN b USING (doc_id)
+    """,
+)
+def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between each doc and its 5-tokens-truncated variant —
+    the fuzzy-matching primitive for near-dup adjudication. Quadratic in
+    string length: at scale apply only to candidate pairs (LSH output),
+    never corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    toks = F.split("text", " ")
+    trunc = F.array_join(F.slice(toks, 1, F.size(toks) - 5), " ")
+    pair = docs.select("doc_id", "text", trunc.alias("text_b"))
+    lev = F.levenshtein("text", "text_b")
+    return pair.select(
+        "doc_id",
+        lev.alias("edit_dist"),
+        (
+            F.lit(1.0)
+            - lev / F.greatest(F.length("text"), F.length("text_b"))
+        ).alias("sim_ratio"),
+    )

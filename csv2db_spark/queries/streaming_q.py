@@ -130,3 +130,35 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stateful_user_stats(events_stream(spark, sf_dir), "1 hour")
     return run_to_df(out, spark, "update")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle=f"""
+    WITH e AS ({_E})
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           b.event_id AS error_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM e a
+    JOIN e b ON a.user_id = b.user_id
+            AND a.event_type = 'click' AND b.event_type = 'error'
+            AND b.ts >= a.ts
+            AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (clicks -> errors of the same user within
+    10 minutes) with watermarks on both sides and a time-bounded join
+    condition — the two requirements for bounded join state. Inner-join
+    matches all emit under availableNow; the oracle is the equivalent
+    batch self-join."""
+    from csv2db_spark.streaming.ops import stream_stream_join
+
+    out = stream_stream_join(
+        events_stream(spark, sf_dir),
+        events_stream(spark, sf_dir),
+        gap="10 minutes",
+        delay="1 hour",
+    )
+    return run_to_df(out, spark, "append")

@@ -241,3 +241,48 @@ def stateful_user_stats(stream: DataFrame, delay: str) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_stream_join(
+    stream_a: DataFrame,
+    stream_b: DataFrame,
+    gap: str = "10 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: for every 'click' event, the 'error'
+    events of the same user within ``gap`` afterwards.
+
+    Both sides carry watermarks and the join condition bounds event time
+    — the two requirements that let Spark evict join state (otherwise a
+    stream-stream join buffers forever). At 100 TB/day the state held is
+    only ``gap + delay`` worth of events per side, shuffled by user_id.
+    """
+    a = (
+        stream_a.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts_i").alias("a_ts"),
+        )
+        .withWatermark("a_ts", delay)
+    )
+    b = (
+        stream_b.where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts_i").alias("b_ts"),
+        )
+        .withWatermark("b_ts", delay)
+    )
+    cond = (
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {gap}"))
+    )
+    return a.join(b, cond).select(
+        F.col("a_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
+    )
