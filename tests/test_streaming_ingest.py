@@ -1,0 +1,41 @@
+"""Continuous CSV ingestion: batch ingest semantics (P1-P8) through a
+streaming directory watch."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from csv2db_spark.streaming.ops import run_to_df, streaming_ingest_csv
+
+TARGET = T.StructType(
+    [
+        T.StructField("a", T.LongType(), True),
+        T.StructField("b", T.IntegerType(), False),
+        T.StructField("c", T.StringType(), True),
+    ]
+)
+
+
+def test_streaming_ingest_two_files(spark, tmp_path):
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    (watch / "f1.csv").write_text("a,b,c\n1,2,x\n,3,\n")
+    (watch / "f2.csv").write_text("a,b,c\n9,8,y\n")
+    out = streaming_ingest_csv(spark, str(watch), TARGET)
+    got = run_to_df(out, spark, "append")
+    rows = {tuple(r) for r in got.collect()}
+    # empty string -> NULL for nullable a and c; non-null b parsed
+    assert rows == {(1, 2, "x"), (None, 3, None), (9, 8, "y")}
+    assert [f.dataType for f in got.schema.fields] == [
+        T.LongType(), T.IntegerType(), T.StringType(),
+    ]
+
+
+def test_streaming_ingest_headerless_by_ordinal(spark, tmp_path):
+    watch = tmp_path / "incoming2"
+    watch.mkdir()
+    # 4 columns in the file, 3 in the target: excess dropped by ordinal
+    (watch / "f.csv").write_text("5,6,z,junk\n")
+    out = streaming_ingest_csv(spark, str(watch), TARGET, has_header=False)
+    got = run_to_df(out, spark, "append").collect()
+    assert [tuple(r) for r in got] == [(5, 6, "z")]
