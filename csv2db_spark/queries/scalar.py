@@ -237,3 +237,41 @@ def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             - lev / F.greatest(F.length("text"), F.length("text_b"))
         ).alias("sim_ratio"),
     )
+
+
+@query(
+    "q_udtf_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS pos,
+           t[i] || ' ' || t[i + 1] AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+    """,
+)
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function, Spark 4 surface): one
+    input row -> many output rows with its own schema, applied via
+    LATERAL join in SQL. The row-multiplying escape hatch when explode
+    over a built-in expression can't express the transform. (This bigram
+    case IS expressible relationally — the oracle proves the UDTF matches
+    the relational semantics exactly.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, gram string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("c2s_bigrams", Bigrams)
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 10
+    ).createOrReplaceTempView("c2s_docs_sub")
+    return spark.sql(
+        "SELECT doc_id, pos, gram FROM c2s_docs_sub, LATERAL c2s_bigrams(text)"
+    )
