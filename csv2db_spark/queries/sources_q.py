@@ -187,3 +187,50 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     return upsert(base, updates.unionByName(inserts), ["o_orderkey"])
+
+
+_BKT_DONE: dict[str, bool] = {}
+
+
+@query(
+    "q_sink_bucketed_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           {sql_dsum("l.l_quantity")} AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) fact-fact join: orders and lineitem written
+    bucketed+sorted by order key, then joined WITHOUT a shuffle (broadcast
+    disabled during the join so the shuffle-free SortMergeJoin is the
+    path actually exercised). Hash-match against the plain-join oracle
+    proves bucketing is invisible to semantics."""
+    from csv2db_spark.sink import write_bucketed
+
+    tag = abs(hash(sf_dir)) % 100000
+    bo, bl = f"c2s_bkt_orders_{tag}", f"c2s_bkt_lineitem_{tag}"
+    if not _BKT_DONE.get(sf_dir):
+        base = os.path.join(tempfile.mkdtemp(prefix="c2s_bkt_"), "t")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed(o, bo, base + "_o", "o_orderkey")
+        write_bucketed(l, bl, base + "_l", "l_orderkey")
+        _BKT_DONE[sf_dir] = True
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(bo).join(
+            spark.table(bl),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        out = j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        out.count()  # force execution under the no-broadcast conf
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out

@@ -226,3 +226,27 @@ class ParquetTableStore:
 def write_noop(df: DataFrame) -> None:
     """P18: discard rows after full execution (dry-run / benchmarking)."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    buckets: int = 8,
+) -> None:
+    """Bucketed external table: rows hash-partitioned into ``buckets``
+    files by ``key`` and sorted within each. Two tables bucketed the same
+    way join WITHOUT any shuffle (SortMergeJoin, no Exchange — asserted
+    in tests/test_bucketed_join.py): the co-location was paid once at
+    write time. At 100 TB this converts every recurring fact-fact join on
+    the bucket key from the dominant shuffle into a local merge."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
