@@ -246,3 +246,17 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.90).alias("p90"),
         F.percentile("l_extendedprice", 0.99).alias("p99"),
     )
+
+
+@query("q_agg_approx_percentile", oracle=None)  # t-digest sketch is
+# engine-specific; accuracy vs the exact percentile is asserted in
+# tests/test_approx.py
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch): the mergeable,
+    single-pass, bounded-memory percentile for 100 TB — exact percentile
+    sorts each group; the sketch merges map-side like any aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.approx_percentile("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    )
