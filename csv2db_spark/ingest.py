@@ -55,8 +55,14 @@ def read_csv(
     has_header: bool = True,
     delimiter: str = ",",
     encoding: str = "UTF-8",
+    mode: str = "FAILFAST",
 ) -> DataFrame:
-    """Read a CSV as all-string columns, FAILFAST on malformed rows.
+    """Read a CSV as all-string columns.
+
+    ``mode``: FAILFAST (default — reference parity: any malformed row
+    aborts the load, csv2db.go:84-86), PERMISSIVE (malformed fields ->
+    NULL-then-"" here), or DROPMALFORMED (skip bad rows) — the extension
+    modes for dirty corpora at scale.
 
     Headerless inputs get ``col0..colN`` names (reference ``NColsSchema``,
     common/schema.go:157-169). Missing/empty fields are normalized to ""
@@ -79,7 +85,7 @@ def read_csv(
             header=str(has_header).lower(),
             sep=delimiter,
             encoding=encoding,
-            mode="FAILFAST",
+            mode=mode,
             quote='"',
             escape='"',
         )

@@ -172,3 +172,16 @@ def test_latin1_encoding(spark, tmp_path):
     p.write_bytes("name\ncaf\xe9".encode("latin-1"))
     df = read_csv(spark, str(p), encoding="ISO-8859-1")
     assert df.collect()[0].name == "caf\xe9"
+
+
+def test_permissive_and_dropmalformed_modes(spark, csv_file):
+    # extension beyond the reference's FAILFAST posture: ragged rows are
+    # padded (PERMISSIVE) or skipped (DROPMALFORMED) instead of fatal
+    ragged = "a,b,c\n1,2,3\nonlyone\n4,5,6"
+    p = csv_file(ragged, "ragged.csv")
+    perm = read_csv(spark, p, mode="PERMISSIVE").collect()
+    assert len(perm) == 3  # short row kept, padded with ""
+    assert [r.a for r in perm] == ["1", "onlyone", "4"]
+    assert perm[1].b == "" and perm[1].c == ""
+    drop = read_csv(spark, p, mode="DROPMALFORMED").collect()
+    assert [tuple(r) for r in drop] == [("1", "2", "3"), ("4", "5", "6")]
