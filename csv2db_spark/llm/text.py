@@ -148,3 +148,19 @@ def token_stats_pandas(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", pd_token_count(F.col(text_col)).alias("n_tokens")
     )
+
+
+# ---------------------------------------------------- BPE-ish tokenization
+
+# GPT-2-flavoured pre-tokenizer, reduced to an ASCII-safe core that means
+# the same thing in Java regex (Spark) and RE2 (DuckDB): letter runs,
+# digit runs, single non-alnum-non-space marks.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Sub-word-style token pieces via the BPE-ish pre-tokenizer regex —
+    the counting proxy for LLM token budgeting when the real tokenizer
+    (tiktoken et al.) is out of reach JVM-side. Pure regexp_extract_all:
+    codegen, no Python."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)

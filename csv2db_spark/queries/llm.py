@@ -614,3 +614,24 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "doc_id", F.size(_tokens("text")).cast("long").alias("n_tokens")
     )
+
+
+@query(
+    "q_text_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+             AS n_bpe_pieces,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting both ways: whitespace tokens and BPE-ish regex
+    pieces (llm/text.bpe_ish_tokens) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(X.bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_pieces"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+    )

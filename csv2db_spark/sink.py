@@ -32,6 +32,7 @@ JDBC specifics:
 
 from __future__ import annotations
 
+import os
 import shutil
 from enum import Enum
 from pathlib import Path
@@ -116,6 +117,11 @@ def write_jdbc(
     opts: dict[str, str] = {
         "batchsize": str(batchsize or default_batchsize(len(df.columns))),
     }
+    # auth resolution chain (reference auth.go:15-19): explicit arg ->
+    # DB_USERNAME/DB_PASSWORD env; the interactive-prompt tail of the
+    # reference's chain has no place in a non-interactive engine
+    user = user or os.environ.get("DB_USERNAME")
+    password = password or os.environ.get("DB_PASSWORD")
     if user:
         opts["user"] = user
     if password:
