@@ -275,3 +275,36 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, pos, gram FROM c2s_docs_sub, LATERAL c2s_bigrams(text)"
     )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS views,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user map<event_type, count> built with
+    map_from_entries(collect_list(struct)), consumed via element_at and
+    map_keys. The oracle states the same facts as conditional counts —
+    proving the map construction/extraction path preserves them."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("m", "view"), F.lit(0)).alias("views"),
+        F.size(F.map_keys("m")).cast("long").alias("n_types"),
+    )
