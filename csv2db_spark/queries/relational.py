@@ -289,3 +289,44 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, views, on="ts", by="user_id", right_payload=["view_event_id"]
     ).select("event_id", "user_id", "ts", "view_event_id")
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    WITH a AS (
+      SELECT c_nationkey AS nk, count(*) AS rich_customers
+      FROM customer WHERE c_acctbal > 7000 GROUP BY c_nationkey
+    ),
+    b AS (
+      SELECT s_nationkey AS nk, count(*) AS rich_suppliers
+      FROM supplier WHERE s_acctbal > 4000 GROUP BY s_nationkey
+    )
+    SELECT coalesce(a.nk, b.nk) AS nationkey,
+           coalesce(rich_customers, 0) AS rich_customers,
+           coalesce(rich_suppliers, 0) AS rich_suppliers
+    FROM a FULL OUTER JOIN b ON a.nk = b.nk
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with nulls on BOTH sides (thresholds chosen so each
+    aggregate drops different nations). At scale a full-outer is always a
+    shuffle join (no broadcast possible) — both sides hash on the key."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 7000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("rich_customers"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 4000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("rich_suppliers"))
+    )
+    j = cust.alias("a").join(sup.alias("b"), F.col("a.nk") == F.col("b.nk"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("a.nk"), F.col("b.nk")).alias("nationkey"),
+        F.coalesce("rich_customers", F.lit(0)).alias("rich_customers"),
+        F.coalesce("rich_suppliers", F.lit(0)).alias("rich_suppliers"),
+    )

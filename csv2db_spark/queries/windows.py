@@ -179,3 +179,35 @@ def q_sort_multi_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_orderkey", "l_linenumber", "l_extendedprice").orderBy(
         F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
     ).limit(15)
+
+
+@query(
+    "q_sort_null_ordering",
+    oracle="""
+    WITH k AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS key
+      FROM customer
+    )
+    SELECT c_custkey, key,
+           row_number() OVER (ORDER BY key DESC NULLS LAST, c_custkey) AS pos
+    FROM k
+    QUALIFY pos <= 40
+    """,
+)
+def q_sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-ordering semantics (DESC NULLS LAST) made
+    hash-checkable by freezing positions with row_number. Negative
+    balances are nulled so the null bucket is non-empty."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+            F.col("c_acctbal")
+        ).alias("key"),
+    )
+    w = Window.orderBy(F.col("key").desc_nulls_last(), "c_custkey")
+    return (
+        cust.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 40)
+        .select("c_custkey", "key", "pos")
+    )
