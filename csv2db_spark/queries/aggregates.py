@@ -260,3 +260,27 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.approx_percentile("l_extendedprice", 0.99, 10000).alias("p99_approx"),
     )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax) aggregates. Deterministic because
+    o_totalprice ties cannot occur for the same customer in the fixture —
+    at scale break ties explicitly (struct ordering) before trusting
+    argmax across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )

@@ -78,3 +78,45 @@ def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))
+
+
+@query(
+    "q_setop_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 0
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (multiplicity = min of the two sides)
+    — distinct from the set variant already covered."""
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    b = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return a.intersectAll(b)
+
+
+@query(
+    "q_setop_except_all",
+    oracle="""
+    SELECT o_custkey AS ck FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity = left minus right count,
+    floored at zero)."""
+    a = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("ck"))
+    b = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("ck"))
+    )
+    return a.exceptAll(b)
