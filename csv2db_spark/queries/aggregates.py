@@ -284,3 +284,26 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+             AS n_over_200k
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) plus a FILTER-style conditional
+    count."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_over_200k"),
+    )

@@ -635,3 +635,25 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(X.bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_pieces"),
         F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
     )
+
+
+@query(
+    "q_sample_hash_stable",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 10 = 0
+    """,
+)
+def q_sample_hash_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample by key hash — the reproducible
+    subsampling a training-data pipeline needs (same keys selected on any
+    engine, any partitioning, any run; unlike df.sample whose RNG is
+    engine-specific). Fully pushed to a scan filter: no shuffle, no state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+    )
+    return docs.where(bucket == 0).select("doc_id", "lang", "n_chars")
