@@ -657,3 +657,42 @@ def q_sample_hash_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long") % 10
     )
     return docs.where(bucket == 0).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_embed_dim_stats",
+    oracle=f"""
+    WITH ex AS (
+      SELECT CAST(i - 1 AS INT) AS dim,
+             {_sql_iel('cast(embedding[i] as double)')} AS q
+      FROM embeddings, unnest(generate_series(1, 64)) u(i)
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(CAST(sum(q) AS DOUBLE) / count(*) / 100000000.0 AS DOUBLE) AS mean,
+           CAST(sum(CAST(q AS DECIMAL(38,0)) * q) AS VARCHAR) AS sumsq_str
+    FROM ex
+    GROUP BY dim
+    """,
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (the normalization pre-pass of
+    an embedding pipeline): posexplode the vector, aggregate exact scaled
+    integers per dimension. Sum-of-squares exceeds int64 so it accumulates
+    in DECIMAL(38,0) — emitted as a string because the exact integer is
+    the contract, not a lossy double. One explode + one 64-key
+    aggregation: map-side combinable, no skew (dims are uniform)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: S._iel(x))).alias("dim", "q")
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sum_q"),
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / 1e8).alias("mean"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sumsq_str"),
+    )
