@@ -307,3 +307,25 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count_if(F.col("o_totalprice") > 200000).alias("n_over_200k"),
     )
+
+
+@query(
+    "q_agg_collect_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           list(c_custkey ORDER BY c_custkey) AS keys_sorted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_acctbal > 9000
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list into a canonically-sorted array — collect order is
+    partition-dependent, so sort_array makes the result deterministic
+    (the same discipline any array-building aggregate needs at scale)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list("c_custkey")).alias("keys_sorted"),
+        F.count(F.lit(1)).alias("n"),
+    )
