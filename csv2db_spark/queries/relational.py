@@ -330,3 +330,25 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("rich_customers", F.lit(0)).alias("rich_customers"),
         F.coalesce("rich_suppliers", F.lit(0)).alias("rich_suppliers"),
     )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           (r.r_regionkey = n.n_regionkey) AS is_home_region
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product (5 x 25 here). Only ever sane when one
+    side is tiny — Spark requires the explicit crossJoin call precisely
+    to keep accidental products out of big plans; the blocked similarity
+    join (llm/similarity.py) is the disciplined large-scale use."""
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_regionkey", "n_name")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home_region"),
+    )

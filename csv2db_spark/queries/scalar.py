@@ -308,3 +308,36 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", "view"), F.lit(0)).alias("views"),
         F.size(F.map_keys("m")).cast("long").alias("n_types"),
     )
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+    WITH s AS (
+      SELECT c_custkey,
+             {'nation': c_nationkey, 'balance_cents':
+               CAST(round(c_acctbal * 100) AS BIGINT)} AS acct
+      FROM customer
+    )
+    SELECT c_custkey,
+           acct.nation AS nation,
+           acct.balance_cents AS balance_cents,
+           acct.balance_cents > 500000 AS high_balance
+    FROM s
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested StructType build + dotted field access — the nested-record
+    shape every log/JSON pipeline carries (the reference's type system
+    has no nesting at all, SURVEY.md §1.3)."""
+    c = load_table(spark, sf_dir, "customer")
+    acct = F.struct(
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("balance_cents"),
+    )
+    return c.select("c_custkey", acct.alias("acct")).select(
+        "c_custkey",
+        F.col("acct.nation").alias("nation"),
+        F.col("acct.balance_cents").alias("balance_cents"),
+        (F.col("acct.balance_cents") > 500000).alias("high_balance"),
+    )
