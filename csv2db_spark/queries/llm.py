@@ -649,7 +649,9 @@ def q_sample_hash_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% corpus sample by key hash — the reproducible
     subsampling a training-data pipeline needs (same keys selected on any
     engine, any partitioning, any run; unlike df.sample whose RNG is
-    engine-specific). Fully pushed to a scan filter: no shuffle, no state.
+    engine-specific). Evaluated as a whole-stage-codegen filter directly
+    over the scan: no shuffle, no state (the hash itself cannot prune row
+    groups — a stored sample-bucket column would, if sampling is hot).
     """
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
