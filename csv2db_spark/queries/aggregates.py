@@ -329,3 +329,62 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("c_custkey")).alias("keys_sorted"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_agg_corr_exact",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (CAST(n * sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           (sqrt(CAST(n * sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+            sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+    FROM a
+    """,
+)
+def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation with EXACT cross-engine parity: the sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact integers
+    (Σy² in decimal128 — cents² exceeds int64), then the closed form runs
+    in double — identical IEEE ops on identical inputs, so the result is
+    bit-identical on any engine and any partitioning. The built-in
+    corr() is a running-covariance stream whose result depends on
+    accumulation order — unusable under a hash-comparison gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    a = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y.cast("decimal(38,0)") * y).alias("syy"),
+    )
+    corr = (
+        (F.col("n") * F.col("sxy")).cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.sqrt(
+            (F.col("n") * F.col("sxx")).cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * F.sqrt(
+            (F.col("n").cast("decimal(38,0)") * F.col("syy")).cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return a.select("l_returnflag", "n", corr.alias("corr_qty_price"))
