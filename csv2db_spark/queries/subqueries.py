@@ -78,3 +78,43 @@ def q_subq_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_totalprice") == F.col("__mx"))
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "q_subq_having_in",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+    )
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+    """,
+)
+def q_subq_having_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a HAVING aggregate (large-volume
+    orders), then re-join and re-aggregate. Catalyst rewrites the IN to a
+    left-semi join on the aggregated subquery — the membership set stays
+    distributed; nothing collects to the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+    )
