@@ -313,7 +313,8 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect_sorted",
     oracle="""
     SELECT c_nationkey,
-           list(c_custkey ORDER BY c_custkey) AS keys_sorted,
+           array_to_string(list(c_custkey ORDER BY c_custkey), ',')
+             AS keys_sorted,
            CAST(count(*) AS BIGINT) AS n
     FROM customer
     WHERE c_acctbal > 9000
@@ -323,10 +324,20 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list into a canonically-sorted array — collect order is
     partition-dependent, so sort_array makes the result deterministic
-    (the same discipline any array-building aggregate needs at scale)."""
+    (the same discipline any array-building aggregate needs at scale).
+    The array is serialized to a comma-joined string in the gate result:
+    the driver canonicalizer hashes scalar cells only (raw list cells are
+    unhashable in its pandas sort), and DuckDB's ``array_to_string``
+    renders integers identically, so the value-hash check stays exact."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_list("c_custkey")).alias("keys_sorted"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("c_custkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("keys_sorted"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -339,17 +350,21 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS n,
              sum(CAST(l_quantity AS BIGINT)) AS sx,
              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
-             sum(CAST(l_quantity AS BIGINT)
-                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
-             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             sum(CAST(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sxy,
+             sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 AS DECIMAL(38,0))) AS sxx,
              sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))
                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           (CAST(n * sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-           (sqrt(CAST(n * sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+           (CAST(CAST(n AS DECIMAL(38,0)) * sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
             sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy AS DOUBLE)
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
     FROM a
@@ -358,28 +373,32 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation with EXACT cross-engine parity: the sufficient
     statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact integers
-    (Σy² in decimal128 — cents² exceeds int64), then the closed form runs
-    in double — identical IEEE ops on identical inputs, so the result is
-    bit-identical on any engine and any partitioning. The built-in
-    corr() is a running-covariance stream whose result depends on
-    accumulation order — unusable under a hash-comparison gate."""
+    (Σxy, Σx², Σy² in decimal128 — their n-scaled products exceed int64
+    around sf1, which under ANSI/overflow-checked engines would error),
+    then the closed form runs in double — identical IEEE ops on identical
+    inputs, so the result is bit-identical on any engine and any
+    partitioning. The built-in corr() is a running-covariance stream whose
+    result depends on accumulation order — unusable under a
+    hash-comparison gate."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
     y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
     a = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y.cast("decimal(38,0)") * y).alias("syy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum(y.cast(dec) * y).alias("syy"),
     )
+    n_dec = F.col("n").cast(dec)
     corr = (
-        (F.col("n") * F.col("sxy")).cast("double")
+        (n_dec * F.col("sxy")).cast("double")
         - F.col("sx").cast("double") * F.col("sy").cast("double")
     ) / (
         F.sqrt(
-            (F.col("n") * F.col("sxx")).cast("double")
+            (n_dec * F.col("sxx")).cast("double")
             - F.col("sx").cast("double") * F.col("sx").cast("double")
         )
         * F.sqrt(

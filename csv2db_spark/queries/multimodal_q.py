@@ -11,6 +11,7 @@ row-explosions out — not just row counts.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from csv2db_spark.multimodal import (
     audio_window_energy,
@@ -32,6 +33,16 @@ m AS (
   FROM documents
 )
 """
+
+def _join_ints(df: DataFrame, col: str) -> DataFrame:
+    """Serialize an integer-array column to a comma-joined string so the
+    driver's pandas canonicalizer (which cannot sort/hash list cells) can
+    value-hash it; DuckDB mirrors with ``array_to_string(..., ',')``."""
+    return df.withColumn(
+        col,
+        F.array_join(F.transform(col, lambda x: x.cast("string")), ","),
+    )
+
 
 # per-byte explode of one media kind
 _EX = """
@@ -82,14 +93,16 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT i.media_id,
            CAST(coalesce(s.n_bytes, 0) AS INT) AS n_bytes,
            coalesce(s.mean_byte, 0.0) AS mean_byte,
-           h.hist
+           array_to_string(h.hist, ',') AS hist
     FROM imgs i
     LEFT JOIN stats s USING (media_id)
     LEFT JOIN hist h USING (media_id)
     """,
 )
 def q_mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_image(synth_media(spark, sf_dir))
+    # hist serialized to a comma-joined string: the driver canonicalizer
+    # hashes scalar cells only (raw arrays are unhashable in its sort).
+    return _join_ints(decode_image(synth_media(spark, sf_dir)), "hist")
 
 
 @query(
@@ -97,16 +110,17 @@ def q_mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_M}
     SELECT media_id,
-           list_transform(
+           array_to_string(list_transform(
              generate_series(1, 64),
              x -> CASE WHEN x <= length(text)
                        THEN ord(substr(text, CAST(x AS INT), 1)) ELSE 0 END
-           ) AS thumb
+           ), ',') AS thumb
     FROM m WHERE kind = 'image'
     """,
 )
 def q_mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return resize_image(synth_media(spark, sf_dir))
+    # thumb serialized like hist above — driver-canonicalizer compatible.
+    return _join_ints(resize_image(synth_media(spark, sf_dir)), "thumb")
 
 
 @query(
