@@ -199,29 +199,31 @@ def lsh_ann_topk(
     planes = _hyperplanes(dim, n_planes, n_tables)
     budf = _bucket_udf(planes)
 
-    def bucketize(df: DataFrame, id_alias: str, prefix: str) -> DataFrame:
-        """One projection per side: id, quantized vector + norm (scoring
-        state, computed once per vector), exploded (table, bucket) keys."""
-        iv = F.transform(F.col(vec_col), _iel)
-        nrm2 = F.aggregate(
-            F.transform(iv, lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            iv.alias(f"{prefix}iv"),
-            nrm2.alias(f"{prefix}nrm2"),
-            F.posexplode(budf(F.col(vec_col))).alias("table_id", "bucket"),
-        )
-
-    cb = bucketize(corpus, "neighbor_id", "c_")
-    qb = bucketize(queries, "query_id", "q_")
-    cand = (
-        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+    # Candidate generation carries IDS ONLY through the dedup exchange:
+    # a pair colliding in several tables would otherwise shuffle its full
+    # quantized vectors once per collision (and hash arrays in the
+    # distinct key). Scoring state is re-joined after the id-pair
+    # distinct — one narrow corpus-state shuffle instead of
+    # payload-per-collision.
+    ck = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(budf(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+    qk = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(budf(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+    pair_ids = (
+        ck.join(F.broadcast(qk), ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_iv", "q_nrm2", "neighbor_id", "c_iv", "c_nrm2")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    cand = pair_ids.join(
+        quantize(corpus, id_col, vec_col, "neighbor_id", "c_"), "neighbor_id"
+    ).join(
+        F.broadcast(quantize(queries, id_col, vec_col, "query_id", "q_")),
+        "query_id",
     )
     scored = cand.select(
         "query_id",
@@ -334,6 +336,89 @@ def ivf_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ------------------------------------------- LSH all-pairs near-dup cosine
+
+
+def lsh_all_pairs_cosine(
+    vecs: DataFrame,
+    threshold: float,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """All pairs with cosine >= ``threshold`` via LSH candidate generation
+    + exact quantized verification — the scale path for embedding
+    near-dedup (replaces the O((n/block)^2) pair grid of
+    ``blocked_all_pairs_cosine`` in the gate query; the blocked path
+    remains the small-n exact tool).
+
+    Shape at 100 TB: each vector is hashed into ``n_tables`` sign-pattern
+    buckets (one Arrow matmul batch for all tables); candidates are
+    bucket collisions — an equi self-join on (table_id, bucket) whose
+    shuffled payload is the 16-byte id pair, nothing else; the exact
+    cosine then runs only on distinct candidate pairs. Cost is linear in
+    corpus + collisions, never n².
+
+    Recall: a pair at cosine t collides in one table with prob
+    (1 - arccos(t)/pi)^n_planes; missing all ``n_tables`` tables has prob
+    (1 - that)^n_tables. At the near-dup thresholds this operator is for
+    (t >= ~0.99, i.e. near-identical vectors) the defaults give miss
+    ~3e-8 per pair; tests/test_llm.py pins recall == 1 vs the exact
+    blocked path on the fixture data at every gate SF. Scale n_planes
+    with log2(corpus) (and n_tables up for recall) on bigger corpora —
+    the verification stage is exact, so parameter choice affects only
+    which candidates are seen, never their scores.
+    """
+    planes = _hyperplanes(dim, n_planes, n_tables)
+    budf = _bucket_udf(planes)
+    keys = vecs.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(budf(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+    a = keys.select(
+        "table_id", "bucket", F.col("vid").alias("vec_a")
+    )
+    b = keys.select(
+        "table_id", "bucket", F.col("vid").alias("vec_b")
+    )
+    # Both sides shuffle on the same key, so Spark reuses one exchange;
+    # the strict < keeps each unordered pair once and drops self-pairs.
+    pair_ids = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    state = quantize(vecs, id_col, vec_col, "vid", "x_")
+    sa = state.select(
+        F.col("vid").alias("vec_a"),
+        F.col("x_iv").alias("a_iv"),
+        F.col("x_nrm2").alias("a_nrm2"),
+    )
+    sb = state.select(
+        F.col("vid").alias("vec_b"),
+        F.col("x_iv").alias("b_iv"),
+        F.col("x_nrm2").alias("b_nrm2"),
+    )
+    return (
+        pair_ids.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cos_from_parts(
+                dot_iv(F.col("a_iv"), F.col("b_iv")),
+                F.col("a_nrm2"),
+                F.col("b_nrm2"),
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
     )
 
 

