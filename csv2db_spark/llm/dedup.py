@@ -14,8 +14,9 @@ Catalyst/Tungsten execution and scale by partitioning:
   16-bit chunks (pigeonhole: hamming<=3 over 4 bands guarantees one equal
   band) → bit_count(xor) verify.
 - n-gram Jaccard: explode → equi-join on the shingle → per-pair
-  intersection counts. Quadratic only within identical shingles; at scale
-  you'd cap per-shingle frequency (drop stop-shingles) — noted inline.
+  intersection counts. Quadratic only within identical shingles; the
+  ``max_doc_freq`` cap drops stop-shingles (corpus-global heavy hitters)
+  before the pairwise join, bounding per-shingle fan-out.
 
 Hash identity across engines: md5 hex strings (DuckDB md5() == Spark
 F.md5), so min-over-hex and band digests are comparable in oracle SQL.
@@ -180,7 +181,27 @@ def minhash_bands(sig: DataFrame, k: int = MINHASH_K, rows: int = BAND_ROWS) -> 
     )
 
 
-def minhash_candidates(bands: DataFrame, rows: int = BAND_ROWS) -> DataFrame:
+def minhash_candidates(
+    bands: DataFrame, rows: int = BAND_ROWS, max_bucket: int | None = None
+) -> DataFrame:
+    """Band-bucket self-join. ``max_bucket`` caps bucket size: a bucket of
+    m docs emits m^2/2 candidate pairs, so one degenerate bucket (boiler-
+    plate text, empty docs) can dominate the whole job at corpus scale.
+    Buckets above the cap are dropped wholesale — their members still
+    collide in their other, more selective bands unless they are
+    pathological; run exact_duplicates first to take identical docs out
+    of the LSH path. The heavy-hitter list is a tiny aggregate, so the
+    filter is a broadcast anti-join (no extra shuffle of the band table).
+    """
+    if max_bucket is not None:
+        keys = ["band_id"] + [f"v{j}" for j in range(rows)]
+        hot = (
+            bands.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select(*keys)
+        )
+        bands = bands.join(F.broadcast(hot), keys, "anti")
     a, b = bands.alias("a"), bands.alias("b")
     cond = (F.col("a.band_id") == F.col("b.band_id")) & (
         F.col("a.doc_id") < F.col("b.doc_id")
@@ -203,6 +224,7 @@ def jaccard_pairs(
     candidate_pairs: DataFrame | None = None,
     key: str = "s",
     distinct_input: bool = True,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over shingle SETS via explode + equi-join.
 
@@ -210,8 +232,24 @@ def jaccard_pairs(
     documents that appear in some candidate pair — the LSH contract: exact
     verification touches band collisions only, never the full corpus. The
     candidate doc set is tiny relative to the corpus, so Spark broadcasts
-    the semi-join side. At 100 TB additionally cap per-shingle document
-    frequency (stop-shingles create quadratic blowup, carry no signal)."""
+    the semi-join side.
+
+    ``max_doc_freq`` drops stop-shingles — shingles appearing in more
+    than that many documents — from BOTH intersection and union (Jaccard
+    over the capped sets). A shingle in m docs fans out to m^2/2 join
+    rows, so one boilerplate phrase across a real corpus turns the
+    equi-join quadratic; heavy hitters carry no dedup signal. Frequency
+    is corpus-global (counted on the full input, before any candidate
+    restriction); the hot list is a tiny aggregate, applied as a
+    broadcast anti-join."""
+    if max_doc_freq is not None:
+        hot = (
+            exploded.groupBy(key)
+            .agg(F.count_distinct("doc_id").alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select(key)
+        )
+        exploded = exploded.join(F.broadcast(hot), key, "anti")
     if candidate_pairs is not None:
         cand_docs = (
             candidate_pairs.select(F.col("doc_a").alias("doc_id"))

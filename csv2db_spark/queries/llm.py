@@ -48,11 +48,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- n-gram Jaccard
 
+# exf = ex minus stop-shingles (doc freq > 64), mirroring
+# jaccard_pairs(max_doc_freq=64): Jaccard over the capped sets
 _JACCARD_TAIL = """
-sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+exf AS (
+  SELECT doc_id, s FROM ex
+  WHERE s NOT IN (SELECT s FROM ex GROUP BY s HAVING count(DISTINCT doc_id) > 64)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY doc_id),
 inter AS (
   SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b, count(*) AS inter
-  FROM ex e1 JOIN ex e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id
+  FROM exf e1 JOIN exf e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id
   GROUP BY 1, 2
 ),
 jacc AS (
@@ -74,8 +80,11 @@ jacc AS (
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard with the stop-shingle cap engaged (doc freq
+    > 64 dropped before the pairwise join) — the oracle mirrors the cap,
+    so the comparison proves capped semantics, not just the happy path."""
     ex = D.shingle_table(augmented_docs(spark, sf_dir))
-    return D.jaccard_pairs(ex, min_jaccard=0.5)
+    return D.jaccard_pairs(ex, min_jaccard=0.5, max_doc_freq=64)
 
 
 # -------------------------------------------------------------- MinHash + LSH

@@ -124,6 +124,48 @@ def test_lsh_candidate_exchange_carries_ids_only(spark, sf_dir):
         assert "_iv" not in m.group(1), m.group(0)
 
 
+def test_stop_shingle_cap_bounds_skew(spark):
+    # 1000 docs share one hot shingle; uncapped, the equi-join fans out to
+    # ~500k pairs. The cap drops the heavy hitter so only real overlap
+    # (here: none — fillers are unique) survives.
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("the same boiler plate"),
+            F.concat(F.lit("u"), F.col("id")),
+            F.concat(F.lit("v"), F.col("id")),
+            F.concat(F.lit("w"), F.col("id")),
+        ).alias("text"),
+    )
+    ex = D.shingle_table(docs)
+    capped = D.jaccard_pairs(ex, min_jaccard=0.0, max_doc_freq=100)
+    assert capped.count() == 0
+    # sanity on a small slice: without the cap the hot shingle does pair up
+    uncapped = D.jaccard_pairs(
+        D.shingle_table(docs.where(F.col("doc_id") < 40)), min_jaccard=0.0
+    )
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_band_bucket_cap_bounds_skew(spark):
+    # 500 identical docs collapse into one bucket per band -> ~125k
+    # candidate pairs uncapped; the bucket cap drops the degenerate
+    # buckets (identical docs belong to the exact-dedup pass, not LSH).
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("all documents carry exactly the same words here").alias("text"),
+    )
+    bands = D.minhash_bands(
+        D.minhash_signatures(D.shingle_hashes(D.shingle_table(docs)))
+    )
+    assert D.minhash_candidates(bands, max_bucket=10).count() == 0
+    assert (
+        D.minhash_candidates(bands.where(F.col("doc_id") < 30)).count()
+        == 30 * 29 // 2
+    )
+
+
 def test_minhash_finds_near_dups(spark, sf_dir):
     # truncated near-copies (doc_id+100000) must surface as candidates
     ex = D.shingle_table(augmented_docs(spark, sf_dir))
