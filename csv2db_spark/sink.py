@@ -68,11 +68,11 @@ def default_batchsize(ncols: int) -> int:
 # JDBC sink (P13-P16, P20) — thin, defensible mapping onto Spark's writer
 # ---------------------------------------------------------------------------
 
-# Spark type → ANSI-ish DDL used for createTableColumnTypes; mirrors the
-# reference's Go-type→DDL registry (common/db.go:44-50) generalized to
-# both dialects' shared vocabulary (_postgres/postgres.go:26-34,
-# _mysql/mysql.go:35-43).
-_DDL_TYPES: dict[type, str] = {
+# Spark type → DDL used for createTableColumnTypes; mirrors the
+# reference's per-dialect Go-type→DDL registries (common/db.go:44-50,
+# _postgres/postgres.go:26-34, _mysql/mysql.go:35-43). Keyed by the JDBC
+# URL subprotocol; unknown dialects get the ANSI-ish shared vocabulary.
+_ANSI_DDL_TYPES: dict[type, str] = {
     T.LongType: "BIGINT",
     T.IntegerType: "INTEGER",
     T.ShortType: "SMALLINT",
@@ -83,17 +83,82 @@ _DDL_TYPES: dict[type, str] = {
     T.StringType: "TEXT",
 }
 
+DDL_REGISTRIES: dict[str, dict[type, str]] = {
+    "": _ANSI_DDL_TYPES,
+    "postgresql": _ANSI_DDL_TYPES,
+    "mysql": _ANSI_DDL_TYPES,
+    # Derby (embedded, ships with Spark) has no TEXT type
+    "derby": {**_ANSI_DDL_TYPES, T.StringType: "VARCHAR(32672)"},
+}
 
-def create_table_column_types(schema: T.StructType) -> str:
+
+def _subprotocol(url: str) -> str:
+    parts = url.split(":")
+    return parts[1].lower() if len(parts) > 1 else ""
+
+
+def create_table_column_types(schema: T.StructType, dialect: str = "") -> str:
+    import warnings
+
+    ddl_types = DDL_REGISTRIES.get(dialect, _ANSI_DDL_TYPES)
     parts = []
     for f in schema.fields:
-        ddl = _DDL_TYPES.get(type(f.dataType))
+        ddl = ddl_types.get(type(f.dataType))
         if ddl is None:
-            continue  # unregistered types are skipped with a warning in the
-            # reference (_postgres/postgres.go:104-108); Spark will use its
-            # own default mapping for them instead
+            # unregistered types fall back to Spark's own dialect mapping —
+            # warn like the reference does (_postgres/postgres.go:104-108)
+            # instead of silently skipping
+            warnings.warn(
+                f"no DDL registered for column {f.name!r} of type "
+                f"{f.dataType.simpleString()}; using the JDBC dialect default",
+                stacklevel=2,
+            )
+            continue
         parts.append(f"{f.name} {ddl}")
     return ", ".join(parts)
+
+
+def _jdbc_connection(spark: SparkSession, url: str, user, password):
+    """Raw java.sql connection through the session's JVM — for the few
+    statements Spark's writer cannot express (existence probe, DELETE
+    FROM). Works with any driver jar on the Spark classpath; Derby ships
+    with Spark, so the path is testable embedded."""
+    props = spark._jvm.java.util.Properties()
+    if user:
+        props.setProperty("user", user)
+    if password:
+        props.setProperty("password", password)
+    return spark._jvm.java.sql.DriverManager.getConnection(url, props)
+
+
+def _jdbc_table_exists(spark: SparkSession, url: str, table: str, user, password) -> bool:
+    """P6 existence probe (reference csv2db.go:133-140): a zero-row SELECT
+    against the table — dialect-portable, and uses the same unquoted
+    identifier resolution as Spark's own generated DDL/DML."""
+    conn = _jdbc_connection(spark, url, user, password)
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeQuery(f"SELECT 1 AS probe FROM {table} WHERE 1=0")
+            return True
+        except Exception:
+            return False
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def _jdbc_execute(spark: SparkSession, url: str, sql: str, user, password) -> None:
+    conn = _jdbc_connection(spark, url, user, password)
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(sql)
+        finally:
+            st.close()
+    finally:
+        conn.close()
 
 
 def write_jdbc(
@@ -107,10 +172,16 @@ def write_jdbc(
     num_partitions: int | None = None,
     atomic: bool = False,
 ) -> None:
-    """Write ``df`` into a JDBC table under the reference's mode matrix.
+    """Write ``df`` into a JDBC table under the reference's mode matrix
+    (csv2db.go:133-161, 219-241; DELETE FROM semantics common/db.go:103-106).
 
-    Untestable in this container (no JDBC driver/database); the mapping is
-    exercised through ParquetTableStore below, which implements the same
+    Table existence is probed explicitly (zero-row SELECT), so the
+    missing-table ERROR cells of the matrix hold for every dialect — not
+    just where Spark's writer happens to fail — and CREATE-mode's
+    exists→append choice is made up front instead of by catching a write
+    failure (which could mask auth/network errors or retry a partial
+    write). Exercised end-to-end against embedded Derby in
+    tests/test_jdbc_derby.py; ParquetTableStore below implements the same
     matrix against parquet-backed tables.
     """
     mode = TableMode(mode)
@@ -132,31 +203,34 @@ def write_jdbc(
         # single transaction per load, like the reference's one-tx sink
         df = df.coalesce(1)
 
+    spark = df.sparkSession
+    exists = _jdbc_table_exists(spark, url, table, user, password)
+    if not exists and not mode.creates:
+        raise MissingTableError(
+            f"table {table!r} does not exist and mode {mode.value!r} does "
+            "not create it"  # csv2db.go:151-156
+        )
+
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in opts.items():
         writer = writer.option(k, v)
+    ddl = create_table_column_types(df.schema, _subprotocol(url))
 
     if mode is TableMode.DROP_AND_CREATE:
-        writer.option(
-            "createTableColumnTypes", create_table_column_types(df.schema)
-        ).mode("overwrite").save()
+        writer.option("createTableColumnTypes", ddl).mode("overwrite").save()
+    elif mode is TableMode.CREATE:
+        if exists:
+            writer.mode("append").save()
+        else:
+            writer.option("createTableColumnTypes", ddl).mode("errorifexists").save()
     elif mode is TableMode.TRUNCATE:
         writer.option("truncate", "true").mode("overwrite").save()
-    elif mode is TableMode.CREATE:
-        try:
-            writer.option(
-                "createTableColumnTypes", create_table_column_types(df.schema)
-            ).mode("errorifexists").save()
-        except Exception:
-            writer.mode("append").save()
     elif mode is TableMode.DELETE_ALL:
-        raise NotImplementedError(
-            "delete-all needs a raw JDBC statement (DELETE FROM) before an "
-            "append; requires a live driver — see ParquetTableStore for the "
-            "semantics"
-        )
-    else:  # AS_IS — table must exist; Spark append errors if missing only
-        # at the DB layer, matching the reference's behavior coarsely
+        # transactional row wipe keeping DDL, then append — the
+        # reference's DELETE FROM path (common/db.go:103-106)
+        _jdbc_execute(spark, url, f"DELETE FROM {table}", user, password)
+        writer.mode("append").save()
+    else:  # AS_IS — existence already verified, plain append
         writer.mode("append").save()
 
 

@@ -1,0 +1,110 @@
+"""The REAL JDBC writer path, end-to-end against embedded Derby (the
+derby jars ship inside pyspark's classpath, so no external database is
+needed). Covers the reference's full table-mode matrix including the raw
+DELETE FROM of delete-all (common/db.go:103-106) and the missing-table
+ERROR cells (csv2db.go:151-156) that Spark's writer alone cannot express.
+
+Derby notes: in-memory databases live for the JVM's lifetime — each test
+uses its own database name, dropped in teardown; unquoted identifiers
+uppercase on both Spark's generated SQL and our raw statements, so names
+stay consistent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from csv2db_spark.sink import MissingTableError, TableMode, write_jdbc
+
+
+@pytest.fixture
+def durl(spark, request):
+    name = request.node.name.replace("[", "_").replace("]", "_")
+    url = f"jdbc:derby:memory:{name};create=true"
+    yield url
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:memory:{name};drop=true"
+        )
+    except Exception:
+        pass  # 08006 "database dropped" is Derby's success signal
+
+
+@pytest.fixture
+def df2(spark):
+    return spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+
+
+def read_jdbc(spark, url, table):
+    return (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+    )
+
+
+def rows(spark, url, table):
+    return sorted((r[0], r[1]) for r in read_jdbc(spark, url, table).collect())
+
+
+@pytest.mark.parametrize("mode", ["as-is", "truncate", "delete-all"])
+def test_missing_table_errors(spark, durl, df2, mode):
+    with pytest.raises(MissingTableError):
+        write_jdbc(df2, durl, "t", mode=mode)
+
+
+def test_create_missing_creates_and_inserts(spark, durl, df2):
+    write_jdbc(df2, durl, "t", mode=TableMode.CREATE)
+    assert rows(spark, durl, "t") == [(1, "x"), (2, "y")]
+
+
+def test_create_existing_appends(spark, durl, df2):
+    write_jdbc(df2, durl, "t", mode=TableMode.CREATE)
+    write_jdbc(df2, durl, "t", mode=TableMode.CREATE)
+    assert rows(spark, durl, "t") == [(1, "x"), (1, "x"), (2, "y"), (2, "y")]
+
+
+def test_as_is_appends_to_existing(spark, durl, df2):
+    write_jdbc(df2, durl, "t", mode=TableMode.CREATE)
+    write_jdbc(df2, durl, "t", mode=TableMode.AS_IS)
+    assert len(rows(spark, durl, "t")) == 4
+
+
+def test_delete_all_wipes_then_appends(spark, durl, df2):
+    write_jdbc(df2, durl, "t", mode=TableMode.CREATE)
+    new = spark.createDataFrame([Row(a=9, b="z")])
+    write_jdbc(new, durl, "t", mode=TableMode.DELETE_ALL)
+    assert rows(spark, durl, "t") == [(9, "z")]
+
+
+def test_truncate_keeps_ddl_wipes_rows(spark, durl, df2):
+    write_jdbc(df2, durl, "t", mode=TableMode.CREATE)
+    new = spark.createDataFrame([Row(a=7, b="q")])
+    write_jdbc(new, durl, "t", mode=TableMode.TRUNCATE)
+    assert rows(spark, durl, "t") == [(7, "q")]
+
+
+def test_drop_and_create_replaces(spark, durl, df2):
+    write_jdbc(df2, durl, "t", mode=TableMode.CREATE)
+    new = spark.createDataFrame([Row(a=5, b="n"), Row(a=6, b="m")])
+    write_jdbc(new, durl, "t", mode=TableMode.DROP_AND_CREATE)
+    assert rows(spark, durl, "t") == [(5, "n"), (6, "m")]
+
+
+def test_drop_and_create_on_missing_creates(spark, durl, df2):
+    write_jdbc(df2, durl, "t", mode=TableMode.DROP_AND_CREATE)
+    assert len(rows(spark, durl, "t")) == 2
+
+
+def test_atomic_single_partition(spark, durl, df2):
+    write_jdbc(df2.repartition(4), durl, "t", mode=TableMode.CREATE, atomic=True)
+    assert len(rows(spark, durl, "t")) == 2
+
+
+def test_ddl_types_reach_derby(spark, durl, df2):
+    # the derby registry swaps TEXT (unsupported) for VARCHAR(32672)
+    write_jdbc(df2, durl, "t", mode=TableMode.CREATE)
+    schema = {
+        f.name.lower(): f.dataType.simpleString()
+        for f in read_jdbc(spark, durl, "t").schema
+    }
+    assert schema["a"] == "bigint"
+    assert schema["b"].startswith("string")

@@ -83,5 +83,32 @@ def test_create_table_column_types(df2):
     assert create_table_column_types(df2.schema) == "a BIGINT, b TEXT"
 
 
+def test_create_table_column_types_derby_dialect(df2):
+    # Derby has no TEXT; its registry substitutes VARCHAR
+    assert create_table_column_types(df2.schema, "derby") == (
+        "a BIGINT, b VARCHAR(32672)"
+    )
+
+
+def test_unregistered_type_warns(spark):
+    # reference warns on unmapped types (_postgres/postgres.go:104-108)
+    # rather than silently skipping
+    import warnings
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ddl = create_table_column_types(schema)
+    assert ddl == "a BIGINT"
+    assert any("ts" in str(x.message) for x in w)
+
+
 def test_noop_sink(df2):
     write_noop(df2)  # executes the plan, discards rows, must not raise
