@@ -40,13 +40,15 @@ _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _INT_RE = r"^[+-]?\d+$"
 
 
-def _sniff_ncols(spark: SparkSession, path: str, delimiter: str) -> int:
-    """Count fields of the first line (schema binding is deferred to the
-    first row in the reference too — csv2db.go:88-106)."""
+def _sniff_first_line(spark: SparkSession, path: str, delimiter: str) -> list[str]:
+    """Fields of the first line, from ONE driver job (schema binding is
+    deferred to the first row in the reference too — csv2db.go:88-106).
+    The single collected line serves both the column count and, with a
+    header, the column names."""
     first = spark.read.text(path).limit(1).collect()
     if not first:
         raise ValueError(f"empty CSV input: {path}")
-    return len(next(_pycsv.reader([first[0].value], delimiter=delimiter)))
+    return next(_pycsv.reader([first[0].value], delimiter=delimiter))
 
 
 def read_csv(
@@ -68,16 +70,18 @@ def read_csv(
     common/schema.go:157-169). Missing/empty fields are normalized to ""
     so downstream cast logic owns the empty-vs-NULL decision per target
     nullability — never the reader (SURVEY.md §7.5 risk 1).
+
+    The header sniff reads the first line as UTF-8 (Spark's text source
+    has no encoding option); for non-UTF8 ``encoding`` values the DATA is
+    decoded correctly by the CSV reader, but header NAMES must be
+    ASCII-compatible — same constraint the reference's charset map
+    effectively imposes on practical inputs (csv2db.go:190-199).
     """
     if len(delimiter) != 1:
         # config.go:67-72 rejects multi-char delimiters
         raise ValueError(f"delimiter must be a single character, got {delimiter!r}")
-    ncols = _sniff_ncols(spark, path, delimiter)
-    if has_header:
-        header_line = spark.read.text(path).limit(1).collect()[0].value
-        names = next(_pycsv.reader([header_line], delimiter=delimiter))
-    else:
-        names = [f"col{i}" for i in range(ncols)]
+    first = _sniff_first_line(spark, path, delimiter)
+    names = first if has_header else [f"col{i}" for i in range(len(first))]
     schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
     df = (
         spark.read.schema(schema)
@@ -96,6 +100,60 @@ def read_csv(
     return df.select(
         *[F.coalesce(F.col(n), F.lit("")).alias(n) for n in df.columns]
     )
+
+
+def read_csv_buffer(
+    spark: SparkSession,
+    data: str,
+    has_header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """stdin-equivalent CSV source (reference ``--input-file --``,
+    csv2db.go:174-176): parse an in-memory string into the same all-string
+    frame ``read_csv`` produces.
+
+    stdin data is driver-local by definition, so it is parsed with
+    Python's csv module (full quoting semantics, embedded newlines) and
+    handed to the cluster via ``createDataFrame`` — there is nothing to
+    distribute until the rows exist. Ragged rows raise, matching Go
+    encoding/csv's ErrFieldCount under the reference's FAILFAST posture.
+    """
+    if len(delimiter) != 1:
+        raise ValueError(f"delimiter must be a single character, got {delimiter!r}")
+    import io
+
+    rows = list(_pycsv.reader(io.StringIO(data), delimiter=delimiter))
+    if not rows:
+        raise ValueError("empty CSV input: <buffer>")
+    names = rows[0] if has_header else [f"col{i}" for i in range(len(rows[0]))]
+    body = rows[1:] if has_header else rows
+    for i, r in enumerate(body):
+        if len(r) != len(names):
+            raise ValueError(
+                f"record {i + 1} has {len(r)} fields, want {len(names)}"
+            )
+    schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+    return spark.createDataFrame([tuple(r) for r in body], schema)
+
+
+def ingest_csv_buffer(
+    spark: SparkSession,
+    data: str,
+    target: T.StructType | None = None,
+    has_header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """P1-P8 pipeline over an in-memory buffer (stdin parity): read →
+    reconcile → cast, same semantics as ``ingest_csv``."""
+    df = read_csv_buffer(spark, data, has_header, delimiter)
+    if target is None:
+        return df
+    aligned = (
+        reconcile_by_name(df, target)
+        if has_header
+        else reconcile_by_index(df, target)
+    )
+    return cast_to_schema(aligned, target)
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,9 @@ from pyspark.sql import types as T
 from csv2db_spark.ingest import (
     cast_to_schema,
     ingest_csv,
+    ingest_csv_buffer,
     read_csv,
+    read_csv_buffer,
     reconcile_by_index,
     reconcile_by_name,
 )
@@ -172,6 +174,59 @@ def test_latin1_encoding(spark, tmp_path):
     p.write_bytes("name\ncaf\xe9".encode("latin-1"))
     df = read_csv(spark, str(p), encoding="ISO-8859-1")
     assert df.collect()[0].name == "caf\xe9"
+
+
+def test_latin1_typed_ingest_failfast(spark, tmp_path):
+    # P2 parity (csv2db.go:190-199): Latin-1 bytes decode to the same
+    # values a UTF-8 load of the equivalent text produces, through the
+    # full FAILFAST read→reconcile→cast pipeline
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    p = tmp_path / "latin1_typed.csv"
+    p.write_bytes("id,name\n1,caf\xe9\n2,na\xefve\n3,".encode("latin-1"))
+    got = ingest_csv(spark, str(p), target, encoding="ISO-8859-1").collect()
+    assert [(r.id, r.name) for r in got] == [
+        (1, "caf\xe9"),
+        (2, "na\xefve"),
+        (3, None),
+    ]
+
+
+# ------------------------------------------------- stdin-equivalent buffer
+
+
+def test_buffer_header_and_types(spark):
+    df = ingest_csv_buffer(spark, HEADER, TARGET)
+    rows = df.collect()
+    assert rows[0].a == 1 and rows[0].b == 2 and rows[0].c == "qqq"
+    assert rows[1].a is None and rows[1].b == 4 and rows[1].c is None
+
+
+def test_buffer_headerless_names(spark):
+    df = read_csv_buffer(spark, NO_HEADER, has_header=False)
+    assert df.columns == ["col0", "col1", "col2", "col3", "col4"]
+    assert df.collect()[0].col0 == "1"
+
+
+def test_buffer_quoted_newline(spark):
+    # the driver-side parser keeps full csv quoting semantics
+    df = read_csv_buffer(spark, 'a,b\n1,"two\nlines"\n2,x')
+    vals = {r.a: r.b for r in df.collect()}
+    assert vals["1"] == "two\nlines" and vals["2"] == "x"
+
+
+def test_buffer_ragged_row_raises(spark):
+    with pytest.raises(ValueError, match="fields"):
+        read_csv_buffer(spark, "a,b\n1,2,3")
+
+
+def test_buffer_empty_raises(spark):
+    with pytest.raises(ValueError, match="empty"):
+        read_csv_buffer(spark, "")
 
 
 def test_permissive_and_dropmalformed_modes(spark, csv_file):
