@@ -307,10 +307,22 @@ def streaming_ingest_csv(
     modes. At scale: the file source lists incrementally
     (maxFilesPerTrigger batches), checkpointing gives exactly-once into
     transactional sinks.
+
+    Header alignment: Spark's streaming CSV source applies a user schema
+    POSITIONALLY and ignores header names, so the file's real column
+    order is sniffed from the watched directory (one tiny batch job) and
+    the raw schema is built in FILE order; ``reconcile_by_name`` then
+    reorders to the target — a scrambled header aligns correctly, like
+    the batch path. Contract: every file in one watched directory shares
+    one header layout (the layout of whichever file is sniffed); if the
+    directory is empty at stream definition, names fall back to target
+    order. This mirrors Spark's own one-schema-per-source model for
+    streams.
     """
     from pyspark.sql import types as T
 
     from csv2db_spark.ingest import (
+        _sniff_first_line,
         cast_to_schema,
         reconcile_by_index,
         reconcile_by_name,
@@ -318,10 +330,12 @@ def streaming_ingest_csv(
 
     ncols = len(target.fields)
     if has_header:
-        # streaming CSV needs an explicit schema; header row is consumed
-        # for alignment by position of the target's names
+        try:
+            names = _sniff_first_line(spark, watch_dir, delimiter)
+        except Exception:
+            names = [f.name for f in target.fields]
         raw_schema = T.StructType(
-            [T.StructField(f.name, T.StringType(), True) for f in target.fields]
+            [T.StructField(n, T.StringType(), True) for n in names]
         )
     else:
         raw_schema = T.StructType(

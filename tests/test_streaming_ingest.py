@@ -31,6 +31,30 @@ def test_streaming_ingest_two_files(spark, tmp_path):
     ]
 
 
+def test_streaming_ingest_scrambled_header_aligns_by_name(spark, tmp_path):
+    # file header order differs from target order: the sniffed file
+    # layout + reconcile_by_name must land values in the right columns
+    watch = tmp_path / "incoming_scrambled"
+    watch.mkdir()
+    (watch / "f.csv").write_text("c,a,b\nx,1,2\n,,3\n")
+    out = streaming_ingest_csv(spark, str(watch), TARGET)
+    got = run_to_df(out, spark, "append")
+    assert got.columns == ["a", "b", "c"]
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {(1, 2, "x"), (None, 3, None)}
+
+
+def test_streaming_ingest_header_subset_null_fills(spark, tmp_path):
+    # file carries a subset of target columns (+ an extra): by-name
+    # reconcile drops the extra and null-fills the missing nullable
+    watch = tmp_path / "incoming_subset"
+    watch.mkdir()
+    (watch / "f.csv").write_text("b,c,junk\n7,hello,zzz\n")
+    out = streaming_ingest_csv(spark, str(watch), TARGET)
+    got = run_to_df(out, spark, "append").collect()
+    assert [tuple(r) for r in got] == [(None, 7, "hello")]
+
+
 def test_streaming_ingest_headerless_by_ordinal(spark, tmp_path):
     watch = tmp_path / "incoming2"
     watch.mkdir()
