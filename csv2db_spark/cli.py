@@ -1,0 +1,262 @@
+"""CLI entry point with the reference's UX (main.go:23-57, flags
+main.go:37-51): load a CSV (file or stdin) into a database table under a
+table mode, with named config presets.
+
+Mapping to the reference:
+
+- ``--url`` → a JDBC url (``jdbc:...``) handled by the real JDBC writer,
+  or the engine-native ``parquet:/dir`` scheme backed by
+  ParquetTableStore — same mode matrix either way (sink.py).
+- ``--input-file --`` reads stdin (csv2db.go:174-176) through
+  ``ingest_csv_buffer``.
+- ``schema.table`` splits into schema + table (load_config.go:22-28);
+  the qualified name is passed through to the database.
+- Presets (P23, config.go:100-165, load_config.go:9-64): a named config
+  saved to ``~/.csv2db_spark.json`` (JSON, not YAML — no YAML parser in
+  the stdlib; same shape otherwise). CLI args win; preset fills only
+  string fields left empty, exactly the reference's reflection merge
+  (config.go:80-96); ``--store-preset`` saves the merged result.
+- Target schema resolution (P5, csv2db.go:133-150): an existing table's
+  schema drives reconcile+cast; a missing table (create-capable mode)
+  gets the all-string frame, like the reference's all-TEXT create
+  (csv2db.go:157).
+- P21 progress: row count + destination logged at INFO after the load
+  (a progress bar has no terminal in a cluster submit; the count is the
+  part with information).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+from dataclasses import asdict, dataclass, fields
+
+log = logging.getLogger("csv2db_spark.cli")
+
+MODES = ("create", "delete-all", "truncate", "drop-and-create", "as-is")
+DEFAULT_PRESET = "default"
+
+
+@dataclass
+class Config:
+    db_url: str = ""
+    schema: str = ""
+    table: str = ""
+    table_mode: str = ""
+    file_name: str = ""
+    has_header: bool = False
+    delimiter: str = ""
+    encoding: str = ""
+
+    def fill_missing_from_preset(self, preset: "Config") -> None:
+        # reference merge: only EMPTY STRING fields take the preset value
+        # (config.go:80-96 — bools are deliberately not merged there either)
+        for f in fields(self):
+            mine = getattr(self, f.name)
+            theirs = getattr(preset, f.name)
+            if isinstance(mine, str) and mine == "" and isinstance(theirs, str):
+                setattr(self, f.name, theirs)
+
+    def validate(self) -> None:
+        if len(self.delimiter) > 1:
+            raise SystemExit(
+                f"CSV delimiter should be a single char: {self.delimiter}"
+            )
+        if self.table_mode and self.table_mode not in MODES:
+            raise SystemExit(
+                f"unknown table mode {self.table_mode!r}; available: "
+                + ", ".join(MODES)
+            )
+
+    @property
+    def qualified_table(self) -> str:
+        return f"{self.schema}.{self.table}" if self.schema else self.table
+
+
+def _config_path() -> str:
+    return os.environ.get(
+        "CSV2DB_SPARK_CONFIG",
+        os.path.join(os.path.expanduser("~"), ".csv2db_spark.json"),
+    )
+
+
+def load_presets() -> dict[str, Config]:
+    try:
+        with open(_config_path()) as f:
+            raw = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        # reference: unreadable config is a warning, never fatal
+        # (config.go:107-127)
+        if not isinstance(e, FileNotFoundError):
+            log.warning("cannot load config %s: %s", _config_path(), e)
+        return {}
+    out = {}
+    for name, c in raw.get("presets", {}).items():
+        known = {f.name for f in fields(Config)}
+        out[name] = Config(**{k: v for k, v in c.items() if k in known})
+    return out
+
+
+def save_presets(presets: dict[str, Config]) -> None:
+    try:
+        with open(_config_path(), "w") as f:
+            json.dump(
+                {"presets": {n: asdict(c) for n, c in presets.items()}},
+                f,
+                indent=2,
+            )
+    except OSError as e:
+        log.warning("cannot write config %s: %s", _config_path(), e)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="csv2db-spark",
+        description="Import your CSV to database as a table",
+    )
+    p.add_argument("--url", default="", help="jdbc:... or parquet:/dir url")
+    p.add_argument("--table", "-t", default="", help="table name (schema.table ok)")
+    p.add_argument(
+        "--table-mode", "-m", default="", help="one of: " + ", ".join(MODES)
+    )
+    p.add_argument(
+        "--input-file",
+        "-i",
+        default="",
+        help="input CSV file; -- (or -) reads stdin",
+    )
+    p.add_argument(
+        "--has-header", action="store_true", help="first line is a header"
+    )
+    p.add_argument("--delimiter", "-d", default="", help="CSV cell delimiter")
+    p.add_argument("--encoding", "-e", default="", help="input file encoding")
+    p.add_argument(
+        "--preset", "-p", default=DEFAULT_PRESET, help="config preset to apply"
+    )
+    p.add_argument(
+        "--store-preset",
+        "-s",
+        default="",
+        help="save current parameters under this preset name",
+    )
+    p.add_argument("--log-level", "-l", default="info")
+    return p
+
+
+def load_config(args: argparse.Namespace) -> Config:
+    """load_config.go:9-19: cli args -> preset fill -> optional store."""
+    table_parts = args.table.split(".")
+    conf = Config(
+        db_url=args.url,
+        schema=table_parts[0] if len(table_parts) > 1 else "",
+        table=table_parts[-1],
+        table_mode=args.table_mode,
+        file_name=args.input_file,
+        has_header=args.has_header,
+        delimiter=args.delimiter,
+        encoding=args.encoding,
+    )
+    presets = load_presets()
+    preset = presets.get(args.preset)
+    if preset is None and args.preset != DEFAULT_PRESET:
+        log.warning("no preset found by key %s", args.preset)
+    if preset is not None:
+        conf.fill_missing_from_preset(preset)
+    # flag defaults applied after the merge, so presets can override them
+    # (the reference bakes these into the cli flag defaults instead)
+    conf.delimiter = conf.delimiter or ","
+    conf.encoding = conf.encoding or "UTF-8"
+    conf.table_mode = conf.table_mode or "as-is"
+    conf.validate()
+    if args.store_preset:
+        presets[args.store_preset] = conf
+        save_presets(presets)
+    return conf
+
+
+def _target_schema(spark, conf: Config):
+    """P5: an existing destination table's schema drives reconcile+cast;
+    None → all-string load (reference all-TEXT create, csv2db.go:157)."""
+    from csv2db_spark.sink import ParquetTableStore, _jdbc_table_exists
+
+    if conf.db_url.startswith("parquet:"):
+        store = ParquetTableStore(spark, conf.db_url.removeprefix("parquet:"))
+        return store.schema(conf.table) if store.exists(conf.table) else None
+    if _jdbc_table_exists(spark, conf.db_url, conf.qualified_table, None, None):
+        return (
+            spark.read.format("jdbc")
+            .option("url", conf.db_url)
+            .option("dbtable", conf.qualified_table)
+            .load()
+            .schema
+        )
+    return None
+
+
+def run(conf: Config, spark=None) -> int:
+    from csv2db_spark.ingest import ingest_csv, ingest_csv_buffer
+    from csv2db_spark.sink import ParquetTableStore, write_jdbc
+
+    if spark is None:
+        from csv2db_spark import get_spark
+
+        spark = get_spark("csv2db-spark-cli")
+    if not conf.table:
+        raise SystemExit("missing required --table")
+    if not conf.db_url:
+        raise SystemExit("missing required --url")
+    if not conf.file_name:
+        raise SystemExit("missing required --input-file")
+
+    target = _target_schema(spark, conf)
+    if conf.file_name in ("--", "-"):
+        df = ingest_csv_buffer(
+            spark, sys.stdin.read(), target, conf.has_header, conf.delimiter
+        )
+    else:
+        df = ingest_csv(
+            spark,
+            conf.file_name,
+            target,
+            conf.has_header,
+            conf.delimiter,
+            conf.encoding,
+        )
+
+    if conf.db_url.startswith("parquet:"):
+        store = ParquetTableStore(spark, conf.db_url.removeprefix("parquet:"))
+        store.write(df, conf.table, conf.table_mode)
+        n = store.read(conf.table).count()
+    else:
+        write_jdbc(df, conf.db_url, conf.qualified_table, conf.table_mode)
+        n = (
+            spark.read.format("jdbc")
+            .option("url", conf.db_url)
+            .option("dbtable", conf.qualified_table)
+            .load()
+            .count()
+        )
+    log.info("loaded %s: table %s now has %d rows", conf.file_name, conf.qualified_table, n)
+    return 0
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # the reference's stdin marker is '--' (csv2db.go:174-176), which
+    # argparse reserves as the end-of-options separator — rewrite the one
+    # directly following -i/--input-file; '-' is accepted as an alias
+    for i, a in enumerate(argv[:-1]):
+        if a in ("-i", "--input-file") and argv[i + 1] == "--":
+            argv[i + 1] = "-"
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper(), logging.INFO)
+    )
+    return run(load_config(args), spark=spark)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,115 @@
+"""CLI surface (reference main.go / load_config.go / config.go): flag
+parsing, preset merge + store, stdin mode, and end-to-end loads into both
+the parquet store and embedded Derby."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from csv2db_spark.cli import Config, load_config, build_parser, main
+
+
+@pytest.fixture
+def config_path(tmp_path, monkeypatch):
+    p = tmp_path / "presets.json"
+    monkeypatch.setenv("CSV2DB_SPARK_CONFIG", str(p))
+    return p
+
+
+def parse(argv):
+    return load_config(build_parser().parse_args(argv))
+
+
+def test_schema_table_split(config_path):
+    conf = parse(["-t", "public.users", "-m", "create"])
+    assert conf.schema == "public" and conf.table == "users"
+    assert conf.qualified_table == "public.users"
+
+
+def test_defaults_after_merge(config_path):
+    conf = parse([])
+    assert conf.delimiter == "," and conf.encoding == "UTF-8"
+    assert conf.table_mode == "as-is"
+
+
+def test_bad_delimiter_and_mode_fatal(config_path):
+    with pytest.raises(SystemExit):
+        parse(["-d", ";;"])
+    with pytest.raises(SystemExit):
+        parse(["-m", "bogus"])
+
+
+def test_store_then_apply_preset(config_path):
+    parse(["--url", "jdbc:x", "-t", "tt", "-d", ";", "-s", "mine"])
+    saved = json.loads(config_path.read_text())
+    assert saved["presets"]["mine"]["db_url"] == "jdbc:x"
+    # empty cli fields fill from the preset; explicit flags win
+    conf = parse(["-p", "mine", "-t", "other"])
+    assert conf.db_url == "jdbc:x" and conf.table == "other"
+    assert conf.delimiter == ";"
+
+
+def test_unknown_preset_warns_not_fatal(config_path, caplog):
+    conf = parse(["-p", "nope", "-t", "t1"])
+    assert conf.table == "t1"
+
+
+def test_corrupt_config_is_nonfatal(config_path):
+    config_path.write_text("{not json")
+    conf = parse(["-t", "t1"])
+    assert conf.table == "t1"
+
+
+def test_end_to_end_parquet_store(spark, tmp_path, config_path):
+    csv = tmp_path / "in.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    url = f"parquet:{tmp_path / 'db'}"
+    rc = main(
+        ["--url", url, "-t", "t", "-m", "create", "-i", str(csv), "--has-header"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = sorted(
+        (r.a, r.b)
+        for r in spark.read.parquet(str(tmp_path / "db" / "t")).collect()
+    )
+    assert got == [("1", "x"), ("2", "y")]  # all-string create, like the ref
+
+
+def test_end_to_end_stdin_to_derby(spark, tmp_path, config_path, monkeypatch):
+    url = "jdbc:derby:memory:clidb;create=true"
+    monkeypatch.setattr("sys.stdin", io.StringIO("a,b\n5,z\n"))
+    rc = main(
+        ["--url", url, "-t", "t", "-m", "create", "-i", "--", "--has-header"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t")
+        .load()
+        .collect()
+    )
+    assert [(r[0], r[1]) for r in got] == [("5", "z")]
+    # second load against the now-existing table resolves its schema (P5)
+    monkeypatch.setattr("sys.stdin", io.StringIO("a,b\n6,w\n"))
+    assert main(["--url", url, "-t", "t", "-m", "as-is", "-i", "--", "--has-header"], spark=spark) == 0
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            "jdbc:derby:memory:clidb;drop=true"
+        )
+    except Exception:
+        pass
+
+
+def test_missing_required_args_fatal(spark, config_path):
+    with pytest.raises(SystemExit, match="table"):
+        main(["--url", "parquet:/x", "-i", "f.csv"], spark=spark)
+    with pytest.raises(SystemExit, match="url"):
+        main(["-t", "t", "-i", "f.csv"], spark=spark)
+    with pytest.raises(SystemExit, match="input-file"):
+        main(["--url", "parquet:/x", "-t", "t"], spark=spark)
