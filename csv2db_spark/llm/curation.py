@@ -1,0 +1,128 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, deterministic stratified sampling, incremental dedup
+against an existing corpus, PII pattern scanning, and domain-mix
+accounting.
+
+All are compositions of built-in DataFrame ops — no Python in the row
+path — and each has a matching ANSI-SQL oracle in queries/curation.py.
+
+Scale shapes (100 TB corpus):
+- decontaminate: the benchmark side is SMALL by construction (eval sets
+  are thousands of documents) — its distinct shingle set broadcasts; the
+  corpus-side cost is one shingle pass + a broadcast-hash semi-ish join,
+  no shuffle of the corpus.
+- stratified_sample: one window shuffle keyed by the stratum; rank is by
+  a salted md5 of the id, so the sample is deterministic, uniform within
+  the stratum, and reproducible across runs/engines.
+- incremental_dedup: digests of the existing corpus are md5 longs; the
+  incoming side anti-joins on the digest — shuffle carries 16-byte keys,
+  never document bodies.
+- pii_scan: pure regexp_count column expressions, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from csv2db_spark.llm.dedup import shingle_table
+
+# Patterns deliberately restricted to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes, +, {m,}, no
+# backrefs or lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def decontaminate_ngram(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 3
+) -> DataFrame:
+    """Benchmark-contamination report: for every corpus document, how many
+    of its distinct word n-grams also occur in the benchmark set.
+
+    Returns (doc_id, n_shingles, n_overlap, overlap_ratio) for documents
+    with at least one overlapping shingle — the decontamination candidates
+    a pipeline would drop or down-weight before training.
+    """
+    corpus_sh = shingle_table(corpus, n=n)
+    bench_sh = shingle_table(benchmark, n=n).select("s").distinct()
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (
+        corpus_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap") / F.col("n_shingles")).alias("overlap_ratio"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, deterministically:
+    rank by md5 of the id within each stratum (uniform pseudo-random
+    order, stable across runs and engines), keep rank <= k."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .drop("sample_rank")
+    )
+
+
+def incremental_dedup(
+    existing: DataFrame, incoming: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incoming documents whose exact text is NOT already in the existing
+    corpus — the daily-increment dedup pass. Compares md5 digests, so the
+    anti-join shuffles 16-byte keys, not bodies."""
+    seen = existing.select(F.md5(F.col(text_col)).alias("text_md5")).distinct()
+    return (
+        incoming.withColumn("text_md5", F.md5(F.col(text_col)))
+        .join(seen, "text_md5", "anti")
+        .drop("text_md5")
+    )
+
+
+def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII pattern counts as codegen'd regexp_count columns."""
+    return docs.select(
+        "doc_id",
+        "source",
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+
+
+def domain_mix(docs: DataFrame) -> DataFrame:
+    """Mixture accounting per (source, lang): document and character
+    counts plus each cell's fraction of the corpus — the table a sampling
+    stage consumes to hit target domain weights."""
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    total = Window.partitionBy()
+    return cells.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_chars",
+        (F.col("n_docs") / F.sum("n_docs").over(total)).alias("doc_frac"),
+        (F.col("n_chars") / F.sum("n_chars").over(total)).alias("char_frac"),
+    )

@@ -1,0 +1,69 @@
+"""Batch sessionization: split each user's event stream into sessions at
+inactivity gaps, then aggregate per-session stats.
+
+(The streaming twin is ``streaming/ops.py``'s session_window aggregation;
+this is the batch/backfill formulation over the full history.)
+
+Algorithm: one window pass per user ordered by event time — a row starts
+a new session when its gap from the previous event exceeds the
+threshold; the session id is the running count of session starts. This
+is the standard gaps-and-islands formulation, expressed as two stacked
+window functions over the SAME (partition, order) — Spark evaluates them
+in a single Window exchange + sort.
+
+Scale: the only shuffle keys on user_id (hash-partitioned); per-user
+ordering is a within-partition sort. Skewed power users are bounded by
+per-user history length, not corpus size; a pathological single-user
+firehose would be pre-split by day before this pass.
+
+Timestamps stay TIMESTAMP_NTZ end-to-end and the gap test is interval
+arithmetic (no epoch conversion), so results are session-timezone-free —
+bit-identical across engines and driver sessions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-event session assignment: adds ``session_id`` (1-based, per
+    user, in time order)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    prev = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row per (user, session): event count, bounds, duration and
+    value sum. Duration uses naive timestampdiff — TZ-free."""
+    s = sessionize(events, gap, user_col, ts_col)
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        F.expr(f"timestampdiff(SECOND, min({ts_col}), max({ts_col}))").alias(
+            "duration_sec"
+        ),
+        F.sum("value").alias("value_sum"),
+    )

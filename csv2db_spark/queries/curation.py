@@ -1,0 +1,286 @@
+"""Driver-gate queries for corpus-curation operators (llm/curation.py,
+operators/sessions.py): decontamination, stratified sampling, incremental
+dedup, PII scanning, domain mixing, sessionization, length histograms.
+
+Registered AFTER the round-2 CHECK_FIRST window (registry.py) — locally
+parity-tested now, rotated into the driver's 50-query correctness window
+next round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2db_spark.functions.numeric import dsum
+from csv2db_spark.llm import curation as C
+from csv2db_spark.llm.corpus import SQL_AUG, SQL_SHINGLES, augmented_docs
+from csv2db_spark.operators.sessions import sessionize
+from csv2db_spark.registry import query
+from csv2db_spark.sources import load_table
+
+# shingle CTEs over the raw documents table (not the augmented corpus)
+_DOC_SHINGLES = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, {SQL_SHINGLES.format(t="t")} AS s FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS s FROM sh)
+"""
+
+
+@query(
+    "q_curate_decontaminate",
+    oracle=f"""
+    WITH {_DOC_SHINGLES.strip()},
+    bsh AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+    cex AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cex GROUP BY doc_id),
+    ov AS (
+      SELECT cex.doc_id, count(*) AS n_overlap
+      FROM cex JOIN bsh ON cex.s = bsh.s
+      GROUP BY cex.doc_id
+    )
+    SELECT o.doc_id, z.n_shingles, o.n_overlap,
+           o.n_overlap / z.n_shingles AS overlap_ratio
+    FROM ov o JOIN sizes z ON z.doc_id = o.doc_id
+    """,
+)
+def q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 97th document plays the held-out
+    eval set; corpus documents sharing any 3-gram with it are reported
+    with overlap counts. Scale shape: the benchmark's distinct shingles
+    broadcast (eval sets are small by nature); the corpus side is one
+    shingle pass + broadcast join — the 100-TB corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return C.decontaminate_ngram(corpus, bench)
+
+
+@query(
+    "q_curate_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 20
+    """,
+)
+def q_curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample: rank by md5(doc_id) within
+    the stratum — uniform, reproducible, engine-independent. One shuffle
+    keyed on the stratum."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return C.stratified_sample(docs, "lang", k=20)
+
+
+@query(
+    "q_curate_incremental_dedup",
+    oracle=f"""
+    WITH {SQL_AUG.strip()},
+    incoming AS (SELECT doc_id, text FROM aug WHERE doc_id >= 100000),
+    seen AS (SELECT DISTINCT md5(text) AS h FROM aug WHERE doc_id < 100000)
+    SELECT i.doc_id, md5(i.text) AS text_md5
+    FROM incoming i
+    WHERE md5(i.text) NOT IN (SELECT h FROM seen)
+    """,
+)
+def q_curate_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment exact dedup: the augmented corpus's high doc_ids
+    (exact + truncated copies) arrive as the increment; exact copies of
+    the existing corpus are dropped by digest anti-join (16-byte shuffle
+    keys, bodies never move)."""
+    aug = augmented_docs(spark, sf_dir)
+    existing = aug.where(F.col("doc_id") < 100000)
+    incoming = aug.where(F.col("doc_id") >= 100000)
+    return C.incremental_dedup(existing, incoming).select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+
+
+# PII is injected deterministically (the fixture text is synthetic word
+# salad with no PII), identically on both engines, so the regex path is
+# exercised with nonzero counts.
+_SQL_PII_AUG = """
+pdocs AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' host 10.0.21.42' ELSE '' END
+         AS text
+  FROM documents
+)
+"""
+
+
+@query(
+    "q_curate_pii_scan",
+    oracle=f"""
+    WITH {_SQL_PII_AUG.strip()},
+    per_doc AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '{C.PII_PATTERNS["email"]}')) AS n_email,
+             len(regexp_extract_all(text, '{C.PII_PATTERNS["phone"]}')) AS n_phone,
+             len(regexp_extract_all(text, '{C.PII_PATTERNS["ssn"]}')) AS n_ssn,
+             len(regexp_extract_all(text, '{C.PII_PATTERNS["ipv4"]}')) AS n_ipv4
+      FROM pdocs
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS total_email,
+           CAST(sum(n_phone) AS BIGINT) AS total_phone,
+           CAST(sum(n_ssn) AS BIGINT) AS total_ssn,
+           CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+           CAST(sum(CASE WHEN n_email + n_phone + n_ssn + n_ipv4 > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def q_curate_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern census per source over the deterministically PII-
+    injected corpus: regexp_count column expressions (whole-stage
+    codegen, one scan), aggregated map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" host 10.0.21.42")).otherwise(
+            F.lit("")
+        ),
+    )
+    pdocs = d.select("doc_id", "source", txt.alias("text"))
+    per_doc = C.pii_counts(pdocs)
+    flagged = (
+        F.col("n_email") + F.col("n_phone") + F.col("n_ssn") + F.col("n_ipv4") > 0
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("total_email"),
+        F.sum("n_phone").alias("total_phone"),
+        F.sum("n_ssn").alias("total_ssn"),
+        F.sum("n_ipv4").alias("total_ipv4"),
+        F.sum(flagged.cast("long")).alias("n_docs_flagged"),
+    )
+
+
+@query(
+    "q_curate_domain_mix",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_chars,
+           n_docs / (SELECT sum(n_docs) FROM cells) AS doc_frac,
+           n_chars / (SELECT sum(n_chars) FROM cells) AS char_frac
+    FROM cells
+    """,
+)
+def q_curate_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture accounting per (source, lang) with corpus fractions — what
+    a sampling stage consumes to hit target domain weights. The global
+    window runs over the pre-aggregated cell table (|sources| x |langs|
+    rows), so the single-partition total is trivially cheap."""
+    return C.domain_mix(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_events_sessionize",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s2 AS (
+      SELECT user_id, ts, value,
+             CAST(sum(brk) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS start_ts,
+           max(ts) AS end_ts,
+           date_sub('second', min(ts), max(ts)) AS duration_sec,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_value
+    FROM s2
+    GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands, operators/sessions.py):
+    30-minute inactivity gap. One shuffle keyed on user_id; interval
+    arithmetic keeps event time TZ-free (NTZ end-to-end)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap="30 minutes")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.expr("timestampdiff(SECOND, min(ts), max(ts))").alias("duration_sec"),
+        F.round(dsum("value", 18, 2), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "q_doc_length_histogram",
+    oracle="""
+    SELECT least(n_chars // 200, 19) AS bucket,
+           least(n_chars // 200, 19) * 200 AS bucket_lo,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram: 200-char buckets, top-capped — integer
+    division on both engines, no float boundaries. One map-side-combined
+    aggregation; the classic first look at a new corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.expr("n_chars DIV 200"), F.lit(19).cast("long"))
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    ).select(
+        "bucket",
+        (F.col("bucket") * 200).alias("bucket_lo"),
+        "n_docs",
+        "min_chars",
+        "max_chars",
+    )
