@@ -18,5 +18,6 @@ from csv2db_spark.queries import (  # noqa: F401
     sources_q,
     streaming_q,
     subqueries,
+    tpch_shapes,
     windows,
 )

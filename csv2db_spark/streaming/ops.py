@@ -115,6 +115,38 @@ def run_to_df(
     return spark.table(name)
 
 
+def stream_to_jdbc(
+    out: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "as-is",
+    checkpoint: str | None = None,
+) -> None:
+    """Run a streaming DataFrame to completion (AvailableNow) into a JDBC
+    table via foreachBatch + the batch mode-matrix writer (sink.write_jdbc)
+    — the reference's stream-a-CSV-into-a-table identity, end to end.
+
+    The first micro-batch applies ``mode`` (create/truncate/...); later
+    batches append — per-load semantics belong to the load, not to every
+    micro-batch. With a persistent ``checkpoint`` dir, restarts resume
+    from the last committed batch; exactly-once then depends on the
+    sink's transactionality like any Spark JDBC pipeline (idempotent
+    upserts or staging tables at scale)."""
+    from csv2db_spark.sink import TableMode, write_jdbc
+
+    first = {"v": True}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        m = TableMode(mode) if first["v"] else TableMode.AS_IS
+        first["v"] = False
+        write_jdbc(batch_df, url, table, mode=m)
+
+    w = out.writeStream.foreachBatch(write_batch).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    w.start().awaitTermination()
+
+
 def _exact_sum(col: str) -> Column:
     # exact decimal accumulation -> double -> round: bit-stable vs oracle
     return F.round(F.sum(F.col(col).cast("decimal(18,2)")).cast("double"), 2)

@@ -99,6 +99,28 @@ def test_atomic_single_partition(spark, durl, df2):
     assert len(rows(spark, durl, "t")) == 2
 
 
+def test_streaming_csv_to_jdbc(spark, durl, tmp_path):
+    # the reference's whole identity, continuous: watch dir -> parse/
+    # reconcile/cast -> real JDBC table, via foreachBatch
+    from pyspark.sql import types as T
+
+    from csv2db_spark.streaming.ops import stream_to_jdbc, streaming_ingest_csv
+
+    target = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    (watch / "f1.csv").write_text("a,b\n1,x\n2,y\n")
+    (watch / "f2.csv").write_text("a,b\n3,z\n")
+    out = streaming_ingest_csv(spark, str(watch), target)
+    stream_to_jdbc(out, durl, "t", mode="create")
+    assert rows(spark, durl, "t") == [(1, "x"), (2, "y"), (3, "z")]
+
+
 def test_ddl_types_reach_derby(spark, durl, df2):
     # the derby registry swaps TEXT (unsupported) for VARCHAR(32672)
     write_jdbc(df2, durl, "t", mode=TableMode.CREATE)
