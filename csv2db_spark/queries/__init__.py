@@ -5,6 +5,7 @@ Each module covers one operator family from SURVEY.md §2.2.
 """
 
 from csv2db_spark.queries import (  # noqa: F401
+    advanced,
     aggregates,
     core,
     curation,

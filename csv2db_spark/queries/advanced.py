@@ -1,0 +1,289 @@
+"""Round-2 operator additions, each oracle-checked:
+
+- k-means (assign + one exact Lloyd step) over embeddings — an "ML"
+  operator the gate can hash-verify because every distance/mean is exact
+  scaled-integer arithmetic (llm/cluster.py).
+- time-series resample + gap-fill over events (operators/timeseries.py).
+- Gopher-style repetition quality signals over documents (llm/text.py).
+- binaryFile source: the multimodal ingest front door (opaque bytes +
+  metadata as a DataFrame).
+- parquet schema evolution via mergeSchema — the reference's
+  reconcile-by-name (common/schema.go:67-83) lifted to file level.
+- percent_rank / cume_dist windows (distribution-rank family).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from csv2db_spark.llm.cluster import kmeans_step
+from csv2db_spark.llm.text import repetition_stats
+from csv2db_spark.operators.timeseries import gap_fill, resample
+from csv2db_spark.registry import query
+from csv2db_spark.sources import load_table
+
+# --------------------------------------------------------------- k-means
+
+_IEL = "cast(cast({x} as decimal(9,8)) * 100000000 as bigint)"
+
+
+def _iel(x: str) -> str:
+    return _IEL.format(x=f"cast({x} as double)")
+
+
+@query(
+    "q_embed_kmeans_step",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    nrm AS (
+      SELECT vec_id,
+             CAST(sum({_iel('embedding[i]')} * {_iel('embedding[i]')})
+                  AS BIGINT) AS nrm2
+      FROM v, range(1, 65) r(i) GROUP BY vec_id
+    ),
+    cent AS (SELECT vec_id AS cluster_id FROM embeddings WHERE vec_id < 8),
+    dots AS (
+      SELECT a.vec_id, c.cluster_id,
+             CAST(sum({_iel('a.embedding[i]')} * {_iel('b.embedding[i]')})
+                  AS BIGINT) AS dot
+      FROM v a
+      JOIN cent c ON true
+      JOIN v b ON b.vec_id = c.cluster_id, range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT dots.vec_id, dots.cluster_id,
+             nv.nrm2 + nc.nrm2 - 2 * dots.dot AS d2
+      FROM dots
+      JOIN nrm nv ON nv.vec_id = dots.vec_id
+      JOIN nrm nc ON nc.vec_id = dots.cluster_id
+    ),
+    a AS (
+      SELECT vec_id, cluster_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cluster_id) AS rn
+      FROM d
+    ),
+    asn AS (SELECT vec_id, cluster_id FROM a WHERE rn = 1),
+    el AS (
+      SELECT asn.cluster_id, r.i - 1 AS dim, {_iel('v.embedding[i]')} AS q
+      FROM v JOIN asn ON asn.vec_id = v.vec_id, range(1, 65) r(i)
+    )
+    SELECT cluster_id, dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           cast(sum(cast(q AS decimal(38,0))) as double) / count(*)
+             / 100000000 AS mean_el
+    FROM el GROUP BY 1, 2
+    """,
+)
+def q_embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration with the 8 lowest-id vectors as seed
+    centroids: broadcast assignment (corpus never shuffles to assign),
+    then per-(cluster, dim) exact integer means. The oracle replays
+    assignment + update in ANSI SQL — both engines agree on every
+    assignment (integer d², deterministic tie-break) and every mean bit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    return kmeans_step(emb, cents)
+
+
+# ------------------------------------------------- time-series gap fill
+
+
+@query(
+    "q_events_gap_fill",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             date_trunc('hour', ts) - INTERVAL (hour(ts) % 6) HOUR AS bucket,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, min(bucket) AS b_lo, max(bucket) AS b_hi
+      FROM s GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(b_lo, b_hi, INTERVAL '6 hours')) AS bucket
+      FROM spans
+    )
+    SELECT g.user_id, g.bucket,
+           coalesce(s.n_events, 0) AS n_events,
+           s.sum_value,
+           last_value(s.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS UNBOUNDED PRECEDING) AS filled_value,
+           s.n_events IS NULL AS is_gap
+    FROM grid g
+    LEFT JOIN s ON s.user_id = g.user_id AND s.bucket = g.bucket
+    """,
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample events to 6-hour (user, bucket) rollups, densify each
+    user's span, forward-fill the value sum. Bucket boundaries come from
+    FIELD arithmetic on NTZ timestamps (no epoch, no session-TZ
+    dependence); the dense grid is generated per user after aggregation,
+    so grid size is span/width per key — never events x buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    return gap_fill(resample(ev, hours=6), hours=6)
+
+
+# ------------------------------------------------- repetition signals
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+               AS g
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, n, g, count(*) AS cnt
+      FROM tagged GROUP BY doc_id, n, g
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN n = 2 THEN cnt END) AS BIGINT) AS n_2grams,
+             CAST(max(CASE WHEN n = 2 THEN cnt END) AS BIGINT) AS top2_cnt,
+             CAST(sum(CASE WHEN n = 3 THEN cnt END) AS BIGINT) AS n_3grams,
+             CAST(coalesce(sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END), 0)
+                  AS BIGINT) AS dup3_cnt
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_2grams, top2_cnt,
+           cast(top2_cnt as double) / n_2grams AS top2_frac,
+           n_3grams, dup3_cnt,
+           cast(dup3_cnt as double) / n_3grams AS dup3_frac
+    FROM per_doc
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (llm/text.repetition_stats):
+    most-frequent-2-gram share + duplicate-3-gram fraction — the Gopher
+    repetition filters. Integer counts, one double division per fraction:
+    bit-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+# ------------------------------------------------- binaryFile source
+
+_BIN_DIR = "/tmp/csv2db_spark_binfiles"
+
+
+def _write_bin_fixture() -> None:
+    os.makedirs(_BIN_DIR, exist_ok=True)
+    for i in range(16):
+        payload = (f"blob-{i:03d} " * (i + 1)).encode("ascii")
+        with open(os.path.join(_BIN_DIR, f"f{i:02d}.bin"), "wb") as f:
+            f.write(payload)
+
+
+@query(
+    "q_src_binary_files",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           CAST(size AS BIGINT) AS n_bytes,
+           md5(CAST(content AS VARCHAR)) AS content_md5
+    FROM read_blob('{_BIN_DIR}/*.bin')
+    """,
+)
+def q_src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion via the binaryFile source — the multimodal
+    front door: files become (path, length, bytes) rows, digested
+    JVM-side. The oracle reads the same files with DuckDB's read_blob;
+    md5 over the (ASCII) payload pins content equality byte-for-byte.
+    At scale this source partitions by file and never materializes more
+    than a partition's files in memory (maxPartitionBytes applies)."""
+    _write_bin_fixture()
+    df = spark.read.format("binaryFile").load(_BIN_DIR + "/*.bin")
+    return df.select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("fname"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+# ---------------------------------------- parquet schema evolution
+
+
+_MS_DIR = "/tmp/csv2db_spark_mergeschema"
+
+
+@query(
+    "q_src_parquet_merge_schema",
+    oracle=f"""
+    SELECT id, x, y
+    FROM read_parquet(
+      ['{_MS_DIR}/v1/*.parquet', '{_MS_DIR}/v2/*.parquet'],
+      union_by_name=true)
+    """,
+)
+def q_src_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations (id,x) and
+    (id,y) merged by NAME with NULL fill — the reference's
+    reconcile-by-name (common/schema.go:67-83) at the file level, done by
+    Spark's mergeSchema footer union instead of per-run code. Footer
+    merge is metadata-only; data pages of absent columns are never read.
+    """
+    v1 = spark.createDataFrame(
+        [(i, i * 1.5) for i in range(10)], "id long, x double"
+    )
+    v2 = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10, 20)], "id long, y string"
+    )
+    v1.coalesce(1).write.mode("overwrite").parquet(_MS_DIR + "/v1")
+    v2.coalesce(1).write.mode("overwrite").parquet(_MS_DIR + "/v2")
+    df = spark.read.option("mergeSchema", "true").parquet(
+        _MS_DIR + "/v1", _MS_DIR + "/v2"
+    )
+    return df.select("id", "x", "y")
+
+
+# ------------------------------------------ distribution-rank windows
+
+
+@query(
+    "q_window_percent_cume",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over a unique ordering: both are ratios
+    of integer ranks ((rank-1)/(n-1), rn/n), so the doubles are identical
+    across engines. One shuffle on the partition key, one in-partition
+    sort shared by both functions."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

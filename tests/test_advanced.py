@@ -1,0 +1,121 @@
+"""Operator-level tests for the round-2 additions (k-means, time-series
+gap fill, repetition signals). Cross-engine parity is covered by
+tests/test_parity.py; these pin the operator semantics themselves on
+crafted inputs, plus the plan shapes that matter at scale."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from csv2db_spark.llm.cluster import kmeans_assign, kmeans_step
+from csv2db_spark.llm.text import repetition_stats
+from csv2db_spark.operators.timeseries import gap_fill, resample
+from csv2db_spark.sources import load_table
+
+
+# ------------------------------------------------------------- k-means
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_kmeans_assign_matches_numpy(spark, emb):
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    got = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(emb, cents).collect()
+    }
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    cmat = {i: vecs[i] for i in range(8)}
+    for vid, v in vecs.items():
+        d2 = {cid: float(((v - c) ** 2).sum()) for cid, c in cmat.items()}
+        best = min(d2, key=lambda cid: (d2[cid], cid))
+        # quantized-integer argmin must agree with float argmin except on
+        # genuine near-ties; allow 1e-9 relative slack
+        assert d2[got[vid]] <= d2[best] * (1 + 1e-9)
+
+
+def test_kmeans_step_means(spark, emb):
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    asn = {r.vec_id: r.cluster_id for r in kmeans_assign(emb, cents).collect()}
+    step = kmeans_step(emb, cents).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    members: dict[int, list[np.ndarray]] = {}
+    for vid, cid in asn.items():
+        members.setdefault(cid, []).append(vecs[vid])
+    for row in step:
+        grp = np.stack(members[row.cluster_id])
+        assert row.n_members == len(grp)
+        assert row.mean_el == pytest.approx(grp[:, row.dim].mean(), abs=2e-8)
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, emb):
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    plan = kmeans_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan  # the corpus must not shuffle to assign
+
+
+# ------------------------------------------------------- gap fill
+
+
+def test_gap_fill_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        (1, 100, ts(1), 10.0),   # bucket 00:00
+        (2, 100, ts(2), 5.0),    # bucket 00:00
+        (3, 100, ts(26), 7.0),   # bucket 24:00 -> two 6h gaps between
+        (4, 200, ts(3), 1.0),    # single-bucket user: no gaps
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    out = gap_fill(resample(ev, hours=6), hours=6).collect()
+    u100 = sorted(
+        [r for r in out if r.user_id == 100], key=lambda r: r.bucket
+    )
+    assert [r.bucket.hour // 6 + r.bucket.day * 4 for r in u100] == [4, 5, 6, 7, 8]
+    assert [r.n_events for r in u100] == [2, 0, 0, 0, 1]
+    assert [r.is_gap for r in u100] == [False, True, True, True, False]
+    assert [r.sum_value for r in u100] == [15.0, None, None, None, 7.0]
+    assert [r.filled_value for r in u100] == [15.0, 15.0, 15.0, 15.0, 7.0]
+    u200 = [r for r in out if r.user_id == 200]
+    assert len(u200) == 1 and u200[0].n_events == 1 and not u200[0].is_gap
+
+
+# ------------------------------------------------- repetition signals
+
+
+def test_repetition_stats_crafted(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z q r")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = out[1]
+    # 2-grams: ab ba ab ba ab -> 5 total, top (a b) x3
+    assert (r1.n_2grams, r1.top2_cnt) == (5, 3)
+    assert r1.top2_frac == pytest.approx(0.6)
+    # 3-grams: aba bab aba bab -> all four belong to duplicated grams
+    assert (r1.n_3grams, r1.dup3_cnt) == (4, 4)
+    assert r1.dup3_frac == pytest.approx(1.0)
+    r2 = out[2]
+    # all-distinct text: top 2-gram appears once, no duplicate 3-grams
+    assert (r2.n_2grams, r2.top2_cnt, r2.dup3_cnt) == (5, 1, 0)
+    assert r2.dup3_frac == 0.0
