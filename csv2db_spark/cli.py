@@ -226,12 +226,24 @@ def run(conf: Config, spark=None) -> int:
             conf.encoding,
         )
 
+    # P21 progress (progress_bar.go:9-52): live task-completion meter on a
+    # ticker thread while the load runs; engaged only above the reference's
+    # 100-byte threshold (csv2db.go:22,72-75), like its bar.
+    from csv2db_spark.progress import ProgressMeter
+
+    in_bytes = (
+        os.path.getsize(conf.file_name)
+        if conf.file_name not in ("--", "-") and os.path.exists(conf.file_name)
+        else None
+    )
     if conf.db_url.startswith("parquet:"):
         store = ParquetTableStore(spark, conf.db_url.removeprefix("parquet:"))
-        store.write(df, conf.table, conf.table_mode)
+        with ProgressMeter(spark, in_bytes):
+            store.write(df, conf.table, conf.table_mode)
         n = store.read(conf.table).count()
     else:
-        write_jdbc(df, conf.db_url, conf.qualified_table, conf.table_mode)
+        with ProgressMeter(spark, in_bytes):
+            write_jdbc(df, conf.db_url, conf.qualified_table, conf.table_mode)
         n = (
             spark.read.format("jdbc")
             .option("url", conf.db_url)

@@ -237,12 +237,62 @@ def _cast_one(src: Column, field: T.StructField) -> Column:
     )
 
 
-def cast_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+def _invalid_one(src: Column, field: T.StructField) -> Column:
+    """True exactly when ``_cast_one`` would raise for this cell — the
+    same grammar (try_cast validity + strict int regex + the empty/NULL
+    nullability rules), expressed as a predicate."""
+    t = field.dataType
+    if isinstance(t, T.StringType):
+        return F.lit(False) if field.nullable else src.isNull()
+    casted = src.try_cast(t)
+    valid = casted.isNotNull()
+    if isinstance(t, _INT_TYPES):
+        valid = valid & src.rlike(_INT_RE)
+    if field.nullable:
+        return src.isNotNull() & (src != "") & ~valid
+    return src.isNull() | ~valid
+
+
+def cast_to_schema(
+    df: DataFrame, target: T.StructType, on_error: str = "raise"
+) -> DataFrame:
     """Apply the per-column mappers; input columns must already be aligned
-    to ``target`` (use reconcile_by_name / reconcile_by_index first)."""
-    return df.select(
-        *[_cast_one(F.col(f.name), f).alias(f.name) for f in target.fields]
-    )
+    to ``target`` (use reconcile_by_name / reconcile_by_index first).
+
+    ``on_error`` extends the reference's all-or-nothing posture for dirty
+    corpora at scale (the row-level analogue of the CSV reader's mode
+    option):
+
+    - ``"raise"`` (default): first bad cell aborts the load — FAILFAST,
+      reference parity (common/inserter.go:22-27).
+    - ``"drop"``: rows containing any uncastable cell are filtered out
+      before casting (DROPMALFORMED semantics at the typed-cast stage).
+    - ``"null"``: uncastable cells become NULL (PERMISSIVE semantics;
+      applies to NOT NULL targets too — the caller opted out of
+      strictness)."""
+    if on_error == "raise":
+        return df.select(
+            *[_cast_one(F.col(f.name), f).alias(f.name) for f in target.fields]
+        )
+    invalids = [_invalid_one(F.col(f.name), f) for f in target.fields]
+    any_bad = invalids[0]
+    for inv in invalids[1:]:
+        any_bad = any_bad | inv
+    if on_error == "drop":
+        kept = df.where(~any_bad)
+        return kept.select(
+            *[_cast_one(F.col(f.name), f).alias(f.name) for f in target.fields]
+        )
+    if on_error == "null":
+        return df.select(
+            *[
+                F.when(inv, F.lit(None).cast(f.dataType))
+                .otherwise(_cast_one(F.col(f.name), f))
+                .alias(f.name)
+                for f, inv in zip(target.fields, invalids)
+            ]
+        )
+    raise ValueError(f"on_error must be raise|drop|null, got {on_error!r}")
 
 
 def ingest_csv(
@@ -252,11 +302,13 @@ def ingest_csv(
     has_header: bool = True,
     delimiter: str = ",",
     encoding: str = "UTF-8",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Full P1-P8 pipeline: read → reconcile → cast.
 
     With no target schema (table doesn't exist → reference creates an
     all-string table, csv2db.go:157), returns the all-string frame as-is.
+    ``on_error`` is the typed-cast error mode (see ``cast_to_schema``).
     """
     df = read_csv(spark, path, has_header, delimiter, encoding)
     if target is None:
@@ -266,4 +318,4 @@ def ingest_csv(
         if has_header
         else reconcile_by_index(df, target)
     )
-    return cast_to_schema(aligned, target)
+    return cast_to_schema(aligned, target, on_error=on_error)

@@ -287,3 +287,87 @@ def q_window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+# ------------------------------------------- cast-level error modes
+
+_DM_ORACLE = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS total_acctbal
+FROM customer
+WHERE c_custkey % 7 <> 0
+GROUP BY c_mktsegment
+"""
+
+
+@query("q_ingest_csv_dropmalformed", oracle=_DM_ORACLE)
+def q_ingest_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-corpus ingestion: every 7th customer's acctbal is corrupted
+    in the CSV, and the typed-cast stage runs with on_error='drop'
+    (DROPMALFORMED at the cast level — ingest.cast_to_schema). The
+    surviving rows must be exactly the uncorrupted ones, which is what
+    the oracle's modulo filter checks, aggregate-for-aggregate."""
+    from pyspark.sql import types as T
+
+    from csv2db_spark.ingest import ingest_csv
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = f"/tmp/csv2db_spark_dm_{sf_dir.strip('/').replace('/', '_')}"
+    corrupted = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("bad!"))
+        .otherwise(F.col("c_acctbal").cast("string"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    corrupted.write.mode("overwrite").option("header", True).csv(path)
+    target = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType(), False),
+            T.StructField("c_nationkey", T.IntegerType(), True),
+            T.StructField("c_acctbal", T.DoubleType(), True),
+            T.StructField("c_mktsegment", T.StringType(), True),
+        ]
+    )
+    df = ingest_csv(spark, path, target, has_header=True, on_error="drop")
+    from csv2db_spark.functions.numeric import dsum
+
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(dsum("c_acctbal", 12, 2), 2).alias("total_acctbal"),
+    )
+
+
+# ------------------------------------------- stream-static enrichment
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joins a broadcast
+    customer-segment dimension per micro-batch — stateless (no watermark,
+    no state store), the canonical streaming-ETL enrichment. The batch
+    oracle is the exact same join, which is the semantics stream-static
+    joins guarantee."""
+    from csv2db_spark.streaming.ops import (
+        events_stream,
+        run_to_df,
+        static_enrich_join,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+    )
+    s = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = static_enrich_join(s, dim, "user_id")
+    return run_to_df(out, spark, "append")

@@ -5,6 +5,7 @@ from csv2db_spark.streaming.ops import (  # noqa: F401
     session_window_agg,
     sliding_window_agg,
     stateful_user_stats,
+    static_enrich_join,
     stream_dedup_keys,
     tumbling_window_agg,
 )

@@ -386,3 +386,18 @@ def streaming_ingest_csv(
         else reconcile_by_index(sdf, target)
     )
     return cast_to_schema(aligned, target)
+
+
+def static_enrich_join(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast) static dimension — stateless, no watermark required, the
+    canonical streaming-ETL enrichment step. The dim is re-resolvable per
+    batch (Spark re-plans the static side), so slowly-refreshing
+    dimension snapshots work by pointing it at a table path.
+
+    At scale the dimension broadcast is the whole story: the stream
+    never shuffles; a dimension too big to broadcast means pre-keying
+    the stream (shuffle on ``on``) instead — at that point consider a
+    state-store join (stream-stream with a static replay) or a
+    key-bucketed layout."""
+    return stream.join(F.broadcast(dim), on)

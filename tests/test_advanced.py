@@ -119,3 +119,44 @@ def test_repetition_stats_crafted(spark):
     # all-distinct text: top 2-gram appears once, no duplicate 3-grams
     assert (r2.n_2grams, r2.top2_cnt, r2.dup3_cnt) == (5, 1, 0)
     assert r2.dup3_frac == 0.0
+
+
+# --------------------------------------------- cast error modes / progress
+
+
+def test_cast_on_error_modes(spark):
+    from pyspark.sql import types as T
+
+    from csv2db_spark.ingest import cast_to_schema
+
+    target = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    raw = spark.createDataFrame(
+        [("1", "1.5"), ("2", "oops"), ("3", "")], "k string, v string"
+    )
+    dropped = cast_to_schema(raw, target, on_error="drop").collect()
+    assert [(r.k, r.v) for r in sorted(dropped)] == [(1, 1.5), (3, None)]
+    nulled = cast_to_schema(raw, target, on_error="null").collect()
+    assert [(r.k, r.v) for r in sorted(nulled)] == [(1, 1.5), (2, None), (3, None)]
+    with pytest.raises(Exception, match="cannot cast"):
+        cast_to_schema(raw, target, on_error="raise").collect()
+    with pytest.raises(ValueError):
+        cast_to_schema(raw, target, on_error="bogus")
+
+
+def test_progress_meter_samples(spark):
+    from csv2db_spark.progress import ProgressMeter
+
+    with ProgressMeter(spark, input_bytes=10_000, interval=0.05) as m:
+        spark.range(0, 30_000_000, 1, 64).selectExpr(
+            "sum(id) as s"
+        ).write.format("noop").mode("overwrite").save()
+    assert all(d <= t for d, t in m.samples)
+    # below the reference's 100-byte threshold the meter must stay off
+    with ProgressMeter(spark, input_bytes=50, interval=0.05) as m2:
+        spark.range(10).count()
+    assert m2.samples == [] and m2._thread is None
