@@ -223,3 +223,46 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "dup3_cnt",
         (F.col("dup3_cnt").cast("double") / F.col("n_3grams")).alias("dup3_frac"),
     )
+
+
+# ------------------------------------------------- salient terms (tf/df)
+
+def salient_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Keyword extraction: per-document top-k terms by corpus-relative
+    frequency score ``tf * n_docs / df`` (the log-free tf-idf core —
+    ln() is deliberately avoided because Java's Math.log and C libm may
+    differ in the last ulp, which would break cross-engine hash checks;
+    the RANKING this score induces is identical to tf·idf's for fixed tf
+    ordering).
+
+    Plan shape: one tokens explode → (doc, term) counts (shuffle keys
+    include doc_id); document frequency is a reaggregation of those
+    counts on term alone — hot terms skew that partition, which AQE's
+    skew handling splits; n_docs is a one-row broadcast. Top-k per doc is
+    a rank-filter window, deterministic tie-break (score desc, term asc).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

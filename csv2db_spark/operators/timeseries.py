@@ -97,3 +97,37 @@ def gap_fill(
         F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+def interpolate_linear(
+    dense: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "sum_value",
+) -> DataFrame:
+    """Linear interpolation across the gap rows of a densified series
+    (run ``gap_fill`` first): each NULL value becomes
+    ``prev + (next - prev) * (steps_from_prev / gap_width)``; a trailing
+    run with no next observation forward-fills, a leading run with no
+    previous observation backward-fills.
+
+    All position arithmetic is integer (row numbers within the key) and
+    the float expression is evaluated in one fixed order, so the result
+    is engine-reproducible bit-for-bit. Two window passes over the same
+    (key, bucket) sort — Spark executes them in a single exchange+sort.
+    """
+    order = Window.partitionBy(key_col).orderBy("bucket")
+    wp = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    v = F.col(value_col)
+    d = dense.withColumn("_rn", F.row_number().over(order))
+    prev_v = F.last(value_col, ignorenulls=True).over(wp)
+    next_v = F.first(value_col, ignorenulls=True).over(wn)
+    prev_rn = F.last(F.when(v.isNotNull(), F.col("_rn")), ignorenulls=True).over(wp)
+    next_rn = F.first(F.when(v.isNotNull(), F.col("_rn")), ignorenulls=True).over(wn)
+    interp = prev_v + (next_v - prev_v) * (
+        (F.col("_rn") - prev_rn).cast("double") / (next_rn - prev_rn)
+    )
+    return d.withColumn(
+        "interp_value",
+        F.when(v.isNotNull(), v).otherwise(F.coalesce(interp, prev_v, next_v)),
+    ).drop("_rn")

@@ -371,3 +371,116 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = static_enrich_join(s, dim, "user_id")
     return run_to_df(out, spark, "append")
+
+
+# ------------------------------------------------- salient terms
+
+
+@query(
+    "q_text_salient_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, w
+    ),
+    dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.w AS term, t.tf, d.df,
+             cast(t.tf * nd.n_docs as double) / d.df AS score
+      FROM tf t JOIN dfreq d USING (w), nd
+    )
+    SELECT doc_id, term, tf, df, score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (llm/text.salient_terms): top-3
+    terms by the log-free tf-idf core tf*n_docs/df. Integer counts, one
+    double division — rankings and scores hash-match exactly."""
+    from csv2db_spark.llm.text import salient_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return salient_terms(docs, k=3)
+
+
+# ------------------------------------------------- linear interpolation
+
+
+@query(
+    "q_events_interpolate",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             date_trunc('hour', ts) - INTERVAL (hour(ts) % 6) HOUR AS bucket,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, min(bucket) AS b_lo, max(bucket) AS b_hi
+      FROM s GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(b_lo, b_hi, INTERVAL '6 hours')) AS bucket
+      FROM spans
+    ),
+    dense AS (
+      SELECT g.user_id, g.bucket,
+             coalesce(s.n_events, 0) AS n_events,
+             s.sum_value
+      FROM grid g
+      LEFT JOIN s ON s.user_id = g.user_id AND s.bucket = g.bucket
+    ),
+    numbered AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn
+      FROM dense
+    ),
+    pos AS (
+      SELECT *,
+             last_value(sum_value IGNORE NULLS) OVER
+               (w ROWS UNBOUNDED PRECEDING) AS prev_v,
+             first_value(sum_value IGNORE NULLS) OVER
+               (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             last_value(CASE WHEN sum_value IS NOT NULL THEN rn END
+                        IGNORE NULLS) OVER
+               (w ROWS UNBOUNDED PRECEDING) AS prev_rn,
+             first_value(CASE WHEN sum_value IS NOT NULL THEN rn END
+                         IGNORE NULLS) OVER
+               (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rn
+      FROM numbered
+      WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+    )
+    SELECT user_id, bucket, n_events, sum_value,
+           CASE WHEN sum_value IS NOT NULL THEN sum_value
+                ELSE coalesce(
+                  prev_v + (next_v - prev_v)
+                    * (CAST(rn - prev_rn AS DOUBLE) / (next_rn - prev_rn)),
+                  prev_v, next_v)
+           END AS interp_value
+    FROM pos
+    """,
+)
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill then linear interpolation
+    (operators/timeseries.interpolate_linear): NULL buckets take
+    prev + (next-prev) * step-fraction; trailing/leading runs fall back
+    to forward/backward fill. Position math is integer row numbers; the
+    one float expression evaluates in a fixed order — hash-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    dense = gap_fill(resample(ev, hours=6), hours=6).select(
+        "user_id", "bucket", "n_events", "sum_value"
+    )
+    from csv2db_spark.operators.timeseries import interpolate_linear
+
+    return interpolate_linear(dense)

@@ -160,3 +160,47 @@ def test_progress_meter_samples(spark):
     with ProgressMeter(spark, input_bytes=50, interval=0.05) as m2:
         spark.range(10).count()
     assert m2.samples == [] and m2._thread is None
+
+
+def test_interpolate_linear_crafted(spark):
+    import datetime as dt
+
+    from csv2db_spark.operators.timeseries import interpolate_linear
+
+    b = lambda h: dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+    dense = spark.createDataFrame(
+        [
+            (1, b(0), 1, 10.0),
+            (1, b(6), 0, None),
+            (1, b(12), 0, None),
+            (1, b(18), 1, 40.0),
+            (1, b(24), 0, None),   # trailing gap -> ffill
+            (2, b(0), 0, None),    # leading gap -> bfill
+            (2, b(6), 1, 5.0),
+        ],
+        "user_id long, bucket timestamp_ntz, n_events long, sum_value double",
+    )
+    got = {
+        (r.user_id, r.bucket.hour + r.bucket.day * 24): r.interp_value
+        for r in interpolate_linear(dense).collect()
+    }
+    assert got[(1, 24)] == 10.0
+    assert got[(1, 30)] == pytest.approx(20.0)   # 10 + (40-10)*1/3
+    assert got[(1, 36)] == pytest.approx(30.0)   # 10 + (40-10)*2/3
+    assert got[(1, 42)] == 40.0
+    assert got[(1, 48)] == 40.0                   # ffill past last obs
+    assert got[(2, 24)] == 5.0                    # bfill before first obs
+
+
+def test_salient_terms_crafted(spark):
+    from csv2db_spark.llm.text import salient_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple common"), (2, "pear common common pear")],
+        "doc_id long, text string",
+    )
+    out = salient_terms(docs, k=1).collect()
+    top = {r.doc_id: (r.term, r.tf, r.df) for r in out}
+    # 'apple'/'pear' are doc-exclusive (df=1) and beat 'common' (df=2)
+    assert top[1] == ("apple", 3, 1)
+    assert top[2] == ("pear", 2, 1)
