@@ -1,5 +1,6 @@
 from csv2db_spark.multimodal.media import (  # noqa: F401
     MEDIA_META_FIELDS,
+    audio_active_segments,
     audio_window_energy,
     decode_image,
     decode_image_real,

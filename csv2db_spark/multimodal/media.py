@@ -212,3 +212,32 @@ def audio_window_energy(media: DataFrame) -> DataFrame:
 
     auds = media.where(F.col("kind") == "audio").select("media_id", "payload")
     return auds.mapInPandas(energy, out_schema)
+
+
+def audio_active_segments(media: DataFrame, threshold: float = 105.0) -> DataFrame:
+    """Voice-activity-detection shape: threshold the per-window energy,
+    then merge consecutive active windows into segments (gaps-and-islands
+    over win_idx). Pure composition — the Arrow featurizer emits frames,
+    everything after is relational (one media_id shuffle), so the plan is
+    the same at 100 TB: featurize map-side, one window pass, one
+    aggregation. Real VAD swaps the threshold for a model score; the
+    segment-merge machinery is unchanged."""
+    from pyspark.sql import Window
+
+    frames = audio_window_energy(media)
+    active = frames.where(F.col("mean_amp") > threshold)
+    w = Window.partitionBy("media_id").orderBy("win_idx")
+    brk = F.when(
+        F.lag("win_idx").over(w).isNull()
+        | (F.col("win_idx") != F.lag("win_idx").over(w) + 1),
+        1,
+    ).otherwise(0)
+    segs = active.withColumn(
+        "seg_id",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return segs.groupBy("media_id", "seg_id").agg(
+        F.min("win_idx").alias("start_win"),
+        F.max("win_idx").alias("end_win"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )

@@ -157,3 +157,44 @@ def q_mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_energy(synth_media(spark, sf_dir))
+
+
+@query(
+    "q_mm_audio_segments",
+    oracle=f"""
+    WITH {_M}, {_EX.format(kind="audio")},
+    frames AS (
+      SELECT media_id, CAST((x - 1) // 32 AS INT) AS win_idx, avg(bv) AS mean_amp
+      FROM b GROUP BY media_id, (x - 1) // 32
+    ),
+    active AS (SELECT media_id, win_idx FROM frames WHERE mean_amp > 105.0),
+    marked AS (
+      SELECT media_id, win_idx,
+             CASE WHEN lag(win_idx) OVER w IS NULL
+                       OR win_idx != lag(win_idx) OVER w + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM active
+      WINDOW w AS (PARTITION BY media_id ORDER BY win_idx)
+    ),
+    segs AS (
+      SELECT media_id, win_idx,
+             CAST(sum(brk) OVER (PARTITION BY media_id ORDER BY win_idx
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id
+      FROM marked
+    )
+    SELECT media_id, seg_id,
+           min(win_idx) AS start_win,
+           max(win_idx) AS end_win,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM segs GROUP BY media_id, seg_id
+    """,
+)
+def q_mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-shaped segmentation (multimodal.audio_active_segments):
+    energy-threshold the Arrow-featurized windows, merge consecutive
+    active windows via gaps-and-islands. The boundary comparison is on an
+    exact-sum/one-division mean, so segment boundaries — not just counts
+    — hash-match the byte-level oracle."""
+    from csv2db_spark.multimodal import audio_active_segments
+
+    return audio_active_segments(synth_media(spark, sf_dir))

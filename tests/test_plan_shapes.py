@@ -1,0 +1,55 @@
+"""Physical-plan assertions for the TPC-H-shaped queries: the claims in
+PLANS.md are executable, not prose. Each test pins the join strategy that
+keeps the query scale-safe; a Spark upgrade or refactor that silently
+degrades one (e.g. NOT IN falling back to a null-aware BNLJ over the
+fact table) fails here before it fails at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from csv2db_spark.registry import load_all_queries
+
+QUERIES = load_all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_exists_is_semi_with_residual(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_tpch_q4_exists")
+    assert "LeftSemi" in plan  # EXISTS -> semi join, never a per-row subquery
+    # the inequality rides the hash join as a residual condition
+    assert "l_shipdate" in plan.split("LeftSemi")[1].splitlines()[0]
+
+
+def test_q16_not_in_is_hash_anti_not_nullaware(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_tpch_q16_notin_distinct")
+    assert "LeftAnti" in plan
+    # the rewrite's whole point: no null-aware anti join (BNLJ) anywhere
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_tpch_q22_antijoin_scalar")
+    assert "LeftAnti" in plan  # NOT EXISTS -> anti join
+    # the scalar threshold joins as a one-row broadcast, not a subquery
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q14_part_side_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_tpch_q14_promo_ratio")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q_tpch_q4_exists", "q_tpch_q12_case_agg", "q_tpch_q14_promo_ratio"]
+)
+def test_date_filters_reach_the_scan(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "PushedFilters: [" in plan
+    # at least one scan carries a pushed range predicate
+    assert "GreaterThanOrEqual" in plan or "LessThan" in plan
