@@ -357,3 +357,73 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------- fuzzy match (edit distance)
+
+
+def deletion_variants(c: Column) -> Column:
+    """``s`` plus every single-character deletion of ``s`` (FastSS /
+    deletion-neighborhood blocking). Two strings are within edit
+    distance 1 (one insert, delete, or substitute) iff their variant
+    sets intersect, so an equi-join on the variant is a complete
+    candidate generator for ED<=1 — no all-pairs comparison."""
+    return F.concat(
+        F.array(c),
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                c.substr(F.lit(1), i - F.lit(1)),
+                c.substr(i + F.lit(1), F.length(c)),
+            ),
+        ),
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    s_col: str = "s",
+    max_distance: int = 1,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """ED<=1 near-duplicate pairs via deletion-neighborhood blocking.
+
+    Shape at scale: each string of length L emits L+1 variants; the only
+    shuffle is the equi-join on the variant key, so cost is linear in
+    total string length plus the (blocked) candidate count — never the
+    n^2 grid. ``max_bucket`` drops variants shared by more than that
+    many strings (the analogue of the stop-shingle cap: a hot variant —
+    e.g. the empty string from length-1 inputs — would fan out
+    quadratically and carries no signal). False candidates (variant
+    collision but ED>1, e.g. "ab"/"ba") are removed by one exact
+    ``levenshtein`` on the candidate pairs only.
+    """
+    var = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(s_col).alias("_s"),
+        F.explode(deletion_variants(F.col(s_col))).alias("v"),
+    ).distinct()
+    if max_bucket is not None:
+        hot = (
+            var.groupBy("v")
+            .agg(F.count_distinct("_id").alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("v")
+        )
+        var = var.join(F.broadcast(hot), "v", "anti")
+    a = var.select(
+        F.col("_id").alias("doc_a"), F.col("_s").alias("s_a"), "v"
+    )
+    b = var.select(
+        F.col("_id").alias("doc_b"), F.col("_s").alias("s_b"), "v"
+    )
+    return (
+        a.join(b, ["v"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "s_a", "doc_b", "s_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("s_a", "s_b").cast("long"))
+        .where(F.col("dist") <= max_distance)
+        .select("doc_a", "doc_b", "dist")
+    )

@@ -378,6 +378,64 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_all_pairs_cosine(aug, threshold=0.999)
 
 
+# ------------------------------------------------ fuzzy match (edit distance)
+
+
+@query(
+    "q_dedup_fuzzy_ed1",
+    oracle="""
+    WITH base AS (SELECT doc_id, substr(text, 1, 20) AS s FROM documents),
+    typo AS (
+      SELECT doc_id + 300000 AS doc_id,
+             concat(substr(s, 1, 4), substr(s, 6)) AS s
+      FROM base WHERE doc_id % 4 = 0
+    ),
+    t AS (SELECT * FROM base UNION ALL SELECT * FROM typo),
+    var AS (
+      SELECT doc_id, s, s AS v FROM t
+      UNION ALL
+      SELECT doc_id, s, concat(substr(s, 1, i - 1), substr(s, i + 1)) AS v
+      FROM (SELECT doc_id, s, unnest(range(1, len(s) + 1)) AS i FROM t)
+    ),
+    vf AS (
+      SELECT DISTINCT doc_id, s, v FROM var
+      WHERE v NOT IN (
+        SELECT v FROM (SELECT DISTINCT doc_id, v FROM var)
+        GROUP BY v HAVING count(*) > 64
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.s AS s_a,
+                      b.doc_id AS doc_b, b.s AS s_b
+      FROM vf a JOIN vf b ON a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(s_a, s_b) <= 1
+    """,
+)
+def q_dedup_fuzzy_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance <= 1) duplicate pairs over 20-char document
+    prefixes, with deterministic one-char-deleted typo copies
+    (doc_id % 4 == 0 -> doc_id + 300000) injected identically on both
+    engines. Candidates come from deletion-neighborhood (FastSS)
+    blocking — an equi-join on single-deletion variants with a hot-bucket
+    cap — and one exact ``levenshtein`` on candidates only; the oracle
+    replays the same blocking, so the hash comparison validates the
+    algorithm including the cap, not just the final pair set. The only
+    shuffle is the variant equi-join: linear in corpus size, never the
+    n^2 grid (entity-resolution at 100 TB shape)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 20).alias("s")
+    )
+    typo = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.substring("s", 1, 4), F.expr("substring(s, 6)")
+        ).alias("s"),
+    )
+    return D.fuzzy_pairs(docs.unionByName(typo), max_distance=1, max_bucket=64)
+
+
 # -------------------------------------------------------- similarity search
 
 

@@ -178,3 +178,31 @@ def test_minhash_finds_near_dups(spark, sf_dir):
     assert hits >= 45, f"only {hits}/50 near-dup pairs found"
     exact_hits = sum((d, d + 200000) in pairs for d in range(30))
     assert exact_hits == 30  # identical docs always collide
+
+
+def test_fuzzy_pairs_ed1(spark):
+    # one substitution, one insertion, one deletion, one unrelated, one
+    # transposition (ED=2: variant sets collide but verify must reject)
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "abcd"), (4, "xyz"), (5, "ab"), (6, "ba")],
+        ["doc_id", "s"],
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.dist) for r in D.fuzzy_pairs(df).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 1), (1, 5, 1), (2, 3, 1), (2, 5, 1)}
+
+
+def test_fuzzy_pairs_hot_bucket_cap(spark):
+    # 100 single-char strings all share the empty-string deletion variant;
+    # the cap must stop the quadratic blowup while same-letter exact
+    # duplicates still pair through their identity variant
+    rows = [(i, chr(ord("a") + i % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    out = D.fuzzy_pairs(df, max_bucket=30).collect()
+    # each letter group has 20 members -> C(20,2)*5 = 950 exact pairs;
+    # without the cap every cross-letter pair (ED=1) would also appear
+    assert len(out) == 5 * (20 * 19 // 2)
+    assert all(r.dist == 0 for r in out)
+    uncapped = D.fuzzy_pairs(df, max_bucket=None).count()
+    assert uncapped == 100 * 99 // 2  # every pair is ED<=1 here
