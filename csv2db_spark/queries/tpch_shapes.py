@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from csv2db_spark.functions.numeric import money, rate, sql_money, sql_rate
+from csv2db_spark.functions.numeric import money, rate, sql_davg, sql_money, sql_rate
 from csv2db_spark.registry import query
 from csv2db_spark.sources import load_table
 
@@ -239,4 +239,457 @@ def q_tpch_q22_antijoin_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("totacctbal"),
         )
+    )
+
+
+_REV = (
+    f"cast(sum({sql_money('l_extendedprice')}"
+    f" * (1 - {sql_rate('l_discount')})) as double)"
+)
+
+
+def _rev() -> F.Column:
+    return (
+        F.sum(money("l_extendedprice") * (F.lit(1) - rate("l_discount")))
+        .cast("double")
+    )
+
+
+@query(
+    "q_tpch_q7_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           cast(sum({sql_money('l.l_extendedprice')}
+                    * (1 - {sql_rate('l.l_discount')})) as double) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_4')
+        OR (n1.n_name = 'NATION_4' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between nation pairs by ship
+    year. The nation-pair disjunction can't be a join key, but its
+    single-side implication (each nation IN the 4-name set) is applied
+    to the two broadcast nation dims BEFORE the fact joins — suppliers
+    and customers outside those nations never reach the shuffle — and
+    the pair predicate runs as a residual filter afterwards: the
+    standard derived-predicate plan for disjunctive joins. Year
+    extraction is timezone-free (timestamp_ntz on both engines)."""
+    pair_nations = ("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair_nations))
+        .select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair_nations))
+        .select(
+            F.col("n_nationkey").alias("c_nkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pairs = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    ) | (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_4")
+    ) | (
+        (F.col("supp_nation") == "NATION_4") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pairs)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_rev().alias("volume"))
+    )
+
+
+@query(
+    "q_tpch_q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           cast(sum(CASE WHEN n1.n_name = 'NATION_3'
+                         THEN {sql_money('l.l_extendedprice')}
+                              * (1 - {sql_rate('l.l_discount')})
+                         ELSE {sql_money('0')} * (1 - {sql_rate('0')})
+                    END) as double)
+           / cast(sum({sql_money('l.l_extendedprice')}
+                      * (1 - {sql_rate('l.l_discount')})) as double)
+           AS mkt_share
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r ON n2.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: NATION_3's share of PROMO-part revenue sold into ASIA,
+    per order year — an 8-table join tree where every dimension
+    (part-filtered, nation x2, region-filtered) broadcasts and only the
+    three fact joins shuffle. Numerator and denominator accumulate in
+    ONE aggregate pass as exact decimals (the CASE else-branch keeps the
+    decimal type identical); the single final double division is
+    IEEE-identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"),
+            F.col("n_regionkey").alias("c_rkey"),
+        )
+    )
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    rev = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    zero = money(F.lit(0)) * (F.lit(1) - rate(F.lit(0)))
+    nat3 = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(r, F.col("c_rkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.sum(nat3).cast("double") / F.sum(rev).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@query(
+    "q_tpch_q9_profit_proxy",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           cast(sum({sql_money('l.l_extendedprice')}
+                    * (1 - {sql_rate('l.l_discount')})
+                    - {sql_money('p.p_retailprice')}
+                      * cast(l.l_quantity as decimal(5,1))
+                      * cast(0.1 as decimal(2,1))) as double) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation x order year for parts whose
+    name matches a substring. The fixture has no partsupp/supplycost, so
+    cost is proxied as 10% of retail price x quantity (documented
+    divergence; the SHAPE — LIKE-filtered part dim, 5-way join, signed
+    decimal amount, nation x year rollup — is Q9's). The LIKE filter
+    prunes the broadcast part dim before any shuffle; the amount stays
+    one exact decimal expression end-to-end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders")
+    amount = money("l_extendedprice") * (F.lit(1) - rate("l_discount")) - money(
+        "p_retailprice"
+    ) * F.col("l_quantity").cast("decimal(5,1)") * F.lit(0.1).cast("decimal(2,1)")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q10_returned",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           cast(sum({sql_money('l.l_extendedprice')}
+                    * (1 - {sql_rate('l.l_discount')})) as double) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by revenue lost to returned items in
+    one quarter. Both date and returnflag predicates push to their
+    scans; nation broadcasts; the top-20 is TakeOrdered over the
+    aggregated (per-customer) rows — never a full sort of the fact side.
+    c_custkey tiebreak makes the limit deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_rev().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q17_avg_quantity",
+    oracle=f"""
+    WITH j AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#5'
+    ),
+    thr AS (
+      SELECT l_partkey,
+             ({sql_davg('l_quantity', 5, 1)}) * 0.2 AS qty_thr
+      FROM j GROUP BY l_partkey
+    )
+    SELECT cast(sum(cast(j.l_extendedprice as decimal(12,2))) as double) / 7.0
+           AS avg_yearly
+    FROM j JOIN thr ON j.l_partkey = thr.l_partkey
+    WHERE j.l_quantity < thr.qty_thr
+    """,
+)
+def q_tpch_q17_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from small-quantity orders of one brand's
+    parts, where "small" is 20% of that part's own average quantity —
+    the classic correlated scalar-aggregate, planned as aggregate + 
+    self-join instead of a per-row subquery. The brand filter lands on
+    the broadcast part dim so only that brand's lineitems are scanned
+    into the aggregate, which Spark reuses for the threshold join (same
+    shuffle key l_partkey). Threshold arithmetic: exact-decimal sum ->
+    double divide -> *0.2, identical double ops on both engines, so
+    boundary rows agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#5")
+        .select("p_partkey")
+    )
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = j.groupBy("l_partkey").agg(
+        (
+            (
+                F.sum(F.col("l_quantity").cast("decimal(5,1)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            * F.lit(0.2)
+        ).alias("qty_thr")
+    )
+    return (
+        j.join(thr, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q_tpch_q19_disjunctive",
+    oracle=f"""
+    SELECT cast(sum({sql_money('l.l_extendedprice')}
+                    * (1 - {sql_rate('l.l_discount')})) as double) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs spanning both join sides. The composite
+    disjunction can't push down whole, so its single-side implications
+    are derived and applied early — brand IN set on the (broadcast) part
+    dim, quantity range on the lineitem scan — and the full residual OR
+    evaluates after the join: the plan Catalyst should reach, made
+    explicit. Single-row exact-decimal revenue."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 50)
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(
+            F.col("p_brand").isin("Brand#2", "Brand#3", "Brand#4")
+        )
+    )
+    disj = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(disj)
+        .agg(_rev().alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q21_waiting",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (adapted: the fixture has no commit/receipt dates, so
+    "late" means shipped >60 days after the order date on a finalized
+    order): suppliers who were the SOLE late supplier on a
+    multi-supplier order. EXISTS -> semi join, NOT EXISTS -> anti join,
+    both on the equi key l_orderkey with the supplier-inequality as the
+    join residual — no per-row subquery; the late set is computed once
+    and reused for both the probe side and the anti side. Top-20 with
+    s_name tiebreak is TakeOrdered on the small per-supplier aggregate."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    late3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole_late = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "semi",
+        )
+        .join(
+            late3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )
