@@ -126,3 +126,46 @@ def domain_mix(docs: DataFrame) -> DataFrame:
         (F.col("n_docs") / F.sum("n_docs").over(total)).alias("doc_frac"),
         (F.col("n_chars") / F.sum("n_chars").over(total)).alias("char_frac"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign documents to
+    fixed-token-budget training bins.
+
+    Documents are sharded by ``id % n_shards`` and, within a shard,
+    packed in id order: a document starts in bin
+    ``floor(tokens_before_it / budget)`` — the streaming packer every
+    training pipeline runs before writing examples. The window runs
+    PER SHARD, so at 100 TB the cumulative sum parallelizes across
+    shards instead of serializing on one global ordering (one shuffle
+    keyed by shard; shard count scales with the cluster, and id-hash
+    sharding keeps them balanced). Deterministic given ids — identical
+    across engines and reruns, no RNG.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.size(F.split(F.col(text_col), " "))
+    return (
+        docs.select(
+            F.col(id_col),
+            (F.col(id_col) % n_shards).alias("shard"),
+            toks.alias("n_tokens"),
+        )
+        .withColumn(
+            "bin_in_shard",
+            # explicit floor: double->long CAST truncates on Spark but
+            # rounds on some engines (e.g. DuckDB) — floor is portable
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
+            ),
+        )
+    )

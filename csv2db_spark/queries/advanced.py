@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv2db_spark.llm.cluster import kmeans_step
+from csv2db_spark.llm.curation import pack_sequences
+from csv2db_spark.operators.profile import profile_columns
+from csv2db_spark.operators.sketch import CMS_P, countmin_build, countmin_estimate
 from csv2db_spark.llm.text import repetition_stats
 from csv2db_spark.operators.timeseries import gap_fill, resample
 from csv2db_spark.registry import query
@@ -484,3 +487,132 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2db_spark.operators.timeseries import interpolate_linear
 
     return interpolate_linear(dense)
+
+
+# ------------------------------------------------- sequence packing
+
+
+@query(
+    "q_curate_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(coalesce(
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 512.0) AS BIGINT) AS bin_in_shard
+    FROM t
+    """,
+)
+def q_curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (training-example sharding): docs
+    are sharded by id, then greedily packed into 512-token bins in id
+    order via a per-shard running sum — the window parallelizes across
+    shards instead of serializing on a global order (llm/curation.py).
+    Deterministic, RNG-free, identical on both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, budget=512, n_shards=16)
+
+
+# ------------------------------------------------- column profiler
+
+
+def _sql_profile_col(table: str, c: str, numeric: bool) -> str:
+    mn = f"cast(min({c}) as double)" if numeric else "cast(NULL as double)"
+    mx = f"cast(max({c}) as double)" if numeric else "cast(NULL as double)"
+    return (
+        f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
+        f" count(*) - count({c}) AS n_nulls,"
+        f" count(DISTINCT {c}) AS n_distinct,"
+        f" {mn} AS min_num, {mx} AS max_num FROM {table}"
+    )
+
+
+@query(
+    "q_profile_columns",
+    oracle=" UNION ALL ".join(
+        _sql_profile_col("orders", c, num)
+        for c, num in (
+            ("o_orderkey", True),
+            ("o_custkey", True),
+            ("o_orderstatus", False),
+            ("o_totalprice", True),
+            ("o_orderdate", False),
+            ("o_orderpriority", False),
+        )
+    ),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality survey of the orders table: row/null/distinct counts
+    and numeric min/max for every column in ONE aggregation pass
+    (operators/profile.py) — the oracle's per-column UNION ALL scans the
+    table six times; the engine's plan scans it once."""
+    return profile_columns(load_table(spark, sf_dir, "orders"))
+
+
+# ------------------------------------------------- count-min sketch
+
+
+_CMS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS item FROM documents
+),
+h AS (
+  SELECT item,
+         CAST('0x' || substr(md5(item), 1, 12) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(item), 13, 12) AS BIGINT) AS h2
+  FROM toks
+),
+cells AS (
+  SELECT j, ((h1 + j * h2) % {0}) % 256 AS bucket, count(*) AS cnt
+  FROM (SELECT item, unnest(range(0, 4)) AS j, h1, h2 FROM h)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT item, count(*) AS true_count FROM toks
+  GROUP BY 1 ORDER BY true_count DESC, item LIMIT 20
+),
+pe AS (
+  SELECT p.item, p.true_count, q.j,
+         ((CAST('0x' || substr(md5(p.item), 1, 12) AS BIGINT)
+           + q.j * CAST('0x' || substr(md5(p.item), 13, 12) AS BIGINT))
+          % {0}) % 256 AS bucket
+  FROM probes p, (SELECT unnest(range(0, 4)) AS j) q
+)
+SELECT pe.item, pe.true_count,
+       min(coalesce(cells.cnt, 0)) AS est_count
+FROM pe LEFT JOIN cells ON pe.j = cells.j AND pe.bucket = cells.bucket
+GROUP BY 1, 2
+"""
+
+
+@query("q_agg_countmin", oracle=_CMS_SQL.replace("{0}", str(CMS_P)))
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4 x 256) over document tokens, validated by
+    point-estimating the 20 most frequent tokens against their true
+    counts (est >= true by construction; equality when no collision).
+    The sketch is built relationally (operators/sketch.py) — explode(4)
+    + groupBy((row, bucket)) with map-side combine, so the shuffle is
+    bounded by 4*256 cells per partition no matter the corpus size —
+    and the md5/Kirsch-Mitzenmacher hashing is bit-identical in the
+    DuckDB oracle, which rebuilds the sketch and the same estimates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("item")
+    )
+    sketch = countmin_build(toks, d=4, w=256)
+    probes = (
+        toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "item")
+        .limit(20)
+    )
+    est = countmin_estimate(sketch, probes.select("item"), d=4, w=256)
+    return probes.join(est, "item").select(
+        "item", "true_count", F.col("est_count").cast("long").alias("est_count")
+    )
