@@ -102,7 +102,7 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln(l_extendedprice), 6) AS ln_price,
            greatest(l_discount, l_tax) AS max_rate,
            least(l_discount, l_tax) AS min_rate,
-           sign(l_discount - 0.05) AS disc_sign
+           cast(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem
     """,
 )
