@@ -11,13 +11,13 @@ streaming dedup, and an arbitrary-stateful operator via
 Design notes (scale-first):
 
 - **Event-time is an instant, not a wall clock.** The fixture stores naive
-  nanosecond timestamps; ``withWatermark`` requires TIMESTAMP (with local
+  timestamps; ``withWatermark`` requires TIMESTAMP (with local
   zone), whose wall-clock rendering depends on the session timezone. We
   therefore build the event-time column directly from epoch micros
-  (``timestamp_micros(ns DIV 1000)``) — a timezone-independent instant —
-  window on it (window boundaries are epoch-aligned), and convert the
-  window bounds back to naive-UTC TIMESTAMP_NTZ on output. Results are
-  bit-identical under any driver session timezone.
+  (timezone-free arithmetic from the file's actual physical type — see
+  ``events_stream``), window on it (window boundaries are epoch-aligned),
+  and convert the window bounds back to naive-UTC TIMESTAMP_NTZ on
+  output. Results are bit-identical under any driver session timezone.
 - **State partitioning.** Stateful operators shuffle by grouping key; the
   state-store partition count is fixed at first run from
   ``spark.sql.shuffle.partitions``. At 100 TB you size that (or let the
@@ -74,13 +74,32 @@ def _stage_dir(sf_dir: str, table: str) -> str:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events fixture with a timezone-independent
-    event-time instant column ``ts_i`` (TIMESTAMP) alongside the raw cols."""
+    event-time instant column ``ts_i`` (TIMESTAMP) alongside the raw cols.
+
+    The fixture has shipped ``ts`` as both parquet TIMESTAMP(NANOS) (read
+    as bigint under the ``nanosAsLong`` legacy conf — the vectorized
+    reader rejects NANOS outright) and TIMESTAMP(MICROS)/NTZ, so the
+    instant is derived from whichever physical type the file actually has
+    (mirrors sources/tables.py:_load_events on the batch side)."""
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     d = _stage_dir(sf_dir, "events")
     schema = spark.read.parquet(d).schema
     sdf = spark.readStream.schema(schema).parquet(d)
-    # fixture ts is nanos-since-epoch (bigint under nanosAsLong)
-    return sdf.withColumn("ts_i", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_t = schema["ts"].dataType
+    if isinstance(ts_t, T.LongType):
+        # nanos-since-epoch bigint -> floor to micros -> instant
+        ts_i = F.timestamp_micros(F.expr("ts div 1000"))
+    elif isinstance(ts_t, T.TimestampNTZType):
+        # naive-UTC micros: micros-since-NTZ-epoch -> instant; pure NTZ
+        # arithmetic, so no session-timezone dependence
+        ts_i = F.timestamp_micros(
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        )
+    else:  # already an instant
+        ts_i = F.col("ts").cast("timestamp")
+    return sdf.withColumn("ts_i", ts_i)
 
 
 def run_to_df(
@@ -249,7 +268,7 @@ def stateful_user_stats(stream: DataFrame, delay: str) -> DataFrame:
             n += len(pdf)
             # exact integer cents — no float accumulation drift
             cents += int((pdf["value"] * 100).round().astype("int64").sum())
-            us = (pdf["ts"] // 1000).astype("int64")
+            us = pdf["ts_us"].astype("int64")
             top = int(us.idxmax())
             if int(us.loc[top]) > last_us:
                 last_us = int(us.loc[top])
@@ -267,7 +286,8 @@ def stateful_user_stats(stream: DataFrame, delay: str) -> DataFrame:
         )
 
     return (
-        stream.withWatermark("ts_i", delay)
+        stream.withColumn("ts_us", F.unix_micros("ts_i"))
+        .withWatermark("ts_i", delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
