@@ -131,18 +131,58 @@ def _jdbc_connection(spark: SparkSession, url: str, user, password):
     return spark._jvm.java.sql.DriverManager.getConnection(url, props)
 
 
+# SQLStates that mean "that relation is not there" for the dialects the
+# reference targets plus Derby (the embedded test dialect). Any OTHER
+# probe failure (auth, syntax, lock timeout, connection drop) propagates:
+# treating it as "missing" would silently route a load into the
+# create/append path on e.g. a permission error.
+_MISSING_RELATION_SQLSTATES = frozenset(
+    {
+        "42X05",  # Derby: table/view does not exist
+        "42Y07",  # Derby: schema does not exist
+        "42P01",  # Postgres: undefined_table
+        "3F000",  # Postgres: invalid_schema_name
+        "42S02",  # MySQL / ODBC: base table or view not found
+        "S0002",  # legacy MySQL drivers: table not found
+        "42704",  # DB2 family: undefined object name
+    }
+)
+
+
+def _sql_state(exc: Exception) -> str | None:
+    """SQLState of a py4j-wrapped java.sql.SQLException, walking the cause
+    chain; None when the error is not a SQLException at all."""
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        try:
+            state = je.getSQLState()
+        except Exception:
+            state = None
+        if state:
+            return str(state)
+        try:
+            je = je.getCause()
+        except Exception:
+            return None
+    return None
+
+
 def _jdbc_table_exists(spark: SparkSession, url: str, table: str, user, password) -> bool:
     """P6 existence probe (reference csv2db.go:133-140): a zero-row SELECT
     against the table — dialect-portable, and uses the same unquoted
-    identifier resolution as Spark's own generated DDL/DML."""
+    identifier resolution as Spark's own generated DDL/DML. Only a
+    missing-relation SQLState counts as "does not exist"; every other
+    failure re-raises."""
     conn = _jdbc_connection(spark, url, user, password)
     try:
         st = conn.createStatement()
         try:
             st.executeQuery(f"SELECT 1 AS probe FROM {table} WHERE 1=0")
             return True
-        except Exception:
-            return False
+        except Exception as exc:
+            if _sql_state(exc) in _MISSING_RELATION_SQLSTATES:
+                return False
+            raise
         finally:
             st.close()
     finally:
@@ -226,8 +266,16 @@ def write_jdbc(
     elif mode is TableMode.TRUNCATE:
         writer.option("truncate", "true").mode("overwrite").save()
     elif mode is TableMode.DELETE_ALL:
-        # transactional row wipe keeping DDL, then append — the
-        # reference's DELETE FROM path (common/db.go:103-106)
+        # The reference's DELETE FROM path (common/db.go:103-106) — but
+        # NOT its atomicity: the reference wipes and reloads inside ONE
+        # transaction (common/inserter/batch.go:32-38), while here the
+        # DELETE commits on its own connection and the reload commits per
+        # writer partition. Readers can observe the empty/partial table
+        # in between, and a failed reload leaves the delete committed.
+        # When that matters use TRUNCATE/DROP_AND_CREATE (single
+        # overwrite statement on the write path), pass atomic=True to
+        # make the reload one commit, or stage-and-swap at the warehouse
+        # layer.
         _jdbc_execute(spark, url, f"DELETE FROM {table}", user, password)
         writer.mode("append").save()
     else:  # AS_IS — existence already verified, plain append

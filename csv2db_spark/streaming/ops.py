@@ -145,19 +145,22 @@ def stream_to_jdbc(
     table via foreachBatch + the batch mode-matrix writer (sink.write_jdbc)
     — the reference's stream-a-CSV-into-a-table identity, end to end.
 
-    The first micro-batch applies ``mode`` (create/truncate/...); later
-    batches append — per-load semantics belong to the load, not to every
-    micro-batch. With a persistent ``checkpoint`` dir, restarts resume
-    from the last committed batch; exactly-once then depends on the
-    sink's transactionality like any Spark JDBC pipeline (idempotent
-    upserts or staging tables at scale)."""
+    Micro-batch 0 applies ``mode`` (create/truncate/...); every later
+    batch appends — per-load semantics belong to the load, not to every
+    micro-batch. The gate is ``batch_id == 0``, NOT "first batch this
+    process": on a checkpointed restart the resumed batches carry their
+    original ids, so a destructive mode is never re-applied over rows
+    committed before the restart. (If batch 0 itself is replayed —
+    foreachBatch is at-least-once — re-running its truncate/drop before
+    re-inserting is exactly the idempotent recovery you want.) With a
+    persistent ``checkpoint`` dir, restarts resume from the last
+    committed batch; exactly-once then depends on the sink's
+    transactionality like any Spark JDBC pipeline (idempotent upserts or
+    staging tables at scale)."""
     from csv2db_spark.sink import TableMode, write_jdbc
 
-    first = {"v": True}
-
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        m = TableMode(mode) if first["v"] else TableMode.AS_IS
-        first["v"] = False
+        m = TableMode(mode) if batch_id == 0 else TableMode.AS_IS
         write_jdbc(batch_df, url, table, mode=m)
 
     w = out.writeStream.foreachBatch(write_batch).trigger(availableNow=True)
@@ -362,19 +365,21 @@ def streaming_ingest_csv(
 
     Header alignment: Spark's streaming CSV source applies a user schema
     POSITIONALLY and ignores header names, so the file's real column
-    order is sniffed from the watched directory (one tiny batch job) and
-    the raw schema is built in FILE order; ``reconcile_by_name`` then
-    reorders to the target — a scrambled header aligns correctly, like
-    the batch path. Contract: every file in one watched directory shares
-    one header layout (the layout of whichever file is sniffed); if the
-    directory is empty at stream definition, names fall back to target
-    order. This mirrors Spark's own one-schema-per-source model for
-    streams.
+    order is sniffed from the watched directory (driver-side, Hadoop FS
+    API — works for hdfs:///s3:// watch dirs too) and the raw schema is
+    built in FILE order; ``reconcile_by_name`` then reorders to the
+    target — a scrambled header aligns correctly, like the batch path.
+    Contract: every file in one watched directory shares one header
+    layout — the headers of ALL files present at stream definition are
+    checked and a mismatch raises up front (a positionally-misaligned
+    load would be silent data corruption); files arriving later must
+    match that layout, mirroring Spark's own one-schema-per-source model
+    for streams. If the directory is empty at stream definition, names
+    fall back to target order.
     """
     from pyspark.sql import types as T
 
     from csv2db_spark.ingest import (
-        _sniff_first_line,
         cast_to_schema,
         reconcile_by_index,
         reconcile_by_name,
@@ -382,10 +387,18 @@ def streaming_ingest_csv(
 
     ncols = len(target.fields)
     if has_header:
-        try:
-            names = _sniff_first_line(spark, watch_dir, delimiter)
-        except Exception:
-            names = [f.name for f in target.fields]
+        headers = _sniff_headers(spark, watch_dir, delimiter)
+        layouts = {tuple(h) for h in headers.values()}
+        if len(layouts) > 1:
+            detail = "; ".join(
+                f"{path}: {', '.join(h)}" for path, h in sorted(headers.items())
+            )
+            raise ValueError(
+                f"inconsistent CSV headers in watch dir {watch_dir!r} — the "
+                "streaming CSV source binds one positional schema per "
+                f"directory, so all files must share one layout ({detail})"
+            )
+        names = list(next(iter(layouts))) if layouts else [f.name for f in target.fields]
         raw_schema = T.StructType(
             [T.StructField(n, T.StringType(), True) for n in names]
         )
@@ -406,6 +419,42 @@ def streaming_ingest_csv(
         else reconcile_by_index(sdf, target)
     )
     return cast_to_schema(aligned, target)
+
+
+def _sniff_headers(
+    spark: SparkSession, watch_dir: str, delimiter: str
+) -> dict[str, list[str]]:
+    """Parsed first line of every data file currently in ``watch_dir``,
+    keyed by file path. Driver-side through the Hadoop FileSystem API (one
+    metadata listing + one first-line read per file — no full-file IO), so
+    it works for any scheme the Spark job itself can read. Hidden files
+    (``.``/``_`` prefixes) are skipped exactly as the file stream source
+    skips them."""
+    import csv as _pycsv
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(watch_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: dict[str, list[str]] = {}
+    if not fs.exists(hpath):
+        return out
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not status.isFile() or status.getLen() == 0 or name[0] in "._":
+            continue
+        stream = fs.open(status.getPath())
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            line = reader.readLine()
+        finally:
+            stream.close()
+        if line:
+            out[str(status.getPath())] = next(
+                _pycsv.reader([line], delimiter=delimiter)
+            )
+    return out
 
 
 def static_enrich_join(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:

@@ -121,6 +121,49 @@ def test_streaming_csv_to_jdbc(spark, durl, tmp_path):
     assert rows(spark, durl, "t") == [(1, "x"), (2, "y"), (3, "z")]
 
 
+def test_streaming_restart_does_not_reapply_destructive_mode(spark, durl, tmp_path):
+    # checkpointed restart: batches resumed after a restart carry ids > 0,
+    # so the destructive first-batch mode must NOT wipe rows committed
+    # before the restart
+    from pyspark.sql import types as T
+
+    from csv2db_spark.streaming.ops import stream_to_jdbc, streaming_ingest_csv
+
+    target = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (watch / "f1.csv").write_text("a,b\n1,x\n2,y\n")
+    out = streaming_ingest_csv(spark, str(watch), target)
+    stream_to_jdbc(out, durl, "t", mode="drop-and-create", checkpoint=ckpt)
+    assert rows(spark, durl, "t") == [(1, "x"), (2, "y")]
+
+    (watch / "f2.csv").write_text("a,b\n3,z\n")
+    out = streaming_ingest_csv(spark, str(watch), target)
+    stream_to_jdbc(out, durl, "t", mode="drop-and-create", checkpoint=ckpt)
+    # a process-local "first batch" flag would have dropped and recreated
+    # the table here, leaving only (3, z)
+    assert rows(spark, durl, "t") == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_exists_probe_distinguishes_missing_from_other_errors(spark, durl, df2):
+    from csv2db_spark.sink import _jdbc_table_exists
+
+    write_jdbc(df2, durl, "t", mode=TableMode.CREATE)
+    assert _jdbc_table_exists(spark, durl, "t", None, None) is True
+    # missing relation -> clean False (Derby SQLState 42X05)
+    assert _jdbc_table_exists(spark, durl, "no_such_table", None, None) is False
+    # a NON-missing failure (syntax error, SQLState 42X01) must propagate,
+    # not masquerade as "table missing" and route into a create path
+    with pytest.raises(Exception):
+        _jdbc_table_exists(spark, durl, "t WHERE (", None, None)
+
+
 def test_ddl_types_reach_derby(spark, durl, df2):
     # the derby registry swaps TEXT (unsupported) for VARCHAR(32672)
     write_jdbc(df2, durl, "t", mode=TableMode.CREATE)

@@ -55,6 +55,20 @@ def test_streaming_ingest_header_subset_null_fills(spark, tmp_path):
     assert [tuple(r) for r in got] == [(None, 7, "hello")]
 
 
+def test_streaming_ingest_inconsistent_headers_raise(spark, tmp_path):
+    # the streaming CSV source binds ONE positional schema per directory;
+    # two layouts in the same watch dir would positionally corrupt one of
+    # them -> must fail loudly at stream definition
+    import pytest
+
+    watch = tmp_path / "incoming_mixed"
+    watch.mkdir()
+    (watch / "f1.csv").write_text("a,b,c\n1,2,x\n")
+    (watch / "f2.csv").write_text("c,a,b\nx,1,2\n")
+    with pytest.raises(ValueError, match="inconsistent CSV headers"):
+        streaming_ingest_csv(spark, str(watch), TARGET)
+
+
 def test_streaming_ingest_headerless_by_ordinal(spark, tmp_path):
     watch = tmp_path / "incoming2"
     watch.mkdir()
