@@ -90,9 +90,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- MinHash + LSH
 
 
-def _sql_minhash_cte(k: int = D.MINHASH_K, rows: int = D.BAND_ROWS) -> str:
+def _sql_minhash_cte(
+    k: int = D.MINHASH_K, rows: int = D.BAND_ROWS, max_bucket: int | None = None
+) -> str:
     """Mirror of llm/dedup.py: one md5 per shingle -> two 48-bit ints ->
-    K Kirsch-Mitzenmacher min-hashes -> band join on the raw values."""
+    K Kirsch-Mitzenmacher min-hashes -> band join on the raw values.
+    ``max_bucket`` mirrors minhash_candidates' bucket cap: buckets with
+    more than ``max_bucket`` members are dropped wholesale before the
+    self-join."""
     p = D.MINHASH_P
     mins = ",\n         ".join(
         f"min((h1 + {i} * h2 + {i * i}) % {p}) AS h{i}" for i in range(k)
@@ -108,6 +113,18 @@ def _sql_minhash_cte(k: int = D.MINHASH_K, rows: int = D.BAND_ROWS) -> str:
         for b in range(k // rows)
     )
     vjoin = " AND ".join(f"a.v{j} = b.v{j}" for j in range(rows))
+    vcols_all = ", ".join(["band_id"] + [f"v{j}" for j in range(rows)])
+    if max_bucket is not None:
+        cap = f""",
+capped AS (
+  SELECT doc_id, {vcols_all} FROM (
+    SELECT *, count(*) OVER (PARTITION BY {vcols_all}) AS _n FROM bands
+  ) WHERE _n <= {max_bucket}
+)"""
+        src = "capped"
+    else:
+        cap = ""
+        src = "bands"
     return f"""
 hsh AS (
   SELECT doc_id,
@@ -122,11 +139,11 @@ mh AS (
 ),
 bands AS (
   {bands}
-),
+){cap},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND {vjoin}
+  FROM {src} a
+  JOIN {src} b ON a.band_id = b.band_id AND {vjoin}
               AND a.doc_id < b.doc_id
 )
 """
@@ -153,11 +170,14 @@ jacc AS (
 """
 
 
+_MINHASH_MAX_BUCKET = 3  # small enough to engage on the test corpus
+
+
 @query(
     "q_dedup_minhash_lsh",
     oracle=f"""
     {_CTE_EX},
-    {_sql_minhash_cte().strip()},
+    {_sql_minhash_cte(max_bucket=_MINHASH_MAX_BUCKET).strip()},
     {_JACCARD_H1_TAIL.strip()}
     SELECT c.doc_a, c.doc_b, j.jaccard
     FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
@@ -176,13 +196,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join on a 5k-row signature table. Jaccard verification is
     `array_intersect` over the two hash-set arrays of each candidate
     pair. The oracle mirrors the same hash-set math from relational CTEs.
+
+    The band-bucket skew cap (``max_bucket`` — the guard that stops one
+    degenerate boilerplate bucket from emitting m^2/2 pairs at corpus
+    scale) is ACTIVE and mirrored in the oracle, so the capped semantics
+    themselves are hash-verified, not just the happy path.
     """
     from pyspark import StorageLevel
 
     sig = D.minhash_doc_signatures(augmented_docs(spark, sf_dir)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cand = D.minhash_candidates(D.minhash_bands(sig))
+    cand = D.minhash_candidates(
+        D.minhash_bands(sig), max_bucket=_MINHASH_MAX_BUCKET
+    )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
     inter = F.size(F.array_intersect("ha", "hb"))
