@@ -158,7 +158,16 @@ def minhash_doc_signatures(
                 rows.append((did, np.unique(h1).tolist(), *mins))
             yield pd.DataFrame(rows, columns=cols)
 
-    return docs.select("doc_id", text_col).mapInPandas(batch, out_schema)
+    slim = docs.select("doc_id", text_col)
+    # The pass is CPU-bound: a small single-file corpus can arrive in
+    # fewer partitions than cores (3 on the test fixture), serializing
+    # the UDF. Floor the parallelism — the shuffled payload is only
+    # (doc_id, text), and at real scale file splits already outnumber
+    # cores, making this branch a no-op.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < par:
+        slim = slim.repartition(par)
+    return slim.mapInPandas(batch, out_schema)
 
 
 def minhash_bands(sig: DataFrame, k: int = MINHASH_K, rows: int = BAND_ROWS) -> DataFrame:
