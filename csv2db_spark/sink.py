@@ -85,8 +85,33 @@ _ANSI_DDL_TYPES: dict[type, str] = {
 
 DDL_REGISTRIES: dict[str, dict[type, str]] = {
     "": _ANSI_DDL_TYPES,
-    "postgresql": _ANSI_DDL_TYPES,
-    "mysql": _ANSI_DDL_TYPES,
+    # The reference's PRIMARY type per Go kind, Postgres registry
+    # (_postgres/postgres.go:26-34): RegisterType's first argument is the
+    # type used for generated DDL; the trailing aliases only matter for
+    # reading catalogs back.
+    "postgresql": {
+        T.LongType: "BIGINT",
+        T.IntegerType: "INTEGER",
+        T.ShortType: "SMALLINT",
+        T.ByteType: "SMALLINT",
+        T.DoubleType: "DOUBLE PRECISION",
+        T.FloatType: "REAL",
+        T.BooleanType: "BOOL",
+        T.StringType: "CHARACTER VARYING",
+    },
+    # MySQL registry (_mysql/mysql.go:35-43). The reference registers NO
+    # bool kind for MySQL — a bool column there warns and falls back —
+    # so BooleanType is deliberately absent here too (our fallback is
+    # Spark's JdbcDialect default, BIT(1)).
+    "mysql": {
+        T.LongType: "BIGINT",
+        T.IntegerType: "INT",
+        T.ShortType: "SMALLINT",
+        T.ByteType: "TINYINT",
+        T.DoubleType: "DOUBLE",
+        T.FloatType: "FLOAT",
+        T.StringType: "TEXT",
+    },
     # Derby (embedded, ships with Spark) has no TEXT type
     "derby": {**_ANSI_DDL_TYPES, T.StringType: "VARCHAR(32672)"},
 }

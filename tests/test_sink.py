@@ -90,6 +90,49 @@ def test_create_table_column_types_derby_dialect(df2):
     )
 
 
+def test_create_table_column_types_pg_mysql_dialects():
+    # the reference's PRIMARY DDL type per kind, per dialect
+    # (_postgres/postgres.go:26-34, _mysql/mysql.go:35-43)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("i8", T.LongType(), True),
+            T.StructField("i4", T.IntegerType(), True),
+            T.StructField("i2", T.ShortType(), True),
+            T.StructField("i1", T.ByteType(), True),
+            T.StructField("f8", T.DoubleType(), True),
+            T.StructField("f4", T.FloatType(), True),
+            T.StructField("s", T.StringType(), True),
+        ]
+    )
+    assert create_table_column_types(schema, "postgresql") == (
+        "i8 BIGINT, i4 INTEGER, i2 SMALLINT, i1 SMALLINT, "
+        "f8 DOUBLE PRECISION, f4 REAL, s CHARACTER VARYING"
+    )
+    assert create_table_column_types(schema, "mysql") == (
+        "i8 BIGINT, i4 INT, i2 SMALLINT, i1 TINYINT, "
+        "f8 DOUBLE, f4 FLOAT, s TEXT"
+    )
+
+
+def test_mysql_bool_unregistered_warns_like_reference():
+    # the reference registers no bool kind for MySQL: generated DDL for a
+    # bool column falls back (with a warning) instead of claiming a type
+    import warnings
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("ok", T.BooleanType(), True)])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ddl = create_table_column_types(schema, "mysql")
+    assert ddl == ""
+    assert any("ok" in str(x.message) for x in w)
+    # ...while Postgres maps it (reference registers Bool -> bool)
+    assert create_table_column_types(schema, "postgresql") == "ok BOOL"
+
+
 def test_unregistered_type_warns(spark):
     # reference warns on unmapped types (_postgres/postgres.go:104-108)
     # rather than silently skipping
