@@ -108,6 +108,32 @@ def q_curate_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PII is injected deterministically (the fixture text is synthetic word
 # salad with no PII), identically on both engines, so the regex path is
 # exercised with nonzero counts.
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic PII injections (mirrors _SQL_PII_AUG)."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" host 10.0.21.42")).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.select("doc_id", "source", txt.alias("text"))
+
+
 _SQL_PII_AUG = """
 pdocs AS (
   SELECT doc_id, source,
@@ -152,29 +178,7 @@ def q_curate_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII pattern census per source over the deterministically PII-
     injected corpus: regexp_count column expressions (whole-stage
     codegen, one scan), aggregated map-side."""
-    d = load_table(spark, sf_dir, "documents")
-    txt = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(
-            F.lit("")
-        ),
-        F.when(F.col("doc_id") % 13 == 0, F.lit(" ssn 123-45-6789")).otherwise(
-            F.lit("")
-        ),
-        F.when(F.col("doc_id") % 17 == 0, F.lit(" host 10.0.21.42")).otherwise(
-            F.lit("")
-        ),
-    )
-    pdocs = d.select("doc_id", "source", txt.alias("text"))
-    per_doc = C.pii_counts(pdocs)
+    per_doc = C.pii_counts(_pii_docs(spark, sf_dir))
     flagged = (
         F.col("n_email") + F.col("n_phone") + F.col("n_ssn") + F.col("n_ipv4") > 0
     )
@@ -185,6 +189,48 @@ def q_curate_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ssn").alias("total_ssn"),
         F.sum("n_ipv4").alias("total_ipv4"),
         F.sum(flagged.cast("long")).alias("n_docs_flagged"),
+    )
+
+
+def _sql_redact_expr() -> str:
+    """Nested DuckDB regexp_replace mirroring C.redact_pii's fixed chain
+    (global flag — Spark's regexp_replace is always global)."""
+    expr = "text"
+    for name in C.REDACT_ORDER:
+        expr = (
+            f"regexp_replace({expr}, '{C.PII_PATTERNS[name]}', "
+            f"'{C.REDACT_TOKENS[name]}', 'g')"
+        )
+    return expr
+
+
+@query(
+    "q_curate_pii_redact",
+    oracle=f"""
+    WITH {_SQL_PII_AUG.strip()},
+    red AS (
+      SELECT doc_id, source,
+             {_sql_redact_expr()} AS text,
+             len(regexp_extract_all(text, '{C.PII_PATTERNS["email"]}'))
+           + len(regexp_extract_all(text, '{C.PII_PATTERNS["ssn"]}'))
+           + len(regexp_extract_all(text, '{C.PII_PATTERNS["phone"]}'))
+           + len(regexp_extract_all(text, '{C.PII_PATTERNS["ipv4"]}'))
+               AS n_redacted
+      FROM pdocs
+    )
+    SELECT doc_id, source, text, n_redacted
+    FROM red WHERE n_redacted > 0
+    """,
+)
+def q_curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-placeholder PII redaction (llm/curation.py:redact_pii) over
+    the injected corpus, returning the flagged documents with their
+    redacted text — the redacted STRINGS themselves are hash-compared
+    against the oracle's mirrored replace chain, not just the counts.
+    Pure map stage: codegen'd regexp chain, no shuffle, no UDF."""
+    red = C.redact_pii(_pii_docs(spark, sf_dir))
+    return red.where(F.col("n_redacted") > 0).select(
+        "doc_id", "source", "text", "n_redacted"
     )
 
 
