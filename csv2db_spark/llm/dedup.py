@@ -436,3 +436,47 @@ def fuzzy_pairs(
         .where(F.col("dist") <= max_distance)
         .select("doc_a", "doc_b", "dist")
     )
+
+
+# ----------------------------------------------- repeated-substring windows
+
+
+def duplicated_window_stats(
+    docs: DataFrame, text_col: str = "text", w: int = 5
+) -> DataFrame:
+    """Per-document duplicated-span statistics via repeated ``w``-token
+    windows — the distributed stand-in for exact-substring training-data
+    dedup (suffix-array approaches find the same spans centrally; at
+    corpus scale the standard trick is fixed-width window fingerprints).
+
+    Every position i of every document emits md5 of its w-token window;
+    a window whose fingerprint occurs >= 2 times ANYWHERE in the corpus
+    (other docs or elsewhere in the same doc) is a duplicated span.
+    Output: (doc_id, n_windows, n_dup_windows) — the trim/drop decision
+    input for a curation stage.
+
+    Shape at scale: windows explode to ~tokens-per-doc rows, but the
+    payload is a 16-byte digest + doc_id; two digest-keyed shuffles
+    (corpus-wide frequency, then the doc rollup). No pairwise joins
+    anywhere, so cost is linear in corpus tokens — this is the operator
+    you run where MinHash (whole-doc similarity) can't see a copied
+    paragraph inside an otherwise-unique document.
+    """
+    win = (
+        "CASE WHEN size({t}) >= {w} THEN "
+        "transform(sequence(1, size({t}) - {w} + 1), "
+        "i -> md5(array_join(slice({t}, i, {w}), ' '))) "
+        "ELSE array() END"
+    ).format(t=f"split({text_col}, ' ')", w=w)
+    exploded = docs.select(
+        "doc_id", F.explode(F.expr(win)).alias("h")
+    )
+    freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        exploded.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("_c") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+    )

@@ -463,6 +463,44 @@ def q_dedup_fuzzy_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_pairs(docs.unionByName(typo), max_distance=1, max_bucket=64)
 
 
+_WIN_W = 5  # tokens per window
+
+
+@query(
+    "q_dedup_repeated_windows",
+    oracle=f"""
+    WITH {SQL_AUG.strip()},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    win AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(t) - {_WIN_W} + 2),
+               i -> md5(array_to_string(t[i:i+{_WIN_W - 1}], ' '))
+             )) AS h
+      FROM toks WHERE len(t) >= {_WIN_W}
+    ),
+    freq AS (SELECT h, count(*) AS c FROM win GROUP BY h)
+    SELECT w.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows
+    FROM win w JOIN freq f USING (h)
+    GROUP BY w.doc_id
+    """,
+)
+def q_dedup_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring detection (llm/dedup.py:duplicated_window_stats)
+    over the augmented corpus: every 5-token window is fingerprinted and
+    counted corpus-wide; windows occurring >= 2 times anywhere mark
+    duplicated spans. This catches copied paragraphs inside otherwise-
+    unique documents — the case whole-document MinHash can't see — with
+    cost linear in corpus tokens (two digest-keyed shuffles, no pairwise
+    join). Oracle replays the identical window/md5/frequency pipeline."""
+    return D.duplicated_window_stats(
+        augmented_docs(spark, sf_dir), w=_WIN_W
+    )
+
+
 # -------------------------------------------------------- similarity search
 
 
