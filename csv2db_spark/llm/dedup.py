@@ -456,11 +456,13 @@ def duplicated_window_stats(
     input for a curation stage.
 
     Shape at scale: windows explode to ~tokens-per-doc rows, but the
-    payload is a 16-byte digest + doc_id; two digest-keyed shuffles
-    (corpus-wide frequency, then the doc rollup). No pairwise joins
-    anywhere, so cost is linear in corpus tokens — this is the operator
-    you run where MinHash (whole-doc similarity) can't see a copied
-    paragraph inside an otherwise-unique document.
+    payload is a 16-byte digest + doc_id, and the corpus-wide frequency
+    is a window count over the digest — ONE digest-keyed shuffle of the
+    exploded table (no join back, no second scan of the corpus), then
+    the doc rollup. No pairwise joins anywhere, so cost is linear in
+    corpus tokens — this is the operator you run where MinHash
+    (whole-doc similarity) can't see a copied paragraph inside an
+    otherwise-unique document.
     """
     win = (
         "CASE WHEN size({t}) >= {w} THEN "
@@ -471,9 +473,9 @@ def duplicated_window_stats(
     exploded = docs.select(
         "doc_id", F.explode(F.expr(win)).alias("h")
     )
-    freq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
+    c = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
-        exploded.join(freq, "h")
+        exploded.withColumn("_c", c)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
