@@ -15,6 +15,8 @@ because Spark job latency is not the property under test.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

@@ -12,6 +12,8 @@ stay consistent."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from pyspark.sql import Row
 
 from csv2db_spark.sink import MissingTableError, TableMode, write_jdbc

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from csv2db_spark.registry import load_all_queries
 from tests.compare import assert_frames_match
 

@@ -10,6 +10,8 @@ precisely so this test can demand equality, not approximation.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from csv2db_spark.functions.numeric import dsum

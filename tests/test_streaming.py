@@ -7,6 +7,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from csv2db_spark.sources import load_table
 from csv2db_spark.streaming import (
     events_stream,
