@@ -22,7 +22,7 @@ Scale shapes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from csv2db_spark.llm.dedup import shingle_table
@@ -204,4 +204,40 @@ def pack_sequences(
                 F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
             ),
         )
+    )
+
+
+def quantile_filter(
+    docs: DataFrame,
+    score: Column,
+    group_col: str = "lang",
+    drop_frac: float = 0.25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile filtering — the CCNet-style curation step "drop
+    the worst X% of documents *within each language/domain bucket*"
+    (absolute thresholds are wrong when score distributions differ by
+    bucket; a per-bucket quantile is self-calibrating).
+
+    Ranks every document inside its group by (score, id) — the id
+    tiebreak makes percent_rank a distinct k/(n-1) rational per row, so
+    the cut is bit-deterministic on any engine and any partitioning —
+    and keeps rows at or above the ``drop_frac`` quantile. Returns
+    (id, group, quality_score, pr).
+
+    Scale shape: ONE window shuffle keyed by the group column. Group
+    skew (one language dominating a corpus) is real at 100 TB; the
+    window only sorts within partitions of one group, so the mitigation
+    is the standard range-partition + external sort Spark already does —
+    no driver-side percentile collection, no second pass.
+    """
+    w = Window.partitionBy(group_col).orderBy(score.asc(), F.col(id_col).asc())
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(group_col),
+            score.alias("quality_score"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .where(F.col("pr") >= F.lit(drop_frac))
     )

@@ -77,3 +77,68 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", "component")
+
+
+def pagerank_step(
+    edges: DataFrame,
+    ranks: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+) -> DataFrame:
+    """One PageRank power-iteration over a directed edge list — the
+    canonical link-graph quality signal for web-scale corpus curation
+    (rank a crawl's pages, keep/weight documents by source authority).
+
+    ``ranks`` is (node, rank); ``None`` starts uniform at 1.0. Returns
+    (node, rank) after one step: rank' = (1-d) + d * Σ rank_in/out_deg.
+
+    Determinism at any partitioning: each incoming contribution
+    (rank/out_deg, an IEEE double identical on any engine) is cast to
+    DECIMAL(28,12) BEFORE the sum, so the aggregation is exact and
+    order-independent — the one place partitioning could leak in. The
+    damping arithmetic then runs in double on the identical summed
+    value (one IEEE multiply + add of identical operands — identical
+    bits; decimal products at precision 38 would hit engine-specific
+    scale-reduction rules instead). Same discipline as
+    functions/numeric.py, applied to an iterative kernel.
+
+    Scale shape: out-degrees are one groupBy of the edge list; the
+    contribution pass is edges ⋈ ranks (shuffle on src) then a sum
+    shuffled on dst — two shuffles per iteration, both keyed and
+    combinable map-side. Dangling nodes (no out-edges) contribute
+    nothing; nodes with no in-edges get the (1-d) floor via the
+    right-side union. Driver steers iterations, data never leaves
+    executors (same pattern as connected_components above).
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    if ranks is None:
+        ranks = nodes.withColumn("rank", F.lit(1.0))
+    out_deg = e.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    contrib = (
+        e.join(ranks.join(out_deg, "node"), F.col("_src") == F.col("node"))
+        .select(
+            F.col("_dst").alias("node"),
+            (F.col("rank") / F.col("out_deg")).cast("decimal(28,12)").alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("in_sum"))
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping)
+                * F.coalesce(F.col("in_sum").cast("double"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    )

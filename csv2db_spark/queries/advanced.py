@@ -616,3 +616,49 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probes.join(est, "item").select(
         "item", "true_count", F.col("est_count").cast("long").alias("est_count")
     )
+
+
+@query(
+    "q_graph_pagerank_step",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+    contrib AS (
+      SELECT e.dst AS node,
+             sum(CAST(CAST(1 AS DOUBLE) / deg.out_deg AS DECIMAL(28,12)))
+               AS in_sum
+      FROM e JOIN deg ON e.src = deg.node
+      GROUP BY e.dst
+    )
+    SELECT n.node,
+           (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+             + CAST(0.85 AS DOUBLE) * COALESCE(CAST(c.in_sum AS DOUBLE), 0.0)
+             AS rank
+    FROM nodes n LEFT JOIN contrib c ON n.node = c.node
+    """,
+)
+def q_graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration (operators/graph.py:pagerank_step)
+    over the supplier→customer trade graph (distinct pairs from
+    lineitem⋈orders; node ids prefixed so the two key spaces don't
+    collide). The link-graph authority signal a web-crawl curation
+    pipeline computes at billions of edges — here hash-verified exactly,
+    because contributions sum in DECIMAL and damping runs in double on
+    the identical summed value. Two keyed shuffles per iteration."""
+    from csv2db_spark.operators.graph import pagerank_step
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_step(edges)

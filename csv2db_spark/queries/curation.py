@@ -330,3 +330,37 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_chars",
         "max_chars",
     )
+
+
+@query(
+    "q_curate_quantile_filter",
+    oracle="""
+    SELECT doc_id, lang, quality_score, pr FROM (
+      SELECT doc_id, lang, quality_score,
+             percent_rank() OVER (
+               PARTITION BY lang ORDER BY quality_score, doc_id
+             ) AS pr
+      FROM (
+        SELECT doc_id, lang,
+               CAST(length(text) AS DOUBLE)
+                 / (1 + length(text) - length(replace(text, ' ', '')))
+               AS quality_score
+        FROM documents
+      )
+    )
+    WHERE pr >= 0.25
+    """,
+)
+def q_curate_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile filtering (llm/curation.py:quantile_filter):
+    drop the bottom quarter of each language bucket by a quality score —
+    here mean word length (chars per whitespace token), an
+    integer-arithmetic score identical on both engines. Per-bucket
+    quantiles self-calibrate where a global threshold would gut
+    low-resource languages. One window shuffle keyed by lang; the
+    (score, doc_id) ordering makes every percent_rank a distinct
+    k/(n-1), so the cut is bit-deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+    score = F.length("text").cast("double") / (F.lit(1) + spaces)
+    return C.quantile_filter(d, score, group_col="lang", drop_frac=0.25)

@@ -26,6 +26,7 @@ from csv2db_spark.functions.numeric import (
     sql_rate,
 )
 from csv2db_spark.operators import asof_join, range_join, top_k
+from csv2db_spark.operators.runtime_filter import bitset_prefilter_join
 from csv2db_spark.registry import query
 from csv2db_spark.sources import load_table
 
@@ -351,4 +352,35 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         "n_name",
         (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home_region"),
+    )
+
+
+@query(
+    "q_join_bitset_prefilter",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           {sql_dsum("o.o_totalprice", 14, 2)} AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_bitset_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast bitset runtime filter
+    (operators/runtime_filter.py:bitset_prefilter_join): the selective
+    dim predicate (c_acctbal > 9000, ~5% of customers) is turned into a
+    1 Mbit membership bitset that prunes orders BEFORE the join shuffle;
+    the exact join then removes the <1% hash false positives, so the
+    oracle is the plain join — the prefilter is pure physical
+    optimization, invisible in the result. At 100 TB this is the
+    difference between shuffling every fact row and shuffling only the
+    ~5% that can match."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    joined = bitset_prefilter_join(o, c, "o_custkey", "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 14, 2).alias("total_price"),
     )

@@ -1,0 +1,115 @@
+"""Round-4 operator additions: bitset runtime filter, PageRank step,
+per-group quantile filter. Fast tier — small synthetic frames, invariant
+checks (the sf-fixture oracle comparisons live in the parity sweep)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv2db_spark.llm.curation import quantile_filter
+from csv2db_spark.operators.graph import pagerank_step
+from csv2db_spark.operators.runtime_filter import bitset_prefilter_join, key_bitset
+
+
+def test_bitset_join_matches_plain_join(spark):
+    fact = spark.range(0, 5000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 5000, 13).select(F.col("id").alias("dk"))
+    got = (
+        bitset_prefilter_join(fact, dim, "fk", "dk", log2m=16)
+        .select("fk")
+        .toPandas()["fk"]
+        .sort_values()
+        .tolist()
+    )
+    want = sorted(range(0, 5000, 13))
+    assert got == want
+
+
+def test_bitset_never_false_negative_small_space(spark):
+    # log2m=6 (64 bits) forces heavy collisions; the exact join must
+    # still produce exactly the true matches
+    fact = spark.range(0, 2000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 2000, 7).select(F.col("id").alias("dk"))
+    n = bitset_prefilter_join(fact, dim, "fk", "dk", log2m=6).count()
+    assert n == len(range(0, 2000, 7))
+
+
+def test_bitset_prunes_nonmatching_fact_rows(spark):
+    fact = spark.range(0, 10000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 100).select(F.col("id").alias("dk"))
+    m = 1 << 20
+    words = key_bitset(dim, "dk", log2m=20)
+    survived = (
+        fact.withColumn("_pos", F.pmod(F.xxhash64(F.col("fk")), F.lit(m)))
+        .withColumn("_word_idx", (F.col("_pos") / 64).cast("long"))
+        .join(F.broadcast(words), "_word_idx")
+        .where(
+            F.expr(
+                "shiftrightunsigned(_bits, CAST(_pos % 64 AS INT)) & CAST(1 AS BIGINT)"
+            )
+            == 1
+        )
+        .count()
+    )
+    # 100 true keys; with 2^20 bits the false-positive tail must stay tiny
+    assert 100 <= survived < 200
+
+
+def test_bitset_rejects_outer_join(spark):
+    fact = spark.range(10).select(F.col("id").alias("fk"))
+    dim = spark.range(10).select(F.col("id").alias("dk"))
+    try:
+        bitset_prefilter_join(fact, dim, "fk", "dk", how="left")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("left join must be rejected: prefilter drops rows")
+
+
+def test_pagerank_step_star_graph(spark):
+    # star: 1..4 all point at 0; 0 points at 1
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)], ["src", "dst"]
+    )
+    r = {
+        row.node: row.rank
+        for row in pagerank_step(edges).collect()
+    }
+    # hub receives 4 whole ranks: 0.15 + 0.85*4; node 1 gets the hub's
+    # single out-edge: 0.15 + 0.85*1; leaves 2-4 get the floor
+    assert abs(r[0] - (0.15 + 0.85 * 4)) < 1e-9
+    assert abs(r[1] - (0.15 + 0.85 * 1)) < 1e-9
+    for leaf in (2, 3, 4):
+        assert abs(r[leaf] - 0.15) < 1e-9
+
+
+def test_pagerank_step_mass_conservation(spark):
+    # a cycle conserves rank mass exactly: every node keeps rank 1.0
+    edges = spark.createDataFrame([(i, (i + 1) % 5) for i in range(5)], ["src", "dst"])
+    ranks = pagerank_step(edges).collect()
+    for row in ranks:
+        assert abs(row.rank - 1.0) < 1e-9
+
+
+def test_pagerank_partition_invariant(spark):
+    rows = [(i, (i * 7 + 1) % 50) for i in range(200)]
+    e1 = spark.createDataFrame(rows, ["src", "dst"]).repartition(1)
+    e64 = spark.createDataFrame(rows, ["src", "dst"]).repartition(64)
+    r1 = {r.node: r.rank for r in pagerank_step(e1).collect()}
+    r64 = {r.node: r.rank for r in pagerank_step(e64).collect()}
+    assert r1 == r64  # bit-exact, not approximate
+
+
+def test_quantile_filter_drops_bottom_fraction(spark):
+    rows = [(i, "a" if i < 80 else "b", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "s"])
+    kept = quantile_filter(df, F.col("s"), group_col="lang", drop_frac=0.25)
+    out = kept.toPandas()
+    a = out[out.lang == "a"]["doc_id"].tolist()
+    b = out[out.lang == "b"]["doc_id"].tolist()
+    # group a: 80 docs, scores 0..79 -> pr >= .25 keeps doc_id >= 20 (
+    # percent_rank of doc 20 is 20/79 > .25? 20/79=0.253 yes; doc 19 is
+    # 19/79=0.2405 dropped)
+    assert min(a) == 20 and len(a) == 60
+    # group b: 20 docs, ranks k/19; keep k/19 >= .25 -> k >= 5 (5/19=0.263)
+    assert min(b) == 85 and len(b) == 15
