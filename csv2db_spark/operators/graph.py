@@ -142,3 +142,46 @@ def pagerank_step(
             ).alias("rank"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """PageRank to convergence: repeat ``pagerank_step`` until the max
+    absolute rank change drops below ``tol`` (L∞, the standard stopping
+    rule) or ``max_iter`` rounds.
+
+    Driver-steering pattern shared with ``connected_components``: the
+    loop runs on the driver but touches only a 1-row convergence
+    aggregate per round; rank vectors stay distributed.
+    ``localCheckpoint`` truncates lineage so the plan doesn't double
+    every iteration. Edges are reused across rounds — cache them
+    upstream if the input is an expensive subquery.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    e = e.localCheckpoint(eager=True)
+    ranks = None
+    for _ in range(max_iter):
+        new_ranks = pagerank_step(
+            e, ranks=ranks, src="_src", dst="_dst", damping=damping
+        ).localCheckpoint(eager=True)
+        if ranks is not None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "node")
+                .agg(
+                    F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks

@@ -35,3 +35,43 @@ def upsert(base: DataFrame, changes: DataFrame, keys: Sequence[str]) -> DataFram
     change_keys = changes.select(*keys).distinct()
     survivors = base.join(F.broadcast(change_keys), list(keys), "left_anti")
     return changes.unionByName(survivors)
+
+
+def merge_aggregates(
+    old_agg: DataFrame,
+    new_partials: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    counts: Sequence[str] = (),
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental rollup maintenance: fold a batch of new partial
+    aggregates into an existing aggregate table without touching the
+    history that produced it.
+
+    The 100 TB pattern this encodes: a daily/hourly pipeline never
+    re-aggregates the full fact history — it aggregates only the new
+    partition (map-side, cheap) and MERGES the partials into the
+    standing rollup. That works exactly when every measure is an
+    algebraic aggregate (sum/count/min/max — and avg as sum+count):
+    merge(sum)=sum, merge(count)=sum, merge(min)=min, merge(max)=max.
+    Both inputs here carry the SAME aggregate columns; the merge is a
+    unionByName + one groupBy on the rollup keys — the shuffle is over
+    |old groups| + |new groups| rows, not over any fact table.
+
+    Non-algebraic measures (exact distinct, exact median) cannot be
+    maintained this way; use their sketch forms (HLL / t-digest /
+    countmin in operators/sketch.py) whose merge IS algebraic.
+    """
+    ks = list(keys)
+    both = old_agg.unionByName(new_partials)
+    aggs = (
+        [F.sum(c).alias(c) for c in sums]
+        + [F.sum(c).alias(c) for c in counts]
+        + [F.min(c).alias(c) for c in mins]
+        + [F.max(c).alias(c) for c in maxs]
+    )
+    if not aggs:
+        raise ValueError("merge_aggregates: no measure columns given")
+    return both.groupBy(*ks).agg(*aggs)

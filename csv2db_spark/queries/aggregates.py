@@ -407,3 +407,59 @@ def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return a.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@query(
+    "q_agg_incremental_merge",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", 14, 2)} AS total_price,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance
+    (operators/merge.py:merge_aggregates): the orders fact is split at a
+    date boundary into 'history' and 'new batch', each aggregated
+    independently, and the partials merged — the result must be
+    IDENTICAL to aggregating the whole table (which is what the oracle
+    does). Sums stay DECIMAL through the merge (double partials would
+    re-introduce order dependence); counts merge by summing; min/max
+    merge by min/max. At 100 TB this is how a daily pipeline maintains
+    rollups without re-scanning history: aggregate only the new
+    partition, merge group-level partials."""
+    from csv2db_spark.operators.merge import merge_aggregates
+
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit("1999-01-01").cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 14, 2)).alias("total_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    hist = partial(o.where(F.col("o_orderdate") < split))
+    newb = partial(o.where(F.col("o_orderdate") >= split))
+    merged = merge_aggregates(
+        hist,
+        newb,
+        keys=["o_orderpriority"],
+        sums=["total_price"],
+        counts=["n_orders"],
+        mins=["first_order"],
+        maxs=["last_order"],
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+        "first_order",
+        "last_order",
+    )

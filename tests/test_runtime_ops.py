@@ -113,3 +113,67 @@ def test_quantile_filter_drops_bottom_fraction(spark):
     assert min(a) == 20 and len(a) == 60
     # group b: 20 docs, ranks k/19; keep k/19 >= .25 -> k >= 5 (5/19=0.263)
     assert min(b) == 85 and len(b) == 15
+
+
+def test_pagerank_converges_on_cycle(spark):
+    from csv2db_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)], ["src", "dst"])
+    ranks = pagerank(edges, max_iter=10).collect()
+    # stationary distribution of a cycle is uniform rank 1.0
+    for row in ranks:
+        assert abs(row.rank - 1.0) < 1e-9
+
+
+def test_pagerank_matches_manual_iteration(spark):
+    from csv2db_spark.operators.graph import pagerank, pagerank_step
+
+    rows = [(1, 0), (2, 0), (3, 0), (0, 1), (2, 1)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    # two manual steps == pagerank(max_iter=2) (no early convergence here)
+    r = pagerank_step(edges)
+    r = pagerank_step(edges, ranks=r)
+    manual = {row.node: row.rank for row in r.collect()}
+    auto = {row.node: row.rank for row in pagerank(edges, max_iter=2).collect()}
+    assert manual == auto
+
+
+def test_merge_aggregates_equals_full_aggregation(spark):
+    from csv2db_spark.operators.merge import merge_aggregates
+
+    rows = [(i % 3, float(i), i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "v", "t"])
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(14,2)")).alias("s"),
+            F.min("t").alias("lo"),
+            F.max("t").alias("hi"),
+        )
+
+    merged = merge_aggregates(
+        partial(df.where(F.col("t") < 50)),
+        partial(df.where(F.col("t") >= 50)),
+        keys=["k"],
+        sums=["s"],
+        counts=["n"],
+        mins=["lo"],
+        maxs=["hi"],
+    )
+    full = partial(df)
+    m = {r.k: (r.n, r.s, r.lo, r.hi) for r in merged.collect()}
+    f = {r.k: (r.n, r.s, r.lo, r.hi) for r in full.collect()}
+    assert m == f
+
+
+def test_merge_aggregates_requires_measures(spark):
+    from csv2db_spark.operators.merge import merge_aggregates
+
+    d = spark.range(3).select(F.col("id").alias("k"))
+    try:
+        merge_aggregates(d, d, keys=["k"])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError with no measures")
