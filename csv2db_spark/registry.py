@@ -88,6 +88,11 @@ CHECK_FIRST: tuple[str, ...] = (
 # already): the 4 rows-only-by-design queries (r1 rows; recall/bounds are
 # pytest-checked) and the 5 spot re-checks (green r1-r3; pytest parity
 # still covers them every round, including the minhash band-bucket cap).
+#
+# Round-5 rotation TODO: the operators added AFTER the round-4 window was
+# frozen have no driver row yet — q_curate_quantile_filter,
+# q_graph_pagerank_step, q_join_bitset_prefilter, q_agg_incremental_merge
+# (all driver-sim green at sf0.01 under a vanilla non-UTC session).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -403,3 +403,72 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    target_files: int | None = None,
+) -> None:
+    """Layout-optimized parquet write: range-partition by ``sort_cols``
+    and sort within each output file.
+
+    Why at 100 TB: parquet stores min/max statistics per row group; a
+    filter on the sort column skips whole row groups (and, with one
+    range per file, whole FILES) without reading them. Unsorted data
+    makes every min/max span the full domain — statistics exist but
+    never exclude anything. ``repartitionByRange`` gives globally
+    disjoint per-file ranges (sampled range exchange, one shuffle);
+    ``sortWithinPartitions`` orders rows inside each file so row-group
+    stats nest inside the file range. The later scan-side win is free —
+    Spark's parquet reader applies pushed filters against these stats
+    automatically.
+    """
+    part = (
+        df.repartitionByRange(target_files, *sort_cols)
+        if target_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    part.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_mb``-sized files; returns the new file count.
+
+    The 100 TB problem this solves: streaming/incremental pipelines
+    (foreachBatch appends, per-trigger micro-batches) accrete thousands
+    of KB-scale files; every later scan then pays one open+footer per
+    file and the scheduler drowns in splits. Compaction = one read +
+    one write sized from the ACTUAL on-disk bytes (directory listing,
+    not a row-count guess — compression survives the round trip).
+    Rewrites into a sibling directory then atomically swaps via rename,
+    so a concurrent reader sees old or new layout, never a mix.
+    ``sort_cols`` optionally re-sorts during the rewrite (same win as
+    write_sorted_parquet) — compaction is the natural moment to fix
+    layout, the data is moving anyway.
+    """
+    p = Path(path)
+    in_files = list(p.glob("*.parquet"))
+    total_bytes = sum(f.stat().st_size for f in in_files)
+    n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(str(p))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.coalesce(n_files) if len(in_files) > n_files else df
+    tmp = str(p) + "._compact"
+    out.write.mode("overwrite").parquet(tmp)
+    old = str(p) + "._old"
+    os.rename(str(p), old)
+    os.rename(tmp, str(p))
+    shutil.rmtree(old)
+    return len(list(p.glob("*.parquet")))

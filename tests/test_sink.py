@@ -155,3 +155,52 @@ def test_unregistered_type_warns(spark):
 
 def test_noop_sink(df2):
     write_noop(df2)  # executes the plan, discards rows, must not raise
+
+
+def test_write_sorted_parquet_rowgroup_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from csv2db_spark.sink import write_sorted_parquet
+
+    df = spark.range(0, 20000).selectExpr(
+        "id", "cast(id * 37 % 20000 as long) as k"
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted_parquet(df, out, ["k"], target_files=4)
+    files = sorted((tmp_path / "sorted").glob("*.parquet"))
+    assert len(files) == 4
+    # per-file k ranges must be disjoint (range partitioning) and rows
+    # sorted within each file (row-group stats nest inside file range)
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert t == sorted(t)
+        ranges.append((t[0], t[-1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+
+
+def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
+    from csv2db_spark.sink import compact_parquet
+
+    src = str(tmp_path / "frag")
+    spark.range(0, 50000).repartition(64).write.parquet(src)
+    n_before = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert n_before >= 32
+    n_after = compact_parquet(spark, src, target_mb=128)
+    assert n_after < n_before
+    assert spark.read.parquet(src).count() == 50000
+
+
+def test_compact_parquet_with_sort(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from csv2db_spark.sink import compact_parquet
+
+    src = str(tmp_path / "frag2")
+    spark.range(0, 10000).selectExpr("cast(id * 13 % 10000 as long) as k").repartition(
+        16
+    ).write.parquet(src)
+    compact_parquet(spark, src, target_mb=128, sort_cols=["k"])
+    for f in (tmp_path / "frag2").glob("*.parquet"):
+        t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert t == sorted(t)
