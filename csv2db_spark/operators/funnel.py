@@ -1,0 +1,111 @@
+"""Ordered-sequence event analytics: funnel progression and cohort
+retention — the two standard questions asked of any event stream
+("how many users reach each step, in order?" / "how many users from
+cohort X are still active N months later?").
+
+Both are pure DataFrame compositions (filtered aggregates + keyed
+joins / date-truncated aggregates) — no sequence UDF, no per-user
+collect. The reference has no event analytics at all (SURVEY.md §2.2).
+
+Scale shapes:
+- funnel: one filtered min-agg per stage plus one user-keyed join per
+  stage transition — k-1 co-partitioned shuffles for a k-step funnel,
+  each carrying one row per user still in the funnel (monotonically
+  shrinking). The fact table is scanned once per stage WITH the stage
+  predicate pushed to the scan; at 100 TB the event-type filter prunes
+  row groups before any shuffle.
+- cohort retention: two aggregates over (user, month) — both shuffle on
+  user_id/cohort keys that Spark map-side combines; the output matrix is
+  |cohorts| × |horizon| rows, tiny by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: a user counts for stage i+1 only with an
+    event of that type STRICTLY AFTER their stage-i entry time (first
+    qualifying occurrence, the standard first-touch funnel).
+
+    Returns (stage, stage_idx, n_users), one row per stage.
+    """
+    if not stages:
+        raise ValueError("funnel_stages: need at least one stage")
+    counts = []
+    reached: DataFrame | None = None  # (user, entry ts of previous stage)
+    for i, stage in enumerate(stages):
+        ev = events.where(F.col(type_col) == stage).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if reached is None:
+            reached = ev.groupBy("u").agg(F.min("t").alias("entry"))
+        else:
+            reached = (
+                ev.join(reached, ev.u == reached.u)
+                .where(F.col("t") > F.col("entry"))
+                .select(ev.u.alias("u2"), "t")
+                .groupBy("u2")
+                .agg(F.min("t").alias("entry"))
+                .withColumnRenamed("u2", "u")
+            )
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(stage).alias("stage"),
+                F.lit(i + 1).cast("int").alias("stage_idx"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "day",
+) -> DataFrame:
+    """Cohort retention matrix: cohort = day (or month) of the user's
+    first event; one output row per (cohort_period, periods_since) with
+    the count of distinct users from that cohort active in that period.
+
+    ``periods_since`` is pure integer arithmetic — datediff for days,
+    explicit year/month arithmetic for months (months_between is
+    fractional) — so both engines compute the identical integer.
+    """
+    if period not in ("day", "month"):
+        raise ValueError(f"period must be 'day' or 'month', got {period!r}")
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("m0")
+    )
+    act = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(period, F.col(ts_col)).alias("m"),
+    ).distinct()
+    if period == "day":
+        periods_since = F.datediff(F.col("m"), F.col("m0")).cast("long")
+    else:
+        periods_since = (
+            (F.year("m") - F.year("m0")) * 12 + (F.month("m") - F.month("m0"))
+        ).cast("long")
+    return (
+        act.join(first, "u")
+        .groupBy(
+            F.col("m0").alias("cohort_period"),
+            periods_since.alias("periods_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -662,3 +662,69 @@ def q_graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_step(edges)
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS entry FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS entry
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.entry
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS entry
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.entry
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(1 AS INT) AS stage_idx, count(*) AS n_users FROM v
+    UNION ALL
+    SELECT 'click', CAST(2 AS INT), count(*) FROM c
+    UNION ALL
+    SELECT 'purchase', CAST(3 AS INT), count(*) FROM p
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel
+    (operators/funnel.py:funnel_stages): stage i+1 requires an event
+    strictly after the user's stage-i entry (first-touch). Each stage is
+    a pushed-predicate scan + min-agg + user-keyed join against the
+    shrinking survivor set — no sequence UDF, no per-user collect."""
+    from csv2db_spark.operators.funnel import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "q_events_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS m0
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS m FROM events
+    )
+    SELECT first.m0 AS cohort_period,
+           CAST(datediff('day', first.m0, act.m) AS BIGINT) AS periods_since,
+           count(*) AS n_users
+    FROM act JOIN first ON act.user_id = first.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix
+    (operators/funnel.py:cohort_retention): cohort = day of first event
+    (the fixture spans one month, so daily granularity gives a real
+    matrix); periods_since is an integer datediff on both engines. Two
+    map-side-combined aggregates; output is |cohorts|x|horizon| — tiny
+    at any corpus size."""
+    from csv2db_spark.operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, period="day")

@@ -177,3 +177,46 @@ def test_merge_aggregates_requires_measures(spark):
         pass
     else:
         raise AssertionError("expected ValueError with no measures")
+
+
+def test_funnel_strict_ordering(spark):
+    import datetime as dt
+
+    from csv2db_spark.operators.funnel import funnel_stages
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes in order: view@1, click@2, buy@3
+        (1, "view", T(1)), (1, "click", T(2)), (1, "buy", T(3)),
+        # u2 clicks BEFORE viewing -> stops at view
+        (2, "click", T(1)), (2, "view", T(2)),
+        # u3 views+clicks but buy precedes click -> stops at click
+        (3, "view", T(1)), (3, "buy", T(2)), (3, "click", T(3)),
+        # u4 never views -> counts nowhere
+        (4, "click", T(1)), (4, "buy", T(2)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {
+        r.stage: r.n_users
+        for r in funnel_stages(ev, ["view", "click", "buy"]).collect()
+    }
+    assert got == {"view": 3, "click": 2, "buy": 1}
+
+
+def test_cohort_retention_day(spark):
+    import datetime as dt
+
+    from csv2db_spark.operators.funnel import cohort_retention
+
+    D = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    rows = [
+        (1, D(1)), (1, D(1, 5)), (1, D(3)),   # cohort d1, active d1+d3
+        (2, D(1)), (2, D(2)),                 # cohort d1, active d1+d2
+        (3, D(2)),                            # cohort d2, active d2
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r.cohort_period.day, r.periods_since): r.n_users
+        for r in cohort_retention(ev, period="day").collect()
+    }
+    assert got == {(1, 0): 2, (1, 1): 1, (1, 2): 1, (2, 0): 1}
