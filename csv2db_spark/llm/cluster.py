@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from csv2db_spark.llm.similarity import QUANT, dot_iv, quantize
+from csv2db_spark.llm.similarity import QUANT, cos_from_parts, dot_iv, quantize
 
 
 def kmeans_assign(
@@ -86,4 +86,65 @@ def kmeans_step(
             / F.count(F.lit(1))
             / F.lit(float(QUANT))
         ).alias("mean_el"),
+    )
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup candidates (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then find
+    high-cosine pairs ONLY within each cluster — near-duplicates land in
+    the same cluster by construction, so the pairwise work is
+    sum(|cluster|²) instead of n².
+
+    Returns (cluster_id, vec_a, vec_b, cos_sim) for same-cluster pairs
+    with cosine >= threshold; feed into connected_components +
+    keep-one-per-component like every other dedup pair source.
+
+    Scale shape vs the LSH path (similarity.lsh_all_pairs_cosine): LSH
+    bounds work by collision probability; SemDeDup bounds it by cluster
+    size (k chosen so n/k is join-able) and reuses centroids a pipeline
+    already trains. Assignment broadcasts the centroids (corpus never
+    shuffles to assign); the within-cluster self-join shuffles ids+
+    quantized vectors once on cluster_id. Exactness: assignment uses
+    integer d² with a deterministic tie-break, scoring the exact
+    quantized cosine — both engine-invariant.
+    """
+    asn = kmeans_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    ).select(F.col(id_col).alias("_aid"), F.col(centroid_id_col))
+    state = quantize(vectors, id_col, vec_col, "_aid", "x_").join(asn, "_aid")
+    a = state.select(
+        F.col(centroid_id_col),
+        F.col("_aid").alias("vec_a"),
+        F.col("x_iv").alias("a_iv"),
+        F.col("x_nrm2").alias("a_nrm2"),
+    )
+    b = state.select(
+        F.col(centroid_id_col),
+        F.col("_aid").alias("vec_b"),
+        F.col("x_iv").alias("b_iv"),
+        F.col("x_nrm2").alias("b_nrm2"),
+    )
+    return (
+        a.join(b, centroid_id_col)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            centroid_id_col,
+            "vec_a",
+            "vec_b",
+            cos_from_parts(
+                dot_iv(F.col("a_iv"), F.col("b_iv")),
+                F.col("a_nrm2"),
+                F.col("b_nrm2"),
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
     )

@@ -837,3 +837,65 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("sumsq_str"),
     )
+
+
+@query(
+    "q_dedup_semdedup",
+    oracle=f"""
+    WITH {_SQL_AUG_EMB.strip()},
+    cent AS (SELECT vec_id AS cluster_id, v FROM augv WHERE vec_id < 8),
+    cdots AS (
+      SELECT a.vec_id, c.cluster_id,
+             sum({_sql_iel('a.v[i]')} * {_sql_iel('c.v[i]')}) AS dot
+      FROM augv a JOIN cent c ON true, range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT cdots.vec_id, cdots.cluster_id,
+             na.nrm2 + nc.nrm2 - 2 * cdots.dot AS d2
+      FROM cdots
+      JOIN norms na ON na.vec_id = cdots.vec_id
+      JOIN norms nc ON nc.vec_id = cdots.cluster_id
+    ),
+    asn AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster_id) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    pdots AS (
+      SELECT aa.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             sum({_sql_iel('a.v[i]')} * {_sql_iel('b.v[i]')}) AS dot
+      FROM augv a
+      JOIN asn aa ON aa.vec_id = a.vec_id
+      JOIN asn ab ON ab.cluster_id = aa.cluster_id
+      JOIN augv b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id,
+      range(1, 65) r(i)
+      GROUP BY 1, 2, 3
+    )
+    SELECT cluster_id, vec_a, vec_b,
+           {_sql_cos('dot', 'na.nrm2', 'nb.nrm2')} AS cos_sim
+    FROM pdots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE {_sql_cos('dot', 'na.nrm2', 'nb.nrm2')} >= 0.999
+    """,
+)
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (llm/cluster.py:semdedup_pairs): cluster-blocked
+    semantic dedup over the augmented embedding set — assign every
+    vector to its nearest of 8 seed centroids (exact integer d²,
+    deterministic tie-break), then exact quantized cosine only WITHIN
+    each cluster. The oracle replays assignment + within-cluster scoring
+    in ANSI SQL, so both the blocking decisions and every score are
+    hash-checked. Complements the LSH path: work bounded by cluster
+    size instead of collision probability, and reuses centroids a
+    pipeline already trains."""
+    from csv2db_spark.llm.cluster import semdedup_pairs
+
+    aug = _aug_embeddings(spark, sf_dir)
+    cents = aug.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), "v"
+    )
+    return semdedup_pairs(aug, cents, threshold=0.999, vec_col="v")

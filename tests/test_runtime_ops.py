@@ -220,3 +220,30 @@ def test_cohort_retention_day(spark):
         for r in cohort_retention(ev, period="day").collect()
     }
     assert got == {(1, 0): 2, (1, 1): 1, (1, 2): 1, (2, 0): 1}
+
+
+def test_semdedup_blocks_by_cluster(spark):
+    from csv2db_spark.llm.cluster import semdedup_pairs
+
+    # two well-separated clusters along dims 0/1; v2 duplicates v1 (same
+    # cluster -> reported), v102 duplicates v101 (reported); v1 vs v101
+    # are orthogonal anyway, but the defining property: identical vectors
+    # CAN only pair when co-clustered
+    def vec(axis, eps):
+        v = [0.0] * 8
+        v[axis] = 0.9
+        v[1 - axis] = eps
+        return v
+
+    rows = [
+        (1, vec(0, 0.0)), (2, vec(0, 0.001)),      # cluster A near-dups
+        (101, vec(1, 0.0)), (102, vec(1, 0.001)),  # cluster B near-dups
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, vec(0, 0.0)), (1, vec(1, 0.0))], ["cluster_id", "embedding"]
+    )
+    got = semdedup_pairs(vecs, cents, threshold=0.99).collect()
+    pairs = {(r.vec_a, r.vec_b): r.cluster_id for r in got}
+    assert set(pairs) == {(1, 2), (101, 102)}
+    assert pairs[(1, 2)] != pairs[(101, 102)]
