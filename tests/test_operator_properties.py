@@ -1,0 +1,68 @@
+"""Property-based checks for the round-4 operators: the bitset prefilter
+must be result-invisible for ANY key distribution, and the per-group
+quantile filter must keep exactly the top (1 - drop_frac) ranks of every
+group. Hypothesis drives the inputs; Spark jobs stay tiny."""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from csv2db_spark.llm.curation import quantile_filter
+from csv2db_spark.operators.runtime_filter import bitset_prefilter_join
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    fact_keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    dim_keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=30),
+    log2m=st.sampled_from([4, 8, 16]),
+)
+@settings(**_SETTINGS)
+def test_bitset_prefilter_invisible(spark, fact_keys, dim_keys, log2m):
+    fact = spark.createDataFrame([(k,) for k in fact_keys], ["fk"])
+    dim = spark.createDataFrame([(k,) for k in set(dim_keys)], ["dk"])
+    got = sorted(
+        r.fk for r in bitset_prefilter_join(fact, dim, "fk", "dk", log2m=log2m)
+        .select("fk").collect()
+    )
+    want = sorted(k for k in fact_keys if k in set(dim_keys))
+    assert got == want
+
+
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=4),
+    drop_frac=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.9]),
+)
+@settings(**_SETTINGS)
+def test_quantile_filter_keeps_top_ranks(spark, sizes, drop_frac):
+    rows = []
+    doc = 0
+    for g, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((doc, f"g{g}", float(doc * 13 % 97)))
+            doc += 1
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "s"])
+    kept = quantile_filter(df, F.col("s"), group_col="lang", drop_frac=drop_frac)
+    out = kept.toPandas()
+    for g, n in enumerate(sizes):
+        grp = [r for r in rows if r[1] == f"g{g}"]
+        # replicate the cut: distinct ranks k/(n-1) over (score, doc_id)
+        ordered = sorted(grp, key=lambda r: (r[2], r[0]))
+        expect = {
+            r[0]
+            for k, r in enumerate(ordered)
+            if n == 1 and drop_frac == 0.0 or (n > 1 and k / (n - 1) >= drop_frac)
+        }
+        got = set(out[out.lang == f"g{g}"]["doc_id"].tolist())
+        assert got == expect, f"group g{g} n={n} drop={drop_frac}"
