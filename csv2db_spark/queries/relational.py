@@ -384,3 +384,57 @@ def q_join_bitset_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", 14, 2).alias("total_price"),
     )
+
+
+@query(
+    "q_cdc_snapshot_diff",
+    oracle="""
+    WITH o AS (SELECT c_custkey, c_acctbal FROM customer),
+    n AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 10
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 17 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal
+      FROM customer WHERE c_custkey % 19 = 0
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN n.c_custkey IS NULL THEN 'delete'
+                WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update'
+           END AS change_type
+    FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+    WHERE (CASE WHEN n.c_custkey IS NULL THEN 'delete'
+                WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update'
+           END) IS NOT NULL
+    """,
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/merge.py:snapshot_diff): today's customer
+    snapshot is derived from yesterday's by deterministic deletes
+    (custkey % 17 = 0), balance updates (% 13 = 0) and inserts (% 19 = 0
+    re-keyed) — the operator must report exactly those keys with the
+    right change_type and stay silent on unchanged rows. One full outer
+    join on the key; NULL-safe column comparison in codegen; output
+    proportional to the changes."""
+    from csv2db_spark.operators.merge import snapshot_diff
+
+    c = load_table(spark, sf_dir, "customer")
+    old = c.select("c_custkey", "c_acctbal")
+    new = (
+        c.where(F.col("c_custkey") % 17 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 10)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 19 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal"
+            )
+        )
+    )
+    return snapshot_diff(old, new, keys=["c_custkey"], compare=["c_acctbal"])

@@ -247,3 +247,18 @@ def test_semdedup_blocks_by_cluster(spark):
     pairs = {(r.vec_a, r.vec_b): r.cluster_id for r in got}
     assert set(pairs) == {(1, 2), (101, 102)}
     assert pairs[(1, 2)] != pairs[(101, 102)]
+
+
+def test_snapshot_diff_null_safe(spark):
+    from csv2db_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (5, "e")], ["k", "v"]
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    # k=1 unchanged, k=2 NULL==NULL unchanged, k=3 c->NULL update,
+    # k=4 delete, k=5 insert
+    assert got == {3: "update", 4: "delete", 5: "insert"}
