@@ -456,6 +456,13 @@ def compact_parquet(
     """
     p = Path(path)
     in_files = list(p.glob("*.parquet"))
+    if not in_files:
+        # a hive-partitioned dir has no top-level files; rewriting it flat
+        # would silently drop the partition layout — compact per partition
+        raise ValueError(
+            f"compact_parquet: no top-level *.parquet files in {path!r}; "
+            "for a partitioned table, compact each partition directory"
+        )
     total_bytes = sum(f.stat().st_size for f in in_files)
     n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(str(p))

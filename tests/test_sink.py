@@ -204,3 +204,18 @@ def test_compact_parquet_with_sort(spark, tmp_path):
     for f in (tmp_path / "frag2").glob("*.parquet"):
         t = pq.read_table(f, columns=["k"])["k"].to_pylist()
         assert t == sorted(t)
+
+
+def test_compact_parquet_rejects_partitioned_dir(spark, tmp_path):
+    from csv2db_spark.sink import compact_parquet
+
+    src = str(tmp_path / "parted")
+    spark.range(100).selectExpr("id", "id % 3 as p").write.partitionBy(
+        "p"
+    ).parquet(src)
+    try:
+        compact_parquet(spark, src)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("partitioned dir must be rejected, not flattened")
