@@ -241,3 +241,42 @@ def quantile_filter(
         )
         .where(F.col("pr") >= F.lit(drop_frac))
     )
+
+
+def md5_threshold(p: float) -> str:
+    """32-hex-digit string t such that P[md5(x) < t] ~= p for uniform
+    md5 output — Bernoulli sampling as a plain STRING comparison, which
+    both Spark and any ANSI engine evaluate identically (no hex-to-int
+    conversion, whose builtins differ across engines)."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"probability must be in [0, 1], got {p}")
+    return format(min(int(p * 16**32), 16**32 - 1), "032x")
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 1.0,
+) -> DataFrame:
+    """Deterministic importance sampling for domain reweighting: keep
+    each row of domain d with probability ``weights[d]`` (``default``
+    for unlisted domains), decided by md5(id) against a per-domain
+    threshold string.
+
+    The standard knob for mixing a training corpus ("downsample crawl
+    to 30%, keep curated sources whole"): reproducible across runs,
+    engines, and partitionings (the coin is the row's own id, no RNG
+    state), and executed as a pushed-down scan FILTER — no shuffle, no
+    sort, output streamed straight from the scan at any corpus size.
+    """
+    thr = None
+    for dom, p in sorted(weights.items()):
+        cond = F.col(domain_col) == dom
+        lit = F.lit(md5_threshold(p))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = F.lit(md5_threshold(default)) if thr is None else thr.otherwise(
+        F.lit(md5_threshold(default))
+    )
+    return docs.where(F.md5(F.col(id_col).cast("string")) < thr)

@@ -364,3 +364,39 @@ def q_curate_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
     score = F.length("text").cast("double") / (F.lit(1) + spaces)
     return C.quantile_filter(d, score, group_col="lang", drop_frac=0.25)
+
+
+_W_CRAWL = 0.2
+_W_MID = 0.5
+_T_CRAWL = C.md5_threshold(_W_CRAWL)
+_T_MID = C.md5_threshold(_W_MID)
+_T_FULL = C.md5_threshold(1.0)
+
+
+@query(
+    "q_curate_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+      CASE source
+        WHEN 'src0' THEN '{_T_CRAWL}'
+        WHEN 'src1' THEN '{_T_CRAWL}'
+        WHEN 'src2' THEN '{_T_MID}'
+        ELSE '{_T_FULL}'
+      END
+    """,
+)
+def q_curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain reweighting
+    (llm/curation.py:weighted_sample): downsample src0/src1 to 20%,
+    src2 to 50%, keep everything else — the mixture knob of a training
+    pipeline. The Bernoulli coin is md5(doc_id) compared against a
+    per-domain 32-hex threshold STRING (identical semantics on any
+    engine; no hex-to-int builtin differences), evaluated as a plain
+    scan filter: no shuffle, no RNG state, reproducible under any
+    partitioning."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return C.weighted_sample(
+        d, {"src0": _W_CRAWL, "src1": _W_CRAWL, "src2": _W_MID}, default=1.0
+    )

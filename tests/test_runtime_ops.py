@@ -262,3 +262,30 @@ def test_snapshot_diff_null_safe(spark):
     # k=1 unchanged, k=2 NULL==NULL unchanged, k=3 c->NULL update,
     # k=4 delete, k=5 insert
     assert got == {3: "update", 4: "delete", 5: "insert"}
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from csv2db_spark.llm.curation import weighted_sample
+
+    rows = [(i, "crawl" if i < 4000 else "books") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    w = {"crawl": 0.25, "books": 1.0}
+    a = weighted_sample(df, w).collect()
+    b = weighted_sample(df, w).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)  # no RNG
+    crawl = sum(1 for r in a if r.source == "crawl")
+    books = sum(1 for r in a if r.source == "books")
+    assert books == 1000  # default/1.0 keeps everything
+    assert 800 <= crawl <= 1200  # ~25% of 4000, md5-uniform
+
+
+def test_weighted_sample_zero_weight_drops_domain(spark):
+    from csv2db_spark.llm.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "junk" if i % 2 else "keep") for i in range(100)],
+        ["doc_id", "source"],
+    )
+    out = weighted_sample(df, {"junk": 0.0}).collect()
+    assert all(r.source == "keep" for r in out)
+    assert len(out) == 50
