@@ -400,3 +400,69 @@ def q_curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.weighted_sample(
         d, {"src0": _W_CRAWL, "src1": _W_CRAWL, "src2": _W_MID}, default=1.0
     )
+
+
+@query(
+    "q_pipeline_curation_v2",
+    oracle=f"""
+    WITH samp AS (
+      SELECT doc_id, text, lang, source FROM documents
+      WHERE md5(CAST(doc_id AS VARCHAR)) <
+        CASE source
+          WHEN 'src0' THEN '{_T_CRAWL}'
+          WHEN 'src1' THEN '{_T_CRAWL}'
+          WHEN 'src2' THEN '{_T_MID}'
+          ELSE '{_T_FULL}'
+        END
+    ),
+    scored AS (
+      SELECT doc_id, lang, text,
+             CAST(length(text) AS DOUBLE)
+               / (1 + length(text) - length(replace(text, ' ', '')))
+               AS score
+      FROM samp
+    ),
+    ranked AS (
+      SELECT doc_id, lang, text,
+             percent_rank() OVER (
+               PARTITION BY lang ORDER BY score, doc_id
+             ) AS pr
+      FROM scored
+    ),
+    kept AS (SELECT doc_id, lang, text FROM ranked WHERE pr >= 0.25),
+    exact AS (
+      SELECT lang, text, min(doc_id) AS doc_id FROM kept GROUP BY lang, text
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM exact
+    GROUP BY lang
+    """,
+)
+def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation stages composed end-to-end: weighted domain
+    sampling (downsample crawl-like sources) → per-language quantile
+    quality filter (drop the worst 25% of each language) → exact dedup
+    within (lang, text) → per-language document/token accounting. One
+    hash-checked result pins every stage's row-level decisions. All
+    stages are scan filters or single keyed shuffles — the pipeline's
+    cost at 100 TB is the dedup shuffle; everything before it only
+    shrinks the data."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    samp = C.weighted_sample(
+        d, {"src0": _W_CRAWL, "src1": _W_CRAWL, "src2": _W_MID}, default=1.0
+    )
+    spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+    score = F.length("text").cast("double") / (F.lit(1) + spaces)
+    kept_ids = C.quantile_filter(
+        samp, score, group_col="lang", drop_frac=0.25
+    ).select("doc_id")
+    kept = samp.join(kept_ids, "doc_id")
+    exact = kept.groupBy("lang", "text").agg(F.min("doc_id").alias("doc_id"))
+    return exact.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
