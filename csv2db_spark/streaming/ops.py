@@ -470,3 +470,71 @@ def static_enrich_join(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     state-store join (stream-stream with a static replay) or a
     key-bucketed layout."""
     return stream.join(F.broadcast(dim), on)
+
+
+def stream_rollup_to_parquet(
+    stream: DataFrame,
+    path: str,
+    agg_builder,
+    keys: list[str],
+    sums: list[str] | None = None,
+    counts: list[str] | None = None,
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
+    checkpoint: str | None = None,
+) -> None:
+    """Continuously maintain a standing rollup from a RAW stream: each
+    micro-batch is aggregated batch-locally by ``agg_builder(batch_df)``
+    (a partial aggregate at the rollup grain — proportional to the
+    batch, never to history) and folded into the parquet rollup store
+    with ``operators.merge.merge_aggregates`` — the streaming face of
+    incremental rollup maintenance. The batch aggregation happens
+    INSIDE foreachBatch precisely so each batch contributes disjoint
+    partials; a streaming groupBy in update mode would emit cumulative
+    rows and double-count on merge.
+
+    Store update is read-merge-rewrite of the rollup only (|groups|
+    rows), swapped in atomically via directory rename so a concurrent
+    reader sees a complete store. foreachBatch is at-least-once: with a
+    checkpoint, a crashed-then-replayed batch re-merges its partials —
+    treat the store as at-least-once unless upstream batching is
+    idempotent (e.g. one batch per time bucket). Exactness: decimal
+    measures merge losslessly, so the maintained store equals a
+    from-scratch aggregation of every row seen (asserted in
+    tests/test_streaming_ingest.py).
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from csv2db_spark.operators.merge import merge_aggregates
+
+    spark = stream.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        partial = agg_builder(batch_df)
+        if _os.path.isdir(path):
+            merged = merge_aggregates(
+                spark.read.parquet(path),
+                partial,
+                keys=keys,
+                sums=sums or [],
+                counts=counts or [],
+                mins=mins or [],
+                maxs=maxs or [],
+            )
+        else:
+            merged = partial
+        tmp = path + "._next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if _os.path.isdir(path):
+            old = path + "._old"
+            _os.rename(path, old)
+            _os.rename(tmp, path)
+            _shutil.rmtree(old)
+        else:
+            _os.rename(tmp, path)
+
+    w = stream.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    w.start().awaitTermination()

@@ -77,3 +77,45 @@ def test_streaming_ingest_headerless_by_ordinal(spark, tmp_path):
     out = streaming_ingest_csv(spark, str(watch), TARGET, has_header=False)
     got = run_to_df(out, spark, "append").collect()
     assert [tuple(r) for r in got] == [(5, 6, "z")]
+
+
+def test_stream_rollup_matches_batch_aggregation(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from csv2db_spark.sources import load_table
+    from csv2db_spark.streaming.ops import events_stream, stream_rollup_to_parquet
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.min("ts_i").alias("first_ts"),
+            F.max("ts_i").alias("last_ts"),
+        )
+
+    store = str(tmp_path / "rollup")
+    stream = events_stream(spark, sf_dir)
+    stream_rollup_to_parquet(
+        stream,
+        store,
+        agg_builder=partial,
+        keys=["event_type"],
+        sums=["sum_value"],
+        counts=["n_events"],
+        mins=["first_ts"],
+        maxs=["last_ts"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    # maintained store must equal one batch aggregation over everything
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_i", F.col("ts").cast("timestamp")
+    )
+    want = {
+        r.event_type: (r.n_events, r.sum_value, r.first_ts, r.last_ts)
+        for r in partial(ev).collect()
+    }
+    got = {
+        r.event_type: (r.n_events, r.sum_value, r.first_ts, r.last_ts)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == want
