@@ -266,3 +266,91 @@ def salient_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25-style ranked retrieval for a bag-of-terms query: top-k
+    documents by sum over query terms of
+
+        idf_rational(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))
+
+    with ``idf_rational = (N - df + 0.5) / (df + 0.5)`` — the classic
+    BM25 saturation/length normalization, but with the rational idf
+    core instead of its log (ln() differs in the last ulp between
+    Java's Math.log and C libm, which would break cross-engine hash
+    verification; the log is monotone in the rational core, so per-term
+    orderings agree, and the tradeoff is documented: very common terms
+    are downweighted more aggressively than under log-idf).
+
+    Every input to the float arithmetic is an exact integer (tf, df, N,
+    dl) except avgdl (one division) — evaluated in the same literal
+    expression shape on any engine, the scores are bit-identical.
+
+    Plan shape: one tokens explode filtered to the query terms BEFORE
+    any shuffle (the corpus-wide token table never materializes for
+    non-query terms), (doc, term) tf counts, a |terms|-row df broadcast,
+    a 1-row corpus-stats broadcast, and a TakeOrdered top-k with doc-id
+    tiebreak. Linear in corpus size, output k rows.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    )
+    dl = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+    )
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+        )
+    )
+    tf = (
+        toks.where(F.col("t").isin(*terms))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = F.broadcast(
+        tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    per_term = (
+        tf.join(df_t, "t")
+        .join(dl, id_col)
+        .crossJoin(stats)
+        .select(
+            F.col(id_col),
+            F.col("t"),
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("sc"),
+        )
+    )
+    # The per-document total adds per-term scores in the CALLER'S term
+    # order (conditional sums picked out one term at a time), not in
+    # whatever order the aggregate encounters rows — float addition is
+    # not associative, and a free-order sum would not hash-match the
+    # oracle's.
+    parts = [
+        F.coalesce(F.sum(F.when(F.col("t") == t, F.col("sc"))), F.lit(0.0))
+        for t in terms
+    ]
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return (
+        per_term.groupBy(id_col)
+        .agg(total.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

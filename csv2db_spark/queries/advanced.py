@@ -728,3 +728,65 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cohort_retention(ev, period="day")
+
+
+@query(
+    "q_events_zscore_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(v AS DECIMAL(38,0))) AS s,
+             sum(CAST(v AS DECIMAL(38,0)) * v) AS s2
+      FROM q GROUP BY event_type
+    )
+    SELECT q.event_id, q.event_type,
+           CAST(q.v AS DOUBLE) / 1000000 AS value
+    FROM q JOIN stats USING (event_type)
+    WHERE CAST((stats.n * q.v - stats.s) AS DECIMAL(38,0))
+          * (stats.n * q.v - stats.s)
+          > 9 * CAST((stats.n * stats.s2 - stats.s * stats.s)
+                     AS DECIMAL(38,0))
+    """,
+)
+def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outlier detection with EXACT integer arithmetic
+    — the monitoring/data-quality primitive, made hash-checkable. The
+    test |v - mean| > 3*sigma is squared and multiplied through by n²:
+    (n*v - s)² > 9 * (n*s2 - s²), where v is the value quantized to
+    fixed-point and (n, s, s2) are integer sufficient statistics — no
+    division, no sqrt, no float accumulation, so every engine flags
+    exactly the same rows at any partitioning. One map-side-combined
+    stats pass + one broadcast join of |groups| rows back onto the
+    scan."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("v"),
+    )
+    stats = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s2"),
+    )
+    dev = (F.col("n") * F.col("v") - F.col("s")).cast("decimal(38,0)")
+    var_n2 = (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast(
+        "decimal(38,0)"
+    )
+    return (
+        q.join(F.broadcast(stats), "event_type")
+        .where(dev * dev > 9 * var_n2)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("v").cast("double") / 1000000).alias("value"),
+        )
+    )

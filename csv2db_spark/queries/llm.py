@@ -899,3 +899,55 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cluster_id"), "v"
     )
     return semdedup_pairs(aug, cents, threshold=0.999, vec_col="v")
+
+
+@query(
+    "q_text_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks
+      WHERE t IN ('hash', 'vector', 'stream')
+      GROUP BY doc_id, t
+    ),
+    dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    per AS (
+      SELECT tf.doc_id, tf.t,
+             ((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75
+                * (dl.dl / (CAST(stats.total_dl AS DOUBLE) / stats.n_docs))))
+               AS sc
+      FROM tf
+      JOIN dft ON tf.t = dft.t
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           coalesce(sum(CASE WHEN t = 'hash' THEN sc END), 0.0)
+           + coalesce(sum(CASE WHEN t = 'vector' THEN sc END), 0.0)
+           + coalesce(sum(CASE WHEN t = 'stream' THEN sc END), 0.0) AS score
+    FROM per
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style ranked retrieval (llm/text.py:bm25_topk) for the query
+    {hash, vector, stream}: top-20 documents by rational-idf BM25 with
+    the standard k1=1.2 / b=0.75 saturation and length normalization.
+    Scores are bit-checked, not just rankings — possible because every
+    arithmetic input is an exact integer, the expression shape is
+    mirrored verbatim in the oracle, and the per-document total adds
+    per-term scores in a fixed order (float addition is not
+    associative)."""
+    from csv2db_spark.llm.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "vector", "stream"], k=20)
