@@ -354,3 +354,37 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def lexical_diversity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical diversity as the Simpson/Gini index
+    ``1 - Σ cnt_t² / total²`` over token counts — 0 for a one-token
+    document, approaching 1 for all-distinct tokens. The
+    entropy-flavored quality signal WITHOUT logs (ln differs in the
+    last ulp across libm implementations): both Σcnt² and total² are
+    exact integers, so the single final division is bit-identical on
+    any engine.
+
+    One explode → (doc, token) counts → per-doc integer aggregate;
+    both shuffles carry doc-keyed counts. Low-diversity documents
+    (boilerplate, keyword stuffing, generation loops) score near 0 and
+    are the rows a quality gate drops.
+    """
+    counts = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+        )
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (F.sum("cnt") * F.sum("cnt")).cast("double")
+        ).alias("simpson_diversity"),
+    )

@@ -951,3 +951,32 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, ["hash", "vector", "stream"], k=20)
+
+
+@query(
+    "q_text_lexical_diversity",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id, t, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           1.0 - CAST(sum(cnt * cnt) AS DOUBLE)
+                 / CAST(sum(cnt) * sum(cnt) AS DOUBLE) AS simpson_diversity
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Simpson lexical diversity
+    (llm/text.py:lexical_diversity): 1 - Σcnt²/total² over token counts
+    — the log-free diversity signal whose low end flags boilerplate and
+    generation loops. Integer cores, one final division: bit-exact on
+    both engines."""
+    from csv2db_spark.llm.text import lexical_diversity
+
+    return lexical_diversity(load_table(spark, sf_dir, "documents"))
