@@ -55,3 +55,36 @@ def test_minhash_signatures_partition_invariant(spark, sf_dir):
         )
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@pytest.mark.parametrize("nparts", [1, 64])
+def test_round4_gates_partition_invariant(spark, sf_dir, nparts):
+    """The round-4 analytic gates must produce IDENTICAL rows whatever
+    the physical distribution of their inputs — funnel joins, integer
+    sufficient statistics, fixed-order BM25 sums, and the quantile cut
+    all claim partition independence; this pins it."""
+    from csv2db_spark.registry import load_all_queries
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        Q = load_all_queries()
+        for name in (
+            "q_events_funnel",
+            "q_events_zscore_outliers",
+            "q_text_bm25_topk",
+            "q_curate_quantile_filter",
+            "q_text_lexical_diversity",
+        ):
+            got = sorted(
+                tuple(str(v) for v in row)
+                for row in Q[name].fn(spark, sf_dir).collect()
+            )
+            key = f"_r4_invariance_{name}"
+            baseline = _R4_BASELINES.setdefault(key, got)
+            assert got == baseline, f"{name} differs at {nparts} partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_R4_BASELINES: dict = {}
