@@ -790,3 +790,53 @@ def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v").cast("double") / 1000000).alias("value"),
         )
     )
+
+
+# ------------------------------------------------- data-skipping manifest
+
+_SKIP_DIR = "/tmp/csv2db_spark_skipping"
+
+
+@query(
+    "q_src_pruned_read",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {{}}
+    FROM orders
+    WHERE o_totalprice >= 100000 AND o_totalprice <= 200000
+    GROUP BY o_orderpriority
+    """.format("cast(sum(cast(o_totalprice as decimal(14,2))) as double) AS total_price"),
+)
+def q_src_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based data skipping (sources/skipping.py): orders are
+    laid out range-partitioned + sorted on o_totalprice
+    (sink.write_sorted_parquet), a (file, min, max) manifest is built,
+    and the band read opens ONLY the files whose span intersects — the
+    others are never listed into the scan. The oracle runs the same
+    band predicate on the raw table: pruning must be invisible in the
+    result. This is the Delta/Iceberg data-skipping core without the
+    table format; at 100 TB it removes the per-file open+footer tax
+    that dominates selective scans over millions of files."""
+    import os as _os
+
+    from csv2db_spark.sink import write_sorted_parquet
+    from csv2db_spark.sources.skipping import build_minmax_manifest, read_pruned
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    d = f"{_SKIP_DIR}_{sf_tag}"
+    if not _os.path.isdir(d):
+        write_sorted_parquet(
+            load_table(spark, sf_dir, "orders"),
+            d,
+            ["o_totalprice"],
+            target_files=8,
+        )
+    manifest = build_minmax_manifest(spark, d, ["o_totalprice"])
+    band = read_pruned(spark, manifest, "o_totalprice", 100000.0, 200000.0)
+    from csv2db_spark.functions.numeric import dec
+
+    return band.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("total_price"),
+    )

@@ -94,7 +94,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_graph_pagerank_step, q_join_bitset_prefilter, q_agg_incremental_merge,
 # q_events_funnel, q_events_cohort_retention, q_dedup_semdedup,
 # q_cdc_snapshot_diff, q_curate_weighted_sample, q_pipeline_curation_v2,
-# q_events_zscore_outliers, q_text_bm25_topk, q_text_lexical_diversity
+# q_events_zscore_outliers, q_text_bm25_topk, q_text_lexical_diversity,
+# q_src_pruned_read
 # (all driver-sim green at sf0.01 under a vanilla non-UTC session).
 
 

@@ -289,3 +289,40 @@ def test_weighted_sample_zero_weight_drops_domain(spark):
     out = weighted_sample(df, {"junk": 0.0}).collect()
     assert all(r.source == "keep" for r in out)
     assert len(out) == 50
+
+
+def test_minmax_manifest_prunes_files(spark, tmp_path):
+    from csv2db_spark.sink import write_sorted_parquet
+    from csv2db_spark.sources.skipping import build_minmax_manifest, read_pruned
+
+    src = str(tmp_path / "skip")
+    df = spark.range(0, 40000).selectExpr("id", "cast(id % 40000 as long) as k")
+    write_sorted_parquet(df, src, ["k"], target_files=8)
+    manifest = build_minmax_manifest(spark, src, ["k"])
+    assert manifest.count() == 8
+    # a narrow band must touch ~1 of 8 disjoint ranges
+    pruned = read_pruned(spark, manifest, "k", 1000, 1200)
+    import re
+
+    scans = pruned.select("k")._jdf.queryExecution().executedPlan().toString()
+    got = sorted(r.k for r in pruned.collect())
+    assert got == list(range(1000, 1201))
+    # verify fewer files fed the scan than exist (plan lists the paths)
+    n_paths = len(re.findall(r"part-", scans)) or None
+    if n_paths is not None:
+        assert n_paths < 8
+
+
+def test_read_pruned_empty_band_keeps_schema(spark, tmp_path):
+    from csv2db_spark.sink import write_sorted_parquet
+    from csv2db_spark.sources.skipping import build_minmax_manifest, read_pruned
+
+    src = str(tmp_path / "skip2")
+    write_sorted_parquet(
+        spark.range(0, 1000).selectExpr("id", "id * 2 as k"), src, ["k"],
+        target_files=4,
+    )
+    manifest = build_minmax_manifest(spark, src, ["k"])
+    out = read_pruned(spark, manifest, "k", 10_000_000, 20_000_000)
+    assert out.columns == ["id", "k"]
+    assert out.count() == 0
