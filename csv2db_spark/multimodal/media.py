@@ -241,3 +241,51 @@ def audio_active_segments(media: DataFrame, threshold: float = 105.0) -> DataFra
         F.max("win_idx").alias("end_win"),
         F.count(F.lit(1)).alias("n_windows"),
     )
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over the fake-decoded image
+    payload: the first 72 bytes stand in for an 8x9 grayscale thumbnail
+    and each hash bit is the integer comparison pixel[r,c] >
+    pixel[r,c+1] — the classic near-duplicate image signature, here
+    emitted as a 64-char bitstring so there is no arithmetic at all
+    (integer comparisons + concatenation: bit-exact on any engine, and
+    the DuckDB oracle can re-derive it from the text side of the synth
+    fixture). Arrow-batched mapInPandas like every decode-path op; a
+    real decoder swaps the byte window for actual luma pixels and
+    nothing else changes."""
+    out_schema = "media_id bigint, dhash string"
+
+    def hash_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.zeros(72, dtype=np.int16)
+                raw = np.frombuffer(payload[:72], dtype=np.uint8)
+                b[: raw.size] = raw
+                grid = b.reshape(8, 9)
+                bits = (grid[:, :8] > grid[:, 1:]).astype(np.uint8).ravel()
+                rows.append((mid, "".join("1" if x else "0" for x in bits)))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    imgs = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(hash_batch, out_schema)
+
+
+def dhash_duplicate_groups(media: DataFrame) -> DataFrame:
+    """Perceptual-duplicate groups: images sharing a dHash. One 8-byte-
+    key shuffle of (media_id, dhash); at 100 TB you extend matching to
+    hamming<=k with the same pigeonhole band join the SimHash dedup
+    uses (llm/dedup.py) — the signature column is format-compatible."""
+    h = image_dhash(media)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dhash")
+    return (
+        h.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .where(F.col("group_size") >= 2)
+        .select("media_id", "dhash", "group_size")
+    )

@@ -198,3 +198,95 @@ def q_mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2db_spark.multimodal import audio_active_segments
 
     return audio_active_segments(synth_media(spark, sf_dir))
+
+
+_DHASH_BITS = """(CASE WHEN (CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 3 THEN ord(substr(text, 3, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 3 THEN ord(substr(text, 3, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 4 THEN ord(substr(text, 4, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 4 THEN ord(substr(text, 4, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 5 THEN ord(substr(text, 5, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 5 THEN ord(substr(text, 5, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 6 THEN ord(substr(text, 6, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 6 THEN ord(substr(text, 6, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 7 THEN ord(substr(text, 7, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 7 THEN ord(substr(text, 7, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 8 THEN ord(substr(text, 8, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 8 THEN ord(substr(text, 8, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 9 THEN ord(substr(text, 9, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 10 THEN ord(substr(text, 10, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 11 THEN ord(substr(text, 11, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 11 THEN ord(substr(text, 11, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 12 THEN ord(substr(text, 12, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 12 THEN ord(substr(text, 12, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 13 THEN ord(substr(text, 13, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 13 THEN ord(substr(text, 13, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 14 THEN ord(substr(text, 14, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 14 THEN ord(substr(text, 14, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 15 THEN ord(substr(text, 15, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 15 THEN ord(substr(text, 15, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 16 THEN ord(substr(text, 16, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 16 THEN ord(substr(text, 16, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 17 THEN ord(substr(text, 17, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 17 THEN ord(substr(text, 17, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 18 THEN ord(substr(text, 18, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 19 THEN ord(substr(text, 19, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 20 THEN ord(substr(text, 20, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 20 THEN ord(substr(text, 20, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 21 THEN ord(substr(text, 21, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 21 THEN ord(substr(text, 21, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 22 THEN ord(substr(text, 22, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 22 THEN ord(substr(text, 22, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 23 THEN ord(substr(text, 23, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 23 THEN ord(substr(text, 23, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 24 THEN ord(substr(text, 24, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 24 THEN ord(substr(text, 24, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 25 THEN ord(substr(text, 25, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 25 THEN ord(substr(text, 25, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 26 THEN ord(substr(text, 26, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 26 THEN ord(substr(text, 26, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 27 THEN ord(substr(text, 27, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 28 THEN ord(substr(text, 28, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 29 THEN ord(substr(text, 29, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 29 THEN ord(substr(text, 29, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 30 THEN ord(substr(text, 30, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 30 THEN ord(substr(text, 30, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 31 THEN ord(substr(text, 31, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 31 THEN ord(substr(text, 31, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 32 THEN ord(substr(text, 32, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 32 THEN ord(substr(text, 32, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 33 THEN ord(substr(text, 33, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 33 THEN ord(substr(text, 33, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 34 THEN ord(substr(text, 34, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 34 THEN ord(substr(text, 34, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 35 THEN ord(substr(text, 35, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 35 THEN ord(substr(text, 35, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 36 THEN ord(substr(text, 36, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 37 THEN ord(substr(text, 37, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 38 THEN ord(substr(text, 38, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 38 THEN ord(substr(text, 38, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 39 THEN ord(substr(text, 39, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 39 THEN ord(substr(text, 39, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 40 THEN ord(substr(text, 40, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 40 THEN ord(substr(text, 40, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 41 THEN ord(substr(text, 41, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 41 THEN ord(substr(text, 41, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 42 THEN ord(substr(text, 42, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 42 THEN ord(substr(text, 42, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 43 THEN ord(substr(text, 43, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 43 THEN ord(substr(text, 43, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 44 THEN ord(substr(text, 44, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 44 THEN ord(substr(text, 44, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 45 THEN ord(substr(text, 45, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 46 THEN ord(substr(text, 46, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 47 THEN ord(substr(text, 47, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 47 THEN ord(substr(text, 47, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 48 THEN ord(substr(text, 48, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 48 THEN ord(substr(text, 48, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 49 THEN ord(substr(text, 49, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 49 THEN ord(substr(text, 49, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 50 THEN ord(substr(text, 50, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 50 THEN ord(substr(text, 50, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 51 THEN ord(substr(text, 51, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 51 THEN ord(substr(text, 51, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 52 THEN ord(substr(text, 52, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 52 THEN ord(substr(text, 52, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 53 THEN ord(substr(text, 53, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 53 THEN ord(substr(text, 53, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 54 THEN ord(substr(text, 54, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 55 THEN ord(substr(text, 55, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 56 THEN ord(substr(text, 56, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 56 THEN ord(substr(text, 56, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 57 THEN ord(substr(text, 57, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 57 THEN ord(substr(text, 57, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 58 THEN ord(substr(text, 58, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 58 THEN ord(substr(text, 58, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 59 THEN ord(substr(text, 59, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 59 THEN ord(substr(text, 59, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 60 THEN ord(substr(text, 60, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 60 THEN ord(substr(text, 60, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 61 THEN ord(substr(text, 61, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 61 THEN ord(substr(text, 61, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 62 THEN ord(substr(text, 62, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 62 THEN ord(substr(text, 62, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 63 THEN ord(substr(text, 63, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 64 THEN ord(substr(text, 64, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 65 THEN ord(substr(text, 65, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 65 THEN ord(substr(text, 65, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 66 THEN ord(substr(text, 66, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 66 THEN ord(substr(text, 66, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 67 THEN ord(substr(text, 67, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 67 THEN ord(substr(text, 67, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 68 THEN ord(substr(text, 68, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 68 THEN ord(substr(text, 68, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 69 THEN ord(substr(text, 69, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 69 THEN ord(substr(text, 69, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 70 THEN ord(substr(text, 70, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 70 THEN ord(substr(text, 70, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 71 THEN ord(substr(text, 71, 1)) ELSE 0 END) THEN '1' ELSE '0' END)
+        || (CASE WHEN (CASE WHEN length(text) >= 71 THEN ord(substr(text, 71, 1)) ELSE 0 END) > (CASE WHEN length(text) >= 72 THEN ord(substr(text, 72, 1)) ELSE 0 END) THEN '1' ELSE '0' END)"""
+
+
+@query(
+    "q_mm_dhash_dedup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             {_DHASH_BITS} AS dhash
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    g AS (SELECT dhash, count(*) AS group_size FROM h GROUP BY dhash)
+    SELECT h.media_id, h.dhash, g.group_size
+    FROM h JOIN g ON h.dhash = g.dhash
+    WHERE g.group_size >= 2
+    """,
+)
+def q_mm_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image groups by difference-hash
+    (multimodal/media.py:image_dhash): 64 integer pixel comparisons
+    concatenated to a bitstring — no arithmetic, so the mapInPandas
+    result is re-derivable exactly from the text side by the SQL
+    oracle. Groups of >= 2 sharing a dHash are the visual-dup clusters
+    a media curation pass collapses."""
+    from csv2db_spark.multimodal.media import dhash_duplicate_groups, synth_media
+
+    return dhash_duplicate_groups(synth_media(spark, sf_dir))
