@@ -319,3 +319,33 @@ def ingest_csv(
         else reconcile_by_index(df, target)
     )
     return cast_to_schema(aligned, target, on_error=on_error)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    fields: list[tuple[str, int]],
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """Fixed-width record file → typed-ready string columns: each line is
+    sliced at the caller's (name, width) offsets and whitespace-trimmed —
+    the mainframe/export format the CSV-only reference cannot load
+    (csv2db.go:80-113 assumes encoding/csv), expressed as one
+    ``spark.read.text`` scan plus substring/trim column expressions that
+    stay entirely inside whole-stage codegen.
+
+    The result is an all-string frame by design, exactly like the CSV
+    reader's (reference P4 semantics) — feed it through
+    ``reconcile_by_name`` / ``cast_to_schema`` for typed loading; empty
+    slices become empty strings and follow the same empty→NULL-iff-
+    nullable rule there. Scale: text files split by line ranges like any
+    Spark text source; no shuffle, no Python."""
+    lines = spark.read.text(path)
+    if encoding.upper() not in ("UTF-8", "UTF8", "US-ASCII", "ASCII"):
+        lines = spark.read.format("text").option("encoding", encoding).load(path)
+    cols = []
+    pos = 1
+    for name, width in fields:
+        cols.append(F.trim(F.substring(F.col("value"), pos, width)).alias(name))
+        pos += width
+    return lines.select(*cols)

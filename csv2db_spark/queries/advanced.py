@@ -840,3 +840,44 @@ def q_src_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("total_price"),
     )
+
+
+# ------------------------------------------------- fixed-width ingest
+
+_FW_PATH = "/tmp/csv2db_spark_fixedwidth.txt"
+_FW_FIELDS = [("rec_id", 6), ("name", 12), ("amount", 10), ("due", 10)]
+
+
+def _write_fw_fixture() -> None:
+    if os.path.exists(_FW_PATH):
+        return
+    with open(_FW_PATH + ".tmp", "w") as f:
+        for i in range(48):
+            f.write(
+                f"{i:>6d}{'item-' + str(i * 7 % 30):<12s}"
+                f"{(i * 137) % 9000 / 100:>10.2f}{f'2026-{i % 12 + 1:02d}-15':>10s}\n"
+            )
+    os.replace(_FW_PATH + ".tmp", _FW_PATH)
+
+
+@query(
+    "q_ingest_fixed_width",
+    oracle=f"""
+    SELECT trim(substr(line, 1, 6)) AS rec_id,
+           trim(substr(line, 7, 12)) AS name,
+           trim(substr(line, 19, 10)) AS amount,
+           trim(substr(line, 29, 10)) AS due
+    FROM read_csv('{_FW_PATH}', delim=chr(1), header=false,
+                  columns={{'line': 'VARCHAR'}})
+    """,
+)
+def q_ingest_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width record ingestion (ingest.py:read_fixed_width): lines
+    sliced at declared (name, width) offsets, whitespace-trimmed, as an
+    all-string frame ready for the reconcile/cast pipeline — the
+    mainframe-export format outside the CSV-only reference's reach. One
+    codegen'd text scan; the oracle slices the same bytes in SQL."""
+    from csv2db_spark.ingest import read_fixed_width
+
+    _write_fw_fixture()
+    return read_fixed_width(spark, _FW_PATH, _FW_FIELDS)
