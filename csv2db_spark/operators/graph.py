@@ -185,3 +185,44 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph — the
+    classic clustering/cohesion signal (and the canonical multi-way
+    self-join the optimizer must get right).
+
+    ``edges`` must hold each undirected edge once; orientation is
+    normalized here to (lo, hi). The count enumerates each triangle
+    exactly once via the ordered pattern e(a,b) ⋈ e(b,c) ⋈ e(a,c) with
+    a < b < c (inherited from the normalized orientation), then credits
+    all three corners. Returns (node, n_triangles) for nodes in >= 1
+    triangle.
+
+    Scale shape: two hash self-joins on single node keys. The join
+    order (wedge a-b-c first, closing edge last) makes the intermediate
+    the wedge set — at 100 TB you pre-filter high-degree nodes or use
+    degree-ordered orientation (each edge oriented toward the
+    higher-degree endpoint) to bound wedge counts; the relational shape
+    stays identical."""
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("lo"),
+        F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    ).distinct()
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("b2"), F.col("hi").alias("c2"))
+    e3 = e.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("c3")),
+        )
+        .select("a", "b", F.col("c2").alias("c"))
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

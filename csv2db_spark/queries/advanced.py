@@ -881,3 +881,59 @@ def q_ingest_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _write_fw_fixture()
     return read_fixed_width(spark, _FW_PATH, _FW_FIELDS)
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH p AS (
+      SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS w
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey
+      GROUP BY sa, sb
+    ),
+    t AS (SELECT count(*) AS np, sum(w) AS tw FROM p),
+    e AS (SELECT sa AS lo, sb AS hi FROM p, t WHERE w * np * 10 > 11 * tw),
+    tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1
+      JOIN e e2 ON e1.hi = e2.lo
+      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts (operators/graph.py:triangle_count)
+    over the co-supply graph: suppliers are linked when their pair
+    co-occurs in strictly more orders than 1.1x the average pair (a
+    relative cut, so the graph stays sparse at every SF — the compare is
+    pure integer cross-multiplication, no division). Triangles are the
+    cohesion signal; the enumeration is the canonical ordered 3-way
+    self-join, each triangle counted once and credited to all three
+    corners."""
+    from csv2db_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sb"))
+    pairs = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = F.broadcast(
+        pairs.agg(F.count(F.lit(1)).alias("np"), F.sum("w").alias("tw"))
+    )
+    edges = (
+        pairs.crossJoin(tot)
+        .where(F.col("w") * F.col("np") * 10 > 11 * F.col("tw"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+    return triangle_count(edges)

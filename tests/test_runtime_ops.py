@@ -326,3 +326,21 @@ def test_read_pruned_empty_band_keeps_schema(spark, tmp_path):
     out = read_pruned(spark, manifest, "k", 10_000_000, 20_000_000)
     assert out.columns == ["id", "k"]
     assert out.count() == 0
+
+
+def test_triangle_count_known_graph(spark):
+    from csv2db_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        ["src", "dst"],
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # orientation-insensitive: reversed edges give the identical answer
+    rev = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (3, 2), (4, 2), (4, 3), (5, 4)],
+        ["src", "dst"],
+    )
+    assert {r.node: r.n_triangles for r in triangle_count(rev).collect()} == got
