@@ -463,3 +463,46 @@ def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_order",
         "last_order",
     )
+
+
+@query(
+    "q_agg_mode_exact",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS modal_status, cnt AS n_rows
+    FROM (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY count(*) DESC, o_orderstatus
+             ) AS rn
+      FROM orders
+      GROUP BY o_orderpriority, o_orderstatus
+    )
+    WHERE rn = 1
+    """,
+)
+def q_agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent value, lexicographic
+    tie-break): the missing member of the aggregate family — argmax
+    over value counts, one count aggregate + a rank over the tiny
+    (group, value) table. Deterministic by construction; at 100 TB the
+    heavy shuffle is the count's (map-side combined), the window runs
+    on |groups x distinct values| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cnt").desc(), F.col("o_orderstatus")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("modal_status"),
+            F.col("cnt").alias("n_rows"),
+        )
+    )

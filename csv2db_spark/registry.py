@@ -95,7 +95,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_events_funnel, q_events_cohort_retention, q_dedup_semdedup,
 # q_cdc_snapshot_diff, q_curate_weighted_sample, q_pipeline_curation_v2,
 # q_events_zscore_outliers, q_text_bm25_topk, q_text_lexical_diversity,
-# q_src_pruned_read, q_mm_dhash_dedup, q_ingest_fixed_width, q_graph_triangles
+# q_src_pruned_read, q_mm_dhash_dedup, q_ingest_fixed_width, q_graph_triangles,
+# q_agg_mode_exact
 # (all driver-sim green at sf0.01 under a vanilla non-UTC session).
 
 
