@@ -220,26 +220,48 @@ def quantile_filter(
     bucket; a per-bucket quantile is self-calibrating).
 
     Ranks every document inside its group by (score, id) — the id
-    tiebreak makes percent_rank a distinct k/(n-1) rational per row, so
-    the cut is bit-deterministic on any engine and any partitioning —
-    and keeps rows at or above the ``drop_frac`` quantile. Returns
-    (id, group, quality_score, pr).
+    tiebreak makes the ordering total, so the cut is bit-deterministic
+    on any engine and any partitioning — and drops exactly
+    ``floor(drop_frac * n)`` lowest-ranked rows per group (a
+    row_number/count cut, NOT a percent_rank >= drop_frac test:
+    percent_rank is 0 for every group's minimum and for singletons, so
+    that cut always drops the group minimum, empties singletons, and
+    halves 2-row groups — over-dropping exactly the low-resource
+    buckets per-group quantiles exist to protect). With this cut a
+    group of n rows loses at most drop_frac of them: singletons are
+    kept, and groups smaller than 1/drop_frac lose nothing. Returns
+    (id, group, quality_score, pr) where pr is the conventional
+    percent_rank (k/(n-1)) for reporting.
 
-    Scale shape: ONE window shuffle keyed by the group column. Group
+    Scale shape: ONE window shuffle keyed by the group column (the
+    row_number and the group count share the same partitioning). Group
     skew (one language dominating a corpus) is real at 100 TB; the
     window only sorts within partitions of one group, so the mitigation
     is the standard range-partition + external sort Spark already does —
     no driver-side percentile collection, no second pass.
     """
     w = Window.partitionBy(group_col).orderBy(score.asc(), F.col(id_col).asc())
+    wg = Window.partitionBy(group_col)
     return (
         docs.select(
             F.col(id_col),
             F.col(group_col),
             score.alias("quality_score"),
-            F.percent_rank().over(w).alias("pr"),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wg).alias("_n"),
         )
-        .where(F.col("pr") >= F.lit(drop_frac))
+        .where(F.col("_rn") > F.floor(F.lit(drop_frac) * F.col("_n")))
+        .select(
+            id_col,
+            group_col,
+            "quality_score",
+            F.when(
+                F.col("_n") > 1,
+                (F.col("_rn") - 1).cast("double") / (F.col("_n") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
+        )
     )
 
 

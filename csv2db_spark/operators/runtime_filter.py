@@ -79,20 +79,38 @@ def bitset_prefilter_join(
             f"bitset prefilter preserves semantics only for inner/semi joins, got {how!r}"
         )
     m = 1 << log2m
-    words = F.broadcast(key_bitset(dim, dim_key, log2m=log2m))
+    # Collision-free helper names: suffix until no fact column starts with
+    # the prefix, so a fact that already carries _pos/_word_idx/_bits (or
+    # a previous prefilter's helpers) is never silently clobbered.
+    prefix = "_bsf"
+    while any(c.startswith(prefix) for c in fact.columns):
+        prefix += "x"
+    c_pos, c_widx, c_bits = f"{prefix}_pos", f"{prefix}_word_idx", f"{prefix}_bits"
+    words = F.broadcast(
+        key_bitset(dim, dim_key, log2m=log2m)
+        .withColumnRenamed("_word_idx", c_widx)
+        .withColumnRenamed("_bits", c_bits)
+    )
     pos = F.pmod(F.xxhash64(F.col(fact_key)), F.lit(m))
     pruned = (
-        fact.withColumn("_pos", pos)
-        .withColumn("_word_idx", (F.col("_pos") / 64).cast("long"))
+        fact.withColumn(c_pos, pos)
+        .withColumn(c_widx, (F.col(c_pos) / 64).cast("long"))
         # inner join on word index: a missing word means no dim key hashed
         # into that 64-bit span, so dropping the row is exactly right
-        .join(words, "_word_idx")
+        .join(words, c_widx)
         .where(
             F.expr(
-                "shiftrightunsigned(_bits, CAST(_pos % 64 AS INT)) & CAST(1 AS BIGINT)"
+                f"shiftrightunsigned({c_bits}, CAST({c_pos} % 64 AS INT))"
+                " & CAST(1 AS BIGINT)"
             )
             == 1
         )
-        .drop("_pos", "_word_idx", "_bits")
+        .drop(c_pos, c_widx, c_bits)
     )
-    return pruned.join(dim, F.col(fact_key) == F.col(dim_key), how)
+    # Qualified join: fact and dim commonly share the key name (both
+    # 'custkey'); unqualified F.col(fact_key) == F.col(dim_key) would
+    # raise AMBIGUOUS_REFERENCE in that case.
+    f, d = pruned.alias("_bsf_fact"), dim.alias("_bsf_dim")
+    return f.join(
+        d, F.col(f"_bsf_fact.{fact_key}") == F.col(f"_bsf_dim.{dim_key}"), how
+    )

@@ -735,23 +735,22 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT event_id, event_type,
-             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+             CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v
       FROM events
     ),
     stats AS (
       SELECT event_type,
-             count(*) AS n,
+             CAST(count(*) AS DECIMAL(38,0)) AS n,
              sum(CAST(v AS DECIMAL(38,0))) AS s,
              sum(CAST(v AS DECIMAL(38,0)) * v) AS s2
       FROM q GROUP BY event_type
     )
     SELECT q.event_id, q.event_type,
-           CAST(q.v AS DOUBLE) / 1000000 AS value
+           CAST(q.v AS DOUBLE) / 1000 AS value
     FROM q JOIN stats USING (event_type)
-    WHERE CAST((stats.n * q.v - stats.s) AS DECIMAL(38,0))
-          * (stats.n * q.v - stats.s)
-          > 9 * CAST((stats.n * stats.s2 - stats.s * stats.s)
-                     AS DECIMAL(38,0))
+    WHERE (stats.n * CAST(q.v AS DECIMAL(38,0)) - stats.s)
+          * (stats.n * CAST(q.v AS DECIMAL(38,0)) - stats.s)
+          > 9 * (stats.n * stats.s2 - stats.s * stats.s)
     """,
 )
 def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,33 +760,45 @@ def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n*v - s)² > 9 * (n*s2 - s²), where v is the value quantized to
     fixed-point and (n, s, s2) are integer sufficient statistics — no
     division, no sqrt, no float accumulation, so every engine flags
-    exactly the same rows at any partitioning. One map-side-combined
-    stats pass + one broadcast join of |groups| rows back onto the
-    scan."""
+    exactly the same rows at any partitioning.
+
+    Overflow discipline (the "exact at any scale" contract): n and v are
+    cast to DECIMAL(38,0) BEFORE every multiply — never long*long, which
+    Spark would silently wrap (non-ANSI) while DuckDB errors. All
+    intermediates then stay inside precision 38 as long as
+    n * max|v| <= 1.5e18: dev = n*v - s is bounded by 2*n*max|v| = 3e18,
+    dev^2 <= 9e36 (37 digits), and 9*(n*s2 - s^2) <= 9*(n*max|v|)^2 ~
+    2e37. With the 10^3 quantization that means 3*10^12 rows per group
+    at |value| <= 500 — a full 100 TB events table — before any
+    intermediate can overflow (Spark would null-and-drop, DuckDB would
+    error; neither happens inside the documented domain). One
+    map-side-combined stats pass + one broadcast join of |groups| rows
+    back onto the scan."""
     ev = load_table(spark, sf_dir, "events")
+    # decimal(18,3)*1000 is integral by construction, so the cast to long
+    # is exact on both engines (no round-vs-truncate divergence).
     q = ev.select(
         "event_id",
         "event_type",
-        (F.col("value").cast("decimal(18,6)") * 1000000)
+        (F.col("value").cast("decimal(18,3)") * 1000)
         .cast("long")
         .alias("v"),
     )
     stats = q.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
         F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s2"),
     )
-    dev = (F.col("n") * F.col("v") - F.col("s")).cast("decimal(38,0)")
-    var_n2 = (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast(
-        "decimal(38,0)"
-    )
+    vdec = F.col("v").cast("decimal(38,0)")
+    dev = F.col("n") * vdec - F.col("s")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
     return (
         q.join(F.broadcast(stats), "event_type")
         .where(dev * dev > 9 * var_n2)
         .select(
             "event_id",
             "event_type",
-            (F.col("v").cast("double") / 1000000).alias("value"),
+            (F.col("v").cast("double") / 1000).alias("value"),
         )
     )
 

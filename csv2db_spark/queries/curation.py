@@ -335,11 +335,16 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_curate_quantile_filter",
     oracle="""
-    SELECT doc_id, lang, quality_score, pr FROM (
+    SELECT doc_id, lang, quality_score,
+           CASE WHEN n > 1
+                THEN CAST(rn - 1 AS DOUBLE) / (n - 1)
+                ELSE 0.0 END AS pr
+    FROM (
       SELECT doc_id, lang, quality_score,
-             percent_rank() OVER (
+             row_number() OVER (
                PARTITION BY lang ORDER BY quality_score, doc_id
-             ) AS pr
+             ) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
       FROM (
         SELECT doc_id, lang,
                CAST(length(text) AS DOUBLE)
@@ -348,18 +353,19 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
       )
     )
-    WHERE pr >= 0.25
+    WHERE rn > floor(0.25 * n)
     """,
 )
 def q_curate_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quantile filtering (llm/curation.py:quantile_filter):
-    drop the bottom quarter of each language bucket by a quality score —
+    drop the worst quarter of each language bucket by a quality score —
     here mean word length (chars per whitespace token), an
     integer-arithmetic score identical on both engines. Per-bucket
     quantiles self-calibrate where a global threshold would gut
-    low-resource languages. One window shuffle keyed by lang; the
-    (score, doc_id) ordering makes every percent_rank a distinct
-    k/(n-1), so the cut is bit-deterministic."""
+    low-resource languages. The cut drops exactly floor(0.25*n) rows
+    per group (row_number/count, integer-exact — small groups are never
+    over-dropped). One window shuffle keyed by lang; the (score,
+    doc_id) ordering is total, so the cut is bit-deterministic."""
     d = load_table(spark, sf_dir, "documents")
     spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
     score = F.length("text").cast("double") / (F.lit(1) + spaces)
@@ -424,12 +430,15 @@ def q_curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT doc_id, lang, text,
-             percent_rank() OVER (
+             row_number() OVER (
                PARTITION BY lang ORDER BY score, doc_id
-             ) AS pr
+             ) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
       FROM scored
     ),
-    kept AS (SELECT doc_id, lang, text FROM ranked WHERE pr >= 0.25),
+    kept AS (
+      SELECT doc_id, lang, text FROM ranked WHERE rn > floor(0.25 * n)
+    ),
     exact AS (
       SELECT lang, text, min(doc_id) AS doc_id FROM kept GROUP BY lang, text
     )

@@ -448,13 +448,25 @@ def compact_parquet(
     file and the scheduler drowns in splits. Compaction = one read +
     one write sized from the ACTUAL on-disk bytes (directory listing,
     not a row-count guess — compression survives the round trip).
-    Rewrites into a sibling directory then atomically swaps via rename,
-    so a concurrent reader sees old or new layout, never a mix.
-    ``sort_cols`` optionally re-sorts during the rewrite (same win as
-    write_sorted_parquet) — compaction is the natural moment to fix
-    layout, the data is moving anyway.
+    Rewrites into a sibling directory then swaps via two renames.
+    Visibility caveat: the swap is NOT atomic — between
+    rename(path -> path._old) and rename(tmp -> path) the directory
+    briefly does not exist, so a reader racing the swap can fail with
+    path-not-found (it never sees a MIX of layouts, each rename is
+    atomic). The gap is two rename syscalls wide; true atomicity needs a
+    symlink flip or a table-format commit (Delta/Iceberg). A crash
+    inside the gap is recovered on the next call: if ``path`` is missing
+    but ``path._old`` survives, the old layout is restored before
+    compacting. ``sort_cols`` optionally re-sorts during the rewrite
+    (same win as write_sorted_parquet) — compaction is the natural
+    moment to fix layout, the data is moving anyway.
     """
     p = Path(path)
+    old = str(p) + "._old"
+    if not p.exists() and os.path.isdir(old):
+        # crash landed between the two renames of a previous swap:
+        # restore the stranded old layout so no data is lost
+        os.rename(old, str(p))
     in_files = list(p.glob("*.parquet"))
     if not in_files:
         # a hive-partitioned dir has no top-level files; rewriting it flat
@@ -474,7 +486,6 @@ def compact_parquet(
         out = df.coalesce(n_files) if len(in_files) > n_files else df
     tmp = str(p) + "._compact"
     out.write.mode("overwrite").parquet(tmp)
-    old = str(p) + "._old"
     os.rename(str(p), old)
     os.rename(tmp, str(p))
     shutil.rmtree(old)

@@ -494,14 +494,23 @@ def stream_rollup_to_parquet(
     rows and double-count on merge.
 
     Store update is read-merge-rewrite of the rollup only (|groups|
-    rows), swapped in atomically via directory rename so a concurrent
-    reader sees a complete store. foreachBatch is at-least-once: with a
-    checkpoint, a crashed-then-replayed batch re-merges its partials —
-    treat the store as at-least-once unless upstream batching is
-    idempotent (e.g. one batch per time bucket). Exactness: decimal
-    measures merge losslessly, so the maintained store equals a
-    from-scratch aggregation of every row seen (asserted in
-    tests/test_streaming_ingest.py).
+    rows), swapped in via two renames (each atomic; between them the
+    store path briefly does not exist — a racing reader can get
+    path-not-found but never a mixed layout; a crash in the gap is
+    restored from ``path._old`` on the next batch).
+
+    Exactly-once fold: foreachBatch itself is at-least-once (a crash
+    between the store swap and the checkpoint commit replays the batch),
+    so the fold persists the last-merged ``batch_id`` in a
+    ``_last_batch_id`` sidecar WRITTEN INTO the new store directory
+    before the swap — store and marker commit together under one
+    rename, and a replayed batch (id <= marker) is skipped instead of
+    double-counted. The marker is scoped to the checkpoint: reusing an
+    existing store with a FRESH checkpoint restarts batch ids at 0, so
+    clear the store (or the marker) when you clear the checkpoint.
+    Exactness: decimal measures merge losslessly, so the maintained
+    store equals a from-scratch aggregation of every row seen (asserted
+    in tests/test_streaming_ingest.py, including the replay case).
     """
     import os as _os
     import shutil as _shutil
@@ -509,13 +518,32 @@ def stream_rollup_to_parquet(
     from csv2db_spark.operators.merge import merge_aggregates
 
     spark = stream.sparkSession
+    marker = "_last_batch_id"  # "_" prefix: invisible to parquet readers
+
+    def _last_folded() -> int | None:
+        try:
+            with open(_os.path.join(path, marker)) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        partial = agg_builder(batch_df)
+        old = path + "._old"
+        tmp = path + "._next"
+        if not _os.path.isdir(path) and _os.path.isdir(old):
+            # crash landed between the two swap renames: restore the
+            # pre-merge store; the replayed batch re-merges below
+            _os.rename(old, path)
+        if _os.path.isdir(old):
+            # crash landed after the swap, before cleanup
+            _shutil.rmtree(old)
         if _os.path.isdir(path):
+            last = _last_folded()
+            if last is not None and batch_id <= last:
+                return  # replayed batch already folded — idempotent skip
             merged = merge_aggregates(
                 spark.read.parquet(path),
-                partial,
+                agg_builder(batch_df),
                 keys=keys,
                 sums=sums or [],
                 counts=counts or [],
@@ -523,11 +551,11 @@ def stream_rollup_to_parquet(
                 maxs=maxs or [],
             )
         else:
-            merged = partial
-        tmp = path + "._next"
+            merged = agg_builder(batch_df)
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        with open(_os.path.join(tmp, marker), "w") as fh:
+            fh.write(str(batch_id))
         if _os.path.isdir(path):
-            old = path + "._old"
             _os.rename(path, old)
             _os.rename(tmp, path)
             _shutil.rmtree(old)

@@ -55,14 +55,18 @@ def test_quantile_filter_keeps_top_ranks(spark, sizes, drop_frac):
     df = spark.createDataFrame(rows, ["doc_id", "lang", "s"])
     kept = quantile_filter(df, F.col("s"), group_col="lang", drop_frac=drop_frac)
     out = kept.toPandas()
+    import math
+
     for g, n in enumerate(sizes):
         grp = [r for r in rows if r[1] == f"g{g}"]
-        # replicate the cut: distinct ranks k/(n-1) over (score, doc_id)
+        # replicate the cut: drop exactly floor(drop_frac * n) lowest
+        # rows ordered by (score, doc_id)
         ordered = sorted(grp, key=lambda r: (r[2], r[0]))
-        expect = {
-            r[0]
-            for k, r in enumerate(ordered)
-            if n == 1 and drop_frac == 0.0 or (n > 1 and k / (n - 1) >= drop_frac)
-        }
+        n_drop = math.floor(drop_frac * n)
+        expect = {r[0] for r in ordered[n_drop:]}
         got = set(out[out.lang == f"g{g}"]["doc_id"].tolist())
         assert got == expect, f"group g{g} n={n} drop={drop_frac}"
+        # the contract the old percent_rank cut violated: never lose
+        # more than drop_frac of a group, and never empty a group
+        assert len(expect) >= n - drop_frac * n
+        assert expect

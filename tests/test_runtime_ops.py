@@ -107,11 +107,9 @@ def test_quantile_filter_drops_bottom_fraction(spark):
     out = kept.toPandas()
     a = out[out.lang == "a"]["doc_id"].tolist()
     b = out[out.lang == "b"]["doc_id"].tolist()
-    # group a: 80 docs, scores 0..79 -> pr >= .25 keeps doc_id >= 20 (
-    # percent_rank of doc 20 is 20/79 > .25? 20/79=0.253 yes; doc 19 is
-    # 19/79=0.2405 dropped)
+    # group a: 80 docs, scores 0..79 -> drop floor(.25*80)=20 lowest
     assert min(a) == 20 and len(a) == 60
-    # group b: 20 docs, ranks k/19; keep k/19 >= .25 -> k >= 5 (5/19=0.263)
+    # group b: 20 docs -> drop floor(.25*20)=5 lowest
     assert min(b) == 85 and len(b) == 15
 
 

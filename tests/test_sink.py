@@ -219,3 +219,20 @@ def test_compact_parquet_rejects_partitioned_dir(spark, tmp_path):
         pass
     else:
         raise AssertionError("partitioned dir must be rejected, not flattened")
+
+
+def test_compact_parquet_recovers_stranded_old_dir(spark, tmp_path):
+    # a crash between the two swap renames leaves the data under
+    # path._old and no path; the next call must restore it, not fail
+    # or lose rows
+    import os
+
+    from csv2db_spark.sink import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(1000).repartition(8).write.parquet(path)
+    want = 1000
+    os.rename(path, path + "._old")  # simulate the mid-swap crash
+    compact_parquet(spark, path, target_mb=128)
+    assert spark.read.parquet(path).count() == want
+    assert not os.path.isdir(path + "._old")

@@ -119,3 +119,60 @@ def test_stream_rollup_matches_batch_aggregation(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(store).collect()
     }
     assert got == want
+
+
+def test_stream_rollup_replay_is_idempotent(spark, sf_dir, tmp_path):
+    # foreachBatch is at-least-once: a crash between the store swap and
+    # the checkpoint commit replays the batch on restart. The persisted
+    # _last_batch_id marker must make the fold skip the replay instead
+    # of double-counting it.
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from csv2db_spark.streaming.ops import events_stream, stream_rollup_to_parquet
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+
+    store = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(
+        agg_builder=partial,
+        keys=["event_type"],
+        sums=["sum_value"],
+        counts=["n_events"],
+        checkpoint=ckpt,
+    )
+    stream_rollup_to_parquet(events_stream(spark, sf_dir), store, **kwargs)
+    before = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in spark.read.parquet(store).collect()
+    }
+    # simulate the crash: drop the last commit marker so Spark replays
+    # the final batch (same offsets, same data) on the next start
+    commits = sorted(
+        c
+        for c in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if not os.path.basename(c).startswith(".")
+    )
+    assert commits, "checkpoint recorded no commits"
+    os.remove(commits[-1])
+    # drop the Hadoop local-FS checksum sidecar too, or the recreate of
+    # the commit file fails and masquerades as a concurrent-query error
+    crc = os.path.join(
+        os.path.dirname(commits[-1]),
+        "." + os.path.basename(commits[-1]) + ".crc",
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream_rollup_to_parquet(events_stream(spark, sf_dir), store, **kwargs)
+    after = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert after == before  # replayed batch folded once, not twice
