@@ -85,3 +85,33 @@ def countmin_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def approx_top_k(
+    items: DataFrame, item_col: str = "item", k: int = 10,
+    d: int = 4, w: int = 256,
+) -> DataFrame:
+    """Approximate heavy hitters: the k most frequent items by count-min
+    estimate, ties broken by item ascending — a total order, so the
+    result is deterministic and hash-checkable (the DuckDB oracle
+    rebuilds the identical sketch).
+
+    Estimates are upper bounds (est >= true count always; equality when
+    none of an item's d cells collide), so every TRUE heavy hitter is in
+    the candidate ranking — count-min can promote a light item, never
+    demote a heavy one.
+
+    Scale shape: the sketch build shuffles at most d*w combined cells
+    per partition regardless of corpus size; the candidate pass is one
+    map-side-combined groupBy(item) to get distinct items, a broadcast
+    join against the d*w-cell sketch, and a TakeOrdered top-k (per
+    partition heap + k-row driver merge — never a global sort). For a
+    vocabulary too large even for the distinct pass, feed ``items``
+    pre-filtered by a cheap threshold; the sketch itself never grows.
+    """
+    sketch = countmin_build(items, item_col, d=d, w=w)
+    distinct = items.select(item_col).distinct()
+    est = countmin_estimate(sketch, distinct, item_col, d=d, w=w)
+    return est.orderBy(
+        F.col("est_count").desc(), F.col(item_col).asc()
+    ).limit(k)

@@ -618,6 +618,58 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPK_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS item FROM documents
+),
+h AS (
+  SELECT item,
+         CAST('0x' || substr(md5(item), 1, 12) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(item), 13, 12) AS BIGINT) AS h2
+  FROM toks
+),
+cells AS (
+  SELECT j, ((h1 + j * h2) % {0}) % 256 AS bucket, count(*) AS cnt
+  FROM (SELECT item, unnest(range(0, 4)) AS j, h1, h2 FROM h)
+  GROUP BY 1, 2
+),
+di AS (SELECT DISTINCT item FROM toks),
+pe AS (
+  SELECT di.item, q.j,
+         ((CAST('0x' || substr(md5(di.item), 1, 12) AS BIGINT)
+           + q.j * CAST('0x' || substr(md5(di.item), 13, 12) AS BIGINT))
+          % {0}) % 256 AS bucket
+  FROM di, (SELECT unnest(range(0, 4)) AS j) q
+),
+est AS (
+  SELECT pe.item,
+         CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est_count
+  FROM pe LEFT JOIN cells ON pe.j = cells.j AND pe.bucket = cells.bucket
+  GROUP BY 1
+)
+SELECT item, est_count FROM est
+ORDER BY est_count DESC, item LIMIT 15
+"""
+
+
+@query("q_agg_approx_topk", oracle=_TOPK_SQL.replace("{0}", str(CMS_P)))
+def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (operators/sketch.py:approx_top_k): the
+    15 most frequent document tokens ranked by count-min estimate with
+    an item-ascending tiebreak — a TOTAL order, so the k-row cut is
+    deterministic and the DuckDB oracle (same sketch, same hashing,
+    same order) hash-matches exactly. Estimates are upper bounds: a
+    true heavy hitter can never be pushed OUT of the ranking by a
+    collision. Sketch shuffle is bounded by 4x256 cells per partition
+    at any corpus size; top-k is TakeOrdered, never a global sort."""
+    from csv2db_spark.operators.sketch import approx_top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("item"))
+    out = approx_top_k(toks, k=15, d=4, w=256)
+    return out.select("item", F.col("est_count").cast("long").alias("est_count"))
+
+
 @query(
     "q_graph_pagerank_step",
     oracle="""

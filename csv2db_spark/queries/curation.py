@@ -475,3 +475,158 @@ def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
     )
+
+
+# ------------------------------------------------- URL / domain dedup
+
+# The fixtures carry no URL column, so the gates synthesize a
+# deterministic URL per document from fixture fields — the SAME
+# expression on both engines — exercising every canonicalization rule:
+# uppercase scheme/host, www., default port, trailing slash, tracking
+# params, unsorted query, fragment.
+_SYNTH_URL_SQL = """concat(
+      'HTTPS://',
+      CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      'Site-', CAST(doc_id % 50 AS VARCHAR), '.Example.COM',
+      CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+      '/Docs/', lang, '/page-', CAST(doc_id % 200 AS VARCHAR),
+      CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+      '?b=2&utm_source=feed&a=1',
+      CASE WHEN doc_id % 5 = 0 THEN '&gclid=xyz' ELSE '' END,
+      '#sec-', CAST(doc_id AS VARCHAR))"""
+
+# DuckDB replica of llm/web.py:canonical_url over the synthesized urls:
+# produces CTE `canon` with (doc_id, canon_url)
+_CANON_SQL = f"""
+    urls AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+    st AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u FROM urls),
+    pp AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+          AS hostport,
+        regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+          AS rest
+      FROM st),
+    p2 AS (
+      SELECT doc_id, url, scheme,
+        CASE WHEN scheme = 'http'
+               THEN regexp_replace(
+                      regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+             WHEN scheme = 'https'
+               THEN regexp_replace(
+                      regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+             ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+        regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+          AS path0,
+        regexp_extract(rest, '\\?(.*)$', 1) AS query
+      FROM pp),
+    p3 AS (
+      SELECT doc_id, url, scheme, host,
+        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        array_to_string(list_sort(list_filter(string_split(query, '&'),
+          x -> x <> '' AND NOT regexp_matches(x,
+            '^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)=')
+        )), '&') AS qs
+      FROM p2),
+    canon AS (
+      SELECT doc_id,
+        CASE WHEN scheme = '' THEN url
+             ELSE concat(scheme, '://', host, path,
+                    CASE WHEN qs = '' THEN ''
+                         ELSE concat('?', qs) END) END AS canon_url
+      FROM p3)
+"""
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site-"),
+        (did % 50).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(did % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        (did % 200).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?b=2&utm_source=feed&a=1"),
+        F.when(did % 5 == 0, F.lit("&gclid=xyz")).otherwise(F.lit("")),
+        F.lit("#sec-"),
+        did.cast("string"),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+@query(
+    "q_curate_url_canonicalize",
+    oracle=f"WITH {_CANON_SQL.strip()} SELECT doc_id, canon_url FROM canon",
+)
+def q_curate_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (llm/web.py:canonical_url): per-document
+    canonical form — scheme/host lowercased, www. and default port
+    dropped, fragment and tracking params removed, query params sorted,
+    trailing slash stripped. Hash-checked ROW BY ROW against a DuckDB
+    replica of the same rules, so every regex and the param-sort order
+    are pinned. Pure scan-stage projection: no shuffle, no UDF — at
+    100 TB canonicalization is free relative to the read."""
+    from csv2db_spark.llm.web import canonical_url
+
+    docs = _docs_with_urls(spark, sf_dir)
+    return docs.select(
+        "doc_id", canonical_url(F.col("url")).alias("canon_url")
+    )
+
+
+@query(
+    "q_curate_url_dedup",
+    oracle=f"""
+    WITH {_CANON_SQL.strip()}
+    SELECT canon_url, min(doc_id) AS keeper_id, count(*) AS n_dupes
+    FROM canon GROUP BY canon_url
+    """,
+)
+def q_curate_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (llm/web.py:url_dedup): group refetch variants of
+    the same page (case, ports, www, tracking params, param order,
+    trailing slash, fragments) under their canonical URL; keeper is the
+    smallest doc_id — deterministic. The synthesized corpus collapses
+    ~10x (doc_id mod 200 x lang), a realistic crawl dedup rate. One
+    map-side-combined shuffle on the canonical string."""
+    from csv2db_spark.llm.web import url_dedup
+
+    return url_dedup(_docs_with_urls(spark, sf_dir))
+
+
+@query(
+    "q_curate_domain_stats",
+    oracle=f"""
+    WITH {_CANON_SQL.strip()},
+    per_url AS (
+      SELECT canon_url, count(*) AS n_pages FROM canon GROUP BY canon_url
+    )
+    SELECT
+      regexp_replace(regexp_replace(lower(regexp_extract(canon_url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''),
+        ':[0-9]+$', '') AS domain,
+      CAST(sum(n_pages) AS BIGINT) AS n_pages,
+      count(*) AS n_urls,
+      CAST(sum(n_pages) AS DOUBLE) / count(*) AS pages_per_url
+    FROM per_url GROUP BY 1
+    """,
+)
+def q_curate_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level crawl accounting (llm/web.py:domain_stats): per
+    registered host, page fetches vs distinct canonical URLs and their
+    ratio — the signal behind per-domain caps and mirror detection.
+    pages_per_url is ONE IEEE double division of exact integers, so it
+    hash-compares bit-for-bit. Inner rollup reuses the URL-dedup
+    shuffle; the outer aggregate is |distinct urls| rows."""
+    from csv2db_spark.llm.web import domain_stats
+
+    return domain_stats(_docs_with_urls(spark, sf_dir))

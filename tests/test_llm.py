@@ -206,3 +206,99 @@ def test_fuzzy_pairs_hot_bucket_cap(spark):
     assert all(r.dist == 0 for r in out)
     uncapped = D.fuzzy_pairs(df, max_bucket=None).count()
     assert uncapped == 100 * 99 // 2  # every pair is ED<=1 here
+
+
+# ------------------------------------------------- URL canonicalization
+
+
+def test_canonical_url_rules(spark):
+    from csv2db_spark.llm.web import canonical_url
+
+    import pyspark.sql.functions as F
+
+    cases = [
+        # scheme+host case, www, https default port, fragment
+        ("HTTPS://WWW.Ex.COM:443/A/b#frag", "https://ex.com/A/b"),
+        # http default port kept-path case-sensitivity
+        ("http://Ex.com:80/Path/", "http://ex.com/Path"),
+        # non-default port survives
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),
+        # tracking params dropped, rest sorted
+        ("https://ex.com/p?z=1&utm_source=a&a=2&gclid=g", "https://ex.com/p?a=2&z=1"),
+        # all params dropped -> no '?'
+        ("https://ex.com/p?utm_campaign=c", "https://ex.com/p"),
+        # empty path -> '/'
+        ("https://ex.com", "https://ex.com/"),
+        # repeated trailing slashes
+        ("https://ex.com/a///", "https://ex.com/a"),
+        # non-URL strings pass through untouched
+        ("not a url", "not a url"),
+        ("relative/path?utm_source=x", "relative/path?utm_source=x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [
+        r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_canonical_url_idempotent(spark):
+    # canonical(canonical(x)) == canonical(x): a second pass is a no-op
+    from csv2db_spark.llm.web import canonical_url
+
+    import pyspark.sql.functions as F
+
+    urls = [
+        "HTTPS://WWW.Ex.COM:443/A/b/?b=2&utm_source=f&a=1#x",
+        "http://ex.com:80",
+        "plain string",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r.c1 == r.c2
+
+
+def test_url_dedup_and_domain_stats(spark):
+    from csv2db_spark.llm.web import domain_stats, url_dedup
+
+    rows = [
+        (1, "https://a.com/x?utm_source=1"),
+        (2, "HTTPS://WWW.A.com:443/x/"),   # same page as 1
+        (3, "https://a.com/y"),
+        (4, "http://b.org/z#frag"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    dd = {r.canon_url: (r.keeper_id, r.n_dupes) for r in url_dedup(df).collect()}
+    assert dd["https://a.com/x"] == (1, 2)
+    assert dd["https://a.com/y"] == (3, 1)
+    assert dd["http://b.org/z"] == (4, 1)
+    ds = {r.domain: (r.n_pages, r.n_urls) for r in domain_stats(df).collect()}
+    assert ds == {"a.com": (3, 2), "b.org": (1, 1)}
+
+
+def test_approx_topk_upper_bound_and_order(spark):
+    # count-min estimates are upper bounds on true counts, and the
+    # (est desc, item asc) order is total -> deterministic cut
+    import pyspark.sql.functions as F
+
+    from csv2db_spark.operators.sketch import approx_top_k
+
+    rows = [(f"w{i % 23}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, ["item"])
+    true = {
+        r.item: r.n
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    top = approx_top_k(df, k=5, d=4, w=256).collect()
+    assert top[0].item == "hot"  # the genuine heavy hitter leads
+    for r in top:
+        assert r.est_count >= true[r.item]  # never underestimates
+    # deterministic under repartitioning
+    top64 = approx_top_k(df.repartition(64), k=5, d=4, w=256).collect()
+    assert [(r.item, r.est_count) for r in top] == [
+        (r.item, r.est_count) for r in top64
+    ]
