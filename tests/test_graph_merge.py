@@ -46,3 +46,64 @@ def test_upsert_rejects_schema_mismatch(spark):
     changes = spark.createDataFrame([(1, "a", 2)], ["k", "v", "extra"])
     with pytest.raises(ValueError):
         upsert(base, changes, ["k"])
+
+
+def test_star_cc_matches_min_label_on_assorted_graphs(spark):
+    from csv2db_spark.operators.graph import connected_components_star
+
+    cases = [
+        # chain + islands + reversed pair (same as the min-label test)
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        # triangle with a tail, plus a self-loop that must be ignored
+        [(5, 6), (6, 7), (7, 5), (7, 8), (9, 9)],
+        # two components joined late by a bridge edge
+        [(1, 2), (3, 4), (2, 3)],
+        # duplicate and reoriented edges
+        [(1, 2), (2, 1), (1, 2), (4, 3)],
+    ]
+    for rows in cases:
+        edges = spark.createDataFrame(rows, ["src", "dst"])
+        want = {
+            r.node: r.component for r in connected_components(edges).collect()
+        }
+        got = {
+            r.node: r.component
+            for r in connected_components_star(edges).collect()
+        }
+        assert got == want, rows
+
+
+def test_star_cc_path_converges_in_log_rounds(spark):
+    # a 200-node path has diameter 199: min-label propagation needs ~200
+    # rounds; star contraction must finish in O(log n) — the reason the
+    # variant exists
+    from csv2db_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], ["src", "dst"]
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components_star(edges, max_iter=15).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 200
+    assert connected_components_star.last_rounds <= 10
+
+
+def test_star_cc_random_graph_matches(spark):
+    import random
+
+    from csv2db_spark.operators.graph import connected_components_star
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(90)
+    ]
+    rows = [(a, b) for a, b in rows if a != b]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    want = {r.node: r.component for r in connected_components(edges).collect()}
+    got = {
+        r.node: r.component for r in connected_components_star(edges).collect()
+    }
+    assert got == want

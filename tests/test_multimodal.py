@@ -24,9 +24,38 @@ def test_media_schema_is_binary_with_typed_meta(spark, sf_dir):
     ]
 
 
-def test_real_decode_is_stubbed(spark, sf_dir):
-    with pytest.raises(NotImplementedError):
-        decode_image_real(synth_media(spark, sf_dir))
+def test_real_decode_guarded_without_pillow(spark, sf_dir):
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image_real(synth_media(spark, sf_dir))
+    else:
+        pytest.skip("Pillow installed; covered by test_real_decode_with_pillow")
+
+
+def test_real_decode_with_pillow(spark):
+    # real path: only runs where Pillow exists (skips in this sandbox)
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def png(w, h, val):
+        img = Image.new("L", (w, h), color=val)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", bytearray(png(8, 4, 0))),
+        (2, "image", bytearray(png(16, 16, 255))),
+        (3, "audio", bytearray(b"\x00" * 10)),  # non-image: filtered out
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in decode_image_real(df).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].width, out[1].height) == (8, 4)
+    assert out[1].mean_byte == 0.0 and out[1].hist[0] == 32
+    assert out[2].mean_byte == 255.0 and out[2].hist[15] == 256
 
 
 def test_decode_outputs_fixed_hist_shape(spark, sf_dir):
