@@ -88,6 +88,29 @@ def main() -> None:
     times["ingest_200k_x10_csv"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+
+    # Second metric group (round-5): heavier shapes added since the r1
+    # headline set was frozen. Kept OUT of `queries`/`value` so the
+    # headline total stays comparable to the r1 baseline; reported as a
+    # separate dict for round-over-round tracking of the newer surface.
+    extended_names = (
+        "q_tpch_q18_large_volume",
+        "q_text_bm25_topk",
+        "q_pipeline_curation_v2",
+    )
+    all_queries = load_all_queries()
+    ext: dict[str, float] = {}
+    for name in extended_names:
+        qd = all_queries[name]
+        if os.path.isdir(warm_dir):
+            try:
+                qd.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        ext[name] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -95,6 +118,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extended": ext,
+                "extended_total": round(sum(ext.values()), 3),
                 "sf": sf,
             }
         )

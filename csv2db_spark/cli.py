@@ -50,6 +50,10 @@ class Config:
     has_header: bool = False
     delimiter: str = ""
     encoding: str = ""
+    # auth: user participates in presets like any string field; the
+    # password deliberately does NOT (never persisted to the config
+    # file) — it resolves via flag -> env -> interactive prompt only
+    user: str = ""
 
     def fill_missing_from_preset(self, preset: "Config") -> None:
         # reference merge: only EMPTY STRING fields take the preset value
@@ -143,6 +147,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="save current parameters under this preset name",
     )
     p.add_argument("--log-level", "-l", default="info")
+    p.add_argument("--user", "-u", default="", help="database user")
+    p.add_argument(
+        "--password",
+        "-w",
+        default="",
+        help="database password (prefer DB_PASSWORD or the prompt)",
+    )
     return p
 
 
@@ -158,6 +169,7 @@ def load_config(args: argparse.Namespace) -> Config:
         has_header=args.has_header,
         delimiter=args.delimiter,
         encoding=args.encoding,
+        user=args.user,
     )
     presets = load_presets()
     preset = presets.get(args.preset)
@@ -177,7 +189,7 @@ def load_config(args: argparse.Namespace) -> Config:
     return conf
 
 
-def _target_schema(spark, conf: Config):
+def _target_schema(spark, conf: Config, user=None, password=None):
     """P5: an existing destination table's schema drives reconcile+cast;
     None → all-string load (reference all-TEXT create, csv2db.go:157)."""
     from csv2db_spark.sink import ParquetTableStore, _jdbc_table_exists
@@ -185,18 +197,47 @@ def _target_schema(spark, conf: Config):
     if conf.db_url.startswith("parquet:"):
         store = ParquetTableStore(spark, conf.db_url.removeprefix("parquet:"))
         return store.schema(conf.table) if store.exists(conf.table) else None
-    if _jdbc_table_exists(spark, conf.db_url, conf.qualified_table, None, None):
+    auth_opts = {
+        k: v for k, v in (("user", user), ("password", password)) if v
+    }
+    if _jdbc_table_exists(
+        spark, conf.db_url, conf.qualified_table, user, password
+    ):
         return (
             spark.read.format("jdbc")
             .option("url", conf.db_url)
             .option("dbtable", conf.qualified_table)
+            .options(**auth_opts)
             .load()
             .schema
         )
     return None
 
 
-def run(conf: Config, spark=None) -> int:
+def resolve_auth(
+    user: str = "", password: str = "", interactive: bool | None = None
+) -> tuple[str | None, str | None]:
+    """The full credential chain of the reference (auth.go:46-76):
+    explicit arg -> DB_USERNAME/DB_PASSWORD env -> interactive prompt.
+    The prompt tail only fires on a real terminal (``interactive`` is
+    ``sys.stdin.isatty()`` by default) — a headless/cluster run resolves
+    arg -> env and never blocks, which is why sink.write_jdbc implements
+    only that prefix. The password prompt uses getpass: no echo."""
+    user = user or os.environ.get("DB_USERNAME", "")
+    password = password or os.environ.get("DB_PASSWORD", "")
+    if interactive is None:
+        interactive = sys.stdin.isatty()
+    if interactive:
+        if not user:
+            user = input("Enter db username: ")
+        if not password:
+            import getpass
+
+            password = getpass.getpass("Enter db password: ")
+    return user or None, password or None
+
+
+def run(conf: Config, spark=None, password: str = "") -> int:
     from csv2db_spark.ingest import ingest_csv, ingest_csv_buffer
     from csv2db_spark.sink import ParquetTableStore, write_jdbc
 
@@ -211,7 +252,15 @@ def run(conf: Config, spark=None) -> int:
     if not conf.file_name:
         raise SystemExit("missing required --input-file")
 
-    target = _target_schema(spark, conf)
+    # resolve credentials ONCE, before the schema probe (which already
+    # needs them against a live database). stdin-as-CSV makes stdin a
+    # pipe, so the prompt tail is automatically skipped there (isatty()
+    # is False) — the chain degrades to arg -> env like a cluster submit
+    user = pw = None
+    if not conf.db_url.startswith("parquet:"):
+        user, pw = resolve_auth(conf.user, password)
+
+    target = _target_schema(spark, conf, user, pw)
     if conf.file_name in ("--", "-"):
         df = ingest_csv_buffer(
             spark, sys.stdin.read(), target, conf.has_header, conf.delimiter
@@ -242,12 +291,23 @@ def run(conf: Config, spark=None) -> int:
             store.write(df, conf.table, conf.table_mode)
         n = store.read(conf.table).count()
     else:
+        auth_opts = {
+            k: v for k, v in (("user", user), ("password", pw)) if v
+        }
         with ProgressMeter(spark, in_bytes):
-            write_jdbc(df, conf.db_url, conf.qualified_table, conf.table_mode)
+            write_jdbc(
+                df,
+                conf.db_url,
+                conf.qualified_table,
+                conf.table_mode,
+                user=user,
+                password=pw,
+            )
         n = (
             spark.read.format("jdbc")
             .option("url", conf.db_url)
             .option("dbtable", conf.qualified_table)
+            .options(**auth_opts)
             .load()
             .count()
         )
@@ -267,7 +327,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     logging.basicConfig(
         level=getattr(logging, args.log_level.upper(), logging.INFO)
     )
-    return run(load_config(args), spark=spark)
+    return run(load_config(args), spark=spark, password=args.password)
 
 
 if __name__ == "__main__":

@@ -44,60 +44,49 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 
 
 # The grading driver's correctness gate checks the FIRST 50 entries of
-# __spark_entry__.queries() in dict order.  Rounds 1-3 together produced
-# driver rows for 93 of the 127 registered queries; the round-4 window
-# below covers the remaining 34 that have never had one (all TPC-H
-# shapes, the curation batch, fuzzy dedup, timeseries ops, ...), the 7
-# streaming gates whose ts handling was fixed this round, the 4
-# rows-only-by-design queries, and 5 spot re-checks of previously-green
-# queries (one of which, minhash, changed this round: max_bucket now
-# exercised). Queries not listed keep registration order after these.
+# __spark_entry__.queries() in dict order.  Rounds 1-4 produced green
+# rows for 136 of the queries registered through round 4; the round-5
+# window covers the 20 registered-after-the-r4-freeze queries that have
+# never had a driver row, the 5 operators new in round 5, and 25 spot
+# re-checks weighted toward code TOUCHED this round (graph/dedup
+# clustering, the review-fix queries' neighbors, streaming, the bench
+# headliners, TPC-H q2/q11/q18/q20). Queries not listed keep
+# registration order after these.
 CHECK_FIRST: tuple[str, ...] = (
-    # -- never driver-checked: TPC-H shapes (r2) --------------------------
-    "q_tpch_q4_exists", "q_tpch_q7_volume", "q_tpch_q8_market_share",
-    "q_tpch_q9_profit_proxy", "q_tpch_q10_returned", "q_tpch_q12_case_agg",
-    "q_tpch_q14_promo_ratio", "q_tpch_q16_notin_distinct",
-    "q_tpch_q17_avg_quantity", "q_tpch_q19_disjunctive",
-    "q_tpch_q21_waiting", "q_tpch_q22_antijoin_scalar",
-    # -- never driver-checked: curation batch (r2) ------------------------
-    "q_curate_decontaminate", "q_curate_stratified_sample",
-    "q_curate_incremental_dedup", "q_curate_pii_scan",
-    "q_curate_domain_mix", "q_curate_pack_sequences",
-    # -- never driver-checked: the rest -----------------------------------
-    "q_dedup_fuzzy_ed1", "q_mm_audio_segments",
-    "q_events_gap_fill", "q_events_interpolate", "q_events_sessionize",
-    "q_text_repetition", "q_text_salient_terms",
-    "q_window_percent_cume",
-    "q_src_binary_files", "q_src_parquet_merge_schema",
-    "q_ingest_csv_dropmalformed",
-    "q_profile_columns", "q_agg_countmin", "q_doc_length_histogram",
-    "q_embed_kmeans_step", "q_stream_static_join",
-    # -- streaming ts handling fixed this round; needs fresh green rows ---
+    # -- never driver-checked (registered after the round-4 freeze) ------
+    "q_graph_pagerank_step", "q_graph_triangles",
+    "q_events_funnel", "q_events_cohort_retention",
+    "q_events_zscore_outliers",
+    "q_src_pruned_read", "q_ingest_fixed_width",
+    "q_agg_incremental_merge", "q_agg_mode_exact",
+    "q_curate_pii_redact", "q_curate_quantile_filter",
+    "q_curate_weighted_sample", "q_pipeline_curation_v2",
+    "q_dedup_repeated_windows", "q_dedup_semdedup",
+    "q_text_bm25_topk", "q_text_lexical_diversity",
+    "q_mm_dhash_dedup", "q_join_bitset_prefilter",
+    "q_cdc_snapshot_diff",
+    # -- new in round 5 ---------------------------------------------------
+    "q_curate_url_canonicalize", "q_curate_url_dedup",
+    "q_curate_domain_stats", "q_agg_approx_topk", "q_graph_cc_star",
+    # -- re-checks: graph/dedup code touched this round -------------------
+    "q_dedup_clusters", "q_dedup_minhash_lsh", "q_dedup_exact",
+    "q_dedup_simhash", "q_dedup_ngram_jaccard",
+    # -- re-checks: streaming (soak the r4 ts fix a second round) ---------
     "q_stream_tumbling_window", "q_stream_sliding_window",
     "q_stream_session_window", "q_stream_dedup",
     "q_stream_stateful_user_stats", "q_stream_stream_join",
-    "q_stream_ingest_csv",
-    # -- new this round: the remaining TPC-H shapes (22/22 now covered) ---
-    "q_tpch_q3_shipping_priority", "q_tpch_q5_local_supplier",
-    "q_tpch_q6_forecast_revenue", "q_tpch_q13_cust_distribution",
-    "q_tpch_q15_top_supplier", "q_tpch_q18_large_volume",
+    "q_stream_ingest_csv", "q_stream_static_join",
+    # -- re-checks: TPC-H shapes first checked only last round ------------
     "q_tpch_q2_min_cost_supplier", "q_tpch_q11_important_stock",
-    "q_tpch_q20_part_promotion",
+    "q_tpch_q20_part_promotion", "q_tpch_q18_large_volume",
+    # -- re-checks: bench headliners + big compositions -------------------
+    "q01_pricing_summary", "q_sim_cosine_topk", "q_join_multiway_revenue",
+    "q_pipeline_training_data", "q_dedup_embedding_cosine",
+    "q_join_asof", "q_join_salted_skew", "q_merge_upsert",
 )
-# Dropped from the round-4 window to make room (all hold driver rows
-# already): the 4 rows-only-by-design queries (r1 rows; recall/bounds are
-# pytest-checked) and the 5 spot re-checks (green r1-r3; pytest parity
-# still covers them every round, including the minhash band-bucket cap).
-#
-# Round-5 rotation TODO: the operators added AFTER the round-4 window was
-# frozen have no driver row yet — q_curate_quantile_filter,
-# q_graph_pagerank_step, q_join_bitset_prefilter, q_agg_incremental_merge,
-# q_events_funnel, q_events_cohort_retention, q_dedup_semdedup,
-# q_cdc_snapshot_diff, q_curate_weighted_sample, q_pipeline_curation_v2,
-# q_events_zscore_outliers, q_text_bm25_topk, q_text_lexical_diversity,
-# q_src_pruned_read, q_mm_dhash_dedup, q_ingest_fixed_width, q_graph_triangles,
-# q_agg_mode_exact
-# (all driver-sim green at sf0.01 under a vanilla non-UTC session).
+# With this rotation the r1-r5 union covers every query registered
+# through round 5 except queries first registered AFTER this freeze —
+# rotate those in next round (same pattern as every round).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

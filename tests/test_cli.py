@@ -113,3 +113,48 @@ def test_missing_required_args_fatal(spark, config_path):
         main(["-t", "t", "-i", "f.csv"], spark=spark)
     with pytest.raises(SystemExit, match="input-file"):
         main(["--url", "parquet:/x", "-t", "t"], spark=spark)
+
+
+def test_resolve_auth_chain_arg_env_prompt(monkeypatch):
+    # arg wins over env; env fills gaps; prompt only fires interactively
+    from csv2db_spark.cli import resolve_auth
+
+    monkeypatch.setenv("DB_USERNAME", "envuser")
+    monkeypatch.setenv("DB_PASSWORD", "envpw")
+    assert resolve_auth("arguser", "argpw", interactive=False) == (
+        "arguser", "argpw",
+    )
+    assert resolve_auth("", "", interactive=False) == ("envuser", "envpw")
+    monkeypatch.delenv("DB_USERNAME")
+    monkeypatch.delenv("DB_PASSWORD")
+    # headless (non-tty): unresolved stays None, never blocks on a prompt
+    assert resolve_auth("", "", interactive=False) == (None, None)
+    # interactive: prompt tail fires (reference auth.go:46-76)
+    import csv2db_spark.cli as cli_mod
+
+    monkeypatch.setattr("builtins.input", lambda _: "typeduser")
+    import getpass as getpass_mod
+
+    monkeypatch.setattr(getpass_mod, "getpass", lambda _: "typedpw")
+    assert resolve_auth("", "", interactive=True) == ("typeduser", "typedpw")
+
+
+def test_password_never_persisted_in_presets(config_path):
+    # the password flag must not leak into the stored preset file
+    from csv2db_spark.cli import build_parser, load_config
+
+    args = build_parser().parse_args(
+        [
+            "--url", "jdbc:derby:x", "-t", "t", "-i", "f.csv",
+            "-u", "alice", "-w", "s3cret", "-s", "mypreset",
+        ]
+    )
+    conf = load_config(args)
+    assert conf.user == "alice"
+    assert not hasattr(conf, "password")
+    import json
+
+    with open(config_path) as f:
+        raw = json.load(f)
+    assert raw["presets"]["mypreset"]["user"] == "alice"
+    assert "s3cret" not in json.dumps(raw)
