@@ -302,3 +302,104 @@ def weighted_sample(
         F.lit(md5_threshold(default))
     )
     return docs.where(F.md5(F.col(id_col).cast("string")) < thr)
+
+
+def assign_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in the
+    split whose cumulative md5-threshold band contains md5(id) — the
+    standard leakage-safe way to split a corpus (membership depends
+    only on the id, so re-runs, engine changes, and corpus growth never
+    move a document between splits; new documents just fill in).
+
+    ``fractions`` maps split name -> probability (must sum to ~1; the
+    last split absorbs rounding). Returns the input plus a ``split``
+    column. Pure scan projection — one md5 + string compares, no
+    shuffle, no RNG state; the same md5-vs-threshold-string trick as
+    ``weighted_sample`` so any ANSI engine reproduces the assignment
+    bit-for-bit.
+    """
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = F.md5(F.col(id_col).cast("string"))
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h < md5_threshold(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = (
+        F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return docs.withColumn("split", split)
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of shared distinct n-gram shingles and their Jaccard overlap
+    — the diagnostic that catches one dataset bleeding into another
+    (mirrored dumps, re-crawls, benchmark leakage between subsets)
+    BEFORE they are mixed into a training corpus.
+
+    Returns (src_a, src_b, n_common, jaccard) for src_a < src_b.
+    Jaccard is one IEEE division of exact integer counts.
+
+    Scale shape: one shingle pass + distinct per (source, shingle) —
+    the corpus-side shuffle; the pair join is keyed by shingle with
+    fan-out bounded by |sources|² per key (sources are few), and the
+    output is |sources|² rows. At 100 TB the distinct-shingle shuffle
+    dominates and is exactly the dedup shuffle you already pay;
+    everything after is noise.
+    """
+    from csv2db_spark.llm.corpus import shingles, tokens
+
+    sh = (
+        docs.select(
+            F.col(group_col).alias("src"),
+            F.explode(shingles(tokens(F.col(text_col)), n=shingle_n)).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -388,3 +388,127 @@ def lexical_diversity(
             / (F.sum("cnt") * F.sum("cnt")).cast("double")
         ).alias("simpson_diversity"),
     )
+
+
+def collocations(
+    docs: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k collocations (PMI-style bigram association) over the corpus,
+    ranked by exact-integer lift: for an adjacent bigram (w1, w2),
+    ``lift = df_ab * N / (df_a * df_b)`` where df_* are DOCUMENT
+    frequencies and N the corpus size — the document-level pointwise
+    mutual information with the log dropped (log is monotone, so the
+    lift ranking IS the PMI ranking, and integer arithmetic keeps it
+    bit-deterministic where ln() would differ in the last ulp across
+    libm builds). All three frequencies are exact counts; the single
+    lift division is one IEEE op on exact integers. Ties break on
+    (w1, w2) — a total order, so the k-row cut is stable.
+
+    Returns (w1, w2, df_ab, lift). Filters bigrams seen in fewer than 2
+    documents (singleton "collocations" are noise and dominate the tail).
+
+    Scale shape: bigram expansion is a codegen ``transform`` over the
+    token array (no UDF, no join); the three doc-frequency aggregates
+    are map-side-combined shuffles keyed by word/bigram; the final join
+    attaches two |vocab|-sized sides (broadcastable for any real
+    vocabulary) and top-k is TakeOrdered. Overflow bound: df_ab * N
+    must stay under 2^63 — pre-aggregate or sample beyond ~3e9 docs.
+    """
+    t = F.split(F.col(text_col), " ")
+    # adjacent bigrams as structs, built by index inside codegen
+    bigrams = F.expr(
+        f"transform(slice(split({text_col}, ' '), 1, "
+        f"size(split({text_col}, ' ')) - 1), "
+        f"(x, i) -> struct(x AS w1, element_at(split({text_col}, ' '), i + 2) AS w2))"
+    )
+    doc_bigrams = (
+        docs.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .distinct()
+    )
+    df_ab = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("df_ab")
+    )
+    doc_tokens = (
+        docs.select(F.col(id_col), F.explode(t).alias("w")).distinct()
+    )
+    df_w = doc_tokens.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # one scalar; the plan reuses the cached scan
+    joined = (
+        df_ab.where(F.col("df_ab") >= 2)
+        .join(
+            F.broadcast(df_w.withColumnRenamed("w", "w1").withColumnRenamed("df", "df_a")),
+            "w1",
+        )
+        .join(
+            F.broadcast(df_w.withColumnRenamed("w", "w2").withColumnRenamed("df", "df_b")),
+            "w2",
+        )
+    )
+    lift = (F.col("df_ab") * F.lit(n_docs)).cast("double") / (
+        F.col("df_a") * F.col("df_b")
+    )
+    return (
+        joined.select("w1", "w2", "df_ab", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, table A1 — the publicly
+# documented rule set), expressed so every rule is integer/regex
+# arithmetic identical across engines.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style composite quality filter: the classic rule set as
+    one pass — word-count bounds, mean-word-length band, symbol ratio,
+    and minimum stopword evidence — each rule emitted as its own flag
+    plus the conjunction, so downstream can both FILTER (keep) and
+    AUDIT (which rule fired, per document; the histogram of rule
+    failures is the standard curation diagnostic).
+
+    Every rule is exact arithmetic: counts are integers; mean word
+    length is compared via cross-multiplication (n_chars vs bound *
+    n_words as integers — no float mean), so the flags are
+    bit-identical on any engine. Pure codegen projection + one
+    aggregate-free scan: at 100 TB this is a free rider on the first
+    read of the corpus.
+    """
+    t = F.col(text_col)
+    n_words = F.size(F.split(t, " ")).cast("long")
+    # single-space-separated text: chars excluding separators
+    n_word_chars = (F.length(t) - (n_words - 1)).cast("long")
+    n_symbols = F.length(F.regexp_replace(t, "[a-zA-Z0-9 ]", "")).cast("long")
+    stop_hits = sum(
+        (
+            F.size(F.split(t, f"\\b{w}\\b")) - 1
+            for w in _STOPWORDS
+        ),
+        start=F.lit(0),
+    ).cast("long")
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    # 3 <= n_word_chars/n_words <= 10, cross-multiplied to stay integral
+    ok_word_len = (
+        n_word_chars >= F.lit(int(GOPHER_MIN_MEAN_WORD_LEN)) * n_words
+    ) & (n_word_chars <= F.lit(int(GOPHER_MAX_MEAN_WORD_LEN)) * n_words)
+    # n_symbols/n_words <= 0.1  <=>  10*n_symbols <= n_words
+    ok_symbols = F.lit(10) * n_symbols <= n_words
+    ok_stopwords = stop_hits >= GOPHER_MIN_STOPWORD_HITS
+    return docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        ok_words.alias("ok_word_count"),
+        ok_word_len.alias("ok_mean_word_len"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        ok_stopwords.alias("ok_stopwords"),
+        (ok_words & ok_word_len & ok_symbols & ok_stopwords).alias("keep"),
+    )

@@ -630,3 +630,71 @@ def q_curate_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2db_spark.llm.web import domain_stats
 
     return domain_stats(_docs_with_urls(spark, sf_dir))
+
+
+@query(
+    "q_curate_assign_split",
+    oracle="""
+    SELECT CASE
+             WHEN md5(CAST(doc_id AS VARCHAR))
+                  < 'e6666666666668000000000000000000' THEN 'train'
+             WHEN md5(CAST(doc_id AS VARCHAR))
+                  < 'f3333333333330000000000000000000' THEN 'val'
+             ELSE 'test'
+           END AS split,
+           lang,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_curate_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (llm/curation.py:assign_split, 90/5/5): membership is md5(doc_id)
+    against cumulative threshold strings, so documents never migrate
+    between splits across runs, engines, or corpus growth — the
+    leakage-safe split every training pipeline needs. Gate aggregates
+    per (split, lang) with a min-id witness pinning actual membership,
+    not just counts. Scan-only: no shuffle beyond the tiny aggregate."""
+    d = C.assign_split(load_table(spark, sf_dir, "documents"))
+    return d.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@query(
+    "q_curate_source_overlap",
+    oracle=f"""
+    WITH t AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT source AS src, s
+      FROM (
+        SELECT source, unnest({{sh}}) AS s FROM t
+      )
+    ),
+    sz AS (SELECT src, count(*) AS n FROM sh GROUP BY 1),
+    iv AS (
+      SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT iv.src_a, iv.src_b, iv.n_common,
+           CAST(iv.n_common AS DOUBLE) / (sa.n + sb.n - iv.n_common)
+             AS jaccard
+    FROM iv
+    JOIN sz sa ON iv.src_a = sa.src
+    JOIN sz sb ON iv.src_b = sb.src
+    """.replace("{sh}", SQL_SHINGLES.format(t="t")),
+)
+def q_curate_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix
+    (llm/curation.py:source_overlap): shared distinct 3-gram shingles
+    and exact-count Jaccard for every source pair — the check that
+    catches one dataset bleeding into another before mixing. The
+    corpus-side cost is the distinct-shingle shuffle dedup already
+    pays; the pair join fans out at most |sources|² per shingle."""
+    from csv2db_spark.llm.curation import source_overlap
+
+    return source_overlap(load_table(spark, sf_dir, "documents"))

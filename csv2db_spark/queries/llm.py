@@ -1028,3 +1028,83 @@ def q_graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+@query(
+    "q_text_collocations",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    bg AS (
+      SELECT DISTINCT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(tk) - 1)) u(i)
+    ),
+    dfab AS (SELECT w1, w2, count(*) AS df_ab FROM bg GROUP BY 1, 2),
+    tok AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(tk) AS w FROM t)
+    ),
+    dfw AS (SELECT w, count(*) AS df FROM tok GROUP BY 1)
+    SELECT d.w1, d.w2, d.df_ab,
+           CAST(d.df_ab * n.n_docs AS DOUBLE) / (a.df * b.df) AS lift
+    FROM dfab d
+    CROSS JOIN n
+    JOIN dfw a ON d.w1 = a.w
+    JOIN dfw b ON d.w2 = b.w
+    WHERE d.df_ab >= 2
+    ORDER BY lift DESC, d.w1, d.w2 LIMIT 20
+    """,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations (llm/text.py:collocations): adjacent bigrams
+    ranked by document-frequency lift df_ab*N/(df_a*df_b) — the PMI
+    ranking with the monotone log dropped so every quantity is an exact
+    integer and the one lift division is bit-identical IEEE. Total
+    (lift, w1, w2) order makes the 20-row cut stable; the oracle
+    rebuilds the identical counts. Bigram expansion is a codegen
+    transform — no UDF, no join — and the frequency joins broadcast
+    vocabulary-sized sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.collocations(docs, k=20)
+
+
+@query(
+    "q_text_gopher_quality",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+               AS n_word_chars,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+               AS BIGINT) AS n_symbols,
+             CAST((len(string_split_regex(text, '\\bthe\\b')) - 1)
+                + (len(string_split_regex(text, '\\ba\\b')) - 1)
+                + (len(string_split_regex(text, '\\bdata\\b')) - 1)
+                + (len(string_split_regex(text, '\\btable\\b')) - 1)
+               AS BIGINT) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words)
+             AS ok_mean_word_len,
+           (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+           (stop_hits >= 2) AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (stop_hits >= 2)) AS keep
+    FROM m
+    """,
+)
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter
+    (llm/text.py:gopher_quality): word-count bounds, mean-word-length
+    band, symbol ratio, stopword evidence — per-rule flags plus the
+    conjunction, every rule integer/regex arithmetic (mean word length
+    compared by cross-multiplication, never a float mean) so flags are
+    bit-identical across engines. Pure scan projection: free at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.gopher_quality(docs)

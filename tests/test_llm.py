@@ -302,3 +302,75 @@ def test_approx_topk_upper_bound_and_order(spark):
     assert [(r.item, r.est_count) for r in top] == [
         (r.item, r.est_count) for r in top64
     ]
+
+
+def test_assign_split_deterministic_and_complete(spark):
+    from csv2db_spark.llm.curation import assign_split
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = assign_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert set(rows.values()) == {"train", "val", "test"}
+    # roughly proportional (md5 is uniform; 500 rows, generous bands)
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert 330 <= c["train"] <= 470
+    # identical under repartitioning and re-evaluation
+    rows2 = {r.doc_id: r.split for r in assign_split(df.repartition(32), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert rows == rows2
+    # growth safety: a bigger corpus never moves an existing doc
+    big = assign_split(
+        spark.range(1000).withColumnRenamed("id", "doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    rows_big = {r.doc_id: r.split for r in big.collect()}
+    assert all(rows_big[k] == v for k, v in rows.items())
+
+
+def test_assign_split_validates_fractions(spark):
+    import pytest
+
+    from csv2db_spark.llm.curation import assign_split
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(df, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError, match="at least one"):
+        assign_split(df, {})
+
+
+def test_gopher_quality_rules(spark):
+    from csv2db_spark.llm.text import gopher_quality
+
+    rows = [
+        # 60 stopword-bearing 4-char-ish words -> passes everything
+        (1, " ".join(["the", "data"] * 30)),
+        # too short
+        (2, "the data table"),
+        # symbol-heavy: >10% symbol chars vs words
+        (3, " ".join(["the", "data"] * 30) + " " + "@#$% " * 20),
+        # no stopword evidence
+        (4, " ".join(["zzzz"] * 60)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert out[1].keep
+    assert not out[2].ok_word_count and not out[2].keep
+    assert not out[3].ok_symbol_ratio and not out[3].keep
+    assert not out[4].ok_stopwords and not out[4].keep
+
+
+def test_collocations_ranking_is_exact_and_stable(spark):
+    from csv2db_spark.llm.text import collocations
+
+    # "alpha beta" co-occurs in every doc it appears in; "the x" is common
+    docs = [(i, "alpha beta the " + ("x " * 5).strip()) for i in range(10)]
+    docs += [(100 + i, "the gamma") for i in range(10)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    top = collocations(df, k=3).collect()
+    assert top[0].w1 == "alpha" and top[0].w2 == "beta"
+    top64 = collocations(df.repartition(64), k=3).collect()
+    assert [(r.w1, r.w2, r.df_ab, r.lift) for r in top] == [
+        (r.w1, r.w2, r.df_ab, r.lift) for r in top64
+    ]
