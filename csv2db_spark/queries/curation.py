@@ -698,3 +698,79 @@ def q_curate_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2db_spark.llm.curation import source_overlap
 
     return source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_pipeline_curation_v3",
+    oracle=f"""
+    WITH {_CANON_SQL.strip()},
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon_url
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text, d.lang FROM documents d
+      JOIN keepers k ON d.doc_id = k.doc_id
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+               AS n_word_chars,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+               AS BIGINT) AS n_symbols,
+             CAST((len(string_split_regex(text, '\\bthe\\b')) - 1)
+                + (len(string_split_regex(text, '\\ba\\b')) - 1)
+                + (len(string_split_regex(text, '\\bdata\\b')) - 1)
+                + (len(string_split_regex(text, '\\btable\\b')) - 1)
+               AS BIGINT) AS stop_hits
+      FROM kept
+    ),
+    quality AS (
+      SELECT doc_id, lang, n_words FROM m
+      WHERE n_words >= 50 AND n_words <= 100000
+        AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        AND 10 * n_symbols <= n_words
+        AND stop_hits >= 2
+    )
+    SELECT CASE
+             WHEN md5(CAST(doc_id AS VARCHAR))
+                  < 'e6666666666668000000000000000000' THEN 'train'
+             WHEN md5(CAST(doc_id AS VARCHAR))
+                  < 'f3333333333330000000000000000000' THEN 'val'
+             ELSE 'test'
+           END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM quality
+    GROUP BY 1, 2
+    """,
+)
+def q_pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 curation stages composed end-to-end: URL-level dedup
+    (canonicalize synthesized refetch URLs, keep min doc_id per
+    canonical) → Gopher-rule quality filter → leakage-safe md5 split
+    assignment → per-(split, lang) document/token accounting. One
+    hash-checked result pins every stage's row-level decisions — a
+    wrong canonical form, a mis-fired quality rule, or a moved split
+    boundary all change the hash. Cost shape at 100 TB: the URL-dedup
+    groupBy is the only corpus shuffle (short string keys);
+    canonicalization, quality flags, and split assignment are all
+    scan-stage projections."""
+    from csv2db_spark.llm.curation import assign_split
+    from csv2db_spark.llm.text import gopher_quality
+    from csv2db_spark.llm.web import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = (
+        url_dedup(_docs_with_urls(spark, sf_dir))
+        .select(F.col("keeper_id").alias("doc_id"))
+    )
+    kept = docs.join(keepers, "doc_id").select("doc_id", "text", "lang")
+    flags = gopher_quality(kept).where("keep").select("doc_id", "n_words")
+    quality = kept.join(flags, "doc_id").select("doc_id", "lang", "n_words")
+    split = assign_split(quality)
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+    )

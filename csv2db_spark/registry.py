@@ -47,7 +47,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 # __spark_entry__.queries() in dict order.  Rounds 1-4 produced green
 # rows for 136 of the queries registered through round 4; the round-5
 # window covers the 20 registered-after-the-r4-freeze queries that have
-# never had a driver row, the 9 operators new in round 5, and 21 spot
+# never had a driver row, the 10 operators new in round 5, and 20 spot
 # re-checks weighted toward code TOUCHED this round (graph/dedup
 # clustering, the review-fix queries' neighbors, streaming, the bench
 # headliners, TPC-H q2/q11/q18/q20). Queries not listed keep
@@ -70,6 +70,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "q_curate_domain_stats", "q_agg_approx_topk", "q_graph_cc_star",
     "q_text_collocations", "q_text_gopher_quality",
     "q_curate_assign_split", "q_curate_source_overlap",
+    "q_pipeline_curation_v3",
     # -- re-checks: graph/dedup code touched this round -------------------
     "q_dedup_clusters", "q_dedup_minhash_lsh", "q_dedup_exact",
     "q_dedup_simhash", "q_dedup_ngram_jaccard",
@@ -82,7 +83,7 @@ CHECK_FIRST: tuple[str, ...] = (
     "q_tpch_q2_min_cost_supplier", "q_tpch_q11_important_stock",
     "q_tpch_q20_part_promotion", "q_tpch_q18_large_volume",
     # -- re-checks: bench headliners + big compositions -------------------
-    "q01_pricing_summary", "q_sim_cosine_topk", "q_join_multiway_revenue",
+    "q01_pricing_summary", "q_join_multiway_revenue",
     "q_pipeline_training_data",
 )
 # With this rotation the r1-r5 union covers every query registered
