@@ -88,3 +88,37 @@ def test_round4_gates_partition_invariant(spark, sf_dir, nparts):
 
 
 _R4_BASELINES: dict = {}
+
+
+@pytest.mark.parametrize("nparts", [1, 64])
+def test_round5_gates_partition_invariant(spark, sf_dir, nparts):
+    """Round-5 gates claim partition independence — canonical-string
+    grouping, integer lift ranking, sketch estimates, star contraction,
+    md5 split bands; this pins it across physical distributions."""
+    from csv2db_spark.registry import load_all_queries
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        Q = load_all_queries()
+        for name in (
+            "q_curate_url_dedup",
+            "q_text_collocations",
+            "q_agg_approx_topk",
+            "q_graph_cc_star",
+            "q_curate_source_overlap",
+            "q_curate_assign_split",
+            "q_pipeline_curation_v3",
+        ):
+            got = sorted(
+                tuple(str(v) for v in row)
+                for row in Q[name].fn(spark, sf_dir).collect()
+            )
+            key = f"_r5_invariance_{name}"
+            baseline = _R5_BASELINES.setdefault(key, got)
+            assert got == baseline, f"{name} differs at {nparts} partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_R5_BASELINES: dict = {}
