@@ -403,3 +403,109 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-budget overlapping token chunks — the
+    standard prep before embedding or long-context training: chunk i
+    covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap, and every document yields at least
+    one chunk (short docs come through whole, never dropped).
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text). All arithmetic
+    is integer (chunk count = ceil((n - overlap)/stride) via integer
+    ceiling division) and the chunk extraction is a codegen
+    slice/array_join over the token array — one explode whose fan-out
+    is the chunk count, no UDF, no shuffle at all: chunking rides the
+    scan and lands partitioned exactly like its input, which is what a
+    downstream embedding stage wants (a chunk's executor already holds
+    its document's pages).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # ceil((n - overlap)/stride) as integers, floored at 1
+    n_chunks = F.greatest(
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride))
+        .cast("int"),
+        F.lit(1),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(
+                F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+            ).cast("long").alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame, ranks: tuple[int, ...] = (10, 100, 1000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: for each rank cutoff k, the fraction
+    of ALL token occurrences covered by the k most frequent tokens —
+    the measurement behind vocabulary-size / OOV-rate decisions
+    (tokenizer budgeting, stop-list sizing). Ties in frequency break on
+    the token string, so ranks are total-ordered and the curve is
+    bit-deterministic; coverage is one IEEE division of exact integer
+    sums.
+
+    Returns (rank_cutoff, n_covered, n_total, coverage). Scale shape:
+    the corpus-linear work is one map-side-combined token count; the
+    ranking window then runs over |vocabulary| rows only — millions of
+    rows, not corpus-sized — in a single partition (documented: the
+    vocab table is always tiny next to the corpus; for a truly huge
+    vocab, pre-prune with approx_top_k)."""
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("t").asc())
+    ranked = counts.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    cuts = [(k,) for k in ranks]
+    cuts_df = docs.sparkSession.createDataFrame(cuts, ["rank_cutoff"])
+    return (
+        ranked.join(
+            F.broadcast(cuts_df), F.col("rank") == F.col("rank_cutoff")
+        )
+        .select(
+            "rank_cutoff",
+            F.col("cum").cast("long").alias("n_covered"),
+            F.col("total").cast("long").alias("n_total"),
+            (F.col("cum").cast("double") / F.col("total")).alias("coverage"),
+        )
+    )

@@ -774,3 +774,78 @@ def q_pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "q_curate_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    nc AS (
+      SELECT doc_id, tk,
+             greatest(
+               CAST(floor((len(tk) - 32 + 95) / 96) AS INT), 1
+             ) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(u.ci AS INT) AS chunk_id,
+           CAST(len(tk[u.ci * 96 + 1 : u.ci * 96 + 128]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(tk[u.ci * 96 + 1 : u.ci * 96 + 128], ' ')
+             AS chunk_text
+    FROM nc, unnest(generate_series(0, n_chunks - 1)) u(ci)
+    """,
+)
+def q_curate_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget overlapping chunking
+    (llm/curation.py:chunk_documents, 128-token chunks, 32 overlap):
+    the prep step before embedding/long-context training. Chunk count
+    is integer ceiling division, extraction is a codegen slice over the
+    token array — zero shuffle, the op rides the scan and chunks land
+    partitioned like their documents. Every chunk's text is
+    hash-checked, so boundary arithmetic (stride, clamping at the doc
+    tail, short-doc passthrough) is pinned row by row."""
+    from csv2db_spark.llm.curation import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=128, overlap=32
+    )
+
+
+@query(
+    "q_curate_vocab_coverage",
+    oracle="""
+    WITH counts AS (
+      SELECT t, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY cnt DESC, t) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, t
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS total
+      FROM counts
+    )
+    SELECT rank AS rank_cutoff,
+           CAST(cum AS BIGINT) AS n_covered,
+           CAST(total AS BIGINT) AS n_total,
+           CAST(cum AS DOUBLE) / total AS coverage
+    FROM ranked WHERE rank IN (5, 10, 20)
+    """,
+)
+def q_curate_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (llm/curation.py:vocab_coverage): the
+    token-occurrence fraction covered by the top-10/100/1000 tokens —
+    the tokenizer-budget / OOV-rate measurement. Frequency ties break
+    on the token string (total order), cumulative sums are exact
+    integers, coverage is one IEEE division. The corpus-linear cost is
+    one combined token count; the ranking window touches |vocab| rows
+    only."""
+    from csv2db_spark.llm.curation import vocab_coverage
+
+    return vocab_coverage(
+        load_table(spark, sf_dir, "documents"), ranks=(5, 10, 20)
+    )

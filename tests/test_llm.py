@@ -374,3 +374,49 @@ def test_collocations_ranking_is_exact_and_stable(spark):
     assert [(r.w1, r.w2, r.df_ab, r.lift) for r in top] == [
         (r.w1, r.w2, r.df_ab, r.lift) for r in top64
     ]
+
+
+def test_chunk_documents_boundaries(spark):
+    from csv2db_spark.llm.curation import chunk_documents
+
+    import pytest
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # short: one whole chunk
+        (2, " ".join(f"t{i}" for i in range(12))),   # exactly chunk size
+        (3, " ".join(f"t{i}" for i in range(13))),   # one token over
+        (4, " ".join(f"t{i}" for i in range(30))),   # several chunks
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=12, overlap=4)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.chunk_id)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 10
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 12
+    # 13 tokens, stride 8: chunks [0..11], [8..12]
+    assert len(by_doc[3]) == 2
+    assert by_doc[3][1].chunk_text.split() == [f"t{i}" for i in range(8, 13)]
+    # every token appears in at least one chunk; consecutive chunks
+    # overlap by exactly `overlap` until the tail
+    toks4 = set()
+    for r in by_doc[4]:
+        toks4.update(r.chunk_text.split())
+    assert toks4 == {f"t{i}" for i in range(30)}
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_vocab_coverage_exact_fractions(spark):
+    from csv2db_spark.llm.curation import vocab_coverage
+
+    # 100x"a", 50x"b", then c..j once each: top-2 cover 150 of 158
+    text = " ".join(["a"] * 100 + ["b"] * 50 + list("cdefghij"))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = {r.rank_cutoff: r for r in vocab_coverage(df, ranks=(1, 2, 5)).collect()}
+    assert out[1].n_covered == 100 and out[1].n_total == 158
+    assert out[2].n_covered == 150
+    assert out[5].n_covered == 153  # +c, +d, +e (ties broken by token)
+    assert out[2].coverage == 150 / 158
