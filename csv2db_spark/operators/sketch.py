@@ -115,3 +115,78 @@ def approx_top_k(
     return est.orderBy(
         F.col("est_count").desc(), F.col(item_col).asc()
     ).limit(k)
+
+
+# ---------------------------------------------------------- HyperLogLog
+
+HLL_M = 64  # registers (m); relative error ~ 1.04/sqrt(m) ~ 13%
+HLL_REG_BITS = 6
+HLL_WBITS = 42  # 48-bit md5 half minus the register index bits
+HLL_ALPHA = 0.709  # alpha_64 from the HLL paper
+
+
+def hll_distinct(
+    items: DataFrame,
+    item_col: str = "item",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Relational HyperLogLog distinct estimate — same discipline as the
+    count-min build above: Spark ships `approx_count_distinct`, but its
+    HLL++ register blob can't be cross-checked by another engine. This
+    construction keeps every step relational (md5 -> register index +
+    leading-zero rank -> per-register MAX -> one closed-form estimate),
+    so a DuckDB oracle rebuilds the IDENTICAL registers and the
+    estimate hash-matches bit-for-bit — an approximate aggregate with
+    an EXACT gate.
+
+    Math: h = 48-bit md5 half; j = h mod 64 picks the register; rho =
+    43 - bitlen(h div 64) is the leading-zero rank of the remaining 42
+    bits (rho = 43 for w = 0). The raw HLL estimator
+    alpha*m^2 / sum(2^-M_j) is computed overflow- and rounding-free by
+    multiplying through by 2^43: S = sum over registers of 2^(43-M_j)
+    (absent registers contribute 2^43) is an exact BIGINT <= 2^49, and
+    the estimate is ONE double division of exactly-representable
+    operands — no float accumulation anywhere. The small-range
+    bias correction (m*ln(m/V)) is deliberately omitted: ln() differs
+    across libm builds; the raw estimator is the deterministic
+    contract, and callers needing corrected estimates apply it to the
+    returned n_registers/estimate pair.
+
+    Returns (group_cols..., n_registers, est_distinct). Scale shape:
+    one groupBy((group, j)) with map-side combine — the shuffle carries
+    at most 64 rows per group per partition — then a 64-row-per-group
+    fold. This is the mergeable-sketch pattern: register tables from
+    disjoint corpus shards merge by MAX."""
+    group_cols = list(group_cols or [])
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    rho = F.when(F.col("_w") == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.expr("bin(_w)"))
+    )
+    prepared = items.select(
+        *group_cols,
+        (h % HLL_M).alias("_j"),
+        F.shiftright(h, HLL_REG_BITS).alias("_w"),
+    ).select(*group_cols, "_j", rho.alias("_rho"))
+    regs = prepared.groupBy(*group_cols, "_j").agg(F.max("_rho").alias("m_j"))
+    two43 = 1 << (HLL_WBITS + 1)
+    s = regs.groupBy(*group_cols).agg(
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_WBITS + 1} - m_j AS INT))"
+                )
+            )
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(two43)
+        ).alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+    )
+    numerator = (F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M))) * F.lit(
+        float(two43)
+    )
+    return s.select(
+        *group_cols,
+        "n_registers",
+        (numerator / F.col("_s")).alias("est_distinct"),
+    )

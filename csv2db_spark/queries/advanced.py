@@ -1000,3 +1000,52 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
     )
     return triangle_count(edges)
+
+
+@query(
+    "q_agg_hll_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderpriority AS g,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)
+               AS BIGINT) AS h
+      FROM orders
+    ),
+    r AS (
+      SELECT g, h % 64 AS j,
+             CASE WHEN h // 64 = 0 THEN 43
+                  ELSE 43 - length(bin(h // 64)) END AS rho
+      FROM h
+    ),
+    regs AS (SELECT g, j, max(rho) AS m_j FROM r GROUP BY 1, 2),
+    s AS (
+      SELECT g,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(43 - m_j AS INT))
+                  + (64 - count(*)) * 8796093022208 AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_registers
+      FROM regs GROUP BY g
+    )
+    SELECT g AS o_orderpriority, n_registers,
+           ((CAST(0.709 AS DOUBLE) * 4096.0) * 8796093022208.0) / s
+             AS est_distinct
+    FROM s
+    """,
+)
+def q_agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct customers per order priority
+    (operators/sketch.py:hll_distinct) — the approximate-distinct
+    aggregate made HASH-CHECKABLE: the relational register construction
+    (md5 -> register/rank -> per-register max) is rebuilt identically
+    by the DuckDB oracle and the closed-form estimate is one IEEE
+    division of exact integers, so unlike `approx_count_distinct`
+    (opaque HLL++ blob, rows-only gate) every bit of this estimate is
+    verified. Register tables merge by MAX — the mergeable-sketch
+    pattern that makes distinct-counting one bounded shuffle at any
+    corpus size."""
+    from csv2db_spark.operators.sketch import hll_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hll_distinct(
+        orders.select(F.col("o_orderpriority"), F.col("o_custkey").alias("item")),
+        group_cols=["o_orderpriority"],
+    )
