@@ -60,3 +60,38 @@ def test_hll_registers_merge_by_max(spark):
     # (register max is associative/commutative, so this IS the merge)
     merged = hll_distinct(b.unionAll(a)).collect()[0]
     assert whole.est_distinct == merged.est_distinct
+
+
+def test_hll_register_table_merges_through_merge_aggregates(spark):
+    # incremental distinct-count maintenance: per-shard HLL register
+    # tables folded with merge_aggregates(maxs=...) must equal the
+    # registers of a from-scratch pass — max is algebraic, so the
+    # standing rollup pattern works for distinct estimation too
+    import pyspark.sql.functions as SF
+
+    from csv2db_spark.operators.merge import merge_aggregates
+    from csv2db_spark.operators.sketch import HLL_M, HLL_REG_BITS, HLL_WBITS
+
+    def registers(df):
+        h = SF.conv(
+            SF.substring(SF.md5(SF.col("item").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        prepared = df.select(
+            (h % HLL_M).alias("j"), SF.shiftright(h, HLL_REG_BITS).alias("w")
+        ).select(
+            "j",
+            SF.when(SF.col("w") == 0, SF.lit(HLL_WBITS + 1))
+            .otherwise(SF.lit(HLL_WBITS + 1) - SF.length(SF.expr("bin(w)")))
+            .alias("rho"),
+        )
+        return prepared.groupBy("j").agg(SF.max("rho").alias("m_j"))
+
+    a = spark.range(0, 2500).select(SF.col("id").alias("item"))
+    b = spark.range(2000, 5000).select(SF.col("id").alias("item"))
+    merged = merge_aggregates(
+        registers(a), registers(b), keys=["j"], maxs=["m_j"]
+    )
+    whole = registers(a.unionAll(b))
+    got = {r.j: r.m_j for r in merged.collect()}
+    want = {r.j: r.m_j for r in whole.collect()}
+    assert got == want
