@@ -70,3 +70,98 @@ def test_quantile_filter_keeps_top_ranks(spark, sizes, drop_frac):
         # more than drop_frac of a group, and never empty a group
         assert len(expect) >= n - drop_frac * n
         assert expect
+
+
+_url_host = st.builds(
+    lambda a, b: f"{a}.{b}",
+    st.text("abcDEF", min_size=1, max_size=6),
+    st.sampled_from(["com", "org", "example.net"]),
+)
+_url_params = st.lists(
+    st.sampled_from(
+        ["a=1", "b=2", "z=9", "utm_source=x", "utm_campaign=c", "gclid=g", "ref=r"]
+    ),
+    max_size=4,
+)
+
+
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    www=st.booleans(),
+    host=_url_host,
+    default_port=st.booleans(),
+    path=st.lists(st.text("abXY9", min_size=1, max_size=4), max_size=3),
+    trail=st.booleans(),
+    params=_url_params,
+    frag=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_canonical_url_properties(
+    spark, scheme, www, host, default_port, path, trail, params, frag
+):
+    """Idempotence + invariance: cosmetic variants (case, www, default
+    port, tracking params, param order, fragment, trailing slash) all
+    map to one canonical form, and canonicalizing twice is a no-op."""
+    from csv2db_spark.llm.web import canonical_url
+
+    port = (":80" if scheme.lower() == "http" else ":443") if default_port else ""
+    url = (
+        f"{scheme}://{'WWW.' if www else ''}{host}{port}"
+        + ("/" + "/".join(path) if path else "")
+        + ("/" if trail else "")
+        + ("?" + "&".join(params) if params else "")
+        + ("#frag" if frag else "")
+    )
+    # the cosmetically-clean twin of the same resource
+    real_params = sorted(
+        p for p in params if not p.split("=")[0].startswith(("utm_", "gclid", "ref"))
+    )
+    clean = (
+        f"{scheme.lower()}://{host.lower()}"
+        + ("/" + "/".join(path) if path else "/")
+        + ("?" + "&".join(real_params) if real_params else "")
+    )
+    df = spark.createDataFrame([(url,), (clean,)], ["url"])
+    out = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    # both variants collapse to the same canonical form
+    assert out[0].c1 == out[1].c1, (url, clean, out[0].c1, out[1].c1)
+    # idempotence
+    assert out[0].c1 == out[0].c2
+    assert out[1].c1 == out[1].c2
+
+
+@given(
+    n_tokens=st.integers(1, 60),
+    chunk=st.integers(4, 20),
+    overlap=st.integers(0, 10),
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_properties(spark, n_tokens, chunk, overlap):
+    """Coverage + bounds: every token lands in >= 1 chunk, no chunk
+    exceeds the budget, chunk starts advance by exactly the stride, and
+    consecutive chunks share exactly `overlap` tokens (except the
+    clamped tail)."""
+    from csv2db_spark.llm.curation import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    seen = set()
+    for i, r in enumerate(rows):
+        toks = r.chunk_text.split()
+        assert len(toks) == r.n_chunk_tokens <= chunk
+        assert toks[0] == f"t{i * stride}"  # starts advance by stride
+        seen.update(toks)
+    assert seen == {f"t{i}" for i in range(n_tokens)}  # full coverage
+    # all chunks except the last are full-size
+    for r in rows[:-1]:
+        assert r.n_chunk_tokens == chunk
