@@ -148,3 +148,54 @@ def semdedup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def silhouette_proxy(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+) -> DataFrame:
+    """Per-vector simplified silhouette — the standard clustering-quality
+    signal computed against CENTROIDS (a = d² to the assigned centroid,
+    b = d² to the second-nearest): s = (b − a) / max(a, b) ∈ [0, 1]
+    here since b >= a by construction (1.0 exactly when the vector sits
+    on its centroid); s near 0 flags border points, s near 1
+    well-separated ones. The full silhouette's all-pairs member
+    distances are quadratic; the centroid form is the scalable variant
+    (k distances per vector) and the one pipelines actually monitor.
+
+    Exactness: a and b are exact scaled-integer d² (same quantized
+    domain as assignment), so (b − a) and max(a, b) are exact longs and
+    s is ONE IEEE division — bit-identical on any engine; a == b == 0
+    (duplicate centroids) yields s = 0 by definition instead of NaN.
+
+    Returns (id, cluster_id, d2_own, d2_next, silhouette). Scale shape:
+    identical to assignment — broadcast centroids, map-only scoring, one
+    window keyed by the vector id; the corpus never shuffles on content.
+    """
+    x = quantize(vectors, id_col, vec_col, id_col, "x_")
+    c = quantize(centroids, centroid_id_col, vec_col, centroid_id_col, "c_")
+    d2 = (
+        F.col("x_nrm2") + F.col("c_nrm2") - 2 * dot_iv(F.col("x_iv"), F.col("c_iv"))
+    ).alias("d2")
+    scored = x.crossJoin(F.broadcast(c)).select(id_col, centroid_id_col, d2)
+    w = Window.partitionBy(id_col).orderBy("d2", centroid_id_col)
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    own = ranked.where(F.col("_rn") == 1).select(
+        id_col, centroid_id_col, F.col("d2").alias("d2_own")
+    )
+    nxt = ranked.where(F.col("_rn") == 2).select(
+        id_col, F.col("d2").alias("d2_next")
+    )
+    denom = F.greatest("d2_own", "d2_next")
+    return own.join(nxt, id_col).select(
+        id_col,
+        centroid_id_col,
+        "d2_own",
+        "d2_next",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise((F.col("d2_next") - F.col("d2_own")).cast("double") / denom)
+        .alias("silhouette"),
+    )

@@ -16,7 +16,7 @@ consumers act on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -49,3 +49,82 @@ def profile_columns(df: DataFrame) -> DataFrame:
         for c in df.columns
     ]
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def histogram_quantile(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 100,
+    qs: tuple[int, ...] = (25, 50, 75, 90),
+) -> DataFrame:
+    """Histogram-based quantile estimates that are HASH-CHECKABLE —
+    the deterministic alternative to ``approx_percentile`` (t-digest:
+    merge-order-dependent, opaque blob, rows-only gate). Values are
+    binned into ``n_buckets`` equal-width buckets over [lo, hi)
+    (clamped at both ends), and each requested percentile q (an INTEGER
+    percent, so the rank target ceil(q*N/100) is exact integer
+    arithmetic) is linearly interpolated inside the first bucket whose
+    cumulative count reaches the target. Estimation error is bounded by
+    one bucket width; every input to the final two IEEE ops (one
+    multiply, one divide) is an exact integer, so both engines emit
+    identical bits.
+
+    Returns (q, target_rank, bucket, est_value). Scale shape: one
+    map-side-combined groupBy(bucket) — the shuffle carries at most
+    n_buckets rows per partition — then an n_buckets-row cumulative
+    window. The corpus is scanned once; at 100 TB this is the
+    scan-bound pattern, identical to any aggregate.
+    """
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    counts = (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    spark = df.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame([(int(q),) for q in qs], ["q"])
+    )
+    # target rank = ceil(q*N/100) via integer arithmetic
+    target = -F.floor(-(F.col("q") * F.col("n")) / 100)
+    hits = (
+        cum.crossJoin(qdf)
+        .withColumn("target_rank", target.cast("long"))
+        .where(F.col("cum") >= F.col("target_rank"))
+    )
+    ww = Window.partitionBy("q").orderBy("bucket")
+    first_hit = (
+        hits.withColumn("_rn", F.row_number().over(ww))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # interpolate inside the bucket: lo + width*(bucket + frac)
+    frac = (
+        F.col("target_rank") - (F.col("cum") - F.col("cnt"))
+    ).cast("double") / F.col("cnt")
+    return first_hit.select(
+        "q",
+        "target_rank",
+        "bucket",
+        (F.lit(lo) + F.lit(width) * (F.col("bucket") + frac)).alias("est_value"),
+    )

@@ -1049,3 +1049,109 @@ def q_agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(F.col("o_orderpriority"), F.col("o_custkey").alias("item")),
         group_cols=["o_orderpriority"],
     )
+
+
+@query(
+    "q_embed_silhouette",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    nrm AS (
+      SELECT vec_id,
+             CAST(sum({_iel('embedding[i]')} * {_iel('embedding[i]')})
+                  AS BIGINT) AS nrm2
+      FROM v, range(1, 65) r(i) GROUP BY vec_id
+    ),
+    cent AS (SELECT vec_id AS cluster_id FROM embeddings WHERE vec_id < 8),
+    dots AS (
+      SELECT a.vec_id, c.cluster_id,
+             CAST(sum({_iel('a.embedding[i]')} * {_iel('b.embedding[i]')})
+                  AS BIGINT) AS dot
+      FROM v a
+      JOIN cent c ON true
+      JOIN v b ON b.vec_id = c.cluster_id, range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT dots.vec_id, dots.cluster_id,
+             nv.nrm2 + nc.nrm2 - 2 * dots.dot AS d2
+      FROM dots
+      JOIN nrm nv ON nv.vec_id = dots.vec_id
+      JOIN nrm nc ON nc.vec_id = dots.cluster_id
+    ),
+    a AS (
+      SELECT vec_id, cluster_id, d2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cluster_id) AS rn
+      FROM d
+    )
+    SELECT own.vec_id, own.cluster_id,
+           CAST(own.d2 AS BIGINT) AS d2_own,
+           CAST(nxt.d2 AS BIGINT) AS d2_next,
+           CASE WHEN greatest(own.d2, nxt.d2) = 0 THEN 0.0
+                ELSE CAST(nxt.d2 - own.d2 AS DOUBLE)
+                     / greatest(own.d2, nxt.d2) END AS silhouette
+    FROM (SELECT vec_id, cluster_id, d2 FROM a WHERE rn = 1) own
+    JOIN (SELECT vec_id, d2 FROM a WHERE rn = 2) nxt USING (vec_id)
+    """,
+)
+def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector simplified silhouette against the 8 seed centroids
+    (llm/cluster.py:silhouette_proxy) — the cluster-quality monitor an
+    embedding pipeline runs after k-means, made hash-checkable: a and b
+    are the exact scaled-integer d² to the nearest and second-nearest
+    centroid, so s = (b−a)/max(a,b) is one IEEE division and every row
+    bit-matches the oracle's replay. Broadcast centroids, map-only
+    scoring, one vec_id-keyed window — the corpus never shuffles."""
+    from csv2db_spark.llm.cluster import silhouette_proxy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    return silhouette_proxy(emb, cents)
+
+
+@query(
+    "q_agg_histogram_quantile",
+    oracle="""
+    WITH b AS (
+      SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 6000.0)
+                                 AS BIGINT), 0), 99) AS bucket
+      FROM orders
+    ),
+    counts AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+    cum AS (
+      SELECT bucket, cnt,
+             sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM counts
+    ),
+    qs AS (SELECT unnest([25, 50, 75, 90]) AS q),
+    hits AS (
+      SELECT q, bucket, cnt, cum,
+             CAST(-floor(-(q * n) / 100) AS BIGINT) AS target_rank,
+             row_number() OVER (PARTITION BY q ORDER BY bucket) AS rn
+      FROM cum CROSS JOIN qs
+      WHERE cum >= -floor(-(q * n) / 100)
+    )
+    SELECT q, target_rank, bucket,
+           0.0 + 6000.0 * (bucket + CAST(target_rank - (cum - cnt) AS DOUBLE)
+                                    / cnt) AS est_value
+    FROM hits WHERE rn = 1
+    """,
+)
+def q_agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantiles of o_totalprice
+    (operators/profile.py:histogram_quantile) — the deterministic,
+    hash-checkable alternative to approx_percentile's t-digest (whose
+    merge-order-dependent blob forces a rows-only gate): equal-width
+    binning, integer rank targets ceil(q*N/100), one interpolation
+    division per percentile. Error bounded by a bucket width; shuffle
+    bounded by n_buckets rows per partition."""
+    from csv2db_spark.operators.profile import histogram_quantile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram_quantile(
+        orders, "o_totalprice", lo=0.0, hi=600000.0, n_buckets=100,
+        qs=(25, 50, 75, 90),
+    )

@@ -95,3 +95,68 @@ def test_hll_register_table_merges_through_merge_aggregates(spark):
     got = {r.j: r.m_j for r in merged.collect()}
     want = {r.j: r.m_j for r in whole.collect()}
     assert got == want
+
+
+def test_histogram_quantile_within_bucket_width(spark):
+    from csv2db_spark.operators.sketch import hll_distinct  # noqa: F401
+    from csv2db_spark.operators.profile import histogram_quantile
+
+    # uniform 0..9999: exact pNN = NN0 (ish); bucket width 100
+    df = spark.range(10000).select(F.col("id").cast("double").alias("x"))
+    out = {r.q: r for r in histogram_quantile(
+        df, "x", lo=0.0, hi=10000.0, n_buckets=100, qs=(25, 50, 75, 90)
+    ).collect()}
+    import numpy as np
+
+    vals = np.arange(10000)
+    for q in (25, 50, 75, 90):
+        exact = float(np.percentile(vals, q))
+        assert abs(out[q].est_value - exact) <= 100.0 + 1  # one bucket
+    # deterministic under repartitioning
+    out64 = {r.q: r.est_value for r in histogram_quantile(
+        df.repartition(64), "x", lo=0.0, hi=10000.0, n_buckets=100,
+        qs=(25, 50, 75, 90)
+    ).collect()}
+    assert out64 == {q: r.est_value for q, r in out.items()}
+
+
+def test_histogram_quantile_clamps_out_of_range(spark):
+    from csv2db_spark.operators.profile import histogram_quantile
+
+    # values beyond [lo, hi) land in the edge buckets, never lost
+    df = spark.createDataFrame(
+        [(-50.0,), (5.0,), (15.0,), (999.0,)], ["x"]
+    )
+    out = {r.q: r for r in histogram_quantile(
+        df, "x", lo=0.0, hi=20.0, n_buckets=2, qs=(50, 100)
+    ).collect()}
+    assert out[100].target_rank == 4  # all four rows counted
+    assert 0 <= out[50].bucket <= 1
+
+
+def test_silhouette_proxy_bounds_and_degenerate(spark):
+    from csv2db_spark.llm.cluster import silhouette_proxy
+
+    rows = [
+        (0, [1.0, 0.0]),   # centroid A
+        (1, [0.0, 1.0]),   # centroid B
+        (2, [0.9, 0.1]),   # near A -> high silhouette
+        (3, [0.5, 0.5]),   # equidistant -> silhouette 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.where("vec_id < 2").selectExpr(
+        "vec_id as cluster_id", "embedding"
+    )
+    out = {r.vec_id: r for r in silhouette_proxy(df, cents).collect()}
+    for r in out.values():
+        assert 0.0 <= r.silhouette <= 1.0
+        assert r.d2_next >= r.d2_own >= 0
+    assert out[2].cluster_id == 0 and out[2].silhouette > 0.5
+    assert out[3].silhouette == 0.0  # tie: b == a
+    # duplicate centroids: a == b == 0 must yield 0, not NaN
+    dup_cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0])],
+        "cluster_id long, embedding array<double>",
+    )
+    out_dup = {r.vec_id: r for r in silhouette_proxy(df, dup_cents).collect()}
+    assert out_dup[0].silhouette == 0.0
