@@ -1155,3 +1155,53 @@ def q_agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, "o_totalprice", lo=0.0, hi=600000.0, n_buckets=100,
         qs=(25, 50, 75, 90),
     )
+
+
+_ZORDER_DIR = "/tmp/csv2db_spark_zorder"
+
+
+@query(
+    "q_src_zorder_pruned_read",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           cast(sum(cast(o_totalprice as decimal(14,2))) as double)
+             AS total_price
+    FROM orders
+    WHERE o_custkey >= 1000 AND o_custkey <= 3000
+    GROUP BY o_orderpriority
+    """,
+)
+def q_src_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout + manifest skipping (sink.write_zorder_parquet +
+    sources/skipping.py): orders laid out on the Morton interleave of
+    (o_totalprice, o_custkey), then a selective band read on the SECOND
+    dimension — the predicate a single-column sort cannot prune (every
+    x-sorted file spans all of y; the z-layout bounds both). The oracle
+    runs the same band on the raw table: pruning must be invisible in
+    the result. This is Delta's OPTIMIZE ZORDER BY for plain parquet;
+    at 100 TB it is the difference between opening every file and
+    opening ~sqrt(files) for either predicate."""
+    import os as _os
+
+    from csv2db_spark.sink import write_zorder_parquet
+    from csv2db_spark.sources.skipping import build_minmax_manifest, read_pruned
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    d = f"{_ZORDER_DIR}_{sf_tag}"
+    if not _os.path.isdir(d):
+        write_zorder_parquet(
+            load_table(spark, sf_dir, "orders"),
+            d,
+            "o_totalprice",
+            "o_custkey",
+            target_files=16,
+        )
+    manifest = build_minmax_manifest(spark, d, ["o_custkey"])
+    band = read_pruned(spark, manifest, "o_custkey", 1000, 3000)
+    from csv2db_spark.functions.numeric import dec
+
+    return band.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("total_price"),
+    )

@@ -490,3 +490,81 @@ def compact_parquet(
     os.rename(tmp, str(p))
     shutil.rmtree(old)
     return len(list(p.glob("*.parquet")))
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    target_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Z-order (Morton-curve) layout: files clustered on TWO columns at
+    once, so file-level min/max skipping works for predicates on either
+    column — the Delta OPTIMIZE ZORDER BY feature for plain parquet.
+
+    Why a single-column sort isn't enough at 100 TB: range-partitioning
+    on ``col_a`` gives disjoint a-spans (great a-skipping) but every
+    file then spans b's FULL domain — a selective b-predicate still
+    opens every file. Interleaving the bits of both (quantized to
+    ``bits``-bit ranks via min/max scaling) makes each file a bounding
+    BOX in (a, b) space roughly 1/sqrt(files) of each domain wide, so
+    either predicate prunes ~sqrt(files) of the files instead of none
+    (pinned empirically in tests/test_partitioned_sink.py against the
+    skipping manifest).
+
+    The min/max scan for scaling is one 1-row aggregate (documented
+    driver touch, same class as the skipping manifest); everything else
+    is codegen bit arithmetic + the same range-exchange/local-sort write
+    as ``write_sorted_parquet``.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.min(col_a).alias("a_lo"),
+        F.max(col_a).alias("a_hi"),
+        F.min(col_b).alias("b_lo"),
+        F.max(col_b).alias("b_hi"),
+    ).collect()[0]
+    m = (1 << bits) - 1
+
+    def scaled(c: str, lo, hi):
+        if hi == lo:
+            return F.lit(0).cast("long")
+        return F.least(
+            F.floor(
+                (F.col(c) - F.lit(lo)) / F.lit(hi - lo) * F.lit(m + 1)
+            ).cast("long"),
+            F.lit(m),
+        )
+
+    a_q = scaled(col_a, row["a_lo"], row["a_hi"])
+    b_q = scaled(col_b, row["b_lo"], row["b_hi"])
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.expr(
+                f"shiftleft(CAST((_za >> {i}) & 1 AS BIGINT), {2 * i + 1})"
+            )
+        )
+        terms.append(
+            F.expr(f"shiftleft(CAST((_zb >> {i}) & 1 AS BIGINT), {2 * i})")
+        )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    staged = df.withColumn("_za", a_q).withColumn("_zb", b_q).withColumn(
+        "_z", z
+    )
+    part = (
+        staged.repartitionByRange(target_files, "_z")
+        if target_files
+        else staged.repartitionByRange("_z")
+    )
+    (
+        part.sortWithinPartitions("_z")
+        .drop("_za", "_zb", "_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -37,3 +37,52 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         .count()
     )
     assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    # two independent uniform columns: an x-sorted layout gives disjoint
+    # x-spans but every file spans y's full domain; the z-ordered layout
+    # must bound BOTH so a selective predicate on either column prunes
+    # files via the min/max manifest
+    from csv2db_spark.sink import write_sorted_parquet, write_zorder_parquet
+    from csv2db_spark.sources.skipping import build_minmax_manifest, read_pruned
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(40000).select(
+        (F.col("id") * 7919 % 40000).cast("double").alias("x"),
+        (F.col("id") * 104729 % 40000).cast("double").alias("y"),
+    )
+    sorted_dir = str(tmp_path / "xsorted")
+    z_dir = str(tmp_path / "zorder")
+    write_sorted_parquet(df, sorted_dir, ["x"], target_files=16)
+    write_zorder_parquet(df, z_dir, "x", "y", target_files=16)
+
+    def y_span_frac(path):
+        m = build_minmax_manifest(spark, path, ["y"]).collect()
+        return sum((r["y_max"] - r["y_min"]) / 40000.0 for r in m) / len(m)
+
+    # x-sorted: every file covers ~all of y; z-order: a fraction of it
+    assert y_span_frac(sorted_dir) > 0.9
+    assert y_span_frac(z_dir) < 0.6
+
+    # a selective y-band read over the z layout opens fewer files AND
+    # returns exactly the same rows as the raw filter
+    mz = build_minmax_manifest(spark, z_dir, ["y"])
+    pruned = read_pruned(spark, mz, "y", 1000.0, 3000.0)
+    survivors = {
+        r["_file"]
+        for r in mz.where(
+            (F.col("y_max") >= 1000.0) & (F.col("y_min") <= 3000.0)
+        ).collect()
+    }
+    assert len(survivors) < 16  # genuinely pruned
+    want = df.where((F.col("y") >= 1000.0) & (F.col("y") <= 3000.0)).count()
+    assert pruned.count() == want
+
+    # and the x dimension still prunes too (the whole point of z-order)
+    mx = build_minmax_manifest(spark, z_dir, ["x"])
+    x_survivors = mx.where(
+        (F.col("x_max") >= 1000.0) & (F.col("x_min") <= 3000.0)
+    ).count()
+    assert x_survivors < 16
