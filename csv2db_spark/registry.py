@@ -88,7 +88,10 @@ CHECK_FIRST: tuple[str, ...] = (
 )
 # With this rotation the r1-r5 union covers every query registered
 # through round 5 except queries first registered AFTER this freeze —
-# rotate those in next round (same pattern as every round).
+# rotate those in next round (same pattern as every round). Registered
+# after the r5 freeze (driver-sim green at sf0.01 AND sf0.1 under the
+# vanilla non-UTC session, no driver row yet): q_embed_silhouette,
+# q_agg_histogram_quantile, q_src_zorder_pruned_read.
 
 
 def load_all_queries() -> dict[str, QueryDef]:
