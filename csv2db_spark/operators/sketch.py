@@ -190,3 +190,39 @@ def hll_distinct(
         "n_registers",
         (numerator / F.col("_s")).alias("est_distinct"),
     )
+
+
+def countmin_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, d: int = 4
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches built
+    on the SAME (d, w, hashing) layout over each side's join key: for
+    each row j, the inner product sum_b cnt_a(j,b)*cnt_b(j,b) is an
+    upper bound on |A join B| (collisions only add), and the minimum
+    over the d rows is the classic count-min join-size estimator
+    (AMS/count-min literature) — what a cost-based planner uses to pick
+    join order and broadcast sides WITHOUT scanning either table again.
+
+    Every quantity is an exact integer (products summed as
+    DECIMAL(38,0): w cells of up to corpus-squared products stay inside
+    precision 38 for any realistic table), so the estimate — returned
+    as (est_join_size,) one-row DataFrame — is engine-exact and
+    hash-checkable, unlike real planners' float stats.
+
+    Scale shape: both sketches are d*w rows; the join/aggregate here
+    touches sketch cells only, never the tables.
+    """
+    a = sketch_a.select("j", "bucket", F.col("cnt").alias("cnt_a"))
+    b = sketch_b.select("j", "bucket", F.col("cnt").alias("cnt_b"))
+    per_row = (
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.col("cnt_a").cast("decimal(38,0)") * F.col("cnt_b")
+            ).alias("ip")
+        )
+    )
+    return per_row.agg(
+        F.min("ip").cast("decimal(38,0)").cast("long").alias("est_join_size")
+    )

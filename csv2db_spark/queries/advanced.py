@@ -1205,3 +1205,83 @@ def q_src_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "q_agg_join_size_estimate",
+    oracle="""
+    WITH oa AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS item FROM orders
+    ),
+    ob AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS item FROM customer
+    ),
+    ha AS (
+      SELECT CAST('0x' || substr(md5(item), 1, 12) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(item), 13, 12) AS BIGINT) AS h2
+      FROM oa
+    ),
+    hb AS (
+      SELECT CAST('0x' || substr(md5(item), 1, 12) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(item), 13, 12) AS BIGINT) AS h2
+      FROM ob
+    ),
+    ca AS (
+      SELECT j, ((h1 + j * h2) % {0}) % 65536 AS bucket, count(*) AS cnt
+      FROM (SELECT h1, h2, unnest(range(0, 4)) AS j FROM ha)
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT j, ((h1 + j * h2) % {0}) % 65536 AS bucket, count(*) AS cnt
+      FROM (SELECT h1, h2, unnest(range(0, 4)) AS j FROM hb)
+      GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT ca.j,
+             sum(CAST(ca.cnt AS DECIMAL(38,0)) * cb.cnt) AS ip
+      FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+      GROUP BY ca.j
+    ),
+    est AS (
+      SELECT CAST(CAST(min(ip) AS DECIMAL(38,0)) AS BIGINT)
+               AS est_join_size
+      FROM ip
+    ),
+    truth AS (
+      SELECT count(*) AS true_join_size
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT est.est_join_size, truth.true_join_size
+    FROM est CROSS JOIN truth
+    """.replace("{0}", str(CMS_P)),
+)
+def q_agg_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join cardinality estimation
+    (operators/sketch.py:countmin_join_size): |orders join customer on
+    custkey| estimated from two 4x65536 count-min sketches (w sized so
+    collision noise n_a*n_b/w stays below the true cardinality) — the
+    cost-based-planner statistic, computed without touching either
+    table again, alongside the true join size for calibration. The
+    estimate is an upper bound by construction (collisions only add);
+    both numbers are exact integers, so the gate hash-checks the
+    estimator itself, not a tolerance band."""
+    from csv2db_spark.operators.sketch import countmin_build, countmin_join_size
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("item")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("item")
+    )
+    est = countmin_join_size(
+        countmin_build(orders, d=4, w=65536), countmin_build(cust, d=4, w=65536)
+    )
+    true_n = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("true_join_size"))
+    )
+    return est.crossJoin(true_n)

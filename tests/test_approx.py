@@ -160,3 +160,22 @@ def test_silhouette_proxy_bounds_and_degenerate(spark):
     )
     out_dup = {r.vec_id: r for r in silhouette_proxy(df, dup_cents).collect()}
     assert out_dup[0].silhouette == 0.0
+
+
+def test_countmin_join_size_upper_bound(spark):
+    from csv2db_spark.operators.sketch import countmin_build, countmin_join_size
+
+    a = spark.range(3000).select((F.col("id") % 500).cast("string").alias("item"))
+    b = spark.range(1000).select((F.col("id") % 500).cast("string").alias("item"))
+    est = countmin_join_size(
+        countmin_build(a, d=4, w=4096), countmin_build(b, d=4, w=4096)
+    ).collect()[0].est_join_size
+    true_n = a.join(b, "item").count()
+    assert est >= true_n          # collisions only add
+    assert est <= true_n * 1.5    # w >> keys keeps the bound tight
+    # deterministic under repartitioning
+    est64 = countmin_join_size(
+        countmin_build(a.repartition(64), d=4, w=4096),
+        countmin_build(b.repartition(64), d=4, w=4096),
+    ).collect()[0].est_join_size
+    assert est64 == est
