@@ -172,8 +172,12 @@ def silhouette_proxy(
     (duplicate centroids) yields s = 0 by definition instead of NaN.
 
     Returns (id, cluster_id, d2_own, d2_next, silhouette). Scale shape:
-    identical to assignment — broadcast centroids, map-only scoring, one
-    window keyed by the vector id; the corpus never shuffles on content.
+    identical to assignment — broadcast centroids, map-only scoring,
+    then ONE vec-keyed shuffle: the nearest/second-nearest pick is a
+    window followed by a conditional aggregate over the same
+    partitioning (no self-join — a join of rn=1 and rn=2 slices would
+    compile to an avoidable sort-merge join); the corpus never shuffles
+    on content.
     """
     x = quantize(vectors, id_col, vec_col, id_col, "x_")
     c = quantize(centroids, centroid_id_col, vec_col, centroid_id_col, "c_")
@@ -183,14 +187,15 @@ def silhouette_proxy(
     scored = x.crossJoin(F.broadcast(c)).select(id_col, centroid_id_col, d2)
     w = Window.partitionBy(id_col).orderBy("d2", centroid_id_col)
     ranked = scored.withColumn("_rn", F.row_number().over(w))
-    own = ranked.where(F.col("_rn") == 1).select(
-        id_col, centroid_id_col, F.col("d2").alias("d2_own")
-    )
-    nxt = ranked.where(F.col("_rn") == 2).select(
-        id_col, F.col("d2").alias("d2_next")
+    agg = ranked.groupBy(id_col).agg(
+        F.min(F.when(F.col("_rn") == 1, F.col(centroid_id_col))).alias(
+            centroid_id_col
+        ),
+        F.min(F.when(F.col("_rn") == 1, F.col("d2"))).alias("d2_own"),
+        F.min(F.when(F.col("_rn") == 2, F.col("d2"))).alias("d2_next"),
     )
     denom = F.greatest("d2_own", "d2_next")
-    return own.join(nxt, id_col).select(
+    return agg.where(F.col("d2_next").isNotNull()).select(
         id_col,
         centroid_id_col,
         "d2_own",

@@ -53,3 +53,55 @@ def test_date_filters_reach_the_scan(spark, sf_dir, name):
     assert "PushedFilters: [" in plan
     # at least one scan carries a pushed range predicate
     assert "GreaterThanOrEqual" in plan or "LessThan" in plan
+
+
+def test_url_canonicalize_is_shuffle_free(spark, sf_dir):
+    # canonicalization must be a pure scan projection: zero exchanges
+    plan = _plan(spark, sf_dir, "q_curate_url_canonicalize")
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF in the row path
+
+
+def test_url_dedup_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_curate_url_dedup")
+    assert plan.count("Exchange") == 1  # one groupBy on the canonical key
+    # map-side combine before the exchange
+    assert "partial_" in plan
+
+
+def test_collocations_broadcast_vocab_no_smj(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_text_collocations")
+    assert "BroadcastHashJoin" in plan  # vocabulary sides broadcast
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan  # bigrams via codegen transform, no UDF
+
+
+def test_approx_topk_sketch_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_agg_approx_topk")
+    assert "BroadcastHashJoin" in plan  # d*w-cell sketch joins broadcast
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_gopher_quality_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_text_gopher_quality")
+    assert "Exchange" not in plan  # pure scan projection
+    assert "Python" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_curate_chunk_documents")
+    assert "Exchange" not in plan  # explode rides the scan
+    assert "Python" not in plan
+
+
+def test_silhouette_broadcasts_centroids_no_smj(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_embed_silhouette")
+    # k-row centroid side joins as a broadcast, never a sort-merge
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_has_mapside_partial_aggregates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_agg_hll_distinct")
+    assert "partial_" in plan  # register maxes combine before the wire
+    assert "SortMergeJoin" not in plan
