@@ -1108,3 +1108,37 @@ def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     return X.gopher_quality(docs)
+
+
+@query(
+    "q_dedup_ppjoin",
+    oracle=f"""
+    {_CTE_EX},
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b, count(*) AS inter
+      FROM ex e1 JOIN ex e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id
+      GROUP BY 1, 2
+    ),
+    jacc AS (
+      SELECT doc_a, doc_b,
+             inter / (sa.n + sb.n - inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM jacc WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity join
+    (llm/dedup.py:ppjoin_pairs) over the augmented corpus at Jaccard
+    >= 0.5. The ORACLE is the naive full shingle equi-join: prefix
+    filtering is provably lossless (any pair at J >= t shares a prefix
+    shingle under the global rarity order), so the hash match certifies
+    the optimization drops no qualifying pair while joining only on
+    prefix shingles — the frequent shingles that make the naive join
+    quadratic fall outside prefixes by construction."""
+    from csv2db_spark.llm.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(augmented_docs(spark, sf_dir), 0.5)

@@ -420,3 +420,24 @@ def test_vocab_coverage_exact_fractions(spark):
     assert out[2].n_covered == 150
     assert out[5].n_covered == 153  # +c, +d, +e (ties broken by token)
     assert out[2].coverage == 150 / 158
+
+
+def test_ppjoin_matches_naive_jaccard_with_fewer_candidates(spark, sf_dir):
+    # completeness is a theorem: prefix filtering must return EXACTLY
+    # the naive equi-join's qualifying pairs
+    import pyspark.sql.functions as SF
+
+    from csv2db_spark.llm.corpus import augmented_docs
+    from csv2db_spark.llm.dedup import jaccard_pairs, ppjoin_pairs, shingle_table
+
+    docs = augmented_docs(spark, sf_dir)
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(shingle_table(docs), 0.5).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ppjoin_pairs(docs, 0.5).collect()
+    }
+    assert got == want
+    assert want  # the augmented corpus plants near-dups; must find them
