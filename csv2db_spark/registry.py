@@ -91,7 +91,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # rotate those in next round (same pattern as every round). Registered
 # after the r5 freeze (driver-sim green at sf0.01 AND sf0.1 under the
 # vanilla non-UTC session, no driver row yet): q_embed_silhouette,
-# q_agg_histogram_quantile, q_src_zorder_pruned_read.
+# q_agg_histogram_quantile, q_src_zorder_pruned_read,
+# q_agg_join_size_estimate, q_dedup_ppjoin.
 
 
 def load_all_queries() -> dict[str, QueryDef]:
