@@ -58,6 +58,7 @@ def histogram_quantile(
     hi: float,
     n_buckets: int = 100,
     qs: tuple[int, ...] = (25, 50, 75, 90),
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Histogram-based quantile estimates that are HASH-CHECKABLE —
     the deterministic alternative to ``approx_percentile`` (t-digest:
@@ -71,12 +72,16 @@ def histogram_quantile(
     multiply, one divide) is an exact integer, so both engines emit
     identical bits.
 
-    Returns (q, target_rank, bucket, est_value). Scale shape: one
-    map-side-combined groupBy(bucket) — the shuffle carries at most
-    n_buckets rows per partition — then an n_buckets-row cumulative
-    window. The corpus is scanned once; at 100 TB this is the
-    scan-bound pattern, identical to any aggregate.
+    Returns (group_cols..., q, target_rank, bucket, est_value). Scale
+    shape: one map-side-combined groupBy((group, bucket)) — the shuffle
+    carries at most n_buckets rows per group per partition — then an
+    n_buckets-row cumulative window per group. The corpus is scanned
+    once; at 100 TB this is the scan-bound pattern, identical to any
+    aggregate. ``group_cols`` gives per-group percentiles (per-language
+    length distributions etc.) with the same exactness — the windows
+    key on the group, so group count scales freely.
     """
+    group_cols = list(group_cols or [])
     width = (hi - lo) / n_buckets
     bucket = F.least(
         F.greatest(
@@ -86,20 +91,24 @@ def histogram_quantile(
         F.lit(n_buckets - 1),
     )
     counts = (
-        df.select(bucket.alias("bucket"))
-        .groupBy("bucket")
+        df.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = counts.select(
+        *group_cols,
         "bucket",
         "cnt",
         F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
+        F.sum("cnt").over(wtot).alias("n"),
     )
     spark = df.sparkSession
     qdf = F.broadcast(
@@ -112,7 +121,7 @@ def histogram_quantile(
         .withColumn("target_rank", target.cast("long"))
         .where(F.col("cum") >= F.col("target_rank"))
     )
-    ww = Window.partitionBy("q").orderBy("bucket")
+    ww = Window.partitionBy(*group_cols, "q").orderBy("bucket")
     first_hit = (
         hits.withColumn("_rn", F.row_number().over(ww))
         .where(F.col("_rn") == 1)
@@ -123,6 +132,7 @@ def histogram_quantile(
         F.col("target_rank") - (F.col("cum") - F.col("cnt"))
     ).cast("double") / F.col("cnt")
     return first_hit.select(
+        *group_cols,
         "q",
         "target_rank",
         "bucket",

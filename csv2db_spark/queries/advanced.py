@@ -1285,3 +1285,51 @@ def q_agg_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("true_join_size"))
     )
     return est.crossJoin(true_n)
+
+
+@query(
+    "q_agg_grouped_histogram_quantile",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             least(greatest(CAST(floor((n_chars - 0.0) / 50.0) AS BIGINT),
+                            0), 39) AS bucket
+      FROM documents
+    ),
+    counts AS (SELECT lang, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+      FROM counts
+    ),
+    qs AS (SELECT unnest([25, 50, 90]) AS q),
+    hits AS (
+      SELECT lang, q, bucket, cnt, cum,
+             CAST(-floor(-(q * n) / 100) AS BIGINT) AS target_rank,
+             row_number() OVER (PARTITION BY lang, q ORDER BY bucket) AS rn
+      FROM cum CROSS JOIN qs
+      WHERE cum >= -floor(-(q * n) / 100)
+    )
+    SELECT lang, q, target_rank, bucket,
+           0.0 + 50.0 * (bucket + CAST(target_rank - (cum - cnt) AS DOUBLE)
+                                  / cnt) AS est_value
+    FROM hits WHERE rn = 1
+    """,
+)
+def q_agg_grouped_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentiles
+    (operators/profile.py:histogram_quantile with group_cols) — the
+    per-bucket distribution profile a curation pipeline reads before
+    setting length filters per language. Same exact-integer rank
+    targets and single interpolation division as the global variant;
+    the cumulative windows key on the group, so the group count scales
+    freely."""
+    from csv2db_spark.operators.profile import histogram_quantile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return histogram_quantile(
+        docs, "n_chars", lo=0.0, hi=2000.0, n_buckets=40,
+        qs=(25, 50, 90), group_cols=["lang"],
+    )
