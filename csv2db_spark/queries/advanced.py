@@ -1333,3 +1333,53 @@ def q_agg_grouped_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFr
         docs, "n_chars", lo=0.0, hi=2000.0, n_buckets=40,
         qs=(25, 50, 90), group_cols=["lang"],
     )
+
+
+_BLOOM_DIR = "/tmp/csv2db_spark_bloom"
+
+
+@query(
+    "q_src_bloom_pruned_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (32, 4000, 29987)
+    """,
+)
+def q_src_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-manifest point lookups (sources/skipping.py:
+    build_bloom_manifest/read_bloom_pruned): orders are laid out
+    HASH-SPREAD (no clustering on o_orderkey, so a min/max manifest
+    prunes nothing) and three point lookups run through the per-file
+    membership bitsets — each opens ~1 file instead of all of them.
+    The oracle runs the same IN-filter on the raw table: pruning must
+    be invisible in the result (false positives only cost an extra
+    open; false negatives cannot happen). This is the equality-
+    predicate complement of min/max skipping — parquet/Iceberg bloom
+    filters at file granularity without the format."""
+    import os as _os
+
+    from csv2db_spark.sources.skipping import (
+        build_bloom_manifest,
+        read_bloom_pruned,
+    )
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    d = f"{_BLOOM_DIR}_{sf_tag}"
+    if not _os.path.isdir(d):
+        load_table(spark, sf_dir, "orders").repartition(16).write.parquet(d)
+    manifest = build_bloom_manifest(spark, d, "o_orderkey", log2m=20)
+    manifest = manifest.localCheckpoint(eager=True)  # reuse across probes
+    parts = [
+        read_bloom_pruned(spark, manifest, "o_orderkey", k, log2m=20)
+        for k in (32, 4000, 29987)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )

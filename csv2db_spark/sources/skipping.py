@@ -89,3 +89,84 @@ def read_pruned(
 def files_in_dir(path: str) -> int:
     """Top-level parquet file count (test/diagnostic helper)."""
     return len(list(Path(path).glob("*.parquet")))
+
+
+def build_bloom_manifest(
+    spark: SparkSession, path: str, col: str, log2m: int = 20
+) -> DataFrame:
+    """Per-file membership bitset over ``col`` — the skipping structure
+    for EQUALITY predicates on columns the layout is NOT sorted by,
+    where a min/max manifest prunes nothing (every file's [min, max]
+    spans the domain). Same single-hash bitset construction as
+    ``operators/runtime_filter.key_bitset``, grouped per file: rows are
+    (file, word_idx, bits), at most 2^log2m/64 words per file, built in
+    one pass with map-side combine (each file's rows aggregate inside
+    their own split). False positives open an extra file; false
+    negatives cannot happen, so pruning is safe.
+
+    This is the parquet/Iceberg bloom-filter story at FILE granularity
+    without the format dependency: with log2m=20 (128 KiB of words per
+    file, before sparsity) and ~10k distinct keys per file the FP rate
+    is ~1%, so a point lookup opens ~1 file instead of all of them.
+    """
+    m = 1 << log2m
+    df = spark.read.parquet(path)
+    # record the column's type: the probe literal must hash with the
+    # SAME Spark type (xxhash64 of int 5 != xxhash64 of bigint 5)
+    ctype = df.schema[col].dataType.simpleString()
+    pos = F.pmod(F.xxhash64(F.col(col)), F.lit(m))
+    return (
+        df.withColumn("_file", F.input_file_name())
+        .select("_file", pos.alias("_pos"))
+        .groupBy(
+            "_file", (F.col("_pos") / 64).cast("long").alias("word_idx")
+        )
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))")
+            ).alias("bits")
+        )
+        .withColumn("col_type", F.lit(ctype))
+    )
+
+
+def read_bloom_pruned(
+    spark: SparkSession,
+    manifest: DataFrame,
+    col: str,
+    value,
+    log2m: int = 20,
+) -> DataFrame:
+    """Point-lookup read: open only the files whose bloom word has the
+    value's bit set, then apply the exact equality predicate (pruning
+    stays invisible in the result). The value's hash position is
+    evaluated through Spark itself (one 1-row job), so it is bit-exact
+    with the manifest's hashing."""
+    m = 1 << log2m
+    ctype = manifest.select("col_type").limit(1).collect()[0]["col_type"]
+    probe = F.lit(value).cast(ctype)
+    pos = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(probe), F.lit(m)).alias("p"))
+        .collect()[0]["p"]
+    )
+    word_idx, bit = pos // 64, pos % 64
+    keep = [
+        r["_file"]
+        for r in manifest.where(
+            (F.col("word_idx") == word_idx)
+            & (
+                F.expr(f"shiftrightunsigned(bits, {int(bit)})")
+                .bitwiseAND(F.lit(1))
+                == 1
+            )
+        )
+        .select("_file")
+        .collect()
+    ]
+    if not keep:
+        any_file = manifest.select("_file").limit(1).collect()
+        if not any_file:
+            raise ValueError("read_bloom_pruned: empty manifest")
+        return spark.read.parquet(any_file[0]["_file"]).where(F.lit(False))
+    return spark.read.parquet(*keep).where(F.col(col) == F.lit(value).cast(ctype))

@@ -86,3 +86,44 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
         (F.col("x_max") >= 1000.0) & (F.col("x_min") <= 3000.0)
     ).count()
     assert x_survivors < 16
+
+
+def test_bloom_manifest_prunes_point_lookups(spark, tmp_path):
+    # unsorted layout: min/max spans the whole domain (prunes nothing),
+    # the bloom manifest must cut a point lookup to ~1 file and return
+    # exactly the filter's rows
+    import pyspark.sql.functions as F
+
+    from csv2db_spark.sources.skipping import (
+        build_bloom_manifest,
+        build_minmax_manifest,
+        read_bloom_pruned,
+    )
+
+    df = spark.range(100000).select(
+        (F.col("id") * 2654435761 % 100000).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    path = str(tmp_path / "unsorted")
+    df.repartition(16).write.parquet(path)  # hash-spread: no clustering
+
+    # the min/max manifest is useless here — every file spans ~the domain
+    mm = build_minmax_manifest(spark, path, ["k"])
+    wide = mm.where(
+        (F.col("k_max") >= 12345) & (F.col("k_min") <= 12345)
+    ).count()
+    assert wide == 16
+
+    bloom = build_bloom_manifest(spark, path, "k", log2m=20)
+    pruned = read_bloom_pruned(spark, bloom, "k", 12345, log2m=20)
+    want = df.where(F.col("k") == 12345).collect()
+    got = pruned.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the lookup genuinely pruned: the surviving file set is small
+    survivors = pruned.select(F.input_file_name()).distinct().count()
+    assert survivors <= 3
+
+    # missing key: empty result, correct schema
+    miss = read_bloom_pruned(spark, bloom, "k", 123456789, log2m=20)
+    assert miss.count() == 0
+    assert miss.columns == ["k", "v"]
