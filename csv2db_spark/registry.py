@@ -45,13 +45,13 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 
 # The grading driver's correctness gate checks the FIRST 50 entries of
 # __spark_entry__.queries() in dict order.  Rounds 1-4 produced green
-# rows for 136 of the queries registered through round 4; the round-5
-# window covers the 20 registered-after-the-r4-freeze queries that have
-# never had a driver row, the 10 operators new in round 5, and 20 spot
-# re-checks weighted toward code TOUCHED this round (graph/dedup
-# clustering, the review-fix queries' neighbors, streaming, the bench
-# headliners, TPC-H q2/q11/q18/q20). Queries not listed keep
-# registration order after these.
+# rows for 136 of the 156 queries registered through round 4; the
+# round-5 window covers ALL 40 queries that have never had a driver row
+# (the 20 registered after the r4 freeze plus the 20 added during round
+# 5), and 10 spot re-checks weighted toward code TOUCHED this round
+# (the star-contraction CC rewrite's sibling gate, the streaming paths
+# the crash-recovery review fixes touched, the bench headliners).
+# Queries not listed keep registration order after these.
 CHECK_FIRST: tuple[str, ...] = (
     # -- never driver-checked (registered after the round-4 freeze) ------
     "q_graph_pagerank_step", "q_graph_triangles",
@@ -65,34 +65,32 @@ CHECK_FIRST: tuple[str, ...] = (
     "q_text_bm25_topk", "q_text_lexical_diversity",
     "q_mm_dhash_dedup", "q_join_bitset_prefilter",
     "q_cdc_snapshot_diff",
-    # -- new in round 5 ---------------------------------------------------
+    # -- never driver-checked (new in round 5) ----------------------------
     "q_curate_url_canonicalize", "q_curate_url_dedup",
     "q_curate_domain_stats", "q_agg_approx_topk", "q_graph_cc_star",
     "q_text_collocations", "q_text_gopher_quality",
     "q_curate_assign_split", "q_curate_source_overlap",
     "q_pipeline_curation_v3",
-    # -- re-checks: graph/dedup code touched this round -------------------
-    "q_dedup_clusters", "q_dedup_minhash_lsh", "q_dedup_exact",
-    "q_dedup_simhash", "q_dedup_ngram_jaccard",
-    # -- re-checks: streaming (soak the r4 ts fix a second round) ---------
-    "q_stream_tumbling_window", "q_stream_sliding_window",
-    "q_stream_session_window", "q_stream_dedup",
-    "q_stream_stateful_user_stats", "q_stream_stream_join",
-    "q_stream_ingest_csv", "q_stream_static_join",
-    # -- re-checks: TPC-H shapes first checked only last round ------------
-    "q_tpch_q2_min_cost_supplier", "q_tpch_q11_important_stock",
-    "q_tpch_q20_part_promotion", "q_tpch_q18_large_volume",
+    "q_agg_hll_distinct", "q_embed_silhouette",
+    "q_agg_histogram_quantile", "q_agg_grouped_histogram_quantile",
+    "q_src_zorder_pruned_read", "q_src_bloom_pruned_read",
+    "q_agg_join_size_estimate", "q_dedup_ppjoin",
+    "q_curate_chunk_documents", "q_curate_vocab_coverage",
+    # -- re-checks: graph CC code rewritten this round ---------------------
+    "q_dedup_clusters",
+    # -- re-checks: streaming paths the review fixes touched ---------------
+    "q_stream_tumbling_window", "q_stream_stateful_user_stats",
+    "q_stream_stream_join", "q_stream_ingest_csv",
     # -- re-checks: bench headliners + big compositions -------------------
     "q01_pricing_summary", "q_join_multiway_revenue",
-    "q_pipeline_training_data",
+    "q_dedup_minhash_lsh", "q_pipeline_training_data",
+    "q_tpch_q18_large_volume",
 )
 # With this rotation the r1-r5 union covers every query registered
-# through round 5 except queries first registered AFTER this freeze —
-# rotate those in next round (same pattern as every round). Registered
-# after the r5 freeze (driver-sim green at sf0.01 AND sf0.1 under the
-# vanilla non-UTC session, no driver row yet): q_embed_silhouette,
-# q_agg_histogram_quantile, q_src_zorder_pruned_read,
-# q_agg_join_size_estimate, q_dedup_ppjoin.
+# through this freeze. Queries first registered AFTER this point go to
+# the round-6 window (same pattern as every round); list them here as
+# they are added, driver-sim-verified at sf0.01 AND sf0.1 first:
+# (none yet).
 
 
 def load_all_queries() -> dict[str, QueryDef]:
