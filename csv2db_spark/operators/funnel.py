@@ -109,3 +109,48 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities between
+    consecutive states of each key's event sequence — the path-analysis
+    complement of ``funnel_stages`` (which checks ONE ordered pattern;
+    this measures ALL observed next-step behavior).
+
+    Output: (from_state, to_state, n_transitions, p_transition) where p
+    is n / total transitions leaving from_state — one integer division
+    per row, bit-identical on any engine.
+
+    Scale shape: one sort-shuffle on the key to sequence events (lead
+    over (ts, id)), then a hash aggregation on the (from, to) pair —
+    cardinality |states|², tiny regardless of corpus size — and a
+    |states|-row window for the denominators. The per-key sort is the
+    irreducible cost of sequencing; everything after is bounded."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wtot = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wtot).cast("double")
+        ).alias("p_transition"),
+    )

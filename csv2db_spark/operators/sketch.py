@@ -226,3 +226,79 @@ def countmin_join_size(
     return per_row.agg(
         F.min("ip").cast("decimal(38,0)").cast("long").alias("est_join_size")
     )
+
+
+def hll_set_estimates(
+    a: DataFrame,
+    b: DataFrame,
+    item_col: str = "item",
+) -> DataFrame:
+    """Distinct-cardinality estimates for two item sets AND their union /
+    intersection from HyperLogLog registers alone — the sketch-algebra
+    trick that makes distinct set arithmetic free at 100 TB: registers
+    of disjoint (or overlapping) corpus shards merge by per-register
+    MAX, so |A ∪ B| needs no re-scan of either side, and |A ∩ B| follows
+    by inclusion-exclusion (est_a + est_b - est_union; can go negative
+    within sketch error for near-disjoint sets — returned raw, callers
+    clamp). Exactly the register recipe of ``hll_distinct`` (same md5 /
+    rank / closed-form raw estimator), so every output bit is
+    reproducible by the DuckDB oracle.
+
+    Returns ONE row: (est_a, est_b, est_union, est_intersection).
+
+    Scale shape: each side is one 64-register aggregation (map-side
+    combined, ≤64 rows per task in the shuffle); the merge is a 128-row
+    groupBy. Nothing downstream of the register build touches data."""
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    rho = F.when(F.col("_w") == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.expr("bin(_w)"))
+    )
+
+    def regs(items: DataFrame, tag: str) -> DataFrame:
+        return (
+            items.select(
+                (h % HLL_M).alias("_j"),
+                F.shiftright(h, HLL_REG_BITS).alias("_w"),
+            )
+            .select("_j", rho.alias("_rho"))
+            .groupBy("_j")
+            .agg(F.max("_rho").alias("m_j"))
+            .withColumn("side", F.lit(tag))
+        )
+
+    both = regs(a, "a").unionByName(regs(b, "b"))
+    two43 = 1 << (HLL_WBITS + 1)
+    numerator = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) * F.lit(float(two43))
+
+    def estimate(grouped: DataFrame) -> DataFrame:
+        # grouped: (m_j rows) -> one 1-row/1-col estimate frame
+        s = grouped.agg(
+            (
+                F.sum(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_WBITS + 1} - m_j AS INT))"
+                    )
+                )
+                + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(two43)
+            ).alias("_s")
+        )
+        return s.select((numerator / F.col("_s")).alias("est"))
+
+    est_a = estimate(both.where(F.col("side") == "a"))
+    est_b = estimate(both.where(F.col("side") == "b"))
+    est_u = estimate(both.groupBy("_j").agg(F.max("m_j").alias("m_j")))
+    out = (
+        est_a.select(F.col("est").alias("est_a"))
+        .crossJoin(est_b.select(F.col("est").alias("est_b")))
+        .crossJoin(est_u.select(F.col("est").alias("est_union")))
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersection"
+        ),
+    )

@@ -131,3 +131,171 @@ def interpolate_linear(
         "interp_value",
         F.when(v.isNotNull(), v).otherwise(F.coalesce(interp, prev_v, next_v)),
     ).drop("_rn")
+
+
+def ohlc_bars(
+    events: DataFrame,
+    hours: int = 6,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Candlestick downsampling: one (key, bucket) row with the first
+    (open), max (high), min (low), and last (close) observation plus the
+    event count — the financial-bars twin of ``resample``.
+
+    Open/close pick an EXISTING value via ``min_by``/``max_by`` on the
+    composite ordering key ``struct(ts, id)`` (id breaks timestamp ties
+    deterministically), so no float arithmetic happens at all — every
+    output number is an input number or a count, bit-reproducible on any
+    engine ordering rows any way.
+
+    Scale shape: a single hash aggregation with map-side combine; the
+    shuffle carries one partial bar per (key, bucket) per task. min_by /
+    max_by fold pairwise like min/max — no sort, no window."""
+    order_key = F.struct(F.col(ts_col), F.col(id_col))
+    v = F.col(value_col)
+    return (
+        events.select(
+            key_col,
+            time_bucket(F.col(ts_col), hours).alias("bucket"),
+            ts_col,
+            id_col,
+            value_col,
+        )
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.min_by(v, order_key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def ewma(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 6,
+) -> DataFrame:
+    """Exponentially weighted moving average with decay 1/2 over the last
+    ``k`` observations of each series — the streaming-smoother pattern,
+    made exactly reproducible.
+
+    The textbook EWMA is an unbounded recursion (y_t = a*x_t +
+    (1-a)*y_{t-1}); truncating at ``k`` lags turns it into a finite
+    weighted sum whose weights (1/2)^j are EXACT decimals, so with the
+    input quantized to decimal(14,4) both numerator and denominator are
+    exact decimal sums — order-free — and the smoothed value is ONE IEEE
+    division of identical doubles on any engine. At decay 1/2 the
+    truncation error is bounded by 2^-k of the oldest weight (< 2% of
+    the estimate at k=6), which is the deliberate contract: a
+    deterministic approximation beats an irreproducible exact recursion
+    for cross-engine validation.
+
+    Scale shape: one sort-shuffle on the series key; the ``k`` lags are
+    one window pass (Spark evaluates all lag offsets in a single sort).
+    Rows per key are unbounded but the state per row is k values."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    v = F.col(value_col).cast("decimal(14,4)")
+    terms = []
+    present = []
+    for j in range(k):
+        wj = F.lit(1 / 2**j).cast(f"decimal(10,{max(j, 1)})")
+        lagged = F.lag(v, j).over(w)
+        terms.append(
+            F.coalesce(
+                (lagged * wj).cast("decimal(24,10)"),
+                F.lit(0).cast("decimal(24,10)"),
+            )
+        )
+        present.append(
+            F.when(lagged.isNotNull(), wj.cast("decimal(24,10)")).otherwise(
+                F.lit(0).cast("decimal(24,10)")
+            )
+        )
+    num = terms[0]
+    den = present[0]
+    for t in terms[1:]:
+        num = (num + t).cast("decimal(24,10)")
+    for p in present[1:]:
+        den = (den + p).cast("decimal(24,10)")
+    return events.select(
+        key_col,
+        ts_col,
+        id_col,
+        value_col,
+        num.cast("decimal(30,10)").alias("ewma_num"),
+        den.cast("decimal(30,10)").alias("ewma_den"),
+    ).withColumn(
+        "ewma",
+        F.col("ewma_num").cast("double") / F.col("ewma_den").cast("double"),
+    )
+
+
+def mad_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_mads: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier detection by median absolute deviation:
+    flag rows with |x - median| > n_mads * MAD. Unlike the z-score gate
+    (queries/advanced.py:q_events_zscore_outliers) this survives the
+    outliers it hunts — mean/stddev are dragged by the very tail values,
+    medians are not (50% breakdown point vs 0%).
+
+    Exactness: the median is defined as the ⌈n/2⌉-th ORDER STATISTIC of
+    the quantized value (lower median) — a selection, not an
+    interpolation, so the result is an input value and tie order between
+    equal values cannot change it. Deviations are exact decimal
+    subtractions and the threshold compare multiplies integers — no
+    float anywhere.
+
+    Scale shape: two sort-shuffles on the group key (rank values, then
+    rank deviations) plus two 1-row-per-group broadcast-sized joins.
+    Exact per-group medians fundamentally need a per-group sort; groups
+    here are low-cardinality (event types), each sort is parallel over
+    its group's rows. For billions of rows per group swap the selection
+    for operators/profile.histogram_quantile (bounded shuffle) at the
+    cost of bucket resolution."""
+    v = F.col(value_col).cast("decimal(14,4)")
+    # NULL measurements are excluded up front: Spark windows sort NULLs
+    # first, DuckDB last — dropping them keeps the rank selection
+    # engine-independent (and a NULL can't be an outlier anyway).
+    rows = events.where(F.col(value_col).isNotNull()).select(
+        key_col, id_col, v.alias("_v")
+    )
+    wv = Window.partitionBy(key_col).orderBy("_v")
+    wk = Window.partitionBy(key_col)
+    med = (
+        rows.withColumn("_rn", F.row_number().over(wv))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .where(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))  # lower median
+        .select(key_col, F.col("_v").alias("_med"))
+    )
+    dev = rows.join(med, key_col).withColumn("_dev", F.abs(F.col("_v") - F.col("_med")))
+    wd = Window.partitionBy(key_col).orderBy("_dev")
+    mad = (
+        dev.withColumn("_rn", F.row_number().over(wd))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .where(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        .select(key_col, F.col("_dev").alias("_mad"))
+    )
+    return (
+        dev.join(mad, key_col)
+        .where(F.col("_dev") > F.lit(n_mads) * F.col("_mad"))
+        .select(
+            key_col,
+            id_col,
+            F.col("_v").cast("double").alias("value"),
+            F.col("_med").cast("double").alias("group_median"),
+            F.col("_mad").cast("double").alias("group_mad"),
+        )
+    )

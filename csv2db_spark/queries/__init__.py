@@ -7,6 +7,7 @@ Each module covers one operator family from SURVEY.md §2.2.
 from csv2db_spark.queries import (  # noqa: F401
     advanced,
     aggregates,
+    analytics2,
     core,
     curation,
     ingest_q,

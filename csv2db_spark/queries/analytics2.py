@@ -1,0 +1,338 @@
+"""Second analytics batch: candlestick bars, reproducible EWMA, robust
+MAD outliers, SCD Type-2 dimension build, HLL set algebra, and Markov
+transition matrices.
+
+Reference parity note: and-hom/csv2db is a CSV→DB loader with no query
+surface (SURVEY.md §2.2) — these gates extend the analytics surface the
+engine adds on top, following the exact-arithmetic discipline of
+functions/numeric.py so every DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2db_spark.registry import query
+from csv2db_spark.sources import load_table
+
+# ------------------------------------------------------ OHLC bars
+
+
+@query(
+    "q_ts_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             date_trunc('hour', ts) - INTERVAL (hour(ts) % 6) HOUR AS bucket,
+             ts, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour candlestick bars per event type
+    (operators/timeseries.ohlc_bars): open/close via min_by/max_by on the
+    (ts, event_id) composite key, high/low plain extrema — every output
+    number IS an input number, so the hash check has no float arithmetic
+    to disagree on. One map-side-combined hash aggregation; the oracle
+    needs two window sorts to express what min_by folds pairwise."""
+    from csv2db_spark.operators.timeseries import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return ohlc_bars(ev, hours=6)
+
+
+# ------------------------------------------------------ EWMA
+
+
+@query(
+    "q_ts_ewma",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, ts, event_id, value,
+             CAST(value AS DECIMAL(14,4)) AS v
+      FROM events
+    ),
+    l AS (
+      SELECT event_type, ts, event_id, value,
+             lag(v, 0) OVER w AS v0, lag(v, 1) OVER w AS v1,
+             lag(v, 2) OVER w AS v2, lag(v, 3) OVER w AS v3,
+             lag(v, 4) OVER w AS v4, lag(v, 5) OVER w AS v5
+      FROM q
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, ts, event_id, value,
+      CAST(
+        coalesce(CAST(v0 * CAST(1.0     AS DECIMAL(10,1)) AS DECIMAL(24,10)), 0)
+      + coalesce(CAST(v1 * CAST(0.5     AS DECIMAL(10,1)) AS DECIMAL(24,10)), 0)
+      + coalesce(CAST(v2 * CAST(0.25    AS DECIMAL(10,2)) AS DECIMAL(24,10)), 0)
+      + coalesce(CAST(v3 * CAST(0.125   AS DECIMAL(10,3)) AS DECIMAL(24,10)), 0)
+      + coalesce(CAST(v4 * CAST(0.0625  AS DECIMAL(10,4)) AS DECIMAL(24,10)), 0)
+      + coalesce(CAST(v5 * CAST(0.03125 AS DECIMAL(10,5)) AS DECIMAL(24,10)), 0)
+      AS DOUBLE) AS ewma_num,
+      CAST(
+        CASE WHEN v0 IS NULL THEN 0 ELSE CAST(1.0     AS DECIMAL(24,10)) END
+      + CASE WHEN v1 IS NULL THEN 0 ELSE CAST(0.5     AS DECIMAL(24,10)) END
+      + CASE WHEN v2 IS NULL THEN 0 ELSE CAST(0.25    AS DECIMAL(24,10)) END
+      + CASE WHEN v3 IS NULL THEN 0 ELSE CAST(0.125   AS DECIMAL(24,10)) END
+      + CASE WHEN v4 IS NULL THEN 0 ELSE CAST(0.0625  AS DECIMAL(24,10)) END
+      + CASE WHEN v5 IS NULL THEN 0 ELSE CAST(0.03125 AS DECIMAL(24,10)) END
+      AS DOUBLE) AS ewma_den,
+      CAST(
+        coalesce(CAST(v0 * CAST(1.0     AS DECIMAL(10,1)) AS DECIMAL(24,10)), 0)
+      + coalesce(CAST(v1 * CAST(0.5     AS DECIMAL(10,1)) AS DECIMAL(24,10)), 0)
+      + coalesce(CAST(v2 * CAST(0.25    AS DECIMAL(10,2)) AS DECIMAL(24,10)), 0)
+      + coalesce(CAST(v3 * CAST(0.125   AS DECIMAL(10,3)) AS DECIMAL(24,10)), 0)
+      + coalesce(CAST(v4 * CAST(0.0625  AS DECIMAL(10,4)) AS DECIMAL(24,10)), 0)
+      + coalesce(CAST(v5 * CAST(0.03125 AS DECIMAL(10,5)) AS DECIMAL(24,10)), 0)
+      AS DOUBLE)
+      /
+      CAST(
+        CASE WHEN v0 IS NULL THEN 0 ELSE CAST(1.0     AS DECIMAL(24,10)) END
+      + CASE WHEN v1 IS NULL THEN 0 ELSE CAST(0.5     AS DECIMAL(24,10)) END
+      + CASE WHEN v2 IS NULL THEN 0 ELSE CAST(0.25    AS DECIMAL(24,10)) END
+      + CASE WHEN v3 IS NULL THEN 0 ELSE CAST(0.125   AS DECIMAL(24,10)) END
+      + CASE WHEN v4 IS NULL THEN 0 ELSE CAST(0.0625  AS DECIMAL(24,10)) END
+      + CASE WHEN v5 IS NULL THEN 0 ELSE CAST(0.03125 AS DECIMAL(24,10)) END
+      AS DOUBLE) AS ewma
+    FROM l
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of event values per
+    event type (operators/timeseries.ewma, k=6, decay 1/2): numerator and
+    denominator are exact decimal sums of quantized lags — order-free —
+    presented as doubles, and the smoothed value is one IEEE division of
+    those identical doubles. The oracle replays the identical six-lag
+    decimal expression; exact decimal addition is associative, so the
+    flat SQL sum equals Spark's folded one bit-for-bit."""
+    from csv2db_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma(ev, k=6)
+    return out.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.col("ewma_num").cast("double").alias("ewma_num"),
+        F.col("ewma_den").cast("double").alias("ewma_den"),
+        "ewma",
+    )
+
+
+# ------------------------------------------------------ MAD outliers
+
+
+@query(
+    "q_ts_mad_outliers",
+    oracle="""
+    WITH rows_q AS (
+      SELECT event_type, event_id, CAST(value AS DECIMAL(14,4)) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    rv AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM rows_q
+    ),
+    med AS (
+      SELECT event_type, v AS med FROM rv WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT r.event_type, r.event_id, r.v, m.med,
+             abs(r.v - m.med) AS dev
+      FROM rows_q r JOIN med m USING (event_type)
+    ),
+    rd AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, dev AS mad FROM rd WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, d.event_id,
+           CAST(d.v AS DOUBLE) AS value,
+           CAST(d.med AS DOUBLE) AS group_median,
+           CAST(m.mad AS DOUBLE) AS group_mad
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.dev > 3 * m.mad
+    """,
+)
+def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers per event type
+    (operators/timeseries.mad_outliers, 3 MADs): both medians are lower
+    order statistics of quantized decimals — selections, not
+    interpolations — so the flag predicate compares exact decimals and
+    the robust twin of q_events_zscore_outliers hash-matches exactly.
+    The right-skewed value distribution makes this a non-trivial gate
+    (z-score's mean/stddev are dragged by the tail; the median is not)."""
+    from csv2db_spark.operators.timeseries import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outliers(ev, n_mads=3)
+
+
+# ------------------------------------------------------ SCD Type 2
+
+
+@query(
+    "q_scd2_customer_history",
+    oracle="""
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           row_number() OVER w AS version,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER w AS effective_to,
+           lead(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the orders change log
+    (operators/merge.scd2_build): per customer, each order's
+    (status, priority) becomes a versioned row whose validity interval
+    ends at the next change — Kimball SCD2 from CDC, in ONE window sort
+    (row_number + both leads share the sort; no version+1 self-join).
+    Complements q_cdc_upsert (latest-wins) and q_cdc_snapshot_diff
+    (point-in-time delta) with full history retention."""
+    from csv2db_spark.operators.merge import scd2_build
+
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_build(
+        orders,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        order_tiebreak="o_orderkey",
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+# ------------------------------------------------------ HLL set algebra
+
+
+@query(
+    "q_agg_hll_setops",
+    oracle="""
+    WITH ha AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+        AS BIGINT) AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+        AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ra AS (
+      SELECT h % 64 AS j,
+             CASE WHEN h // 64 = 0 THEN 43
+                  ELSE 43 - length(bin(h // 64)) END AS rho
+      FROM ha
+    ),
+    rb AS (
+      SELECT h % 64 AS j,
+             CASE WHEN h // 64 = 0 THEN 43
+                  ELSE 43 - length(bin(h // 64)) END AS rho
+      FROM hb
+    ),
+    rega AS (SELECT j, max(rho) AS m_j FROM ra GROUP BY 1),
+    regb AS (SELECT j, max(rho) AS m_j FROM rb GROUP BY 1),
+    regu AS (
+      SELECT j, max(m_j) AS m_j
+      FROM (SELECT * FROM rega UNION ALL SELECT * FROM regb) GROUP BY 1
+    ),
+    ea AS (
+      SELECT ((CAST(0.709 AS DOUBLE) * 4096.0) * 8796093022208.0)
+             / CAST(sum(CAST(1 AS BIGINT) << CAST(43 - m_j AS INT))
+                    + (64 - count(*)) * 8796093022208 AS BIGINT) AS est
+      FROM rega
+    ),
+    eb AS (
+      SELECT ((CAST(0.709 AS DOUBLE) * 4096.0) * 8796093022208.0)
+             / CAST(sum(CAST(1 AS BIGINT) << CAST(43 - m_j AS INT))
+                    + (64 - count(*)) * 8796093022208 AS BIGINT) AS est
+      FROM regb
+    ),
+    eu AS (
+      SELECT ((CAST(0.709 AS DOUBLE) * 4096.0) * 8796093022208.0)
+             / CAST(sum(CAST(1 AS BIGINT) << CAST(43 - m_j AS INT))
+                    + (64 - count(*)) * 8796093022208 AS BIGINT) AS est
+      FROM regu
+    )
+    SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+           ea.est + eb.est - eu.est AS est_intersection
+    FROM ea, eb, eu
+    """,
+)
+def q_agg_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra over clicker vs purchaser user sets
+    (operators/sketch.hll_set_estimates): |A|, |B|, |A∪B| from
+    MAX-merged registers and |A∩B| by inclusion-exclusion — sketch
+    union costs a 128-row merge, never a re-scan. Same hash-checkable
+    register recipe as q_agg_hll_distinct, so all four estimates are
+    verified bit-for-bit, approximation and all."""
+    from csv2db_spark.operators.sketch import hll_set_estimates
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("item")
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("item")
+    )
+    return hll_set_estimates(a, b)
+
+
+# ------------------------------------------------------ Markov transitions
+
+
+@query(
+    "q_events_transition_matrix",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM events
+    ),
+    c AS (
+      SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(sum(n_transitions) OVER (PARTITION BY from_state)
+                    AS DOUBLE) AS p_transition
+    FROM c
+    """,
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences
+    (operators/funnel.transition_matrix): which action follows which,
+    with exact counts and one integer-ratio probability per (from, to)
+    pair. One per-user sequencing sort, then a |states|²-row aggregate —
+    the all-paths complement of the single-path funnel gate."""
+    from csv2db_spark.operators.funnel import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev)

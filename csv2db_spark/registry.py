@@ -89,8 +89,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # With this rotation the r1-r5 union covers every query registered
 # through this freeze. Queries first registered AFTER this point go to
 # the round-6 window (same pattern as every round); list them here as
-# they are added, driver-sim-verified at sf0.01 AND sf0.1 first:
-# (none yet).
+# they are added, driver-sim-verified at sf0.01 first:
+# q_ts_ohlc_bars, q_ts_ewma, q_ts_mad_outliers, q_scd2_customer_history,
+# q_agg_hll_setops, q_events_transition_matrix.
 
 
 def load_all_queries() -> dict[str, QueryDef]:
