@@ -204,3 +204,161 @@ def silhouette_proxy(
         .otherwise((F.col("d2_next") - F.col("d2_own")).cast("double") / denom)
         .alias("silhouette"),
     )
+
+
+def covariance_matrix(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Exact sample covariance of an embedding corpus — the input
+    statistic for PCA whitening / dimensionality analysis — computed as
+    a partial-Gram fold: each Arrow batch contributes one dim×dim
+    integer Gram matrix (numpy int64 matmul of the quantized batch), and
+    the partials sum in a (i, j)-keyed aggregation.
+
+    Numeric discipline: elements are quantized JVM-side with the SAME
+    ``cast(decimal(9,4)) * scale`` the oracle uses (so both engines
+    round identically), the Gram and per-dim sums are exact int64 /
+    decimal arithmetic, and the covariance
+    ``(n·S_ij − s_i·s_j) / (n·(n−1)) / scale²`` is evaluated as fixed-
+    order IEEE ops on exactly-representable operands — bit-reproducible.
+    Overflow headroom: |q| ≤ scale, so n·S_ij ≤ n·dim-free scale² per
+    pair; at 1e9 rows the decimal(38,0) numerator stays < 1e26 ≪ 1e38.
+
+    Scale shape (100 TB): the corpus is touched ONCE, map-side, emitting
+    dim(dim+1)/2 partial rows per Arrow batch — the shuffle is
+    |batches|·2080 rows regardless of corpus size, then a 2080-group
+    fold. This is the classic "sufficient statistics, not data" pattern:
+    no dim-explode of the corpus (which would shuffle rows×dim²), no
+    driver-side matrix.
+
+    Returns (i, j, gram_scaled, cov) for i ≤ j (the matrix is symmetric).
+    """
+    import numpy as np
+    import pandas as pd
+
+    # float -> DOUBLE -> decimal: both engines must round the same exact
+    # value; a direct float->decimal cast runs in float arithmetic on
+    # DuckDB and disagrees near rounding boundaries (same discipline as
+    # llm/similarity._iel)
+    q = embeddings.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: (x.cast("double").cast("decimal(9,4)") * scale).cast("long"),
+        ).alias("q")
+    )
+
+    iu = np.triu_indices(dim)
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy())  # (rows, dim) int64
+            G = Q.T @ Q  # exact int64
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "s": G[iu],
+                    "si": Q.sum(axis=0)[iu[0]],
+                    "n": np.full(len(iu[0]), len(pdf), dtype="int64"),
+                }
+            )
+
+    partials = q.mapInPandas(
+        gram_partials, schema="i int, j int, s long, si long, n long"
+    )
+    gram = partials.groupBy("i", "j").agg(
+        F.sum("s").alias("gram_scaled"), F.sum("n").alias("n")
+    )
+    # per-dim sums from the diagonal partials (si carried on every (i,*)
+    # row is summed once per dim via the i==j rows)
+    sums = (
+        partials.where(F.col("i") == F.col("j"))
+        .groupBy("i")
+        .agg(F.sum("si").alias("s_dim"))
+    )
+    si = sums.select(F.col("i").alias("_i"), F.col("s_dim").alias("s_i"))
+    sj = sums.select(F.col("i").alias("_j"), F.col("s_dim").alias("s_j"))
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("gram_scaled")
+        - F.col("s_i").cast("decimal(38,0)") * F.col("s_j")
+    )
+    return (
+        gram.join(F.broadcast(si), F.col("i") == F.col("_i"))
+        .join(F.broadcast(sj), F.col("j") == F.col("_j"))
+        .select(
+            "i",
+            "j",
+            "gram_scaled",
+            (
+                num.cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+                / F.lit(float(scale) * scale)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Project the corpus onto its top principal components: covariance
+    via the partial-Gram fold above (the only corpus pass), eigenvectors
+    on the DRIVER (the matrix is dim×dim — driver work on d², never on
+    rows; the same justified-collect class as sources/skipping.py's
+    file manifests), then a map-only broadcast projection.
+
+    Eigendecomposition uses numpy's symmetric solver with a
+    deterministic sign convention (largest-|component| entry positive),
+    so projections are reproducible across runs. The gate is rows-only
+    (eigenvector bits depend on the LAPACK build — exactly the
+    cross-engine variance the hash gates exclude by construction);
+    tests/test_analytics2.py pins the algebraic contracts instead:
+    orthonormality, eigenvalue ordering, and Gram-identity between
+    projected variance and eigenvalues.
+
+    Scale shape (100 TB): one corpus scan for the covariance partials
+    (dim² shuffle rows per batch), one scan to project (zero shuffle —
+    the component matrix rides broadcast). Nothing corpus-sized moves.
+    """
+    import numpy as np
+
+    cov_rows = covariance_matrix(embeddings, vec_col=vec_col, dim=dim).collect()
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r.i, r.j] = C[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order]  # (dim, k)
+    # deterministic sign: make the largest-magnitude entry of each
+    # component positive
+    for c in range(comps.shape[1]):
+        i = np.argmax(np.abs(comps[:, c]))
+        if comps[i, c] < 0:
+            comps[:, c] = -comps[:, c]
+    evs = [float(vals[o]) for o in order]
+    comp_lit = F.array(
+        *[
+            F.array(*[F.lit(float(comps[d, c])) for d in range(dim)])
+            for c in range(n_components)
+        ]
+    )
+    v = F.col(vec_col)
+    proj = F.transform(
+        comp_lit,
+        lambda comp: F.aggregate(
+            F.zip_with(v, comp, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    out = embeddings.select(F.col(id_col), proj.alias("components"))
+    return out, evs

@@ -1,0 +1,66 @@
+"""Hybrid retrieval: reciprocal-rank fusion of a lexical (BM25) and a
+semantic (embedding-cosine) ranking — the standard RAG retrieval stack
+(Cormack et al. 2009's RRF), expressed as a join of two small ranked
+lists.
+
+Why RRF and not score mixing: BM25 scores and cosine similarities live on
+incomparable scales; RRF uses only the RANKS — score = Σ 1/(k0 + rank)
+over the lists that retrieved the document — which makes fusion
+scale-free AND hash-verifiable: ranks are exact integers (both underlying
+rankings are bit-deterministic here), so each term is one IEEE division
+and the sum has a fixed two-term order.
+
+Scale shape (100 TB): the corpus-sized work happens inside the two
+retrievers (each linear, see llm/text.bm25_topk and
+llm/similarity.cosine_topk); fusion itself joins two ≤n_candidates-row
+lists — driver-trivial, executed as a broadcast full-outer join.
+
+Reference parity note: and-hom/csv2db has no retrieval surface
+(SURVEY.md §2.2); this extends the LLM-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Fuse two ranked candidate lists by reciprocal-rank fusion.
+
+    Inputs are (id, rank) frames with 1-based ranks. A document absent
+    from one list contributes nothing for that list (the standard RRF
+    convention). Returns the top-``k`` fused rows as
+    (id, rank_lex, rank_sem, rrf_score), score-descending with id
+    tiebreak. ``k0`` damps the head of each list (60 per the paper).
+
+    Determinism: rrf_score = coalesce(1/(k0+ra), 0) + coalesce(
+    1/(k0+rb), 0) — two IEEE divisions of exact integers added in fixed
+    order, bit-identical on any engine."""
+    a = ranked_a.select(
+        F.col(id_col).alias("_id"), F.col(rank_col).alias("rank_lex")
+    )
+    b = ranked_b.select(
+        F.col(id_col).alias("_id"), F.col(rank_col).alias("rank_sem")
+    )
+    fused = a.join(b, "_id", "full_outer").select(
+        F.col("_id").alias(id_col),
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k0) + F.col("rank_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k0) + F.col("rank_sem")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)

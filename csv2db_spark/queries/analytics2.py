@@ -336,3 +336,179 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return transition_matrix(ev)
+
+
+# ------------------------------------------------------ covariance / PCA input
+
+
+@query(
+    "q_embed_covariance",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, r.i - 1 AS i,
+             CAST(CAST(CAST(embedding[r.i] AS DOUBLE) AS DECIMAL(9,4)) * 10000
+               AS BIGINT) AS qi
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    s AS (SELECT i, sum(qi) AS s_dim FROM q GROUP BY i),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    g AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.qi * b.qi) AS BIGINT) AS gram_scaled
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT g.i, g.j, g.gram_scaled,
+           CAST(nn.n * g.gram_scaled - sa.s_dim * sb.s_dim AS DOUBLE)
+             / CAST(nn.n * (nn.n - 1) AS DOUBLE) / 1e8 AS cov
+    FROM g, nn
+    JOIN s sa ON sa.i = g.i
+    JOIN s sb ON sb.i = g.j
+    """,
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample covariance matrix of the embedding corpus
+    (llm/cluster.covariance_matrix) — the PCA/whitening input statistic
+    as a partial-Gram fold: each Arrow batch emits one integer Gram
+    partial (numpy int64 matmul), the shuffle carries 2080 rows per
+    batch REGARDLESS of corpus size, and the covariance formula runs as
+    fixed-order IEEE ops on exact operands. The oracle rebuilds the same
+    quantized Gram by dimension self-join; both agree on every bit. The
+    sufficient-statistics pattern: at 100 TB nothing corpus-sized ever
+    shuffles — only dim²-sized partials."""
+    from csv2db_spark.llm.cluster import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, dim=64)
+
+
+@query("q_embed_pca_project", oracle=None)
+def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus projected onto its top-8 principal components
+    (llm/cluster.pca_project): covariance by partial-Gram fold (the only
+    corpus pass), dim×dim eigendecomposition on the driver — d² work,
+    never rows — then a broadcast map-only projection. Rows-only gate:
+    eigenvector bits vary with the LAPACK build, exactly the
+    cross-engine variance hash gates exclude; the algebraic contracts
+    (orthonormality, eigenvalue order, projected-variance identity) are
+    pinned in tests/test_analytics2.py instead."""
+    from csv2db_spark.llm.cluster import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out, _ = pca_project(emb, n_components=8)
+    return out
+
+
+# ------------------------------------------------------ hybrid retrieval
+
+
+@query(
+    "q_retrieval_rrf_hybrid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM toks
+      WHERE t IN ('hash', 'vector', 'stream')
+      GROUP BY doc_id, t
+    ),
+    dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    per AS (
+      SELECT tf.doc_id, tf.t,
+             ((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75
+                * (dl.dl / (CAST(stats.total_dl AS DOUBLE) / stats.n_docs))))
+               AS sc
+      FROM tf
+      JOIN dft ON tf.t = dft.t
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN t = 'hash' THEN sc END), 0.0)
+             + coalesce(sum(CASE WHEN t = 'vector' THEN sc END), 0.0)
+             + coalesce(sum(CASE WHEN t = 'stream' THEN sc END), 0.0) AS score
+      FROM per GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rank_lex FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+        FROM bm
+      ) WHERE rank_lex <= 50
+    ),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    norms AS (
+      SELECT vec_id,
+             sum(cast(cast(cast(embedding[i] as double) as decimal(9,8))
+                        * 100000000 as bigint)
+                 * cast(cast(cast(embedding[i] as double) as decimal(9,8))
+                        * 100000000 as bigint)) AS nrm2
+      FROM embeddings, range(1, 65) r(i) GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT e.vec_id AS doc_id,
+             sum(cast(cast(cast(qv.qv[i] as double) as decimal(9,8))
+                        * 100000000 as bigint)
+                 * cast(cast(cast(e.embedding[i] as double) as decimal(9,8))
+                        * 100000000 as bigint)) AS dot
+      FROM qv, embeddings e, range(1, 65) r(i)
+      WHERE e.vec_id != 0
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             (cast(d.dot as double) / 1e16)
+             / (sqrt(cast(nq.nrm2 as double) / 1e16)
+                * sqrt(cast(nn.nrm2 as double) / 1e16)) AS cos_sim
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = 0
+      JOIN norms nn ON nn.vec_id = d.doc_id
+    ),
+    sem AS (
+      SELECT doc_id, rank_sem FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_sem
+        FROM scored
+      ) WHERE rank_sem <= 50
+    )
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           l.rank_lex, s.rank_sem,
+           coalesce(1.0 / (60 + l.rank_lex), 0.0)
+           + coalesce(1.0 / (60 + s.rank_sem), 0.0) AS rrf_score
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+)
+def q_retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RAG retrieval (llm/retrieval.rrf_fuse): BM25 top-50 for
+    {hash, vector, stream} fused with the exact-cosine top-50 for the
+    vec_id-0 query embedding by reciprocal-rank fusion (k0=60, Cormack
+    et al.). Both underlying rankings are bit-deterministic (rational-idf
+    BM25; quantized-integer cosine), so the fused scores — two IEEE
+    divisions of exact ranks, added in fixed order — hash-match. The
+    corpus-linear work lives in the retrievers; the fusion join touches
+    ≤50-row lists."""
+    from pyspark.sql import Window
+
+    from csv2db_spark.llm import similarity as S
+    from csv2db_spark.llm.retrieval import rrf_fuse
+    from csv2db_spark.llm.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["hash", "vector", "stream"], k=50).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        ),
+    )
+    sem = S.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(lex, sem, k=20)

@@ -225,3 +225,45 @@ def q_stream_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # no event-time column -> complete output mode for the aggregation
     return run_to_df(agg, spark, "complete")
+
+
+@query(
+    "q_stream_ohlc_bars",
+    oracle=f"""
+    WITH e AS ({_E}),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS t FROM e),
+    f AS (SELECT * FROM e WHERE value IS NOT NULL),
+    r AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+             time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS w_end,
+             event_type, ts, event_id, value,
+             row_number() OVER (
+               PARTITION BY time_bucket(INTERVAL '6 hours', ts), event_type
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY time_bucket(INTERVAL '6 hours', ts), event_type
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM f
+    )
+    SELECT w_start, w_end, event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY 1, 2, 3
+    HAVING w_end <= (SELECT t FROM wm)
+    """,
+)
+def q_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming candlestick bars (streaming/ops.ohlc_window_agg): the
+    OHLC aggregate run as a REAL append-mode streaming plan — min_by /
+    max_by keep one candidate pair of state per open bar, and the oracle
+    replays both the bar math AND the watermark emission rule (bars
+    withheld until the watermark passes their end). Every emitted number
+    is an input number — the no-float-arithmetic contract of the batch
+    twin q_ts_ohlc_bars, under late-data semantics."""
+    from csv2db_spark.streaming import events_stream, ohlc_window_agg, run_to_df
+
+    out = ohlc_window_agg(events_stream(spark, sf_dir), "6 hours", "1 hour")
+    return run_to_df(out, spark, "append")

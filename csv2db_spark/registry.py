@@ -91,7 +91,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # the round-6 window (same pattern as every round); list them here as
 # they are added, driver-sim-verified at sf0.01 first:
 # q_ts_ohlc_bars, q_ts_ewma, q_ts_mad_outliers, q_scd2_customer_history,
-# q_agg_hll_setops, q_events_transition_matrix.
+# q_agg_hll_setops, q_events_transition_matrix, q_stream_ohlc_bars,
+# q_embed_covariance, q_embed_pca_project (rows-only),
+# q_retrieval_rrf_hybrid.
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -1,6 +1,7 @@
 from csv2db_spark.streaming.ops import (  # noqa: F401
     events_stream,
     ntz,
+    ohlc_window_agg,
     run_to_df,
     session_window_agg,
     sliding_window_agg,

@@ -214,6 +214,44 @@ def sliding_window_agg(stream: DataFrame, width: str, slide: str, delay: str) ->
     )
 
 
+def ohlc_window_agg(stream: DataFrame, width: str, delay: str) -> DataFrame:
+    """Streaming candlestick bars: per-(tumbling window, event_type)
+    open/high/low/close + count — the streaming twin of
+    operators/timeseries.ohlc_bars, same no-float-arithmetic contract
+    (open/close via min_by/max_by on the (ts_i, event_id) composite, so
+    every emitted number is an input number).
+
+    min_by/max_by are declarative aggregates with a partial/merge form,
+    so the state per open window is ONE candidate pair per group — late
+    rows fold in exactly like the batch op, and append mode withholds a
+    bar until the watermark passes its window end. NULL measurements are
+    dropped up front (min_by would otherwise surface them; the batch gate
+    filters identically)."""
+    order_key = F.struct(F.col("ts_i"), F.col("event_id"))
+    return (
+        stream.where(F.col("value").isNotNull())
+        .withWatermark("ts_i", delay)
+        .groupBy(F.window("ts_i", width).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            ntz("w.start").alias("w_start"),
+            ntz("w.end").alias("w_end"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def session_window_agg(stream: DataFrame, gap: str, delay: str) -> DataFrame:
     """Per-user session windows: sessions merge while events are < gap
     apart; a session closes (and is emitted) when the watermark passes

@@ -174,3 +174,95 @@ def test_transition_matrix_counts_sequential_pairs(spark):
     assert out[("a", "b")].n_transitions == 2
     assert out[("b", "a")].n_transitions == 1
     assert out[("a", "b")].p_transition == 1.0  # a always -> b
+
+
+def test_pca_components_orthonormal_and_ordered(spark, sf_dir):
+    import numpy as np
+
+    from csv2db_spark.llm.cluster import covariance_matrix, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out, evs = pca_project(emb, n_components=8)
+    # eigenvalues descending and non-negative (covariance is PSD)
+    assert all(a >= b - 1e-12 for a, b in zip(evs, evs[1:]))
+    assert all(v >= -1e-10 for v in evs)
+    # projected variance along component c equals its eigenvalue
+    rows = out.collect()
+    P = np.array([r.components for r in rows])
+    n = len(rows)
+    centered = P - P.mean(axis=0)
+    var = (centered**2).sum(axis=0) / (n - 1)
+    # quantization at 1e-4 for the covariance vs float projection: loose tol
+    assert np.allclose(var, evs, rtol=1e-2, atol=1e-6)
+
+
+def test_covariance_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from csv2db_spark.llm.cluster import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = covariance_matrix(emb).collect()
+    X = np.array(
+        [r.embedding for r in emb.select("embedding").collect()], dtype="float64"
+    )
+    Q = np.round(X * 10000)  # close to the decimal cast for random data
+    C = np.cov(Q.T, ddof=1) / 1e8
+    got = {(r.i, r.j): r.cov for r in rows}
+    assert len(got) == 64 * 65 // 2
+    for (i, j), v in got.items():
+        assert abs(v - C[i, j]) < 1e-7
+
+
+def test_covariance_partition_invariant(spark, sf_dir):
+    from csv2db_spark.llm.cluster import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, covariance_matrix(emb).collect()))
+    b = sorted(map(tuple, covariance_matrix(emb.repartition(13)).collect()))
+    assert a == b
+
+
+def test_rrf_fusion_prefers_docs_in_both_lists(spark):
+    from csv2db_spark.llm.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank int"
+    )
+    out = rrf_fuse(a, b, k=10).collect()
+    scores = {r.doc_id: r.rrf_score for r in out}
+    # doc 2 is in both lists -> beats every single-list doc
+    assert out[0].doc_id == 2
+    assert scores[2] == 1 / 62 + 1 / 61
+    assert scores[1] == 1 / 61  # best single-list
+    # absent ranks surface as NULL, not 0
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].rank_sem is None and by_id[4].rank_lex is None
+
+
+def test_stream_ohlc_matches_batch_below_watermark(spark, sf_dir):
+    from csv2db_spark.operators.timeseries import ohlc_bars
+    from csv2db_spark.streaming import events_stream, ohlc_window_agg, run_to_df
+
+    out = run_to_df(
+        ohlc_window_agg(events_stream(spark, sf_dir), "6 hours", "1 hour"),
+        spark,
+        "append",
+    )
+    stream_bars = {
+        (r.event_type, r.w_start): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in out.collect()
+    }
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    batch = {
+        (r.event_type, r.bucket): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc_bars(ev, hours=6).collect()
+    }
+    # every emitted streaming bar equals its batch twin; only bars past
+    # the watermark may be withheld
+    assert stream_bars
+    for key, bar in stream_bars.items():
+        assert batch[key] == bar
