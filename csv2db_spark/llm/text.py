@@ -512,3 +512,72 @@ def gopher_quality(
         ok_stopwords.alias("ok_stopwords"),
         (ok_words & ok_word_len & ok_symbols & ok_stopwords).alias("keep"),
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prob_scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-bigram language-model likelihood per document — the
+    KenLM-style quality signal (documents whose token sequences are
+    improbable under the corpus's own bigram statistics score low), made
+    hash-exact by replacing log-probabilities with INTEGER-FLOORED
+    scaled probabilities:
+
+        q(a -> b) = floor(prob_scale * cnt(a,b) / cnt(a as prefix))
+
+    Both counts are exact corpus integers and floor-division is
+    engine-independent, so the per-document sum of q over its bigram
+    occurrences is an exact long and avg_prob = score / scale / n is two
+    fixed-order IEEE divisions. (Logs would break cross-engine hashing —
+    same rationale as the rational-idf BM25 above; the tradeoff: scores
+    add probabilities instead of multiplying them, which still orders
+    documents by average next-token likelihood.)
+
+    Overflow domain: prob_scale * cnt(a,b) must fit int64 — exact to
+    9.2e12 occurrences of any single bigram at scale 1e6, beyond a
+    100 TB corpus.
+
+    Plan shape: bigrams come from zipping the token array with its own
+    tail (pure codegen, zero shuffle, no position self-join); one
+    groupBy(a, b) for pair counts; prefix counts FOLD the pair-count
+    table (a |vocab|-row aggregate, not a second corpus pass); then one
+    join of bigram occurrences to the count table on (a, b) and a
+    doc_id-keyed sum. Two corpus-sized shuffles total."""
+    toks = F.split(F.col(text_col), " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    occ = docs.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b")
+    )
+    pair_counts = occ.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("cnt_pair")
+    )
+    prefix_counts = pair_counts.groupBy("a").agg(
+        F.sum("cnt_pair").alias("cnt_prefix")
+    )
+    scored_vocab = pair_counts.join(prefix_counts, "a").select(
+        "a",
+        "b",
+        F.expr(f"div({prob_scale}L * cnt_pair, cnt_prefix)").alias("q"),
+    )
+    per_doc = occ.join(scored_vocab, ["a", "b"]).groupBy(id_col).agg(
+        F.sum("q").alias("score_scaled"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    return per_doc.select(
+        id_col,
+        "score_scaled",
+        "n_bigrams",
+        (
+            F.col("score_scaled").cast("double")
+            / F.lit(float(prob_scale))
+            / F.col("n_bigrams").cast("double")
+        ).alias("avg_next_token_prob"),
+    )

@@ -1,0 +1,130 @@
+"""Declarative data-quality constraint checking — the Deequ/dbt-test
+pattern: a rule set compiles to ONE aggregation pass over the table (plus
+one distinct-shuffle per uniqueness rule), producing a verdict row per
+rule. This is the load-validation layer a CSV→DB loader grows once the
+"did every row arrive intact?" question matters (the reference stops at
+FAILFAST parse errors; SURVEY.md §2.3's reconcile semantics are the
+schema-side half of the same need).
+
+Every metric is an exact integer count, so the report hash-matches a SQL
+oracle bit-for-bit.
+
+Scale shape (100 TB): all row-level rules (not_null / in_set / in_range /
+matches / row_count) fold into a single map-combined aggregate — one scan,
+zero shuffle beyond the 1-row fold. Each ``unique`` rule needs one
+distinct count on its key columns (a keyed shuffle — irreducible for
+exact uniqueness; swap in hll_distinct for a sketched check when
+approximate suffices).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One constraint: ``name`` labels the report row, ``kind`` selects
+    the check, ``violations`` (row-level rules) counts failing rows."""
+
+    name: str
+    kind: str  # not_null | in_set | in_range | matches | unique | row_count
+    violations: Column | None = None
+    cols: tuple[str, ...] = ()
+    min_rows: int = 0
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", "not_null", F.col(col).isNull())
+
+
+def in_set(col: str, values: Sequence[str]) -> Rule:
+    return Rule(
+        f"in_set({col})",
+        "in_set",
+        ~F.col(col).isin(*values) | F.col(col).isNull(),
+    )
+
+
+def in_range(col: str, lo: float, hi: float) -> Rule:
+    return Rule(
+        f"in_range({col})",
+        "in_range",
+        (F.col(col) < lo) | (F.col(col) > hi) | F.col(col).isNull(),
+    )
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return Rule(
+        f"matches({col})",
+        "matches",
+        ~F.col(col).rlike(pattern) | F.col(col).isNull(),
+    )
+
+
+def unique(*cols: str) -> Rule:
+    return Rule(f"unique({','.join(cols)})", "unique", None, tuple(cols))
+
+
+def row_count_at_least(n: int) -> Rule:
+    return Rule(f"row_count_at_least({n})", "row_count", None, (), n)
+
+
+def check_constraints(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Evaluate ``rules`` against ``df``; returns one row per rule:
+    (rule, n_rows, n_violations, passed). Row-level rules share a single
+    aggregation; uniqueness rules add one distinct-count each and report
+    duplicated-row count (n_rows − n_distinct_keys) as violations."""
+    row_rules = [r for r in rules if r.violations is not None]
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")] + [
+        F.sum(F.when(r.violations, 1).otherwise(0))
+        .cast("long")
+        .alias(f"_v{i}")
+        for i, r in enumerate(row_rules)
+    ]
+    base = df.agg(*aggs)
+    reports = []
+    for i, r in enumerate(row_rules):
+        reports.append(
+            base.select(
+                F.lit(r.name).alias("rule"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_v{i}").alias("n_violations"),
+                (F.col(f"_v{i}") == 0).alias("passed"),
+            )
+        )
+    for r in rules:
+        if r.kind == "unique":
+            reports.append(
+                df.agg(
+                    F.count(F.lit(1)).cast("long").alias("_n"),
+                    F.count_distinct(*[F.col(c) for c in r.cols])
+                    .cast("long")
+                    .alias("_d"),
+                ).select(
+                    F.lit(r.name).alias("rule"),
+                    F.col("_n").alias("n_rows"),
+                    (F.col("_n") - F.col("_d")).alias("n_violations"),
+                    (F.col("_n") == F.col("_d")).alias("passed"),
+                )
+            )
+        elif r.kind == "row_count":
+            reports.append(
+                base.select(
+                    F.lit(r.name).alias("rule"),
+                    F.col("_n").alias("n_rows"),
+                    F.when(F.col("_n") >= r.min_rows, F.lit(0))
+                    .otherwise(F.lit(1))
+                    .cast("long")
+                    .alias("n_violations"),
+                    (F.col("_n") >= r.min_rows).alias("passed"),
+                )
+            )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out

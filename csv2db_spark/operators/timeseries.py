@@ -299,3 +299,55 @@ def mad_outliers(
             F.col("_mad").cast("double").alias("group_mad"),
         )
     )
+
+
+def seasonal_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_sigmas: int = 3,
+) -> DataFrame:
+    """Seasonality-aware 3-sigma anomalies: the z-score test of
+    queries/advanced.q_events_zscore_outliers, but against each
+    (key, HOUR-OF-DAY) profile instead of the key's global distribution —
+    a value normal at the daily peak can be anomalous at 4am; a global
+    z-score never sees that.
+
+    Same exact-integer discipline as the global gate: quantize v at 1e3,
+    sufficient statistics (n, s, s2) as decimal(38,0), and the flag
+    (n·v − s)² > σ²·(n·s2 − s²) — no division, sqrt, or float anywhere,
+    so both engines flag identical rows. Same overflow domain: exact to
+    3e12 rows PER (key, hour) bucket at |value| ≤ 500 (see the global
+    gate's derivation; hour-of-day splits every group 24 ways, widening
+    the real margin further).
+
+    hour() on an NTZ timestamp is pure field arithmetic — no session-
+    timezone dependence (the discipline of ``time_bucket``). One
+    map-combined stats pass over (key, hod) + one broadcast join of
+    24·|keys| stat rows back onto the scan."""
+    q = events.select(
+        id_col,
+        key_col,
+        F.hour(F.col(ts_col)).alias("hod"),
+        (F.col(value_col).cast("decimal(18,3)") * 1000).cast("long").alias("_v"),
+    )
+    stats = q.groupBy(key_col, "hod").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(F.col("_v").cast("decimal(38,0)")).alias("_s"),
+        F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_v")).alias("_s2"),
+    )
+    vdec = F.col("_v").cast("decimal(38,0)")
+    dev = F.col("_n") * vdec - F.col("_s")
+    var_n2 = F.col("_n") * F.col("_s2") - F.col("_s") * F.col("_s")
+    return (
+        q.join(F.broadcast(stats), [key_col, "hod"])
+        .where(dev * dev > n_sigmas * n_sigmas * var_n2)
+        .select(
+            id_col,
+            key_col,
+            "hod",
+            (F.col("_v").cast("double") / 1000).alias("value"),
+        )
+    )

@@ -512,3 +512,175 @@ def q_retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return rrf_fuse(lex, sem, k=20)
+
+
+# ------------------------------------------------------ seasonal anomalies
+
+
+@query(
+    "q_ts_seasonal_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, event_type, hour(ts) AS hod,
+             CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type, hod,
+             CAST(count(*) AS DECIMAL(38,0)) AS n,
+             sum(CAST(v AS DECIMAL(38,0))) AS s,
+             sum(CAST(v AS DECIMAL(38,0)) * v) AS s2
+      FROM q GROUP BY 1, 2
+    )
+    SELECT q.event_id, q.event_type, q.hod,
+           CAST(q.v AS DOUBLE) / 1000 AS value
+    FROM q JOIN stats USING (event_type, hod)
+    WHERE (stats.n * CAST(q.v AS DECIMAL(38,0)) - stats.s)
+          * (stats.n * CAST(q.v AS DECIMAL(38,0)) - stats.s)
+          > 9 * (stats.n * stats.s2 - stats.s * stats.s)
+    """,
+)
+def q_ts_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware 3-sigma anomalies per (event_type, hour-of-day)
+    profile (operators/timeseries.seasonal_outliers): a value normal at
+    the daily peak can be anomalous at 4am — the global z-score gate
+    never sees that. Same exact-integer sufficient-statistics discipline
+    ((n·v−s)² > 9(n·s2−s²), decimal(38,0) throughout, exact to 3e12
+    rows per bucket); hour() on NTZ timestamps is TZ-free field
+    arithmetic. One stats pass + one broadcast join of 24·|types| rows."""
+    from csv2db_spark.operators.timeseries import seasonal_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_outliers(ev, n_sigmas=3)
+
+
+# ------------------------------------------------------ bigram LM quality
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
+      FROM toks
+    ),
+    occ AS (
+      SELECT p1.doc_id, p1.tok AS a, p2.tok AS b
+      FROM pos p1
+      JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+    ),
+    pc AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS cnt_pair
+      FROM occ GROUP BY a, b
+    ),
+    pfx AS (
+      SELECT a, CAST(sum(cnt_pair) AS BIGINT) AS cnt_prefix
+      FROM pc GROUP BY a
+    ),
+    v AS (
+      SELECT pc.a, pc.b,
+             (1000000 * pc.cnt_pair) // pfx.cnt_prefix AS q
+      FROM pc JOIN pfx ON pc.a = pfx.a
+    )
+    SELECT occ.doc_id,
+           CAST(sum(v.q) AS BIGINT) AS score_scaled,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(v.q) AS DOUBLE) / 1000000.0
+             / CAST(count(*) AS DOUBLE) AS avg_next_token_prob
+    FROM occ JOIN v ON occ.a = v.a AND occ.b = v.b
+    GROUP BY occ.doc_id
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM likelihood per document (llm/text.bigram_lm_scores)
+    — the KenLM-style fluency/quality signal with integer-floored scaled
+    probabilities instead of logs, so every score bit is verifiable:
+    q(a→b) = floor(1e6·cnt(a,b)/cnt(a·)) summed per document as exact
+    longs. Bigrams are array-zip codegen (no position self-join); the
+    prefix table folds the pair-count table rather than re-scanning the
+    corpus. Two corpus-sized shuffles total."""
+    from csv2db_spark.llm.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+# ------------------------------------------------------ constraint checking
+
+
+@query(
+    "q_quality_constraints",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT 'not_null(o_custkey)' AS rule, n.n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey IS NULL) AS n_violations,
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0
+             AS passed
+    FROM n
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)', n.n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+               OR o_orderstatus IS NULL),
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+               OR o_orderstatus IS NULL) = 0
+    FROM n
+    UNION ALL
+    SELECT 'in_range(o_totalprice)', n.n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_totalprice < 0 OR o_totalprice > 1000000
+               OR o_totalprice IS NULL),
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice < 0 OR o_totalprice > 1000000
+               OR o_totalprice IS NULL) = 0
+    FROM n
+    UNION ALL
+    SELECT 'matches(o_orderpriority)', n.n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-')
+               OR o_orderpriority IS NULL),
+           (SELECT count(*) FROM orders
+            WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-')
+               OR o_orderpriority IS NULL) = 0
+    FROM n
+    UNION ALL
+    SELECT 'unique(o_orderkey)', n.n_rows,
+           n.n_rows - (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                       FROM orders),
+           n.n_rows = (SELECT count(DISTINCT o_orderkey) FROM orders)
+    FROM n
+    UNION ALL
+    SELECT 'row_count_at_least(1000)', n.n_rows,
+           CAST(CASE WHEN n.n_rows >= 1000 THEN 0 ELSE 1 END AS BIGINT),
+           n.n_rows >= 1000
+    FROM n
+    """,
+)
+def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over orders
+    (operators/quality.check_constraints): six Deequ-style rules —
+    null-freedom, accepted values, numeric range, format regex, key
+    uniqueness, minimum volume — compiled into ONE map-combined
+    aggregation pass (plus one distinct-count for the uniqueness rule).
+    Every metric is an exact integer, so the whole report hash-matches.
+    The load-validation layer the reference's FAILFAST parsing stops
+    short of (SURVEY.md §2.3)."""
+    from csv2db_spark.operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    return Q.check_constraints(
+        orders,
+        [
+            Q.not_null("o_custkey"),
+            Q.in_set("o_orderstatus", ["O", "F", "P"]),
+            Q.in_range("o_totalprice", 0, 1_000_000),
+            Q.matches("o_orderpriority", "^[1-5]-"),
+            Q.unique("o_orderkey"),
+            Q.row_count_at_least(1000),
+        ],
+    )

@@ -266,3 +266,70 @@ def test_stream_ohlc_matches_batch_below_watermark(spark, sf_dir):
     assert stream_bars
     for key, bar in stream_bars.items():
         assert batch[key] == bar
+
+
+def test_seasonal_outliers_sees_hourly_profile(spark):
+    from csv2db_spark.operators.timeseries import seasonal_outliers
+
+    # value 50 is normal at hour 12 (everything is ~50) but anomalous at
+    # hour 3 (everything is ~5): a global z-score can't flag it
+    rows = []
+    for i in range(50):
+        rows.append((i, "a", f"2024-01-{(i % 25) + 1:02d} 12:00:00", 50.0 + (i % 3)))
+    for i in range(50, 100):
+        rows.append((i, "a", f"2024-01-{(i % 25) + 1:02d} 03:00:00", 5.0 + (i % 3)))
+    rows.append((999, "a", "2024-01-26 03:00:00", 50.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = seasonal_outliers(df, n_sigmas=3).collect()
+    assert [r.event_id for r in out] == [999]
+    assert out[0].hod == 3
+
+
+def test_bigram_lm_scores_fluent_vs_shuffled(spark):
+    from csv2db_spark.llm.text import bigram_lm_scores
+
+    # doc 1 repeats the corpus-dominant sequence; doc 2 uses bigrams that
+    # occur once — its average next-token probability must be lower
+    corpus = [(i, "the cat sat on the mat") for i in range(10)]
+    corpus.append((100, "mat the on sat cat the"))
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert got[0].avg_next_token_prob > got[100].avg_next_token_prob
+    assert got[0].n_bigrams == 5
+
+
+def test_bigram_lm_uniform_sequence_scores_one(spark):
+    from csv2db_spark.llm.text import bigram_lm_scores
+
+    # single deterministic continuation: every bigram has probability 1
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    row = bigram_lm_scores(df).collect()[0]
+    assert row.avg_next_token_prob == pytest.approx(1.0)
+    assert row.score_scaled == 3 * 1_000_000
+
+
+def test_constraint_checker_flags_and_passes(spark):
+    from csv2db_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", -5.0), (2, "X", 20.0), (3, None, 30.0)],
+        "k long, status string, amount double",
+    )
+    out = {r.rule: r for r in Q.check_constraints(
+        df,
+        [
+            Q.not_null("status"),
+            Q.in_set("status", ["O", "F"]),
+            Q.in_range("amount", 0, 100),
+            Q.unique("k"),
+            Q.row_count_at_least(10),
+        ],
+    ).collect()}
+    assert out["not_null(status)"].n_violations == 1
+    assert out["in_set(status)"].n_violations == 2  # 'X' and NULL
+    assert out["in_range(amount)"].n_violations == 1
+    assert out["unique(k)"].n_violations == 1 and not out["unique(k)"].passed
+    assert not out["row_count_at_least(10)"].passed
+    assert all(r.n_rows == 4 for r in out.values())
