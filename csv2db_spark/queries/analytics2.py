@@ -684,3 +684,24 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q.row_count_at_least(1000),
         ],
     )
+
+
+# ------------------------------------------------------ PQ-ANN
+
+
+@query("q_sim_ann_pq", oracle=None)  # approximate by design — recall vs the
+# exact baseline + bit-determinism are asserted in tests/test_analytics2.py
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llm/pq.pq_topk): corpus vectors become
+    M=8 one-byte codes (32× smaller than the floats — the memory-bound
+    path at 100 TB), queries score candidates by Asymmetric Distance
+    Computation over a broadcast 128-entry exact-integer table. Encoding
+    is a map-only broadcast join; ADC is one code-keyed shuffle of
+    skinny rows, no float math anywhere — results are bit-deterministic
+    even though the gate is rows-only (PQ approximates the exact
+    baseline by design, like the LSH/IVF gates)."""
+    from csv2db_spark.llm.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_topk(emb, queries, k=20)

@@ -333,3 +333,53 @@ def test_constraint_checker_flags_and_passes(spark):
     assert out["unique(k)"].n_violations == 1 and not out["unique(k)"].passed
     assert not out["row_count_at_least(10)"].passed
     assert all(r.n_rows == 4 for r in out.values())
+
+
+def test_pq_ann_recall_and_determinism(spark, sf_dir):
+    from csv2db_spark.llm import similarity as S
+    from csv2db_spark.llm.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    pq = pq_topk(emb, queries, k=20).collect()
+    exact = S.cosine_topk(emb, queries, k=5).collect()
+    ex: dict = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict = {}
+    for r in pq:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ex[q] & got[q]) / len(ex[q]) for q in ex]
+    # exact-integer arithmetic -> these are fixed numbers, not noise
+    # (0.64 mean on the fixture); thresholds leave fixture headroom
+    assert sum(recalls) / len(recalls) >= 0.5
+    assert min(recalls) >= 0.2
+    # bit-determinism under re-partitioning
+    b = pq_topk(emb.repartition(7), queries, k=20).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, b))
+
+
+def test_pq_encode_is_exact_argmin(spark, sf_dir):
+    import itertools
+
+    from csv2db_spark.llm.pq import pq_codebook, pq_encode
+    from csv2db_spark.llm.similarity import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
+    cb = pq_codebook(emb)
+    codes = pq_encode(emb, cb)
+    cb_rows = {(r.m, r.code): r.code_iv for r in cb.collect()}
+    vecs = {
+        r.query_id: r.q_iv
+        for r in quantize(emb, "vec_id", "embedding", "query_id", "q_").collect()
+    }
+    code_rows = [(r.vec_id, r.m, r.code) for r in codes.collect()]
+    assert len(code_rows) == 40 * 8
+    for vid, m, code in itertools.islice(code_rows, 0, 64):
+        subv = vecs[vid][m * 8 : (m + 1) * 8]
+        dists = {
+            c: sum((a - b) ** 2 for a, b in zip(subv, cb_rows[(m, c)]))
+            for c in range(16)
+        }
+        best = min(dists, key=lambda c: (dists[c], c))
+        assert code == best
