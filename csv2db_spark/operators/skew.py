@@ -41,3 +41,49 @@ def salted_join(
     )
     out = b.join(s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-distribution diagnostic: the top-N heaviest keys with their
+    row share and the multiple of the mean group size — the measurement
+    that decides WHETHER ``salted_join``'s treatment (above) is needed
+    and how many salts to use. A key at 1000× the mean group size is a
+    straggler task at 100 TB; this report finds it for the cost of one
+    aggregation.
+
+    Returns (key_cols..., n_rows, share, x_mean) for the N heaviest
+    keys, heaviest first (ties broken on the key for determinism).
+    share = n_key/n_total and x_mean = n_key·n_groups/n_total are exact
+    integer ratios — one IEEE division each, hash-checkable.
+
+    Scale shape: one map-combined groupBy on the key (the shuffle
+    carries one partial count per key per task), a 1-row total fold
+    broadcast back, and a top-N sort over |keys| count rows — never row
+    data. This is the cheap pre-flight before any big join or agg."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("n_rows").alias("_total"),
+            F.count(F.lit(1)).alias("_groups"),
+        )
+    )
+    return (
+        counts.crossJoin(totals)
+        .select(
+            *key_cols,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+            (
+                (F.col("n_rows") * F.col("_groups")).cast("double")
+                / F.col("_total").cast("double")
+            ).alias("x_mean"),
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top_n)
+    )

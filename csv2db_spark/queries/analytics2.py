@@ -705,3 +705,39 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return pq_topk(emb, queries, k=20)
+
+
+# ------------------------------------------------------ skew diagnostics
+
+
+@query(
+    "q_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS groups
+      FROM counts
+    )
+    SELECT user_id, n_rows,
+           CAST(n_rows AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           CAST(n_rows * t.groups AS DOUBLE) / CAST(t.total AS DOUBLE)
+             AS x_mean
+    FROM counts, t
+    ORDER BY n_rows DESC, user_id LIMIT 10
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic over events.user_id
+    (operators/skew.skew_profile): the top-10 heaviest keys with exact
+    row share and multiple-of-mean — the pre-flight measurement that
+    decides whether q_join_salted_skew's salting treatment is needed and
+    with how many salts. One map-combined count aggregation; only count
+    rows ever sort."""
+    from csv2db_spark.operators.skew import skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_profile(ev, ["user_id"], top_n=10)
