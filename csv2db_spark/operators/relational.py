@@ -32,3 +32,64 @@ def range_join(
     v = F.col(value) if isinstance(value, str) else value
     cond = (v >= F.col(lo)) & (v < F.col(hi))
     return facts.join(F.broadcast(ranges), cond, how)
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    bin_width: int,
+    a_lo: str = "a_lo",
+    a_hi: str = "a_hi",
+    b_lo: str = "b_lo",
+    b_hi: str = "b_hi",
+) -> DataFrame:
+    """Interval-overlap join for TWO LARGE sides — the genomics /
+    session-collision shape ``range_join`` (broadcast, one tiny side)
+    cannot handle: every (a, b) pair with [a_lo, a_hi) ∩ [b_lo, b_hi) ≠ ∅.
+
+    Bin blocking: each interval explodes into the fixed-width bins it
+    touches ((hi−lo)/width + 1 rows — bounded when interval length is),
+    the join is an EQUI-join on the bin id (hash-partitionable, no
+    cartesian), and the overlap predicate filters false bin-neighbors.
+    A pair sharing k bins would appear k times; instead of a distinct
+    (a second full shuffle) each pair is emitted only in its FIRST
+    shared bin — ``bin == max(floor(a_lo/w), floor(b_lo/w))`` — which is
+    the standard dedup-free trick: exactly one bin satisfies it per
+    overlapping pair, so the output is exact with zero extra shuffles.
+
+    Endpoints are exact integers (caller converts timestamps to epoch
+    days/seconds), so blocking, predicate, and emission rule are all
+    integer arithmetic — hash-reproducible.
+
+    Scale shape (100 TB): shuffle = interval rows × bins-per-interval on
+    the bin key; pick ``bin_width`` near the typical interval length so
+    that factor stays 1–2. Skewed hot bins (everything overlapping one
+    time window) salt like any hot equi-key (see skew.salted_join)."""
+    w = bin_width
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / w).cast("long"),
+                    F.floor((F.col(hi) - 1) / w).cast("long"),
+                )
+            ),
+        )
+
+    ab = binned(a, a_lo, a_hi)
+    bb = binned(b, b_lo, b_hi)
+    first_bin = F.greatest(
+        F.floor(F.col(a_lo) / w).cast("long"),
+        F.floor(F.col(b_lo) / w).cast("long"),
+    )
+    return (
+        ab.join(bb, "_bin")
+        .where(
+            (F.col(a_lo) < F.col(b_hi))
+            & (F.col(b_lo) < F.col(a_hi))
+            & (F.col("_bin") == first_bin)
+        )
+        .drop("_bin")
+    )

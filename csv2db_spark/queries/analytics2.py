@@ -741,3 +741,57 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return skew_profile(ev, ["user_id"], top_n=10)
+
+
+# ------------------------------------------------------ interval overlap join
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS a_id,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS a_lo,
+             datediff('day', DATE '1970-01-01', o_orderdate) + 7 AS a_hi
+      FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 3000
+    ),
+    b AS (
+      SELECT o_orderkey AS b_id,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS b_lo,
+             datediff('day', DATE '1970-01-01', o_orderdate) + 7 AS b_hi
+      FROM orders WHERE o_orderpriority = '5-LOW' AND o_orderkey < 3000
+    )
+    SELECT a.a_id, b.b_id, a.a_lo, a.a_hi, b.b_lo, b.b_hi
+    FROM a, b
+    WHERE a.a_lo < b.b_hi AND b.b_lo < a.a_hi
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join of urgent-vs-low order weeks
+    (operators/relational.interval_overlap_join): both sides large, so
+    no broadcast — each 7-day interval explodes into its 7-day-wide
+    bins, the join is an EQUI-join on the bin id, and each overlapping
+    pair is emitted exactly once at its first shared bin (no distinct
+    pass). The oracle is the naive inequality join — the blocked plan
+    must reproduce it row-for-row, proving the blocking is lossless."""
+    from csv2db_spark.operators.relational import interval_overlap_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    a = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") < 3000)
+    ).select(
+        F.col("o_orderkey").alias("a_id"),
+        epoch_days.alias("a_lo"),
+        (epoch_days + 7).alias("a_hi"),
+    )
+    b = orders.where(
+        (F.col("o_orderpriority") == "5-LOW") & (F.col("o_orderkey") < 3000)
+    ).select(
+        F.col("o_orderkey").alias("b_id"),
+        epoch_days.alias("b_lo"),
+        (epoch_days + 7).alias("b_hi"),
+    )
+    return interval_overlap_join(a, b, bin_width=7).select(
+        "a_id", "b_id", "a_lo", "a_hi", "b_lo", "b_hi"
+    )

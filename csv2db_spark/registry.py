@@ -94,7 +94,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_agg_hll_setops, q_events_transition_matrix, q_stream_ohlc_bars,
 # q_embed_covariance, q_embed_pca_project (rows-only),
 # q_retrieval_rrf_hybrid, q_ts_seasonal_outliers, q_text_bigram_lm,
-# q_quality_constraints, q_sim_ann_pq (rows-only), q_skew_profile.
+# q_quality_constraints, q_sim_ann_pq (rows-only), q_skew_profile,
+# q_join_interval_overlap.
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -383,3 +383,31 @@ def test_pq_encode_is_exact_argmin(spark, sf_dir):
         }
         best = min(dists, key=lambda c: (dists[c], c))
         assert code == best
+
+
+@pytest.mark.parametrize("width", [1, 3, 7, 30])
+def test_interval_overlap_blocking_is_lossless(spark, width):
+    from csv2db_spark.operators.relational import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 6), (3, 100, 101), (4, 7, 20)],
+        "a_id long, a_lo long, a_hi long",
+    )
+    b = spark.createDataFrame(
+        [(10, 9, 12), (20, 0, 1), (30, 99, 102), (40, 50, 60)],
+        "b_id long, b_lo long, b_hi long",
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(a, b, bin_width=width).collect()
+    )
+    # naive truth
+    arows = [(1, 0, 10), (2, 5, 6), (3, 100, 101), (4, 7, 20)]
+    brows = [(10, 9, 12), (20, 0, 1), (30, 99, 102), (40, 50, 60)]
+    want = sorted(
+        (ai, bi)
+        for ai, lo, hi in arows
+        for bi, blo, bhi in brows
+        if lo < bhi and blo < hi
+    )
+    assert got == want  # lossless AND duplicate-free at any bin width
