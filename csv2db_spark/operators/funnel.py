@@ -154,3 +154,44 @@ def transition_matrix(
             / F.sum("n_transitions").over(wtot).cast("double")
         ).alias("p_transition"),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    length: int = 3,
+    k: int = 20,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Most-frequent length-``length`` event paths across all key
+    sequences — the sequence-mining sibling of ``transition_matrix``
+    (which is the length-2 special case as probabilities): which full
+    journeys dominate, not just which single step follows which.
+
+    Returns the top-``k`` (step_1..step_N, n_paths) rows, most frequent
+    first with a full lexicographic tie-break — deterministic.
+
+    Scale shape: the same single per-key sort every sequencing op here
+    shares (all ``lead`` offsets evaluate in one window pass), then a
+    hash aggregation whose cardinality is bounded by |states|^length —
+    tiny for real event vocabularies — and a top-k over those counts.
+    The corpus shuffles once."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    steps = [
+        F.lead(state_col, i).over(w).alias(f"step_{i + 1}")
+        for i in range(length)
+    ]
+    paths = events.select(*steps).where(
+        F.col(f"step_{length}").isNotNull()
+    )
+    counted = paths.groupBy(*[f"step_{i + 1}" for i in range(length)]).agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+    order = [F.col("n_paths").desc()] + [
+        F.col(f"step_{i + 1}") for i in range(length)
+    ]
+    return counted.orderBy(*order).limit(k)

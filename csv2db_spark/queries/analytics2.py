@@ -795,3 +795,130 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(a, b, bin_width=7).select(
         "a_id", "b_id", "a_lo", "a_hi", "b_lo", "b_hi"
     )
+
+
+# ------------------------------------------------------ session SLA report
+
+
+@query(
+    "q_sessions_sla_percentiles",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s2 AS (
+      SELECT user_id, ts,
+             CAST(sum(brk) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_id
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             date_sub('second', min(ts), max(ts)) AS dur
+      FROM s2 GROUP BY 1, 2
+    ),
+    cohorts AS (
+      SELECT CASE WHEN n_events >= 2 THEN 'multi' ELSE 'single' END AS cohort,
+             dur
+      FROM sess
+    ),
+    r AS (
+      SELECT cohort, dur,
+             row_number() OVER (PARTITION BY cohort ORDER BY dur) AS rn,
+             count(*) OVER (PARTITION BY cohort) AS n
+      FROM cohorts
+    )
+    SELECT cohort,
+           CAST(max(n) AS BIGINT) AS n_sessions,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                    THEN dur END) AS p50_sec,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                    THEN dur END) AS p90_sec,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                    THEN dur END) AS p99_sec
+    FROM r GROUP BY cohort
+    """,
+)
+def q_sessions_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration SLA report — a COMPOSITION gate: sessionize
+    (operators/sessions.py gaps-and-islands) → per-session durations →
+    single/multi-event cohorts → exact p50/p90/p99 as integer order statistics
+    (rank = ceil(p·n), a selection, never an interpolation — same
+    discipline as the MAD gate). One user-keyed shuffle to sessionize,
+    one cohort-keyed sort for the rank pick; durations are exact integer
+    seconds so every percentile is an input number."""
+    from pyspark.sql import Window
+
+    from csv2db_spark.operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, gap="30 minutes")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("timestampdiff(SECOND, min(ts), max(ts))").alias("dur"),
+        )
+    )
+    cohorts = sess.select(
+        F.when(F.col("n_events") >= 2, F.lit("multi"))
+        .otherwise(F.lit("single"))
+        .alias("cohort"),
+        "dur",
+    )
+    w = Window.partitionBy("cohort").orderBy("dur")
+    wc = Window.partitionBy("cohort")
+    r = cohorts.select(
+        "cohort",
+        "dur",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def pick(p: float, alias: str):
+        target = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+        return F.max(F.when(F.col("rn") == target, F.col("dur"))).alias(alias)
+
+    return r.groupBy("cohort").agg(
+        F.max("n").cast("long").alias("n_sessions"),
+        pick(0.5, "p50_sec"),
+        pick(0.9, "p90_sec"),
+        pick(0.99, "p99_sec"),
+    )
+
+
+@query(
+    "q_events_top_paths",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS step_1,
+             lead(event_type, 1) OVER w AS step_2,
+             lead(event_type, 2) OVER w AS step_3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step_1, step_2, step_3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM p WHERE step_3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, step_1, step_2, step_3
+    LIMIT 20
+    """,
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys (operators/funnel.top_paths): the
+    sequence-mining completion of the funnel family — funnel_stages
+    checks ONE ordered pattern, transition_matrix measures single steps,
+    this surfaces the dominant full paths. Both leads share the one
+    per-user sort; the aggregate is bounded by |states|³ rows."""
+    from csv2db_spark.operators.funnel import top_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return top_paths(ev, length=3, k=20)

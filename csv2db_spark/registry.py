@@ -95,7 +95,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_embed_covariance, q_embed_pca_project (rows-only),
 # q_retrieval_rrf_hybrid, q_ts_seasonal_outliers, q_text_bigram_lm,
 # q_quality_constraints, q_sim_ann_pq (rows-only), q_skew_profile,
-# q_join_interval_overlap.
+# q_join_interval_overlap, q_sessions_sla_percentiles,
+# q_events_top_paths.
 
 
 def load_all_queries() -> dict[str, QueryDef]:
