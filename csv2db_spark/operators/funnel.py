@@ -195,3 +195,64 @@ def top_paths(
         F.col(f"step_{i + 1}") for i in range(length)
     ]
     return counted.orderBy(*order).limit(k)
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_hours: int = 168,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Marketing-style last-touch attribution: credit each conversion to
+    the user's most recent STRICTLY-PRECEDING touch event within the
+    lookback window. Returns one row per attributed conversion:
+    (key, conversion_id, conversion_ts, touch_id, touch_type,
+    seconds_since_touch); conversions with no in-window touch are
+    omitted (unattributed).
+
+    The carried "last touch" is a struct over an UNBOUNDED PRECEDING →
+    1 PRECEDING row frame with ignorenulls — one window evaluation, no
+    self-join of conversions against touches (the naive formulation is
+    an interval join; the running-state form is linear). Strict
+    preceding means a same-row conversion never attributes to itself
+    even if its type were also a touch type.
+
+    Timestamps are NTZ and the age is integer seconds via timestampdiff
+    — TZ-free, hash-exact. Scale shape: the single per-key sort every
+    sequencing op shares; state per row is one struct."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(state_col).isin(*touch_types),
+        F.struct(
+            F.col(ts_col).alias("t_ts"),
+            F.col(id_col).alias("t_id"),
+            F.col(state_col).alias("t_type"),
+        ),
+    )
+    carried = events.withColumn("_lt", F.last(touch, ignorenulls=True).over(w))
+    age = F.expr(f"timestampdiff(SECOND, _lt.t_ts, {ts_col})")
+    return (
+        carried.where(
+            (F.col(state_col) == conversion_type)
+            & F.col("_lt").isNotNull()
+            & (age <= lookback_hours * 3600)
+        )
+        .select(
+            key_col,
+            F.col(id_col).alias("conversion_id"),
+            F.col(ts_col).alias("conversion_ts"),
+            F.col("_lt.t_id").alias("touch_id"),
+            F.col("_lt.t_type").alias("touch_type"),
+            age.alias("seconds_since_touch"),
+        )
+    )

@@ -922,3 +922,43 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return top_paths(ev, length=3, k=20)
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+    WITH carried AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN struct_pack(t_ts := ts, t_id := event_id,
+                                     t_type := event_type) END
+               IGNORE NULLS
+             ) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS conversion_id,
+           ts AS conversion_ts,
+           lt.t_id AS touch_id,
+           lt.t_type AS touch_type,
+           date_sub('second', lt.t_ts, ts) AS seconds_since_touch
+    FROM carried
+    WHERE event_type = 'purchase'
+      AND lt IS NOT NULL
+      AND date_sub('second', lt.t_ts, ts) <= 168 * 3600
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators/funnel.last_touch_attribution):
+    each purchase credits the most recent strictly-preceding click/view
+    within a 7-day lookback — computed as carried running state over ONE
+    per-user window (the naive formulation is an interval self-join; the
+    running-state form is linear and shares the sequencing sort). Ages
+    are integer seconds on NTZ timestamps — TZ-free, hash-exact."""
+    from csv2db_spark.operators.funnel import last_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(ev)

@@ -411,3 +411,40 @@ def test_interval_overlap_blocking_is_lossless(spark, width):
         if lo < bhi and blo < hi
     )
     assert got == want  # lossless AND duplicate-free at any bin width
+
+
+def test_attribution_picks_last_touch_within_lookback(spark):
+    from csv2db_spark.operators.funnel import last_touch_attribution
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click"),
+        (1, "2024-01-01 01:00:00", 2, "view"),
+        (1, "2024-01-01 02:00:00", 3, "purchase"),  # -> view (id 2)
+        (1, "2024-01-20 00:00:00", 4, "purchase"),  # view too old -> none
+        (2, "2024-01-01 00:00:00", 5, "purchase"),  # no touch -> none
+        (3, "2024-01-01 00:00:00", 6, "purchase"),
+        (3, "2024-01-01 00:00:01", 7, "click"),     # touch AFTER -> none
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = last_touch_attribution(df, lookback_hours=168).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.conversion_id, r.touch_id, r.touch_type) == (3, 2, "view")
+    assert r.seconds_since_touch == 3600
+
+
+def test_top_paths_counts_overlapping_windows(spark):
+    from csv2db_spark.operators.funnel import top_paths
+
+    rows = [
+        (1, f"2024-01-01 00:0{i}:00", i, t)
+        for i, t in enumerate(["a", "b", "a", "b", "a"])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.step_1, r.step_2, r.step_3): r.n_paths for r in top_paths(df).collect()}
+    # a,b,a,b,a -> windows: aba, bab, aba
+    assert out == {("a", "b", "a"): 2, ("b", "a", "b"): 1}
