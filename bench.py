@@ -97,6 +97,10 @@ def main() -> None:
         "q_tpch_q18_large_volume",
         "q_text_bm25_topk",
         "q_pipeline_curation_v2",
+        # round-5 restart: the heaviest new shapes (corpus-shuffling text
+        # LM; Arrow partial-Gram fold) join the extended series
+        "q_text_bigram_lm",
+        "q_embed_covariance",
     )
     all_queries = load_all_queries()
     ext: dict[str, float] = {}

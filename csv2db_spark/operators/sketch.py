@@ -157,6 +157,22 @@ def hll_distinct(
     at most 64 rows per group per partition — then a 64-row-per-group
     fold. This is the mergeable-sketch pattern: register tables from
     disjoint corpus shards merge by MAX."""
+    return hll_estimate_from_registers(
+        hll_registers(items, item_col, group_cols), group_cols
+    )
+
+
+def hll_registers(
+    items: DataFrame,
+    item_col: str = "item",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The mergeable state of ``hll_distinct``: the (group_cols..., _j,
+    m_j) register table. Register tables from disjoint shards — or
+    stream micro-batches — merge by per-(group, _j) MAX, which is
+    exactly what ``operators/merge.merge_aggregates(maxs=["m_j"])`` and
+    the streaming rollup fold perform; estimate the merged table with
+    ``hll_estimate_from_registers``."""
     group_cols = list(group_cols or [])
     h = F.conv(
         F.substring(F.md5(F.col(item_col).cast("string")), 1, 12), 16, 10
@@ -169,7 +185,16 @@ def hll_distinct(
         (h % HLL_M).alias("_j"),
         F.shiftright(h, HLL_REG_BITS).alias("_w"),
     ).select(*group_cols, "_j", rho.alias("_rho"))
-    regs = prepared.groupBy(*group_cols, "_j").agg(F.max("_rho").alias("m_j"))
+    return prepared.groupBy(*group_cols, "_j").agg(F.max("_rho").alias("m_j"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Closed-form raw HLL estimate from a register table (see
+    ``hll_distinct`` for the math and determinism contract)."""
+    group_cols = list(group_cols or [])
     two43 = 1 << (HLL_WBITS + 1)
     s = regs.groupBy(*group_cols).agg(
         (

@@ -267,3 +267,82 @@ def q_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = ohlc_window_agg(events_stream(spark, sf_dir), "6 hours", "1 hour")
     return run_to_df(out, spark, "append")
+
+
+@query(
+    "q_stream_hll_rollup",
+    oracle=f"""
+    WITH e AS ({_E}),
+    h AS (
+      SELECT event_type AS g,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+               AS BIGINT) AS h
+      FROM e
+    ),
+    r AS (
+      SELECT g, h % 64 AS j,
+             CASE WHEN h // 64 = 0 THEN 43
+                  ELSE 43 - length(bin(h // 64)) END AS rho
+      FROM h
+    ),
+    regs AS (SELECT g, j, max(rho) AS m_j FROM r GROUP BY 1, 2),
+    s AS (
+      SELECT g,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(43 - m_j AS INT))
+                  + (64 - count(*)) * 8796093022208 AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_registers
+      FROM regs GROUP BY g
+    )
+    SELECT g AS event_type, n_registers,
+           ((CAST(0.709 AS DOUBLE) * 4096.0) * 8796093022208.0) / s
+             AS est_distinct
+    FROM s
+    """,
+)
+def q_stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user estimation per event type: each
+    micro-batch builds its HLL register partials
+    (operators/sketch.hll_registers) and the standing register store
+    folds them by per-(type, register) MAX through the idempotent
+    rollup sink (streaming/ops.stream_rollup_to_parquet — batch-id
+    marker, crash-safe swap). The oracle builds the registers ONE-SHOT
+    over the whole fixture: hash-equality proves the streamed,
+    incrementally-merged sketch is bit-identical to a from-scratch
+    build — the mergeable-sketch contract under streaming delivery.
+    Exact distinct of a stream is unbounded state; the register store
+    is 64 rows per group forever."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from csv2db_spark.streaming import events_stream
+    from csv2db_spark.streaming.ops import stream_rollup_to_parquet
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return hll_registers(
+            batch_df.select(
+                "event_type", F.col("user_id").alias("item")
+            ),
+            group_cols=["event_type"],
+        )
+
+    work = tempfile.mkdtemp(prefix="c2s_hll_rollup_")
+    store = f"{work}/store"
+    try:
+        stream_rollup_to_parquet(
+            events_stream(spark, sf_dir),
+            store,
+            agg_builder=partial,
+            keys=["event_type", "_j"],
+            maxs=["m_j"],
+            checkpoint=f"{work}/ckpt",
+        )
+        regs = spark.read.parquet(store).select("event_type", "_j", "m_j")
+        out = hll_estimate_from_registers(regs, ["event_type"])
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
