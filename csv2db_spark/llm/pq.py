@@ -197,3 +197,135 @@ def pq_topk(
             "query_id", F.col(id_col).alias("neighbor_id"), "approx_d2", "rank"
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ with exact refine — the production ANN composition (FAISS
+    IVFPQ + refine): IVF cells bound WHICH candidates are touched
+    (n_probe/n_centroids of the corpus), PQ codes bound the BYTES per
+    touched candidate (M bytes vs dim floats), and an exact-cosine
+    re-rank of the ADC shortlist restores accuracy at the top. Each
+    stage reuses its standalone operator: cells from the same KMeans
+    train as ivf_ann_topk, codes/ADC from pq_codebook/pq_encode above,
+    refine from the quantized-cosine machinery.
+
+    Codes quantize RAW vectors against the global codebook (IVFFlat+PQ;
+    classic IVFPQ encodes per-cell residuals — finer, but the codebook
+    story and every scale property are identical, and raw codes let the
+    SAME code table serve flat-PQ scans too).
+
+    Scale shape (100 TB): train on a sample (model is broadcast-tiny);
+    encode is map-only; the probe join touches ~|corpus|·n_probe/
+    n_centroids code rows of M bytes each; ADC folds them on (query,
+    id); only ``shortlist`` rows per query are ever re-scored exactly.
+    Returns (query_id, neighbor_id, cos_sim, rank) like the other ANN
+    operators."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    from csv2db_spark.llm.similarity import cos_from_parts, dot_iv
+
+    # --- IVF cells (same train as similarity.ivf_ann_topk) -------------
+    fv = array_to_vector(F.col(vec_col).cast("array<double>"))
+    corpus_v = corpus.select(F.col(id_col), F.col(vec_col), fv.alias("_fv"))
+    model = KMeans(
+        k=n_centroids, seed=42, maxIter=8, featuresCol="_fv", predictionCol="_cell"
+    ).fit(corpus_v)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    cells = model.transform(corpus_v).select(
+        F.col(id_col), F.col("_cell").alias("cell")
+    )
+
+    # --- PQ codes over the raw vectors ---------------------------------
+    codebook = pq_codebook(corpus, id_col, vec_col, m, n_codes, dim)
+    codes = pq_encode(corpus, codebook, id_col, vec_col, m, dim).join(
+        cells, id_col
+    )
+
+    # --- query side: probed cells + ADC distance table -----------------
+    def _probe(v):
+        x = np.stack(v.to_numpy()).astype("float64")
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    probe_udf = pandas_udf(_probe, "array<int>")
+    sub = dim // m
+    q = quantize(queries, id_col, vec_col, "query_id", "q_")
+    qsubs = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("m"),
+                        F.slice(F.col("q_iv"), i * sub + 1, sub).alias("sub_iv"),
+                    )
+                    for i in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select("query_id", F.col("_s.m").alias("m"), F.col("_s.sub_iv").alias("sub_iv"))
+    dtable = qsubs.join(F.broadcast(codebook), "m").select(
+        "query_id", "m", "code", _d2(F.col("sub_iv"), F.col("code_iv")).alias("d2")
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+
+    # --- ADC over probed candidates, shortlist per query ---------------
+    cand = codes.join(F.broadcast(probed), "cell").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    adc = (
+        cand.join(F.broadcast(dtable), ["query_id", "m", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("approx_d2", id_col)
+    short = (
+        adc.withColumn("_rn", F.row_number().over(ws))
+        .where(F.col("_rn") <= shortlist)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+
+    # --- exact refine of the shortlist ---------------------------------
+    c = quantize(corpus, id_col, vec_col, "neighbor_id", "c_")
+    qq = q.select("query_id", "q_iv", "q_nrm2")
+    scored = (
+        short.join(c, "neighbor_id")
+        .join(F.broadcast(qq), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos_from_parts(
+                dot_iv(F.col("q_iv"), F.col("c_iv")),
+                F.col("q_nrm2"),
+                F.col("c_nrm2"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

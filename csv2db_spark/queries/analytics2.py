@@ -962,3 +962,19 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return last_touch_attribution(ev)
+
+
+@query("q_sim_ann_ivfpq", oracle=None)  # approximate by design — recall vs
+# the exact baseline is asserted in tests/test_analytics2.py
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact refine (llm/pq.ivfpq_topk) — the production ANN
+    composition: IVF cells bound WHICH candidates are touched
+    (n_probe/n_centroids of the corpus), PQ codes bound the BYTES per
+    candidate (8 vs 256), and an exact-cosine re-rank of the 50-row ADC
+    shortlist restores top-k accuracy. Each stage is the standalone
+    operator it reuses (ivf train / pq codes / quantized cosine)."""
+    from csv2db_spark.llm.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivfpq_topk(emb, queries, k=10)

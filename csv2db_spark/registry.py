@@ -96,7 +96,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_retrieval_rrf_hybrid, q_ts_seasonal_outliers, q_text_bigram_lm,
 # q_quality_constraints, q_sim_ann_pq (rows-only), q_skew_profile,
 # q_join_interval_overlap, q_sessions_sla_percentiles,
-# q_events_top_paths, q_events_attribution, q_stream_hll_rollup.
+# q_events_top_paths, q_events_attribution, q_stream_hll_rollup,
+# q_sim_ann_ivfpq (rows-only).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

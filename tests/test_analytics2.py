@@ -448,3 +448,29 @@ def test_top_paths_counts_overlapping_windows(spark):
     out = {(r.step_1, r.step_2, r.step_3): r.n_paths for r in top_paths(df).collect()}
     # a,b,a,b,a -> windows: aba, bab, aba
     assert out == {("a", "b", "a"): 2, ("b", "a", "b"): 1}
+
+
+def test_ivfpq_refined_recall(spark, sf_dir):
+    from csv2db_spark.llm import similarity as S
+    from csv2db_spark.llm.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    got_rows = ivfpq_topk(emb, queries, k=10).collect()
+    exact = S.cosine_topk(emb, queries, k=10).collect()
+    ex: dict = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict = {}
+    for r in got_rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ex[q] & got[q]) / len(ex[q]) for q in ex]
+    # deterministic on the fixture (0.7 mean); thresholds leave headroom
+    assert sum(recalls) / len(recalls) >= 0.5
+    assert min(recalls) >= 0.3
+    # the refine stage reports EXACT cosines: every returned similarity
+    # must equal the brute-force value for that pair
+    exact_sims = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in got_rows:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert r.cos_sim == exact_sims[(r.query_id, r.neighbor_id)]
