@@ -509,3 +509,64 @@ def vocab_coverage(
             (F.col("cum").cast("double") / F.col("total")).alias("coverage"),
         )
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    target_frac: float = 0.5,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-LM
+    alpha-sampling rule, alpha = 0.5): sample domain d at a rate
+    proportional to n_d^alpha / n_d, so small domains are boosted and
+    large ones suppressed, with the overall kept fraction ≈
+    ``target_frac``. Unlike ``weighted_sample`` (rates given by the
+    caller) the rates here derive from the CORPUS ITSELF — one
+    |domains|-row statistics pass parametrizes the same deterministic
+    md5-coin filter.
+
+    Reproducibility: alpha is fixed at 1/2 because sqrt() is
+    IEEE-correctly-rounded on every platform (pow() is not — the same
+    reason BM25 here uses rational idf, llm/text.py); the rounded sqrt
+    is floored to integer micro-units so the normalizing sum is an
+    ORDERLESS exact long sum, and each rate is a fixed shape of IEEE
+    mult/div on identical operands → identical 48-bit integer cutoffs
+    on any engine. The coin is the row's own md5 — no RNG state, stable
+    under reruns and corpus growth.
+
+    Scale shape: one map-combined |domains|-row aggregate + a 1-row
+    fold, broadcast back onto the scan as a per-domain cutoff — the
+    filter itself is scan-local, no shuffle of row data."""
+    two48 = float(1 << 48)
+    stats = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    stats = stats.withColumn(
+        "_s", F.floor(F.sqrt(F.col("_n")) * 1e6).cast("long")
+    )
+    tot = stats.agg(
+        F.sum("_n").alias("_total"), F.sum("_s").alias("_ssum")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        (
+            (
+                (F.lit(target_frac) * F.col("_total").cast("double"))
+                * F.col("_s").cast("double")
+            )
+            / (F.col("_n").cast("double") * F.col("_ssum").cast("double"))
+        ).alias("_rate"),
+    )
+    cutoffs = rates.select(
+        domain_col,
+        F.floor(F.least(F.col("_rate"), F.lit(1.0)) * F.lit(two48))
+        .cast("long")
+        .alias("_cutoff"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(cutoffs), domain_col)
+        .where(h < F.col("_cutoff"))
+        .drop("_cutoff")
+    )

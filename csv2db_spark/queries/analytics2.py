@@ -978,3 +978,50 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return ivfpq_topk(emb, queries, k=10)
+
+
+# ------------------------------------------------------ temperature mixing
+
+
+@query(
+    "q_curate_temperature_mix",
+    oracle="""
+    WITH stats AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS s
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total, CAST(sum(s) AS BIGINT) AS ssum
+      FROM stats
+    ),
+    cut AS (
+      SELECT source,
+             CAST(floor(
+               least(
+                 ((0.5 * CAST(tot.total AS DOUBLE)) * CAST(stats.s AS DOUBLE))
+                 / (CAST(stats.n AS DOUBLE) * CAST(tot.ssum AS DOUBLE)),
+                 1.0
+               ) * 281474976710656.0
+             ) AS BIGINT) AS cutoff
+      FROM stats, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN cut USING (source)
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+          AS BIGINT) < cut.cutoff
+    """,
+)
+def q_curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=1/2 temperature rebalancing of the document sources
+    (llm/curation.temperature_mix, target fraction 0.5): small domains
+    are boosted, large ones suppressed, rates derived from the corpus's
+    own counts in one |domains|-row pass. sqrt is IEEE-correctly-rounded
+    (pow is not), the rounded root is floored to integer micro-units so
+    the normalizer is an orderless exact sum, and the md5-coin cutoffs
+    are identical 48-bit integers on both engines — a data-dependent
+    sampler with a bit-exact gate."""
+    from csv2db_spark.llm.curation import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(docs, target_frac=0.5).select("doc_id", "source")

@@ -474,3 +474,24 @@ def test_ivfpq_refined_recall(spark, sf_dir):
     for r in got_rows:
         if (r.query_id, r.neighbor_id) in exact_sims:
             assert r.cos_sim == exact_sims[(r.query_id, r.neighbor_id)]
+
+
+def test_temperature_mix_boosts_small_domains(spark):
+    from csv2db_spark.llm.curation import temperature_mix
+
+    rows = [(i, "big") for i in range(9000)] + [
+        (10_000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_mix(df, target_frac=0.5).groupBy("source").count()
+    got = {r.source: r["count"] for r in kept.collect()}
+    big_rate = got.get("big", 0) / 9000
+    small_rate = got.get("small", 0) / 100
+    # alpha=0.5: small domains keep a (much) larger fraction
+    assert small_rate > 2 * big_rate
+    total_rate = (got.get("big", 0) + got.get("small", 0)) / 9100
+    assert abs(total_rate - 0.5) < 0.05  # overall fraction near target
+    # deterministic under repartitioning
+    a = sorted(r.doc_id for r in temperature_mix(df, 0.5).collect())
+    b = sorted(r.doc_id for r in temperature_mix(df.repartition(13), 0.5).collect())
+    assert a == b
