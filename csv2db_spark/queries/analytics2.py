@@ -1025,3 +1025,24 @@ def q_curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_mix(docs, target_frac=0.5).select("doc_id", "source")
+
+
+# ------------------------------------------------------ BPE tokenizer training
+
+
+@query("q_text_bpe_train", oracle=None)  # iterative — SQL cannot express the
+# merge loop; exact-equality vs a pure-Python reference is pinned in tests
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on the corpus (llm/bpe.bpe_train, 8
+    merges): ONE corpus pass builds the word-frequency table, then every
+    merge round aggregates |vocab| rows — never the corpus again (the
+    property that makes tokenizer training tractable at 100 TB). Pair
+    argmax uses a total-order tie-break and the merge applies as a left
+    fold inside F.aggregate — pure codegen, no Python in the loop; the
+    driver touches one row per round. Deterministic end to end: the
+    merge sequence equals a pure-Python reference exactly
+    (tests/test_analytics2.py)."""
+    from csv2db_spark.llm.bpe import bpe_train_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_df(spark, docs, n_merges=8)

@@ -97,7 +97,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_quality_constraints, q_sim_ann_pq (rows-only), q_skew_profile,
 # q_join_interval_overlap, q_sessions_sla_percentiles,
 # q_events_top_paths, q_events_attribution, q_stream_hll_rollup,
-# q_sim_ann_ivfpq (rows-only), q_curate_temperature_mix.
+# q_sim_ann_ivfpq (rows-only), q_curate_temperature_mix,
+# q_text_bpe_train (rows-only).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

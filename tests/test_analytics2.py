@@ -495,3 +495,65 @@ def test_temperature_mix_boosts_small_domains(spark):
     a = sorted(r.doc_id for r in temperature_mix(df, 0.5).collect())
     b = sorted(r.doc_id for r in temperature_mix(df.repartition(13), 0.5).collect())
     assert a == b
+
+
+def _ref_bpe(texts, n):
+    from collections import Counter
+
+    from csv2db_spark.llm.bpe import END
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(list(w) + [END])] += 1
+    out = []
+    for rank in range(1, n + 1):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, a, b, c))
+        nv = Counter()
+        for syms, cnt in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            nv[tuple(ns)] += cnt
+        vocab = nv
+    return out
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    from csv2db_spark.llm.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    merges = bpe_train(docs, n_merges=6)
+    texts = [r.text for r in docs.select("text").collect()]
+    assert merges == _ref_bpe(texts, 6)
+
+
+def test_bpe_segment_roundtrip_and_compression(spark):
+    from csv2db_spark.llm.bpe import END, bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer new newest lower")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=6)
+    seg = {r.doc_id: r for r in bpe_segment(docs, merges).collect()}
+    # merges only ever join adjacent symbols: concatenating tokens and
+    # stripping markers reconstructs the original words
+    for did, text in [(1, "low lower lowest low low"), (2, "newer new newest lower")]:
+        joined = "".join(seg[did].tokens).replace(END, " ").strip()
+        assert joined == text
+    # and learned merges compress vs character count
+    assert seg[1].n_tokens < len("low lower lowest low low".replace(" ", "")) + 5
