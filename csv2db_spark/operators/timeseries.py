@@ -351,3 +351,99 @@ def seasonal_outliers(
             (F.col("_v").cast("double") / 1000).alias("value"),
         )
     )
+
+
+def winsorize(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    lo_p: float = 0.01,
+    hi_p: float = 0.99,
+) -> DataFrame:
+    """Winsorization: clip each group's values at its [lo_p, hi_p]
+    percentile bounds — the standard tail-taming preprocessing step
+    before mean-based statistics (the z-score gate's mean/stddev are
+    exactly what raw tails distort).
+
+    The bounds are ORDER STATISTICS of the quantized values (rank =
+    max(1, ceil(p·n)) — selections, same discipline as mad_outliers),
+    so clipping compares exact decimals against exact decimals and the
+    output is hash-reproducible: every value is either an input value
+    or one of two per-group input bounds.
+
+    Scale shape: one per-group sort to rank (irreducible for exact
+    percentile bounds; swap in histogram_quantile bounds for the
+    bounded-shuffle variant), one broadcast of 2·|groups| bound rows
+    back onto the scan. Returns the input rows plus (lo_bound,
+    hi_bound, value_winsorized, was_clipped)."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("decimal(14,4)")
+    rows = events.where(F.col(value_col).isNotNull())
+    wv = Window.partitionBy(key_col).orderBy(v)
+    wk = Window.partitionBy(key_col)
+    ranked = rows.select(
+        "*",
+        F.row_number().over(wv).alias("_rn"),
+        F.count(F.lit(1)).over(wk).alias("_n"),
+    )
+    lo_target = F.greatest(F.lit(1), F.ceil(F.lit(lo_p) * F.col("_n")))
+    hi_target = F.greatest(F.lit(1), F.ceil(F.lit(hi_p) * F.col("_n")))
+    bounds = (
+        ranked.select(
+            key_col,
+            F.when(F.col("_rn") == lo_target, v).alias("_lo"),
+            F.when(F.col("_rn") == hi_target, v).alias("_hi"),
+        )
+        .groupBy(key_col)
+        .agg(F.max("_lo").alias("lo_bound"), F.max("_hi").alias("hi_bound"))
+    )
+    out = rows.join(F.broadcast(bounds), key_col)
+    clipped = F.greatest(F.least(v, F.col("hi_bound")), F.col("lo_bound"))
+    return out.select(
+        "*",
+        clipped.cast("double").alias("value_winsorized"),
+        (
+            (v < F.col("lo_bound")) | (v > F.col("hi_bound"))
+        ).alias("was_clipped"),
+    ).withColumn("lo_bound", F.col("lo_bound").cast("double")) \
+     .withColumn("hi_bound", F.col("hi_bound").cast("double"))
+
+
+def impute_group_median(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """NULL imputation with the group's lower-median — the robust
+    default for filling measurement gaps (a mean imputation inherits
+    the tails; the median is an actual observed value). Returns the
+    input plus (value_imputed, was_imputed).
+
+    The median is the same ⌈n/2⌉-th order statistic as mad_outliers —
+    a selection of quantized decimals, engine-exact — computed over the
+    non-NULL rows only and broadcast back as |groups| rows. A group
+    with no observed values at all keeps NULL (nothing to impute from).
+    One per-group sort + one broadcast join."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("decimal(14,4)")
+    obs = events.where(F.col(value_col).isNotNull()).select(key_col, v.alias("_v"))
+    wv = Window.partitionBy(key_col).orderBy("_v")
+    wk = Window.partitionBy(key_col)
+    med = (
+        obs.select(
+            key_col,
+            "_v",
+            F.row_number().over(wv).alias("_rn"),
+            F.count(F.lit(1)).over(wk).alias("_n"),
+        )
+        .where(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        .select(key_col, F.col("_v").cast("double").alias("_med"))
+    )
+    out = events.join(F.broadcast(med), key_col, "left")
+    return out.select(
+        "*",
+        F.coalesce(F.col(value_col), F.col("_med")).alias("value_imputed"),
+        F.col(value_col).isNull().alias("was_imputed"),
+    ).drop("_med")

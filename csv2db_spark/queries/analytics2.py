@@ -1046,3 +1046,106 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_df(spark, docs, n_merges=8)
+
+
+# ------------------------------------------------------ winsorize / impute
+
+
+@query(
+    "q_ts_winsorize",
+    oracle="""
+    WITH rows_q AS (
+      SELECT event_type, event_id, CAST(value AS DECIMAL(14,4)) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM rows_q
+    ),
+    b AS (
+      SELECT event_type,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.01 * n) AS BIGINT))
+                      THEN v END) AS lo_bound,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                      THEN v END) AS hi_bound
+      FROM r GROUP BY event_type
+    )
+    SELECT q.event_type, q.event_id,
+           CAST(q.v AS DOUBLE) AS value,
+           CAST(b.lo_bound AS DOUBLE) AS lo_bound,
+           CAST(b.hi_bound AS DOUBLE) AS hi_bound,
+           CAST(greatest(least(q.v, b.hi_bound), b.lo_bound) AS DOUBLE)
+             AS value_winsorized,
+           (q.v < b.lo_bound OR q.v > b.hi_bound) AS was_clipped
+    FROM rows_q q JOIN b USING (event_type)
+    """,
+)
+def q_ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at [p01, p99]
+    (operators/timeseries.winsorize): tail values clip to their group's
+    exact percentile bounds — order statistics (rank = ceil(p·n)
+    selections of quantized decimals), so every output is an input value
+    or one of two input bounds, hash-exact. The standard tail-taming
+    step before mean-based statistics."""
+    from csv2db_spark.operators.timeseries import winsorize
+
+    ev = load_table(spark, sf_dir, "events")
+    return winsorize(ev).select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(14,4)").cast("double").alias("value"),
+        "lo_bound",
+        "hi_bound",
+        "value_winsorized",
+        "was_clipped",
+    )
+
+
+@query(
+    "q_ts_impute_median",
+    oracle="""
+    WITH holed AS (
+      SELECT event_type, event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+      FROM events
+    ),
+    obs AS (
+      SELECT event_type, CAST(value AS DECIMAL(14,4)) AS v
+      FROM holed WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM obs
+    ),
+    med AS (
+      SELECT event_type, CAST(v AS DOUBLE) AS med
+      FROM r WHERE rn = (n + 1) // 2
+    )
+    SELECT h.event_type, h.event_id, h.value,
+           coalesce(h.value, m.med) AS value_imputed,
+           h.value IS NULL AS was_imputed
+    FROM holed h LEFT JOIN med m USING (event_type)
+    """,
+)
+def q_ts_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median NULL imputation
+    (operators/timeseries.impute_group_median) over a deterministic
+    14%-holed copy of the measurements (the fixture ships none): each
+    gap fills with its group's lower-median — an observed value, robust
+    to the tails a mean imputation inherits. Median = the same ⌈n/2⌉
+    order statistic as the MAD gate; one sort + one |groups|-row
+    broadcast."""
+    from csv2db_spark.operators.timeseries import impute_group_median
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    return impute_group_median(ev)

@@ -557,3 +557,32 @@ def test_bpe_segment_roundtrip_and_compression(spark):
         assert joined == text
     # and learned merges compress vs character count
     assert seg[1].n_tokens < len("low lower lowest low low".replace(" ", "")) + 5
+
+
+def test_winsorize_clips_only_tails(spark):
+    from csv2db_spark.operators.timeseries import winsorize
+
+    rows = [("a", i, float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    out = {r.event_id: r for r in winsorize(df, lo_p=0.05, hi_p=0.95).collect()}
+    assert out[1].was_clipped and out[1].value_winsorized == 5.0
+    assert out[100].was_clipped and out[100].value_winsorized == 95.0
+    assert not out[50].was_clipped and out[50].value_winsorized == 50.0
+    # clipped values land exactly ON the bounds (input values)
+    assert all(
+        r.lo_bound <= r.value_winsorized <= r.hi_bound for r in out.values()
+    )
+
+
+def test_impute_group_median_fills_gaps_robustly(spark):
+    from csv2db_spark.operators.timeseries import impute_group_median
+
+    rows = [("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0), ("a", 4, 1e9),
+            ("b", 5, None)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    out = {r.event_id: r for r in impute_group_median(df).collect()}
+    # lower median of {10, 30, 1e9} is 30 — untouched by the 1e9 tail
+    assert out[2].was_imputed and out[2].value_imputed == 30.0
+    assert not out[1].was_imputed and out[1].value_imputed == 10.0
+    # group with no observations keeps NULL
+    assert out[5].was_imputed and out[5].value_imputed is None
