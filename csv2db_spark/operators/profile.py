@@ -138,3 +138,68 @@ def histogram_quantile(
         "bucket",
         (F.lit(lo) + F.lit(width) * (F.col("bucket") + frac)).alias("est_value"),
     )
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Column-level drift report between two snapshots of a table — the
+    "did yesterday's load change shape?" check that belongs next to
+    ``operators/quality.check_constraints`` (rules you declare) and
+    ``operators/merge.snapshot_diff`` (row-level deltas): this one needs
+    NO declared rules, it compares the table against its own past.
+
+    One ``profile_columns`` pass per side (each a single map-combined
+    aggregate + one distinct per column), then a full-outer join on the
+    column name. Returns one row per column seen on either side:
+    (col_name, status ∈ added|removed|type_changed|kept,
+    old_type, new_type, and the old/new null counts, distinct counts and
+    numeric ranges). All metrics are exact integers/extrema, so the
+    report hash-matches. Detecting DISTRIBUTION drift beyond these
+    moments is histogram_quantile's job — compare its per-snapshot
+    outputs."""
+    types_old = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    types_new = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    po = profile_columns(old).select(
+        F.col("col_name"),
+        F.col("n_nulls").alias("old_nulls"),
+        F.col("n_distinct").alias("old_distinct"),
+        F.col("min_num").alias("old_min"),
+        F.col("max_num").alias("old_max"),
+    )
+    pn = profile_columns(new).select(
+        F.col("col_name"),
+        F.col("n_nulls").alias("new_nulls"),
+        F.col("n_distinct").alias("new_distinct"),
+        F.col("min_num").alias("new_min"),
+        F.col("max_num").alias("new_max"),
+    )
+    joined = po.join(pn, "col_name", "full_outer")
+    ot = None
+    for c, t in sorted(types_old.items()):
+        cond = F.col("col_name") == c
+        ot = F.when(cond, F.lit(t)) if ot is None else ot.when(cond, F.lit(t))
+    nt = None
+    for c, t in sorted(types_new.items()):
+        cond = F.col("col_name") == c
+        nt = F.when(cond, F.lit(t)) if nt is None else nt.when(cond, F.lit(t))
+    old_type = ot if ot is not None else F.lit(None).cast("string")
+    new_type = nt if nt is not None else F.lit(None).cast("string")
+    status = (
+        F.when(old_type.isNull(), F.lit("added"))
+        .when(new_type.isNull(), F.lit("removed"))
+        .when(old_type != new_type, F.lit("type_changed"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        "col_name",
+        status.alias("status"),
+        old_type.alias("old_type"),
+        new_type.alias("new_type"),
+        "old_nulls",
+        "new_nulls",
+        "old_distinct",
+        "new_distinct",
+        "old_min",
+        "new_min",
+        "old_max",
+        "new_max",
+    )

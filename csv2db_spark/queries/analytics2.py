@@ -1149,3 +1149,183 @@ def q_ts_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
     )
     return impute_group_median(ev)
+
+
+# ------------------------------------------------------ feature-store PIT
+
+
+@query(
+    "q_feature_pit_join",
+    oracle="""
+    WITH spine AS (
+      SELECT user_id, ts, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    f1 AS (
+      SELECT user_id,
+             date_trunc('hour', ts) - INTERVAL (hour(ts) % 6) HOUR AS ts,
+             CAST(count(*) AS BIGINT) AS f1_events,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS f1_value
+      FROM events GROUP BY 1, 2
+    ),
+    f2 AS (
+      SELECT user_id,
+             date_trunc('day', ts) AS ts,
+             CAST(count(*) AS BIGINT) AS f2_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    j1 AS (
+      SELECT s.user_id, s.ts, s.event_id, f1.f1_events, f1.f1_value
+      FROM spine s
+      ASOF LEFT JOIN f1 ON s.user_id = f1.user_id AND s.ts >= f1.ts
+    )
+    SELECT j1.user_id, j1.ts, j1.event_id, j1.f1_events, j1.f1_value,
+           f2.f2_clicks
+    FROM j1
+    ASOF LEFT JOIN f2 ON j1.user_id = f2.user_id AND j1.ts >= f2.ts
+    """,
+)
+def q_feature_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time retrieval — a COMPOSITION gate: a
+    purchase spine picks up its latest 6-hour activity rollup AND its
+    latest daily click count via two chained as-of joins
+    (operators/asof.asof_join, the union-sort-carry linear form) — the
+    leakage-safe way to assemble training features (a plain join would
+    see the future; PIT semantics take the newest feature row at or
+    before the label timestamp). Oracle: DuckDB's native ASOF JOIN,
+    chained twice. Each as-of is one user-keyed sort; features ride as
+    carried structs, never a per-row probe."""
+    from csv2db_spark.operators.asof import asof_join
+    from csv2db_spark.operators.timeseries import resample
+
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    f1 = resample(ev, hours=6).select(
+        "user_id",
+        F.col("bucket").alias("ts"),
+        F.col("n_events").alias("f1_events"),
+        F.col("sum_value").alias("f1_value"),
+    )
+    f2 = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("ts"))
+        .agg(F.count(F.lit(1)).alias("f2_clicks"))
+    )
+    j1 = asof_join(
+        spine, f1, on="ts", by="user_id", right_payload=["f1_events", "f1_value"]
+    ).select("user_id", "ts", "event_id", "f1_events", "f1_value")
+    j2 = asof_join(
+        j1, f2, on="ts", by="user_id", right_payload=["f2_clicks"]
+    ).select(
+        "user_id", "ts", "event_id", "f1_events", "f1_value", "f2_clicks"
+    )
+    return j2
+
+
+# ------------------------------------------------------ schema drift
+
+
+@query(
+    "q_profile_schema_drift",
+    oracle="""
+    WITH oldt AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    newt AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+             o_orderpriority
+      FROM orders
+    ),
+    po AS (
+      SELECT 'o_orderkey' AS col_name,
+             CAST(count(*) - count(o_orderkey) AS BIGINT) AS old_nulls,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS old_distinct,
+             CAST(min(o_orderkey) AS DOUBLE) AS old_min,
+             CAST(max(o_orderkey) AS DOUBLE) AS old_max
+      FROM oldt
+      UNION ALL
+      SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+             CAST(count(DISTINCT o_custkey) AS BIGINT),
+             CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+      FROM oldt
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT), NULL, NULL
+      FROM oldt
+      UNION ALL
+      SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+             CAST(count(DISTINCT o_totalprice) AS BIGINT),
+             CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+      FROM oldt
+    ),
+    pn AS (
+      SELECT 'o_orderkey' AS col_name,
+             CAST(count(*) - count(o_orderkey) AS BIGINT) AS new_nulls,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS new_distinct,
+             CAST(min(o_orderkey) AS DOUBLE) AS new_min,
+             CAST(max(o_orderkey) AS DOUBLE) AS new_max
+      FROM newt
+      UNION ALL
+      SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+             CAST(count(DISTINCT o_custkey) AS BIGINT),
+             CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+      FROM newt
+      UNION ALL
+      SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+             CAST(count(DISTINCT o_totalprice) AS BIGINT),
+             CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+      FROM newt
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT), NULL, NULL
+      FROM newt
+    ),
+    t AS (
+      SELECT * FROM (VALUES
+        ('o_orderkey',    'bigint',        'bigint'),
+        ('o_custkey',     'bigint',        'bigint'),
+        ('o_orderstatus', 'string',        NULL),
+        ('o_totalprice',  'double',        'decimal(12,2)'),
+        ('o_orderpriority', NULL,          'string')
+      ) v(col_name, old_type, new_type)
+    )
+    SELECT t.col_name,
+           CASE WHEN t.old_type IS NULL THEN 'added'
+                WHEN t.new_type IS NULL THEN 'removed'
+                WHEN t.old_type != t.new_type THEN 'type_changed'
+                ELSE 'kept' END AS status,
+           t.old_type, t.new_type,
+           po.old_nulls, pn.new_nulls,
+           po.old_distinct, pn.new_distinct,
+           po.old_min, pn.new_min, po.old_max, pn.new_max
+    FROM t
+    LEFT JOIN po USING (col_name)
+    LEFT JOIN pn USING (col_name)
+    """,
+)
+def q_profile_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift report (operators/profile.schema_drift) between a
+    simulated yesterday (half the orders, totalprice as double) and
+    today (all orders, totalprice re-typed decimal, status dropped,
+    priority added): column add/remove/type-change plus exact
+    null/distinct/range movement — the no-declared-rules complement of
+    q_quality_constraints. Two single-pass profiles + a |columns|-row
+    full-outer join."""
+    from csv2db_spark.operators.profile import schema_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return schema_drift(old, new)

@@ -98,7 +98,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_join_interval_overlap, q_sessions_sla_percentiles,
 # q_events_top_paths, q_events_attribution, q_stream_hll_rollup,
 # q_sim_ann_ivfpq (rows-only), q_curate_temperature_mix,
-# q_text_bpe_train (rows-only), q_ts_winsorize, q_ts_impute_median.
+# q_text_bpe_train (rows-only), q_ts_winsorize, q_ts_impute_median,
+# q_feature_pit_join, q_profile_schema_drift.
 
 
 def load_all_queries() -> dict[str, QueryDef]:
