@@ -165,3 +165,114 @@ def test_chunk_documents_properties(spark, n_tokens, chunk, overlap):
     # all chunks except the last are full-size
     for r in rows[:-1]:
         assert r.n_chunk_tokens == chunk
+
+
+# ---------------------------------------------------------------- round 5
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-500, max_value=500, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_ohlc_bar_equals_python_reference(spark, values):
+    from csv2db_spark.operators.timeseries import ohlc_bars
+
+    rows = [
+        ("g", f"2024-01-01 00:{i:02d}:00", i, float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bars = ohlc_bars(df, hours=6).collect()
+    assert len(bars) == 1
+    b = bars[0]
+    assert b.open == values[0] and b.close == values[-1]
+    assert b.high == max(values) and b.low == min(values)
+    assert b.n_events == len(values)
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=0, max_value=1000, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_ewma_equals_python_reference(spark, values):
+    from decimal import Decimal
+
+    from csv2db_spark.operators.timeseries import ewma
+
+    rows = [
+        ("g", f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", i, float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.event_id: r.ewma for r in ewma(df, k=6).collect()}
+    # python reference with the same decimal quantization + weights
+    q = [Decimal(str(v)).quantize(Decimal("0.0001")) for v in values]
+    for t in range(len(values)):
+        num = Decimal(0)
+        den = Decimal(0)
+        for j in range(6):
+            if t - j >= 0:
+                w = Decimal(1) / Decimal(2**j)
+                num += q[t - j] * w
+                den += w
+        assert got[t] == pytest.approx(float(num) / float(den), rel=1e-12)
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=3,
+        max_size=50,
+    ),
+)
+@settings(**_SETTINGS)
+def test_mad_outliers_equals_python_reference(spark, values):
+    from decimal import Decimal
+
+    from csv2db_spark.operators.timeseries import mad_outliers
+
+    rows = [("g", i, float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    got = sorted(r.event_id for r in mad_outliers(df, n_mads=3).collect())
+    q = sorted(Decimal(str(v)).quantize(Decimal("0.0001")) for v in values)
+    med = q[(len(q) + 1) // 2 - 1]
+    devs = sorted(
+        abs(Decimal(str(v)).quantize(Decimal("0.0001")) - med) for v in values
+    )
+    mad = devs[(len(devs) + 1) // 2 - 1]
+    want = sorted(
+        i
+        for i, v in enumerate(values)
+        if abs(Decimal(str(v)).quantize(Decimal("0.0001")) - med) > 3 * mad
+    )
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=20),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_bpe_train_equals_python_reference(spark, texts, n_merges):
+    from tests.test_analytics2 import _ref_bpe
+
+    from csv2db_spark.llm.bpe import bpe_train
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    assert bpe_train(df, n_merges=n_merges) == _ref_bpe(texts, n_merges)
