@@ -64,3 +64,47 @@ def rrf_fuse(
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Ranking-quality evaluation: per query, recall@k and MRR@k of a
+    ranked candidate list against a relevance set — the measurement leg
+    of the retrieval stack (rrf_fuse and the ANN operators produce
+    ``ranked``; the exact brute-force top-k is the natural ``truth``).
+
+    Metrics are chosen to be hash-exact: recall = hits/|truth| and
+    MRR = 1/first_hit_rank are single IEEE divisions of exact integers
+    (nDCG's log2 discount would not cross engines bit-identically —
+    same rationale as the rational-idf BM25). Queries with no hit in
+    the top-k get MRR 0; queries present in truth but absent from
+    ``ranked`` still appear (left join from the truth side).
+
+    Scale shape: one equi-join on (query, doc) — both inputs are
+    ranked lists, k rows per query, never corpus-sized — then a
+    |queries|-row aggregate."""
+    t = truth.select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+    )
+    r = ranked.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_rank"),
+    )
+    joined = t.join(r, ["_q", "_d"], "left")
+    return joined.groupBy(F.col("_q").alias(query_col)).agg(
+        F.count(F.lit(1)).alias("n_relevant"),
+        F.count("_rank").alias("n_hits"),
+        (
+            F.count("_rank").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("recall_at_k"),
+        F.coalesce(
+            F.lit(1.0) / F.min("_rank").cast("double"), F.lit(0.0)
+        ).alias("mrr_at_k"),
+    )

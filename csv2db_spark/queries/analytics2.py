@@ -1329,3 +1329,237 @@ def q_profile_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     return schema_drift(old, new)
+
+
+# ------------------------------------------------------ retrieval evaluation
+
+
+@query(
+    "q_retrieval_eval_metrics",
+    oracle="""
+    WITH qv AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 5),
+    norms AS (
+      SELECT vec_id,
+             sum(cast(cast(cast(embedding[i] as double) as decimal(9,8))
+                        * 100000000 as bigint)
+                 * cast(cast(cast(embedding[i] as double) as decimal(9,8))
+                        * 100000000 as bigint)) AS nrm2
+      FROM embeddings, range(1, 65) r(i) GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             sum(cast(cast(cast(q.qv[i] as double) as decimal(9,8))
+                        * 100000000 as bigint)
+                 * cast(cast(cast(e.embedding[i] as double) as decimal(9,8))
+                        * 100000000 as bigint)) AS dot
+      FROM qv q, embeddings e, range(1, 65) r(i)
+      WHERE e.vec_id != q.query_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             (cast(d.dot as double) / 1e16)
+             / (sqrt(cast(nq.nrm2 as double) / 1e16)
+                * sqrt(cast(nn.nrm2 as double) / 1e16)) AS cos_sim
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nn ON nn.vec_id = d.neighbor_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    -- "ranked" list under evaluation: the same exact ranking with the
+    -- odd-ranked half dropped, simulating an ANN that misses half
+    cand AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rank) AS rank
+      FROM exact WHERE rank % 2 = 0
+    ),
+    j AS (
+      SELECT t.query_id AS q, t.neighbor_id, c.rank
+      FROM exact t
+      LEFT JOIN cand c
+        ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+           AND c.rank <= 10
+    )
+    SELECT q AS query_id,
+           CAST(count(*) AS BIGINT) AS n_relevant,
+           CAST(count(rank) AS BIGINT) AS n_hits,
+           CAST(count(rank) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS recall_at_k,
+           coalesce(1.0 / CAST(min(rank) AS DOUBLE), 0.0) AS mrr_at_k
+    FROM j GROUP BY q
+    """,
+)
+def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (llm/retrieval.retrieval_metrics): recall@10
+    and MRR@10 of a deliberately-degraded candidate list (the exact
+    ranking with odd ranks dropped — a deterministic stand-in for an
+    ANN's misses) against the brute-force truth. Rational metrics only
+    (hits ratio, 1/first-hit-rank) so the evaluation itself is
+    hash-exact — nDCG's log2 discount would not cross engines
+    bit-identically. One k-rows-per-query join + a |queries|-row fold."""
+    from pyspark.sql import Window
+
+    from csv2db_spark.llm import similarity as S
+    from csv2db_spark.llm.retrieval import retrieval_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, queries, k=10)
+    w = Window.partitionBy("query_id").orderBy("rank")
+    degraded = (
+        exact.where(F.col("rank") % 2 == 0)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return retrieval_metrics(degraded, exact, k=10)
+
+
+# ------------------------------------------------------ curation pipeline v4
+
+
+@query(
+    "q_pipeline_curation_v4",
+    oracle="""
+    WITH stats AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS s
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total, CAST(sum(s) AS BIGINT) AS ssum
+      FROM stats
+    ),
+    cut AS (
+      SELECT source,
+             CAST(floor(
+               least(
+                 ((0.7 * CAST(tot.total AS DOUBLE)) * CAST(stats.s AS DOUBLE))
+                 / (CAST(stats.n AS DOUBLE) * CAST(tot.ssum AS DOUBLE)),
+                 1.0
+               ) * 281474976710656.0
+             ) AS BIGINT) AS cutoff
+      FROM stats, tot
+    ),
+    mixed AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN cut USING (source)
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+            AS BIGINT) < cut.cutoff
+    ),
+    m AS (
+      SELECT doc_id, source, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+               AS n_word_chars,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+               AS BIGINT) AS n_symbols,
+             CAST((len(string_split_regex(text, '\\bthe\\b')) - 1)
+                + (len(string_split_regex(text, '\\ba\\b')) - 1)
+                + (len(string_split_regex(text, '\\bdata\\b')) - 1)
+                + (len(string_split_regex(text, '\\btable\\b')) - 1)
+               AS BIGINT) AS stop_hits
+      FROM mixed
+    ),
+    quality AS (
+      SELECT doc_id, source, text, n_words FROM m
+      WHERE n_words >= 50 AND n_words <= 100000
+        AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        AND 10 * n_symbols <= n_words
+        AND stop_hits >= 2
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM quality),
+    pos AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
+      FROM toks
+    ),
+    occ AS (
+      SELECT p1.doc_id, p1.tok AS a, p2.tok AS b
+      FROM pos p1
+      JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+    ),
+    pc AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS cnt_pair
+      FROM occ GROUP BY a, b
+    ),
+    pfx AS (
+      SELECT a, CAST(sum(cnt_pair) AS BIGINT) AS cnt_prefix
+      FROM pc GROUP BY a
+    ),
+    v AS (
+      SELECT pc.a, pc.b,
+             (1000000 * pc.cnt_pair) // pfx.cnt_prefix AS q
+      FROM pc JOIN pfx ON pc.a = pfx.a
+    ),
+    lm AS (
+      SELECT occ.doc_id,
+             CAST(sum(v.q) AS BIGINT) AS score_scaled,
+             CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM occ JOIN v ON occ.a = v.a AND occ.b = v.b
+      GROUP BY occ.doc_id
+    ),
+    ranked AS (
+      SELECT q.doc_id, q.source, q.n_words,
+             row_number() OVER (
+               ORDER BY CAST(lm.score_scaled AS DOUBLE)
+                        / CAST(lm.n_bigrams AS DOUBLE),
+                        q.doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM quality q JOIN lm ON lm.doc_id = q.doc_id
+    ),
+    survivors AS (
+      SELECT doc_id, source, n_words FROM ranked
+      WHERE rn > CAST(floor(0.1 * n) AS BIGINT)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM survivors GROUP BY source
+    """,
+)
+def q_pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-session curation stages composed end-to-end:
+    alpha-temperature domain rebalancing (target 0.7) → Gopher-rule
+    quality filter → corpus-bigram LM fluency ranking with the bottom
+    10% dropped (rank = order statistic of the average next-token
+    probability, doc_id tiebreak) → per-source accounting. One
+    hash-checked result pins every stage's row-level decisions. Scale
+    shape: the temperature cutoffs are a |domains|-row broadcast onto
+    the scan, quality flags are scan-stage projections, and the LM
+    ranking's two corpus shuffles + one |survivors|-row sort are the
+    whole cost."""
+    from pyspark.sql import Window
+
+    from csv2db_spark.llm.curation import temperature_mix
+    from csv2db_spark.llm.text import bigram_lm_scores, gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = temperature_mix(docs, target_frac=0.7).select(
+        "doc_id", "text", "source"
+    )
+    flags = gopher_quality(mixed).where("keep").select("doc_id", "n_words")
+    quality = mixed.join(flags, "doc_id")
+    lm = bigram_lm_scores(quality)
+    ranked = quality.join(lm, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_words",
+        F.row_number()
+        .over(Window.orderBy(F.col("avg_next_token_prob"), F.col("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    survivors = ranked.where(
+        F.col("rn") > F.floor(F.lit(0.1) * F.col("n"))
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+    )

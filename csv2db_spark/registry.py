@@ -99,7 +99,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_events_top_paths, q_events_attribution, q_stream_hll_rollup,
 # q_sim_ann_ivfpq (rows-only), q_curate_temperature_mix,
 # q_text_bpe_train (rows-only), q_ts_winsorize, q_ts_impute_median,
-# q_feature_pit_join, q_profile_schema_drift.
+# q_feature_pit_join, q_profile_schema_drift, q_retrieval_eval_metrics,
+# q_pipeline_curation_v4.
 
 
 def load_all_queries() -> dict[str, QueryDef]:
