@@ -67,3 +67,60 @@ def session_stats(
         ),
         F.sum("value").alias("value_sum"),
     )
+
+
+def active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU / rolling-WAU / stickiness per calendar day — the standard
+    product-analytics triple. Exact rolling distinct is the hard part:
+    a distinct count is not algebraic, so a window frame cannot
+    maintain it. The scale-correct exact form used here: dedup to
+    (user, day) once, EXPLODE each row into the ``window_days`` days it
+    contributes to (a bounded ×7 fan-out of the deduped table, not the
+    event table), and take one distinct count per (day, user) group —
+    two keyed shuffles over |users|·|days| rows regardless of event
+    volume. (The sketch alternative: keep per-day HLL registers and
+    MAX-merge 7 of them — operators/sketch.hll_registers — when
+    approximate is acceptable.)
+
+    Returns (day, dau, wau, stickiness) for days observed in the data;
+    leading days' WAU covers the partial window that exists.
+    stickiness = dau/wau — one IEEE division of exact longs. day is the
+    NTZ midnight timestamp (TZ-free field arithmetic)."""
+    day = F.date_trunc("day", F.col(ts_col))  # NTZ midnight timestamp
+    user_days = events.select(
+        F.col(user_col).alias("_u"), day.alias("_d")
+    ).distinct()
+    dau = user_days.groupBy(F.col("_d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    contrib = user_days.select(
+        "_u",
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.col("_d") + F.make_interval(days=F.lit(window_days - 1)),
+                F.expr("INTERVAL '1' DAY"),
+            )
+        ).alias("day"),
+    )
+    wau = (
+        contrib.distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )

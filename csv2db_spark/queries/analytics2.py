@@ -1563,3 +1563,42 @@ def q_pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("n_tokens"),
     )
+
+
+# ------------------------------------------------------ DAU / WAU
+
+
+@query(
+    "q_events_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+      FROM events
+    ),
+    dau AS (
+      SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    ),
+    contrib AS (
+      SELECT DISTINCT user_id, d + CAST(off AS INTEGER) * INTERVAL 1 DAY AS day
+      FROM ud, (SELECT unnest(range(0, 7)) AS off)
+    ),
+    wau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS wau FROM contrib GROUP BY day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling-7-day WAU / stickiness per day
+    (operators/sessions.active_users): exact rolling distinct via the
+    dedup-then-bounded-explode form — each (user, day) row fans out
+    into the 7 days it contributes to, so the shuffles are over
+    |users|·|days| rows regardless of event volume (a distinct count
+    is not algebraic; no window frame can maintain it). The
+    approximate alternative is 7 MAX-merged daily HLL register sets."""
+    from csv2db_spark.operators.sessions import active_users
+
+    ev = load_table(spark, sf_dir, "events")
+    return active_users(ev, window_days=7)

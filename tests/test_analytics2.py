@@ -586,3 +586,23 @@ def test_impute_group_median_fills_gaps_robustly(spark):
     assert not out[1].was_imputed and out[1].value_imputed == 10.0
     # group with no observations keeps NULL
     assert out[5].was_imputed and out[5].value_imputed is None
+
+
+def test_active_users_rolling_window(spark):
+    from csv2db_spark.operators.sessions import active_users
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+        (1, "2024-01-05 10:00:00"),
+        (3, "2024-01-10 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {str(r.day)[:10]: r for r in active_users(df, window_days=7).collect()}
+    assert out["2024-01-01"].dau == 2 and out["2024-01-01"].wau == 2
+    # Jan 5: users 1,2 active within [Dec 30, Jan 5]; dau = 1 (user 1)
+    assert out["2024-01-05"].dau == 1 and out["2024-01-05"].wau == 2
+    # Jan 10: Jan 5 (user 1) still in window, Jan 1 out; +user 3
+    assert out["2024-01-10"].dau == 1 and out["2024-01-10"].wau == 2
+    assert out["2024-01-10"].stickiness == 0.5
