@@ -447,3 +447,69 @@ def impute_group_median(
         F.coalesce(F.col(value_col), F.col("_med")).alias("value_imputed"),
         F.col(value_col).isNull().alias("was_imputed"),
     ).drop("_med")
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    key_col: str = "event_type",
+    bucket_col: str = "bucket",
+    value_col: str = "sum_value",
+    half_window: int = 12,
+    period_hours: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a regular series:
+    trend = centered moving average (±``half_window`` rows), seasonal =
+    per-(hour-of-period) mean of the detrended values, residual = the
+    rest — the STL-lite view (trend/seasonal/residual) behind capacity
+    planning and anomaly baselines.
+
+    Run on a REGULAR series (resample first; gap_fill if sparse — the
+    centered frame is a rows frame, so missing buckets would shift it).
+
+    Hash-exactness via staged quantization: the trend is an exact
+    decimal frame-sum divided once (identical doubles), the detrended
+    value re-quantizes that double to decimal(18,6) (identical rounding
+    of identical doubles), the seasonal mean is again exact-decimal-sum
+    / count, re-quantized, and the residual is one exact decimal
+    subtraction — every stage is either exact arithmetic or one IEEE op
+    on identical operands. Never sums raw doubles.
+
+    Scale shape: one sort-shuffle per key for the centered frame (all
+    window evaluations share it) + one (key, hour-of-period) aggregate
+    of |keys|·period rows broadcast back."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("decimal(18,6)")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(-half_window, half_window)
+    )
+    trend = (F.sum(v).over(w).cast("double") / F.count(v).over(w)).alias("trend")
+    base = series.select(
+        key_col,
+        bucket_col,
+        v.cast("double").alias("value"),
+        trend,
+        (F.hour(bucket_col) % F.lit(period_hours)).alias("_hop"),
+    )
+    detr = base.withColumn(
+        "_d",
+        (F.col("value") - F.col("trend")).cast("decimal(18,6)"),
+    )
+    seasonal = detr.groupBy(key_col, "_hop").agg(
+        (F.sum("_d").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(18,6)")
+        .alias("_seasonal"),
+    )
+    return (
+        detr.join(F.broadcast(seasonal), [key_col, "_hop"])
+        .select(
+            key_col,
+            bucket_col,
+            "value",
+            "trend",
+            F.col("_seasonal").cast("double").alias("seasonal"),
+            (F.col("_d") - F.col("_seasonal")).cast("double").alias("residual"),
+        )
+    )

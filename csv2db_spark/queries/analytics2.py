@@ -1602,3 +1602,57 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return active_users(ev, window_days=7)
+
+
+# ------------------------------------------------------ seasonal decomposition
+
+
+@query(
+    "q_ts_seasonal_decompose",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, bucket,
+             CAST(CAST(sum_value AS DECIMAL(18,6)) AS DOUBLE) AS value,
+             CAST(sum(CAST(sum_value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               / count(CAST(sum_value AS DECIMAL(18,6))) OVER w AS trend,
+             hour(bucket) % 24 AS hop
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    d AS (
+      SELECT *, CAST(value - trend AS DECIMAL(18,6)) AS dd FROM b
+    ),
+    seas AS (
+      SELECT event_type, hop,
+             CAST(CAST(sum(dd) AS DOUBLE) / count(*) AS DECIMAL(18,6))
+               AS seasonal_q
+      FROM d GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.bucket, d.value, d.trend,
+           CAST(seas.seasonal_q AS DOUBLE) AS seasonal,
+           CAST(d.dd - seas.seasonal_q AS DOUBLE) AS residual
+    FROM d JOIN seas USING (event_type, hop)
+    """,
+)
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of the hourly
+    per-type series (operators/timeseries.seasonal_decompose): centered
+    ±12h moving-average trend, hour-of-day seasonal profile of the
+    detrended values, residual remainder — STL-lite, hash-exact through
+    staged quantization (exact decimal sums, one IEEE division per
+    stage, re-quantize before re-aggregating; raw doubles are never
+    summed). One per-type sort + a 24·|types|-row seasonal broadcast."""
+    from csv2db_spark.operators.timeseries import resample, seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = resample(ev, hours=1, key_col="event_type")
+    return seasonal_decompose(hourly)

@@ -606,3 +606,31 @@ def test_active_users_rolling_window(spark):
     # Jan 10: Jan 5 (user 1) still in window, Jan 1 out; +user 3
     assert out["2024-01-10"].dau == 1 and out["2024-01-10"].wau == 2
     assert out["2024-01-10"].stickiness == 0.5
+
+
+def test_seasonal_decompose_reconstructs_and_centers(spark):
+    import math
+
+    from csv2db_spark.operators.timeseries import seasonal_decompose
+
+    # 4 days of hourly data: flat trend 100 + sinusoid-ish hod pattern
+    rows = []
+    for d in range(4):
+        for h in range(24):
+            val = 100.0 + (10.0 if h < 12 else -10.0)
+            rows.append(("a", f"2024-01-{d + 1:02d} {h:02d}:00:00", val))
+    df = spark.createDataFrame(
+        rows, "event_type string, bucket string, sum_value double"
+    ).withColumn("bucket", F.col("bucket").cast("timestamp"))
+    out = seasonal_decompose(df, half_window=12).collect()
+    # value decomposes (to quantization precision)
+    for r in out:
+        assert abs(r.value - (r.trend + r.seasonal + r.residual)) < 1e-5
+    # away from the edges the trend is the flat 100 and the seasonal
+    # captures the +/-10 swing
+    mid = [r for r in out if "2024-01-02" <= str(r.bucket)[:10] <= "2024-01-03"]
+    assert mid
+    for r in mid:
+        assert math.isclose(r.trend, 100.0, abs_tol=1.0)
+        want = 10.0 if r.bucket.hour < 12 else -10.0
+        assert math.isclose(r.seasonal, want, abs_tol=2.0)
