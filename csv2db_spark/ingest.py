@@ -58,6 +58,7 @@ def read_csv(
     delimiter: str = ",",
     encoding: str = "UTF-8",
     mode: str = "FAILFAST",
+    multiline: bool = False,
 ) -> DataFrame:
     """Read a CSV as all-string columns.
 
@@ -70,6 +71,12 @@ def read_csv(
     common/schema.go:157-169). Missing/empty fields are normalized to ""
     so downstream cast logic owns the empty-vs-NULL decision per target
     nullability — never the reader (SURVEY.md §7.5 risk 1).
+
+    ``multiline=True`` parses quoted fields with embedded newlines —
+    the Go encoding/csv reader (csv2db.go:84) ALWAYS supports these;
+    Spark makes it opt-in because a multiline file cannot be split at
+    newlines, so each FILE becomes one task (the 100 TB tradeoff: ship
+    many medium files, not one giant one, when records span lines).
 
     The header sniff reads the first line as UTF-8 (Spark's text source
     has no encoding option); for non-UTF8 ``encoding`` values the DATA is
@@ -92,6 +99,7 @@ def read_csv(
             mode=mode,
             quote='"',
             escape='"',
+            multiLine=str(multiline).lower(),
         )
         .csv(path)
     )
@@ -303,6 +311,7 @@ def ingest_csv(
     delimiter: str = ",",
     encoding: str = "UTF-8",
     on_error: str = "raise",
+    multiline: bool = False,
 ) -> DataFrame:
     """Full P1-P8 pipeline: read → reconcile → cast.
 
@@ -310,7 +319,7 @@ def ingest_csv(
     all-string table, csv2db.go:157), returns the all-string frame as-is.
     ``on_error`` is the typed-cast error mode (see ``cast_to_schema``).
     """
-    df = read_csv(spark, path, has_header, delimiter, encoding)
+    df = read_csv(spark, path, has_header, delimiter, encoding, multiline=multiline)
     if target is None:
         return df
     aligned = (

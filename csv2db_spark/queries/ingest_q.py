@@ -80,3 +80,54 @@ def q_ingest_csv_headerless(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered.write.mode("overwrite").option("header", False).csv(path)
     df = ingest_csv(spark, path, CUSTOMER_SCHEMA, has_header=False)
     return _agg(df)
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+@query(
+    "q_ingest_csv_multiline",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, replace(text, ' ', chr(10)) AS text, source
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts
+    FROM d GROUP BY source
+    """,
+)
+def q_ingest_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-multiline CSV roundtrip (ingest.read_csv multiline=True):
+    every document's spaces become embedded NEWLINES, the frame writes
+    to CSV (the writer must quote every such field), and the multiline
+    reader reassembles records across physical lines — the Go
+    encoding/csv behavior (csv2db.go:84) that Spark makes opt-in
+    because multiline files aren't newline-splittable (one task per
+    file; ship many medium files at 100 TB). The oracle aggregates the
+    transformed documents DIRECTLY — any record-boundary corruption in
+    the quote/newline path changes counts, char totals, or text hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _tmp_dir(sf_dir, "rt_multiline")
+    moddocs = docs.select(
+        "doc_id",
+        F.regexp_replace("text", " ", "\n").alias("text"),
+        "source",
+    )
+    moddocs.write.mode("overwrite").options(
+        header=True, quote='"', escape='"'
+    ).csv(path)
+    df = ingest_csv(spark, path, DOCS_SCHEMA, has_header=True, multiline=True)
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.count_distinct(F.md5("text")).alias("distinct_texts"),
+    )
