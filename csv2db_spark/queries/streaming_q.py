@@ -346,3 +346,20 @@ def q_stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query("q_stream_stateful_ewma", oracle=None)  # true unbounded recursion —
+# not expressible in set-based SQL; exact equality vs an in-Python replay
+# of the same fold is pinned in tests/test_streaming.py
+def q_stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded per-user exponential smoothing in GroupState
+    (streaming/ops.stateful_ewma): the full recursion y = αx + (1−α)y
+    that the batch EWMA gate deliberately truncates for oracle
+    replayability — a streaming engine carries y as one float of state
+    per key. Rows fold in event-time order; state is (count, float)
+    per key forever."""
+    from csv2db_spark.streaming import events_stream
+    from csv2db_spark.streaming.ops import run_to_df, stateful_ewma
+
+    out = stateful_ewma(events_stream(spark, sf_dir), "1 hour")
+    return run_to_df(out, spark, "update")

@@ -336,6 +336,54 @@ def stateful_user_stats(stream: DataFrame, delay: str) -> DataFrame:
     )
 
 
+def stateful_ewma(stream: DataFrame, delay: str, alpha: float = 0.25) -> DataFrame:
+    """Per-key UNBOUNDED exponential smoothing in explicit GroupState —
+    the true recursion y_t = alpha*x_t + (1-alpha)*y_{t-1} that the
+    batch operator deliberately truncates (operators/timeseries.ewma
+    keeps k lags so a DuckDB oracle can replay it; a streaming engine
+    carries y_{t-1} as STATE, so the full recursion costs one float per
+    key). The complementary pair is the point: batch = reproducible
+    truncation, streaming = exact recursion, same smoother.
+
+    Within each micro-batch rows fold in (ts, event_id) order; the
+    recursion is correct when batches arrive in event-time order per
+    key (file replay does; a production job buffers by watermark
+    first). Emits (user_id, n_obs, ewma) per key per batch in update
+    mode — the last emission is the final state.
+
+    Scale shape: state is (count, one float) per key; each batch
+    shuffles only its own rows to their key's state partition."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_obs bigint, ewma double"
+    state_schema = "n bigint, y double"
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, y = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for v in pdf["value"].astype("float64"):
+                if n == 0:
+                    y = v
+                else:
+                    y = alpha * v + (1.0 - alpha) * y
+                n += 1
+        state.update((n, y))
+        yield pd.DataFrame({"user_id": [key[0]], "n_obs": [n], "ewma": [y]})
+
+    return (
+        stream.where(F.col("value").isNotNull())
+        .withColumn("ts_us", F.unix_micros("ts_i"))
+        .withWatermark("ts_i", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def stream_stream_join(
     stream_a: DataFrame,
     stream_b: DataFrame,

@@ -54,3 +54,34 @@ def test_stream_dedup_is_exact_distinct(spark, sf_dir):
     want = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_stateful_ewma_equals_python_fold(spark, sf_dir):
+    from csv2db_spark.sources import load_table
+    from csv2db_spark.streaming import events_stream
+    from csv2db_spark.streaming.ops import run_to_df, stateful_ewma
+
+    out = run_to_df(
+        stateful_ewma(events_stream(spark, sf_dir), "1 hour"), spark, "update"
+    )
+    # last emission per user is the final state
+    got = {}
+    for r in out.collect():
+        got[r.user_id] = (r.n_obs, r.ewma)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where("value IS NOT NULL")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(float(r.value))
+    alpha = 0.25
+    for uid, vals in series.items():
+        y = vals[0]
+        for v in vals[1:]:
+            y = alpha * v + (1.0 - alpha) * y
+        n, ewma = got[uid]
+        assert n == len(vals)
+        assert ewma == y  # identical float fold, bit-exact
