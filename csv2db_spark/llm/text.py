@@ -581,3 +581,43 @@ def bigram_lm_scores(
             / F.col("n_bigrams").cast("double")
         ).alias("avg_next_token_prob"),
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matching by positional postings — the inverted-index
+    plan a search engine runs, expressed relationally: tokenize with
+    positions, keep ONLY the phrase's tokens (the filter rides the scan
+    — at 100 TB with a prebuilt postings table this touches just those
+    tokens' posting lists), then join adjacency: an occurrence is
+    token_0 at position p with token_i at p+i for every i. Counting
+    occurrences, not just containment, so overlapping matches count —
+    semantics a LIKE scan cannot give on repeated phrases.
+
+    Returns (id, n_occurrences) for documents with at least one match.
+    All arithmetic is integer position math — hash-exact.
+
+    Scale shape: the postings fan-out is |phrase| filtered explodes of
+    the SAME tokenization (Spark collapses them into one generate +
+    filter); the adjacency join shuffles only the phrase tokens'
+    postings on (doc, position) keys; the fold is one count per doc."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).where(F.col("tok").isin(*phrase))
+    first = toks.where(F.col("tok") == phrase[0]).select(
+        id_col, F.col("pos").alias("p0")
+    )
+    matched = first
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = toks.where(F.col("tok") == t).select(
+            id_col, (F.col("pos") - i).alias("p0")
+        )
+        matched = matched.join(nxt, [id_col, "p0"])
+    return matched.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )

@@ -128,3 +128,41 @@ def check_constraints(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     for rep in reports[1:]:
         out = out.unionByName(rep)
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Privacy-risk audit: rows whose quasi-identifier combination is
+    shared by fewer than ``k`` rows are re-identifiable — the k-anonymity
+    criterion. Returns one row per violating combination:
+    (quasi_identifiers..., group_size) plus the risk share each group
+    carries, smallest (riskiest) groups first with a full tie-break.
+
+    The privacy complement of the PII scanners in llm/curation.py:
+    regexes find DIRECT identifiers; this finds rows a JOIN attack can
+    single out even after direct identifiers are stripped.
+
+    Scale shape: one map-combined groupBy on the QI columns (the
+    shuffle carries one partial count per combination per task) + a
+    1-row total broadcast; only combination rows — never data rows —
+    sort for the report."""
+    counts = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    total = F.broadcast(counts.agg(F.sum("group_size").alias("_total")))
+    return (
+        counts.where(F.col("group_size") < k)
+        .crossJoin(total)
+        .select(
+            *quasi_identifiers,
+            "group_size",
+            (
+                F.col("group_size").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("row_share"),
+        )
+        .orderBy("group_size", *quasi_identifiers)
+    )

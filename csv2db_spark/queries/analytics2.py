@@ -1656,3 +1656,79 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = resample(ev, hours=1, key_col="event_type")
     return seasonal_decompose(hourly)
+
+
+# ------------------------------------------------------ k-anonymity
+
+
+@query(
+    "q_quality_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    counts AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM q GROUP BY 1, 2, 3
+    ),
+    t AS (SELECT CAST(sum(group_size) AS BIGINT) AS total FROM counts)
+    SELECT c.c_nationkey, c.c_mktsegment, c.bal_band, c.group_size,
+           CAST(c.group_size AS DOUBLE) / CAST(t.total AS DOUBLE) AS row_share
+    FROM counts c, t
+    WHERE c.group_size < 5
+    ORDER BY c.group_size, c.c_nationkey, c.c_mktsegment, c.bal_band
+    """,
+)
+def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customers under the quasi-identifier triple
+    (nation, market segment, account-balance band)
+    (operators/quality.k_anonymity_report, k=5): combinations shared by
+    fewer than 5 customers are join-attack re-identifiable — the
+    structural-privacy complement of the regex PII scanners. One
+    map-combined groupBy; only combination rows sort."""
+    from csv2db_spark.operators.quality import k_anonymity_report
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )
+
+
+# ------------------------------------------------------ phrase search
+
+
+@query(
+    "q_text_phrase_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS p, unnest(t) AS tok
+      FROM toks
+    ),
+    f AS (SELECT doc_id, p, tok FROM pos WHERE tok IN ('data', 'stream'))
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM f a JOIN f b
+      ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.tok = 'data' AND b.tok = 'stream'
+    GROUP BY a.doc_id
+    """,
+)
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search for "data stream"
+    (llm/text.phrase_search): tokenize with positions, keep only the
+    phrase's postings, join adjacency (token₀ at p, token₁ at p+1) and
+    count occurrences per document — the inverted-index plan, counting
+    overlaps a LIKE scan cannot. Integer position math only."""
+    from csv2db_spark.llm.text import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, ["data", "stream"])

@@ -101,7 +101,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_text_bpe_train (rows-only), q_ts_winsorize, q_ts_impute_median,
 # q_feature_pit_join, q_profile_schema_drift, q_retrieval_eval_metrics,
 # q_pipeline_curation_v4, q_events_active_users, q_ts_seasonal_decompose,
-# q_ingest_csv_multiline, q_stream_stateful_ewma (rows-only).
+# q_ingest_csv_multiline, q_stream_stateful_ewma (rows-only),
+# q_quality_k_anonymity, q_text_phrase_search.
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -634,3 +634,39 @@ def test_seasonal_decompose_reconstructs_and_centers(spark):
         assert math.isclose(r.trend, 100.0, abs_tol=1.0)
         want = 10.0 if r.bucket.hour < 12 else -10.0
         assert math.isclose(r.seasonal, want, abs_tol=2.0)
+
+
+def test_phrase_search_counts_overlapping_occurrences(spark):
+    from csv2db_spark.llm.text import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # "a b" occurs twice
+            (2, "b a"),             # zero (wrong order)
+            (3, "a a b"),           # one
+            (4, "x y z"),           # zero
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_occurrences for r in phrase_search(df, ["a", "b"]).collect()}
+    assert out == {1: 2, 3: 1}
+    # three-token phrase
+    out3 = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_search(df, ["a", "b", "a"]).collect()
+    }
+    assert out3 == {1: 2}
+
+
+def test_k_anonymity_flags_small_groups_only(spark):
+    from csv2db_spark.operators.quality import k_anonymity_report
+
+    rows = [("US", "A")] * 10 + [("US", "B")] * 2 + [("DE", "A")]
+    df = spark.createDataFrame(rows, "country string, seg string")
+    out = k_anonymity_report(df, ["country", "seg"], k=5).collect()
+    got = {(r.country, r.seg): (r.group_size, r.row_share) for r in out}
+    assert set(got) == {("US", "B"), ("DE", "A")}
+    assert got[("DE", "A")][0] == 1
+    assert got[("US", "B")][1] == 2 / 13
+    # riskiest first
+    assert out[0].group_size == 1
