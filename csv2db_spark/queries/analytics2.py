@@ -1732,3 +1732,41 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return phrase_search(docs, ["data", "stream"])
+
+
+# ------------------------------------------------------ hierarchy resolution
+
+
+@query(
+    "q_graph_resolve_hierarchy",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS child, (c_custkey - 1) // 2 AS parent
+      FROM customer WHERE c_custkey >= 1
+    ),
+    r AS (
+      SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS root,
+             CAST(0 AS BIGINT) AS depth
+      UNION ALL
+      SELECT e.child, r.root, r.depth + 1
+      FROM r JOIN e ON e.parent = r.node
+    )
+    SELECT node, root, depth FROM r
+    """,
+)
+def q_graph_resolve_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root/depth resolution of a 1500-node binary-heap forest derived
+    from custkeys (operators/graph.resolve_hierarchy): the recursive-CTE
+    workload Spark lacks WITH RECURSIVE for, solved by pointer doubling
+    in O(log depth) self-joins — 4 rounds here where the oracle's
+    recursive CTE walks 11 levels; at depth 1e6 it is 20 joins instead
+    of a million. The hash match against DuckDB's WITH RECURSIVE proves
+    the doubling is exact, not just convergent."""
+    from csv2db_spark.operators.graph import resolve_hierarchy
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = cust.where(F.col("c_custkey") >= 1).select(
+        F.col("c_custkey").alias("child"),
+        F.floor((F.col("c_custkey") - 1) / 2).cast("long").alias("parent"),
+    )
+    return resolve_hierarchy(edges)

@@ -107,3 +107,17 @@ def test_star_cc_random_graph_matches(spark):
         r.node: r.component for r in connected_components_star(edges).collect()
     }
     assert got == want
+
+
+def test_resolve_hierarchy_pointer_doubling(spark):
+    from csv2db_spark.operators.graph import resolve_hierarchy
+
+    # two trees + a deep chain: 0->1->2->3->4 and 10<-11, 10<-12
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2), (4, 3), (11, 10), (12, 10)],
+        "child long, parent long",
+    )
+    out = {r.node: (r.root, r.depth) for r in resolve_hierarchy(edges).collect()}
+    assert out[0] == (0, 0) and out[4] == (0, 4) and out[2] == (0, 2)
+    assert out[11] == (10, 1) and out[12] == (10, 1) and out[10] == (10, 0)
+    assert len(out) == 7
