@@ -120,4 +120,4 @@ def test_resolve_hierarchy_pointer_doubling(spark):
     out = {r.node: (r.root, r.depth) for r in resolve_hierarchy(edges).collect()}
     assert out[0] == (0, 0) and out[4] == (0, 4) and out[2] == (0, 2)
     assert out[11] == (10, 1) and out[12] == (10, 1) and out[10] == (10, 0)
-    assert len(out) == 7
+    assert len(out) == 8  # 6 children + 2 roots
