@@ -363,3 +363,64 @@ def q_stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = stateful_ewma(events_stream(spark, sf_dir), "1 hour")
     return run_to_df(out, spark, "update")
+
+
+@query(
+    "q_stream_countmin_rollup",
+    oracle=f"""
+    WITH e AS ({_E}),
+    h AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+               AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 13, 12)
+               AS BIGINT) AS h2
+      FROM e
+    ),
+    cells AS (
+      SELECT j, ((h1 + j * h2) % 281474976710597) % 256 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM h, (SELECT unnest(range(0, 4)) AS j)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(j AS INT) AS j, bucket, cnt FROM cells
+    """,
+)
+def q_stream_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min maintenance: each micro-batch builds its
+    (j, bucket, cnt) cell partials (operators/sketch.countmin_build
+    over the batch's user ids) and the standing sketch folds them by
+    SUM through the idempotent rollup sink — count-min cells are
+    additive, the second mergeable-sketch pattern next to the HLL
+    rollup's MAX-merge. The oracle builds the cells ONE-SHOT over the
+    whole fixture: hash equality proves the streamed sketch is
+    bit-identical to a batch build, so every downstream point estimate
+    and heavy-hitter ranking agrees too. State: ≤ d·w = 1024 cells
+    forever, regardless of stream length."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.operators.sketch import countmin_build
+    from csv2db_spark.streaming import events_stream
+    from csv2db_spark.streaming.ops import stream_rollup_to_parquet
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return countmin_build(
+            batch_df.select(F.col("user_id").cast("string").alias("item"))
+        )
+
+    work = tempfile.mkdtemp(prefix="c2s_cms_rollup_")
+    store = f"{work}/store"
+    try:
+        stream_rollup_to_parquet(
+            events_stream(spark, sf_dir),
+            store,
+            agg_builder=partial,
+            keys=["j", "bucket"],
+            sums=["cnt"],
+            checkpoint=f"{work}/ckpt",
+        )
+        cells = spark.read.parquet(store).select("j", "bucket", "cnt")
+        out = spark.createDataFrame(cells.collect(), cells.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
