@@ -1770,3 +1770,43 @@ def q_graph_resolve_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("c_custkey") - 1) / 2).cast("long").alias("parent"),
     )
     return resolve_hierarchy(edges)
+
+
+# ------------------------------------------------------ targeted delete
+
+
+@query(
+    "q_sink_targeted_delete",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id NOT IN (3, 77, 150, 301, 444)
+    GROUP BY source
+    """,
+)
+def q_sink_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style surgical deletion (sink.targeted_delete): stage the
+    documents as a 16-file parquet directory, erase five subjects, and
+    aggregate what remains — the bloom manifest locates the handful of
+    files that can contain the keys, ONLY those are rewritten (pytest
+    pins the untouched files byte-identical), and the oracle's NOT IN
+    proves no doomed row survives and no innocent row is lost. The
+    copy-on-write DELETE of a table format, on plain parquet."""
+    import os
+    import shutil
+
+    from csv2db_spark.sink import targeted_delete
+
+    docs = load_table(spark, sf_dir, "documents")
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/csv2db_spark_tdel_{safe}"
+    shutil.rmtree(path, ignore_errors=True)
+    docs.repartition(16, "doc_id").write.mode("overwrite").parquet(path)
+    targeted_delete(spark, path, "doc_id", [3, 77, 150, 301, 444])
+    out = spark.read.parquet(path)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -568,3 +568,99 @@ def write_zorder_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def targeted_delete(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    keys: list,
+    log2m: int = 20,
+) -> dict:
+    """Surgical key deletion from a plain-parquet directory — the
+    GDPR/right-to-erasure operation: rewrite ONLY the files that can
+    contain the doomed keys, leave every other file byte-identical on
+    disk. At 100 TB a full rewrite for a handful of subjects is the
+    difference between minutes and a day; this is the copy-on-write
+    DELETE of Delta/Iceberg without the table format.
+
+    File location uses the per-file bloom manifest
+    (sources/skipping.build_bloom_manifest) probed with every key: a
+    false positive rewrites one extra file (harmless), a false negative
+    cannot happen — so no key survives. Candidate files are re-read,
+    filtered with an EXACT anti-predicate, and staged; the swap then
+    renames each doomed file to a ``._delete_bak`` sibling before
+    moving staged parts in (each rename atomic; a crash mid-swap is
+    recovered on the next call by restoring the backup, same
+    discipline as compact_parquet). Returns
+    {files_total, files_rewritten, rows_deleted}.
+    """
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+    from pathlib import Path as _Path
+
+    from pyspark.sql import functions as F
+
+    from csv2db_spark.sources.skipping import build_bloom_manifest
+
+    p = _Path(path)
+    bak = str(p) + "._delete_bak"
+    if _os.path.isdir(bak):
+        # a previous delete crashed mid-swap: restore its backups (the
+        # staged replacements may be incomplete; rerunning the delete
+        # is always safe because it is idempotent on keys)
+        for f in _Path(bak).glob("*.parquet"):
+            dst = p / f.name
+            if not dst.exists():
+                _os.rename(str(f), str(dst))
+        _shutil.rmtree(bak, ignore_errors=True)
+    all_files = sorted(str(f) for f in p.glob("*.parquet"))
+
+    manifest = build_bloom_manifest(spark, str(p), col, log2m=log2m).cache()
+    ctype = spark.read.parquet(str(p)).schema[col].dataType.simpleString()
+    m = 1 << log2m
+    probes = spark.createDataFrame(
+        [(k,) for k in keys], f"k {ctype}"
+    ).select(F.pmod(F.xxhash64(F.col("k")), F.lit(m)).alias("p"))
+    probe_rows = probes.select(
+        (F.col("p") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("mask"),
+    ).collect()
+    cand = set()
+    words = {
+        (r["_file"], r["word_idx"]): r["bits"] for r in manifest.collect()
+    }
+    for r in probe_rows:
+        for (f, w), bits in words.items():
+            if w == r["word_idx"] and (bits & r["mask"]):
+                cand.add(f)
+    manifest.unpersist()
+    cand_files = sorted(cand)
+    stats = {
+        "files_total": len(all_files),
+        "files_rewritten": len(cand_files),
+        "rows_deleted": 0,
+    }
+    if not cand_files:
+        return stats
+    # input_file_name() yields file: URIs; keep the URI for Spark reads
+    # and the bare path for the filesystem swap
+    from urllib.parse import urlparse
+
+    cand_local = [urlparse(f).path if "://" in f or f.startswith("file:") else f
+                  for f in cand_files]
+    doomed = spark.read.parquet(*cand_files)
+    key_lits = [F.lit(k).cast(ctype) for k in keys]
+    kept = doomed.where(~F.col(col).isin(*key_lits))
+    stats["rows_deleted"] = doomed.count() - kept.count()
+    tmp = str(p) + f"._delete_stage_{_uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(tmp)
+    _os.makedirs(bak, exist_ok=True)
+    for f in cand_local:
+        _os.rename(f, _os.path.join(bak, _os.path.basename(f)))
+    for f in _Path(tmp).glob("*.parquet"):
+        _os.rename(str(f), str(p / f"part-del-{_uuid.uuid4().hex[:8]}-{f.name}"))
+    _shutil.rmtree(tmp, ignore_errors=True)
+    _shutil.rmtree(bak, ignore_errors=True)
+    return stats

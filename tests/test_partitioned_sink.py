@@ -127,3 +127,38 @@ def test_bloom_manifest_prunes_point_lookups(spark, tmp_path):
     miss = read_bloom_pruned(spark, bloom, "k", 123456789, log2m=20)
     assert miss.count() == 0
     assert miss.columns == ["k", "v"]
+
+
+def test_targeted_delete_rewrites_only_affected_files(spark, sf_dir, tmp_path):
+    from csv2db_spark.sink import targeted_delete
+    from csv2db_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "tdel")
+    docs.repartition(16, "doc_id").write.mode("overwrite").parquet(path)
+    import pathlib
+
+    before = {
+        f.name: f.stat().st_size for f in pathlib.Path(path).glob("*.parquet")
+    }
+    keys = [int(r.doc_id) for r in docs.limit(3).collect()]
+    stats = targeted_delete(spark, path, "doc_id", keys)
+    after = {
+        f.name: f.stat().st_size for f in pathlib.Path(path).glob("*.parquet")
+    }
+    # surgical: untouched files survive byte-identical (same name+size)
+    untouched = set(before) & set(after)
+    assert len(untouched) == stats["files_total"] - stats["files_rewritten"]
+    for name in untouched:
+        assert before[name] == after[name]
+    assert stats["files_rewritten"] < stats["files_total"]
+    assert stats["rows_deleted"] == len(keys)
+    # no doomed row survives; no innocent row lost
+    remaining = spark.read.parquet(path)
+    assert remaining.where(F.col("doc_id").isin(keys)).count() == 0
+    assert remaining.count() == docs.count() - len(keys)
+    # idempotent: deleting the same keys again rewrites the (bloom-hit)
+    # files but removes nothing
+    stats2 = targeted_delete(spark, path, "doc_id", keys)
+    assert stats2["rows_deleted"] == 0
+    assert spark.read.parquet(path).count() == docs.count() - len(keys)
