@@ -276,3 +276,122 @@ def test_bpe_train_equals_python_reference(spark, texts, n_merges):
 
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
     assert bpe_train(df, n_merges=n_merges) == _ref_bpe(texts, n_merges)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 3), st.sampled_from("abc")),
+        min_size=2,
+        max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_transition_matrix_equals_python_reference(spark, events):
+    from collections import Counter
+
+    from csv2db_spark.operators.funnel import transition_matrix
+
+    rows = [
+        (uid, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", i, t)
+        for i, (uid, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.from_state, r.to_state): r.n_transitions
+        for r in transition_matrix(df).collect()
+    }
+    seqs: dict = {}
+    for i, (uid, t) in enumerate(events):
+        seqs.setdefault(uid, []).append((i, t))
+    want: Counter = Counter()
+    for uid, seq in seqs.items():
+        states = [t for _, t in sorted(seq)]
+        for a, b in zip(states, states[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 2), st.sampled_from(["click", "view", "purchase"])),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_attribution_equals_python_reference(spark, events):
+    from csv2db_spark.operators.funnel import last_touch_attribution
+
+    rows = [
+        (uid, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", i, t)
+        for i, (uid, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.conversion_id: r.touch_id
+        for r in last_touch_attribution(df, lookback_hours=168).collect()
+    }
+    want = {}
+    seqs: dict = {}
+    for i, (uid, t) in enumerate(events):
+        seqs.setdefault(uid, []).append((i, t))
+    for uid, seq in seqs.items():
+        last_touch = None
+        for i, t in sorted(seq):
+            if t == "purchase" and last_touch is not None:
+                want[i] = last_touch
+            if t in ("click", "view"):
+                last_touch = i
+    assert got == want
+
+
+@given(
+    text=st.text(alphabet="ab ", min_size=1, max_size=60),
+    phrase=st.lists(st.sampled_from("ab"), min_size=2, max_size=3),
+)
+@settings(**_SETTINGS)
+def test_phrase_search_equals_python_reference(spark, text, phrase):
+    from csv2db_spark.llm.text import phrase_search
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.doc_id: r.n_occurrences for r in phrase_search(df, phrase).collect()}
+    toks = text.split(" ")
+    n = sum(
+        1
+        for i in range(len(toks) - len(phrase) + 1)
+        if toks[i : i + len(phrase)] == phrase
+    )
+    assert got == ({1: n} if n else {})
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=2,
+        max_size=60,
+    ),
+)
+@settings(**_SETTINGS)
+def test_winsorize_equals_python_reference(spark, values):
+    import math
+    from decimal import Decimal
+
+    from csv2db_spark.operators.timeseries import winsorize
+
+    rows = [("g", i, float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    out = {r.event_id: r for r in winsorize(df, lo_p=0.1, hi_p=0.9).collect()}
+    q = sorted(Decimal(str(v)).quantize(Decimal("0.0001")) for v in values)
+    n = len(q)
+    lo = q[max(1, math.ceil(0.1 * n)) - 1]
+    hi = q[max(1, math.ceil(0.9 * n)) - 1]
+    for i, v in enumerate(values):
+        vq = Decimal(str(v)).quantize(Decimal("0.0001"))
+        want = min(max(vq, lo), hi)
+        assert Decimal(str(out[i].value_winsorized)) == want.normalize() or \
+            float(want) == out[i].value_winsorized
+        assert out[i].was_clipped == (vq < lo or vq > hi)
