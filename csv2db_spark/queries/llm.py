@@ -1142,3 +1142,52 @@ def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2db_spark.llm.dedup import ppjoin_pairs
 
     return ppjoin_pairs(augmented_docs(spark, sf_dir), 0.5)
+
+
+@query(
+    "q_dedup_incremental_minhash",
+    oracle=f"""
+    {_CTE_EX},
+    {_sql_minhash_cte(max_bucket=_MINHASH_MAX_BUCKET).strip()},
+    {_JACCARD_H1_TAIL.strip()}
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= 0.5 AND c.doc_a < 100000 AND c.doc_b >= 100000
+    """,
+)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-duplicate detection: the original corpus's
+    MinHash signatures are STORED STATE (computed once, here the
+    doc_id<100000 half), and an arriving batch (the synthesized exact
+    copies + truncated variants) computes only ITS OWN signatures, band-
+    joins against the standing band table, and exact-verifies on hash
+    sets — no re-shingling of the existing corpus, the near-dup
+    complement of q_curate_incremental_dedup's digest anti-join. The
+    oracle is the FULL-batch pipeline restricted to cross-batch pairs:
+    hash equality proves incremental signature reuse emits exactly the
+    pairs a from-scratch run would (same band caps, same verification).
+    Scale shape: per arrival, signature work is batch-sized; the band
+    join touches the new bands' buckets only."""
+    from pyspark import StorageLevel
+
+    corpus = augmented_docs(spark, sf_dir)
+    sig_old = D.minhash_doc_signatures(
+        corpus.where(F.col("doc_id") < 100000)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_new = D.minhash_doc_signatures(
+        corpus.where(F.col("doc_id") >= 100000)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = D.minhash_bands(sig_old).unionByName(D.minhash_bands(sig_new))
+    cand = D.minhash_candidates(bands, max_bucket=_MINHASH_MAX_BUCKET).where(
+        (F.col("doc_a") < 100000) & (F.col("doc_b") >= 100000)
+    )
+    sa = sig_old.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
+    sb = sig_new.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    jac = inter / (F.size("ha") + F.size("hb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )

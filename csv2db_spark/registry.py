@@ -103,7 +103,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_pipeline_curation_v4, q_events_active_users, q_ts_seasonal_decompose,
 # q_ingest_csv_multiline, q_stream_stateful_ewma (rows-only),
 # q_quality_k_anonymity, q_text_phrase_search, q_graph_resolve_hierarchy,
-# q_stream_countmin_rollup, q_sink_targeted_delete.
+# q_stream_countmin_rollup, q_sink_targeted_delete,
+# q_dedup_incremental_minhash.
 
 
 def load_all_queries() -> dict[str, QueryDef]:
