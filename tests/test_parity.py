@@ -43,3 +43,16 @@ def test_contract_shapes():
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_correctness_window_order():
+    """The driver checks the FIRST 50 queries() entries: they must be
+    exactly CHECK_FIRST, in order — a broken rotation silently unchecks
+    the queries this round is supposed to verify."""
+    import __spark_entry__ as e
+
+    from csv2db_spark.registry import CHECK_FIRST
+
+    names = list(e.queries().keys())
+    assert len(CHECK_FIRST) == 50
+    assert names[: len(CHECK_FIRST)] == list(CHECK_FIRST)
