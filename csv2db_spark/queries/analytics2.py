@@ -1810,3 +1810,80 @@ def q_sink_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ------------------------------------------------------ user-behavior similarity
+
+
+@query(
+    "q_events_user_similarity",
+    oracle="""
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             event_type || '@' || CAST(hour(ts) AS VARCHAR) AS cell
+      FROM events
+    ),
+    sizes AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY user_id),
+    inter AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT user_a, user_b,
+             CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.user_id = user_a
+      JOIN sizes sb ON sb.user_id = user_b
+    )
+    SELECT user_a, user_b, jaccard FROM scored
+    ORDER BY jaccard DESC, user_a, user_b LIMIT 50
+    """,
+)
+def q_events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most behaviorally similar user pairs: each user becomes the
+    SET of (event_type, hour-of-day) cells they ever occupy, scored by
+    exact Jaccard via the same shingle equi-join machinery as the text
+    dedup family (llm/dedup.jaccard_pairs semantics, inlined on cells) —
+    the discretized-trajectory similarity of the top-k similarity-search
+    literature, on behavioral cells instead of shingles. Cell
+    cardinality is bounded (|types|·24), so the equi-join fan-out is
+    capped by construction; the ratio is one IEEE division of exact
+    longs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        "user_id",
+        F.concat_ws(
+            "@", F.col("event_type"), F.hour("ts").cast("string")
+        ).alias("cell"),
+    ).distinct()
+    sizes = cells.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a = cells.select(F.col("user_id").alias("user_a"), "cell")
+    b = cells.select(F.col("user_id").alias("user_b"), "cell")
+    inter = (
+        a.join(b, ["cell"])
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(sa, "user_a")
+        .join(sb, "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), "user_a", "user_b"
+    ).limit(50)
