@@ -466,13 +466,15 @@ def seasonal_decompose(
     Run on a REGULAR series (resample first; gap_fill if sparse — the
     centered frame is a rows frame, so missing buckets would shift it).
 
-    Hash-exactness via staged quantization: the trend is an exact
-    decimal frame-sum divided once (identical doubles), the detrended
-    value re-quantizes that double to decimal(18,6) (identical rounding
-    of identical doubles), the seasonal mean is again exact-decimal-sum
-    / count, re-quantized, and the residual is one exact decimal
-    subtraction — every stage is either exact arithmetic or one IEEE op
-    on identical operands. Never sums raw doubles.
+    Hash-exactness via FLOOR-based re-quantization: the trend is an
+    exact decimal frame-sum divided once (identical doubles); the
+    detrended double then becomes an integer via floor(d·1e6) — floor
+    of an identical double is identical everywhere, unlike a
+    double→decimal CAST, which DuckDB evaluates in float arithmetic and
+    so diverges near rounding midpoints (caught by the sf0.001 parity
+    sweep). The seasonal level is floor(sum/count) of those exact longs
+    and the residual is an exact integer subtraction — raw doubles are
+    never re-summed.
 
     Scale shape: one sort-shuffle per key for the centered frame (all
     window evaluations share it) + one (key, hour-of-period) aggregate
@@ -494,13 +496,15 @@ def seasonal_decompose(
         (F.hour(bucket_col) % F.lit(period_hours)).alias("_hop"),
     )
     detr = base.withColumn(
-        "_d",
-        (F.col("value") - F.col("trend")).cast("decimal(18,6)"),
+        "_dq",
+        F.floor((F.col("value") - F.col("trend")) * F.lit(1e6)).cast("long"),
     )
     seasonal = detr.groupBy(key_col, "_hop").agg(
-        (F.sum("_d").cast("double") / F.count(F.lit(1)))
-        .cast("decimal(18,6)")
-        .alias("_seasonal"),
+        F.floor(
+            F.sum("_dq").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("_sq"),
     )
     return (
         detr.join(F.broadcast(seasonal), [key_col, "_hop"])
@@ -509,7 +513,9 @@ def seasonal_decompose(
             bucket_col,
             "value",
             "trend",
-            F.col("_seasonal").cast("double").alias("seasonal"),
-            (F.col("_d") - F.col("_seasonal")).cast("double").alias("residual"),
+            (F.col("_sq").cast("double") / F.lit(1e6)).alias("seasonal"),
+            (
+                (F.col("_dq") - F.col("_sq")).cast("double") / F.lit(1e6)
+            ).alias("residual"),
         )
     )

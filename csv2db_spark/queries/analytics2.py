@@ -1629,17 +1629,17 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
     ),
     d AS (
-      SELECT *, CAST(value - trend AS DECIMAL(18,6)) AS dd FROM b
+      SELECT *, CAST(floor((value - trend) * 1e6) AS BIGINT) AS dq FROM b
     ),
     seas AS (
       SELECT event_type, hop,
-             CAST(CAST(sum(dd) AS DOUBLE) / count(*) AS DECIMAL(18,6))
-               AS seasonal_q
+             CAST(floor(CAST(sum(dq) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               AS BIGINT) AS sq
       FROM d GROUP BY 1, 2
     )
     SELECT d.event_type, d.bucket, d.value, d.trend,
-           CAST(seas.seasonal_q AS DOUBLE) AS seasonal,
-           CAST(d.dd - seas.seasonal_q AS DOUBLE) AS residual
+           CAST(seas.sq AS DOUBLE) / 1e6 AS seasonal,
+           CAST(d.dq - seas.sq AS DOUBLE) / 1e6 AS residual
     FROM d JOIN seas USING (event_type, hop)
     """,
 )
@@ -1648,9 +1648,10 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type series (operators/timeseries.seasonal_decompose): centered
     ±12h moving-average trend, hour-of-day seasonal profile of the
     detrended values, residual remainder — STL-lite, hash-exact through
-    staged quantization (exact decimal sums, one IEEE division per
-    stage, re-quantize before re-aggregating; raw doubles are never
-    summed). One per-type sort + a 24·|types|-row seasonal broadcast."""
+    floor-based re-quantization (floor of identical doubles, exact
+    integer sums, one IEEE division per stage; raw doubles are never
+    re-summed and no double→decimal cast — DuckDB evaluates those in
+    float arithmetic, diverging near midpoints). One per-type sort + a 24·|types|-row seasonal broadcast."""
     from csv2db_spark.operators.timeseries import resample, seasonal_decompose
 
     ev = load_table(spark, sf_dir, "events")
