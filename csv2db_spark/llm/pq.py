@@ -77,9 +77,37 @@ def pq_codebook(
     Returns (m, code, code_iv). Deterministic end to end."""
     sub = dim // m
     q = quantize(corpus, id_col, vec_col, "_vid", "x_")
+    # seed with the K lowest-id vectors BY RANK (not "_vid < k", which
+    # silently under-seeds when ids are sparse): one id-ordered top-K —
+    # a TakeOrdered over ids, never a corpus sort
+    seed_ids = q.select("_vid").orderBy("_vid").limit(k)
+    seed_rows = q.join(F.broadcast(seed_ids), "_vid")
+    from pyspark.sql import Window as _W
+
+    code_of = F.row_number().over(_W.orderBy("_vid")) - 1
     seeds = (
-        _subvectors(q.where(F.col("_vid") < k), "_vid", m, sub)
-        .select("m", F.col("_vid").cast("int").alias("code"), F.col("sub_iv").alias("code_iv"))
+        seed_rows.withColumn("_code", code_of)
+        .select(
+            F.col("_code").cast("int").alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("m"),
+                            F.slice(F.col("x_iv"), i * sub + 1, sub).alias(
+                                "sub_iv"
+                            ),
+                        )
+                        for i in range(m)
+                    ]
+                )
+            ).alias("_s"),
+        )
+        .select(
+            F.col("_s.m").alias("m"),
+            "code",
+            F.col("_s.sub_iv").alias("code_iv"),
+        )
     )
     subs = _subvectors(q, "_vid", m, sub)
     asn = (

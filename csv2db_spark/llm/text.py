@@ -599,7 +599,9 @@ def phrase_search(
     semantics a LIKE scan cannot give on repeated phrases.
 
     Returns (id, n_occurrences) for documents with at least one match.
-    All arithmetic is integer position math — hash-exact.
+    All arithmetic is integer position math — hash-exact. ``phrase``
+    must be non-empty; a single-token phrase degenerates to a token
+    count.
 
     Scale shape: the postings fan-out is |phrase| filtered explodes of
     the SAME tokenization (Spark collapses them into one generate +

@@ -392,6 +392,15 @@ def resolve_hierarchy(
         ptr = nxt
         if moved == 0:
             break
+    else:
+        # pointers still moving after max_rounds: the "parent" relation
+        # contains a cycle (distances grow forever) or the depth exceeds
+        # 2^max_rounds — either way the result would be silently wrong
+        raise ValueError(
+            "resolve_hierarchy: no convergence after "
+            f"{max_rounds} doubling rounds — cycle in the parent "
+            "relation, or depth > 2**max_rounds"
+        )
     return ptr.select(
         "node", F.col("anc").alias("root"), F.col("dist").alias("depth")
     )

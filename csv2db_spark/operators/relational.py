@@ -59,7 +59,9 @@ def interval_overlap_join(
 
     Endpoints are exact integers (caller converts timestamps to epoch
     days/seconds), so blocking, predicate, and emission rule are all
-    integer arithmetic — hash-reproducible.
+    integer arithmetic — hash-reproducible. Intervals are half-open and
+    expected non-empty (lo < hi); a degenerate [x, x) behaves as the
+    point x under the overlap predicate — identically on both engines.
 
     Scale shape (100 TB): shuffle = interval rows × bins-per-interval on
     the bin key; pick ``bin_width`` near the typical interval length so

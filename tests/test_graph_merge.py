@@ -121,3 +121,13 @@ def test_resolve_hierarchy_pointer_doubling(spark):
     assert out[0] == (0, 0) and out[4] == (0, 4) and out[2] == (0, 2)
     assert out[11] == (10, 1) and out[12] == (10, 1) and out[10] == (10, 0)
     assert len(out) == 8  # 6 children + 2 roots
+
+
+def test_resolve_hierarchy_detects_cycles(spark):
+    import pytest as _pytest
+
+    from csv2db_spark.operators.graph import resolve_hierarchy
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
+    with _pytest.raises(ValueError, match="cycle"):
+        resolve_hierarchy(edges, max_rounds=6).collect()
