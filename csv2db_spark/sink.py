@@ -623,20 +623,24 @@ def targeted_delete(
     probes = spark.createDataFrame(
         [(k,) for k in keys], f"k {ctype}"
     ).select(F.pmod(F.xxhash64(F.col("k")), F.lit(m)).alias("p"))
-    probe_rows = probes.select(
+    probe_words = probes.select(
         (F.col("p") / 64).cast("long").alias("word_idx"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("mask"),
-    ).collect()
-    cand = set()
-    words = {
-        (r["_file"], r["word_idx"]): r["bits"] for r in manifest.collect()
-    }
-    for r in probe_rows:
-        for (f, w), bits in words.items():
-            if w == r["word_idx"] and (bits & r["mask"]):
-                cand.add(f)
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+            "_mask"
+        ),
+    ).distinct()
+    # candidate location runs DISTRIBUTED: the manifest never collects
+    # (at 10k files x 16k words it is driver-hostile); only the matched
+    # file names — bounded by |files| — come back
+    cand_rows = (
+        manifest.join(F.broadcast(probe_words), "word_idx")
+        .where(F.col("bits").bitwiseAND(F.col("_mask")) != 0)
+        .select("_file")
+        .distinct()
+        .collect()
+    )
     manifest.unpersist()
-    cand_files = sorted(cand)
+    cand_files = sorted(r["_file"] for r in cand_rows)
     stats = {
         "files_total": len(all_files),
         "files_rewritten": len(cand_files),
