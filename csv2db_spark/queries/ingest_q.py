@@ -131,3 +131,52 @@ def q_ingest_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.count_distinct(F.md5("text")).alias("distinct_texts"),
     )
+
+
+NAME_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType(), False),
+        T.StructField("c_name", T.StringType(), True),
+    ]
+)
+
+
+@query(
+    "q_ingest_csv_latin1",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(length(c_name || ' café-Ø')) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT md5(c_name || ' café-Ø')) AS BIGINT)
+             AS distinct_names
+    FROM customer
+    """,
+)
+def q_ingest_csv_latin1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset decode parity (reference P2, csv2db.go:190-199): customer
+    names with non-ASCII suffixes round-trip through an ISO-8859-1
+    encoded CSV — written AND re-read in latin-1 via the reader's
+    ``encoding`` option — and the aggregate (char totals + per-name
+    md5s, computed AFTER decode) must equal the same computed straight
+    from the parquet originals. A mojibake'd byte anywhere changes the
+    hash; the reference's whole charset map exists for exactly this
+    path."""
+    cust = load_table(spark, sf_dir, "customer")
+    path = _tmp_dir(sf_dir, "rt_latin1")
+    mod = cust.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit(" café-Ø")).alias("c_name"),
+    )
+    mod.write.mode("overwrite").options(
+        header=True, encoding="ISO-8859-1"
+    ).csv(path)
+    from csv2db_spark.ingest import read_csv
+
+    df = read_csv(spark, path, has_header=True, encoding="ISO-8859-1")
+    from csv2db_spark.ingest import cast_to_schema, reconcile_by_name
+
+    typed = cast_to_schema(reconcile_by_name(df, NAME_SCHEMA), NAME_SCHEMA)
+    return typed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("c_name")).alias("total_chars"),
+        F.count_distinct(F.md5("c_name")).alias("distinct_names"),
+    )

@@ -104,7 +104,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_ingest_csv_multiline, q_stream_stateful_ewma (rows-only),
 # q_quality_k_anonymity, q_text_phrase_search, q_graph_resolve_hierarchy,
 # q_stream_countmin_rollup, q_sink_targeted_delete,
-# q_dedup_incremental_minhash, q_events_user_similarity.
+# q_dedup_incremental_minhash, q_events_user_similarity,
+# q_ingest_csv_latin1.
 
 
 def load_all_queries() -> dict[str, QueryDef]:
