@@ -1888,3 +1888,57 @@ def q_events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), "user_a", "user_b"
     ).limit(50)
+
+
+# ------------------------------------------------------ windowed distinct
+
+
+@query(
+    "q_window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id
+                  ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, ts, event_id,
+           CAST(sum(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of DISTINCT event types per user — the windowed
+    distinct SQL cannot express directly (COUNT(DISTINCT) OVER a
+    running frame is unsupported everywhere): the classic
+    first-occurrence-flag trick makes it a plain running SUM — flag a
+    row when it is its (user, type)'s first appearance, then sum flags
+    over the running frame. Two window passes over the same per-user
+    sort (Spark plans one exchange); exact integers throughout."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("_f"),
+    )
+    return flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("_f").over(w_run).alias("distinct_types_so_far"),
+    )

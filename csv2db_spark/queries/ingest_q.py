@@ -180,3 +180,47 @@ def q_ingest_csv_latin1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("c_name")).alias("total_chars"),
         F.count_distinct(F.md5("c_name")).alias("distinct_names"),
     )
+
+
+@query(
+    "q_ingest_csv_crlf",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT md5(c_name)) AS BIGINT) AS distinct_names
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_ingest_csv_crlf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows line-ending parity: the customer table rewritten as a CSV
+    with CRLF record terminators (the Go encoding/csv reader accepts
+    both endings transparently, csv2db.go:84) must re-ingest to the
+    identical per-segment counts and name hashes — a stray \\r absorbed
+    into the last field would change every md5. The file is staged with
+    explicit CRLF join so the test controls the terminator, not the
+    writer."""
+    import os
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    path = _tmp_dir(sf_dir, "rt_crlf")
+    os.makedirs(path, exist_ok=True)
+    rows = cust.collect()  # 1.5k rows at gate scale — staging only
+    lines = ["c_custkey,c_name,c_mktsegment"] + [
+        f"{r.c_custkey},{r.c_name},{r.c_mktsegment}" for r in rows
+    ]
+    with open(os.path.join(path, "part-000.csv"), "w", newline="") as fh:
+        fh.write("\r\n".join(lines) + "\r\n")
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType(), False),
+            T.StructField("c_name", T.StringType(), True),
+            T.StructField("c_mktsegment", T.StringType(), True),
+        ]
+    )
+    df = ingest_csv(spark, path, schema, has_header=True)
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count_distinct(F.md5("c_name")).alias("distinct_names"),
+    )
