@@ -1942,3 +1942,106 @@ def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("_f").over(w_run).alias("distinct_types_so_far"),
     )
+
+
+# ------------------------------------------------------ A/B experiment lift
+
+
+@query(
+    "q_events_ab_lift",
+    oracle="""
+    WITH arms AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR))
+                       < '80000000000000000000000000000000'
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 100
+    ),
+    stats AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(conv.user_id) AS BIGINT) AS n_converters
+      FROM arms LEFT JOIN conv USING (user_id)
+      GROUP BY arm
+    )
+    SELECT c.n_users AS control_users,
+           c.n_converters AS control_converters,
+           t.n_users AS treatment_users,
+           t.n_converters AS treatment_converters,
+           CAST(c.n_converters AS DOUBLE) / CAST(c.n_users AS DOUBLE)
+             AS rate_control,
+           CAST(t.n_converters AS DOUBLE) / CAST(t.n_users AS DOUBLE)
+             AS rate_treatment,
+           CASE WHEN c.n_converters = 0 THEN NULL ELSE
+             (CAST(t.n_converters AS DOUBLE) / CAST(t.n_users AS DOUBLE))
+             / (CAST(c.n_converters AS DOUBLE) / CAST(c.n_users AS DOUBLE))
+           END AS lift
+    FROM (SELECT * FROM stats WHERE arm = 'control') c,
+         (SELECT * FROM stats WHERE arm = 'treatment') t
+    """,
+)
+def q_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assigned 50/50 to arms by the SAME
+    leakage-safe md5 banding as the train/val/test splitter
+    (llm/curation.assign_split — assignment depends only on the id, so
+    re-runs and engine changes never move a user between arms),
+    conversion = ever made a high-value purchase (value > 100 — roughly the
+    top decile of purchase values, so rates genuinely differ between
+    arms), and
+    lift = treatment/control rate
+    ratio — exact integer counts, three IEEE divisions in fixed shape
+    (NULL lift when control never converts: ANSI Spark raises on /0
+    where DuckDB returns inf — the guard keeps both engines agreeing).
+    One distinct per side + a |users|-keyed left join; arm stats are 2
+    rows."""
+    from csv2db_spark.llm.curation import assign_split
+
+    ev = load_table(spark, sf_dir, "events")
+    arms = assign_split(
+        ev.select("user_id").distinct(),
+        fractions={"control": 0.5, "treatment": 0.5},
+        id_col="user_id",
+    ).select("user_id", F.col("split").alias("arm"))
+    conv = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 100))
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    stats = (
+        arms.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("_c").alias("n_converters"),
+        )
+    )
+    c = stats.where(F.col("arm") == "control").select(
+        F.col("n_users").alias("control_users"),
+        F.col("n_converters").alias("control_converters"),
+    )
+    t = stats.where(F.col("arm") == "treatment").select(
+        F.col("n_users").alias("treatment_users"),
+        F.col("n_converters").alias("treatment_converters"),
+    )
+    rate_c = F.col("control_converters").cast("double") / F.col(
+        "control_users"
+    ).cast("double")
+    rate_t = F.col("treatment_converters").cast("double") / F.col(
+        "treatment_users"
+    ).cast("double")
+    return c.crossJoin(t).select(
+        "control_users",
+        "control_converters",
+        "treatment_users",
+        "treatment_converters",
+        rate_c.alias("rate_control"),
+        rate_t.alias("rate_treatment"),
+        F.when(F.col("control_converters") == 0, F.lit(None))
+        .otherwise(rate_t / rate_c)
+        .alias("lift"),
+    )

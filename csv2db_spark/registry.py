@@ -105,7 +105,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_quality_k_anonymity, q_text_phrase_search, q_graph_resolve_hierarchy,
 # q_stream_countmin_rollup, q_sink_targeted_delete,
 # q_dedup_incremental_minhash, q_events_user_similarity,
-# q_ingest_csv_latin1, q_ingest_csv_crlf, q_window_running_distinct.
+# q_ingest_csv_latin1, q_ingest_csv_crlf, q_window_running_distinct,
+# q_events_ab_lift.
 
 
 def load_all_queries() -> dict[str, QueryDef]:
