@@ -2045,3 +2045,131 @@ def q_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rate_t / rate_c)
         .alias("lift"),
     )
+
+
+# ------------------------------------------------------ temporal dimension join
+
+
+@query(
+    "q_join_scd2_temporal",
+    oracle="""
+    WITH hist AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status_at,
+             row_number() OVER w AS version,
+             o_orderdate AS eff_from,
+             lead(o_orderdate) OVER w AS eff_to
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+           h.version, h.status_at
+    FROM facts f
+    JOIN hist h
+      ON h.custkey = f.o_custkey
+     AND h.eff_from <= f.o_orderdate
+     AND (h.eff_to IS NULL OR f.o_orderdate < h.eff_to)
+    """,
+)
+def q_join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join — the operation SCD Type-2 exists FOR:
+    each urgent order picks up the dimension version that was current AT
+    its date (equi-join on the key + validity-interval predicate against
+    the scd2_build history; the open current version matches via the
+    NULL-end rule). The join stays hash-partitionable on the natural
+    key — the interval check is a residual predicate, never a range
+    join. Versions come from the same one-window-sort SCD2 build."""
+    from csv2db_spark.operators.merge import scd2_build
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = scd2_build(
+        orders,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        order_tiebreak="o_orderkey",
+        attr_cols=["o_orderstatus"],
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status_at"),
+        "version",
+        F.col("effective_from").alias("eff_from"),
+        F.col("effective_to").alias("eff_to"),
+    )
+    facts = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cond = (
+        (F.col("custkey") == F.col("o_custkey"))
+        & (F.col("eff_from") <= F.col("o_orderdate"))
+        & (F.col("eff_to").isNull() | (F.col("o_orderdate") < F.col("eff_to")))
+    )
+    return facts.join(hist, cond).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "version", "status_at"
+    )
+
+
+# ------------------------------------------------------ weighted percentile
+
+
+@query(
+    "q_agg_weighted_percentile",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, v,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cumw
+      FROM q
+    ),
+    tot AS (
+      SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS tw FROM q GROUP BY 1
+    ),
+    med AS (
+      SELECT c.l_returnflag, min(c.v) AS m
+      FROM cum c JOIN tot USING (l_returnflag)
+      WHERE 2 * c.cumw >= 1 * tot.tw GROUP BY 1
+    ),
+    p90 AS (
+      SELECT c.l_returnflag, min(c.v) AS m
+      FROM cum c JOIN tot USING (l_returnflag)
+      WHERE 10 * c.cumw >= 9 * tot.tw GROUP BY 1
+    )
+    SELECT med.l_returnflag,
+           CAST(med.m AS DOUBLE) AS weighted_median_price,
+           CAST(p90.m AS DOUBLE) AS weighted_p90_price
+    FROM med JOIN p90 USING (l_returnflag)
+    """,
+)
+def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price percentiles per return flag
+    (operators/sorts.weighted_percentile): the price below which half /
+    90% of the QUANTITY trades — not half the rows. Wholly integer
+    (cross-multiplied rational threshold over exact running weights; the
+    result is a selected input value), so the gate has no float
+    arithmetic to disagree on. One per-flag sort shared by both
+    percentile picks."""
+    from csv2db_spark.operators.sorts import weighted_percentile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    med = weighted_percentile(
+        li, ["l_returnflag"], "v", "w", 1, 2, out_col="_m"
+    )
+    p90 = weighted_percentile(
+        li, ["l_returnflag"], "v", "w", 9, 10, out_col="_p"
+    )
+    return med.join(p90, "l_returnflag").select(
+        "l_returnflag",
+        F.col("_m").cast("double").alias("weighted_median_price"),
+        F.col("_p").cast("double").alias("weighted_p90_price"),
+    )
