@@ -2173,3 +2173,80 @@ def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_m").cast("double").alias("weighted_median_price"),
         F.col("_p").cast("double").alias("weighted_p90_price"),
     )
+
+
+# ------------------------------------------------------ sink: codec + append
+
+
+@query(
+    "q_sink_zstd_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_sink_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec control on the parquet sink: orders written
+    with zstd (the modern default for cold analytics data — tighter
+    than snappy at similar scan cost) must read back to identical
+    exact-decimal aggregates; a pytest twin asserts the files really
+    carry the `.zstd.parquet` suffix so the option provably reached the
+    writer. Codec choice is a pure write-conf: the plan is untouched."""
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/csv2db_spark_zstd_{safe}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@query(
+    "q_sink_partition_append",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_keys
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus
+    """,
+)
+def q_sink_partition_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-evolution append: the table is first written
+    hive-partitioned WITHOUT the 'O' slice, then 'O' arrives as an
+    APPEND — dynamic partition insertion must create the new directory
+    without touching existing partitions — and a pruned read of
+    {F, O} must see exactly the union (counts + distinct keys
+    hash-checked). The daily-ingest pattern: new partitions accrete,
+    old bytes never rewrite, and the status filter still prunes at
+    directory level."""
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/csv2db_spark_papp_{safe}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders.where(F.col("o_orderstatus") != "O").write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(path)
+    orders.where(F.col("o_orderstatus") == "O").write.mode(
+        "append"
+    ).partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).where(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_orderkey").alias("distinct_keys"),
+    )

@@ -162,3 +162,44 @@ def test_targeted_delete_rewrites_only_affected_files(spark, sf_dir, tmp_path):
     stats2 = targeted_delete(spark, path, "doc_id", keys)
     assert stats2["rows_deleted"] == 0
     assert spark.read.parquet(path).count() == docs.count() - len(keys)
+
+
+def test_zstd_option_reaches_the_writer(spark, sf_dir, tmp_path):
+    from csv2db_spark.sources import load_table
+
+    path = str(tmp_path / "zstd")
+    load_table(spark, sf_dir, "orders").write.option(
+        "compression", "zstd"
+    ).parquet(path)
+    import pathlib
+
+    files = list(pathlib.Path(path).glob("*.parquet"))
+    assert files and all(f.name.endswith(".zstd.parquet") for f in files)
+
+
+def test_partition_append_never_rewrites_existing(spark, sf_dir, tmp_path):
+    import pathlib
+
+    from csv2db_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "papp")
+    orders.where("o_orderstatus != 'O'").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    before = {
+        str(f): f.stat().st_mtime_ns
+        for f in pathlib.Path(path).rglob("*.parquet")
+    }
+    orders.where("o_orderstatus = 'O'").write.mode("append").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    after = {
+        str(f): f.stat().st_mtime_ns
+        for f in pathlib.Path(path).rglob("*.parquet")
+    }
+    # every pre-existing file untouched; only the new partition appeared
+    for f, m in before.items():
+        assert after[f] == m
+    new = set(after) - set(before)
+    assert new and all("o_orderstatus=O" in f for f in new)
