@@ -2250,3 +2250,74 @@ def q_sink_partition_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.count_distinct("o_orderkey").alias("distinct_keys"),
     )
+
+
+# ------------------------------------------------------ embedding drift
+
+
+@query(
+    "q_embed_drift",
+    oracle="""
+    WITH q AS (
+      SELECT CASE WHEN vec_id < 250 THEN 'old' ELSE 'new' END AS half,
+             r.i - 1 AS dim,
+             cast(cast(cast(embedding[r.i] as double) as decimal(9,8))
+                  * 100000000 as bigint) AS qi
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    m AS (
+      SELECT half, dim,
+             CAST(sum(qi) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT o.dim,
+             CAST(o.s AS DOUBLE) / CAST(o.n AS DOUBLE) / 1e8 AS mean_old,
+             CAST(nw.s AS DOUBLE) / CAST(nw.n AS DOUBLE) / 1e8 AS mean_new,
+             (CAST(nw.s AS DOUBLE) / CAST(nw.n AS DOUBLE) / 1e8)
+             - (CAST(o.s AS DOUBLE) / CAST(o.n AS DOUBLE) / 1e8) AS shift
+      FROM (SELECT * FROM m WHERE half = 'old') o
+      JOIN (SELECT * FROM m WHERE half = 'new') nw USING (dim)
+    )
+    SELECT dim, mean_old, mean_new, shift FROM d
+    """,
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots (the
+    lowest-id half as 'yesterday', the rest as 'today'): per-dimension
+    exact-integer means and their shift — the monitoring signal that an
+    embedding model, a scraper mix, or an upstream normalization
+    changed. Same quantized-integer discipline as every embedding gate:
+    exact long sums, one fixed-shape IEEE division chain per cell.
+    Scale: one (half, dim)-keyed aggregate — 128 rows of shuffle
+    regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = F.when(F.col("vec_id") < 250, F.lit("old")).otherwise(F.lit("new"))
+    q = emb.select(
+        half.alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: (
+                    x.cast("double").cast("decimal(9,8)") * 100000000
+                ).cast("long"),
+            )
+        ).alias("dim", "qi"),
+    )
+    m = q.groupBy("half", "dim").agg(
+        F.sum("qi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double") / F.lit(1e8)
+    o = m.where(F.col("half") == "old").select(
+        "dim", mean.alias("mean_old")
+    )
+    nw = m.where(F.col("half") == "new").select(
+        "dim", mean.alias("mean_new")
+    )
+    return o.join(nw, "dim").select(
+        "dim",
+        "mean_old",
+        "mean_new",
+        (F.col("mean_new") - F.col("mean_old")).alias("shift"),
+    )
