@@ -424,3 +424,46 @@ def q_stream_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "q_stream_attribution",
+    oracle=f"""
+    WITH e AS ({_E}),
+    carried AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN struct_pack(t_ts := ts, t_id := event_id,
+                                     t_type := event_type) END
+               IGNORE NULLS
+             ) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt
+      FROM e
+    )
+    SELECT user_id,
+           event_id AS conversion_id,
+           epoch_us(ts) AS conversion_ts_us,
+           lt.t_id AS touch_id,
+           lt.t_type AS touch_type,
+           date_sub('second', lt.t_ts, ts) AS seconds_since_touch
+    FROM carried
+    WHERE event_type = 'purchase'
+      AND lt IS NOT NULL
+      AND date_sub('second', lt.t_ts, ts) <= 168 * 3600
+    """,
+)
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time last-touch attribution
+    (streaming/ops.stateful_attribution): one carried touch struct of
+    GroupState per user, an attribution row emitted the moment a
+    purchase arrives within the 7-day lookback. Under in-order replay
+    the emissions are EXACTLY the batch operator's rows, so this
+    stateful-streaming gate carries a full value-hash oracle — the
+    batch carried-struct SQL — not a rows-only check."""
+    from csv2db_spark.streaming import events_stream
+    from csv2db_spark.streaming.ops import run_to_df, stateful_attribution
+
+    out = stateful_attribution(events_stream(spark, sf_dir), "1 hour")
+    return run_to_df(out, spark, "append")

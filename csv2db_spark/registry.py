@@ -107,7 +107,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_dedup_incremental_minhash, q_events_user_similarity,
 # q_ingest_csv_latin1, q_ingest_csv_crlf, q_window_running_distinct,
 # q_events_ab_lift, q_join_scd2_temporal, q_agg_weighted_percentile,
-# q_sink_zstd_roundtrip, q_sink_partition_append, q_embed_drift.
+# q_sink_zstd_roundtrip, q_sink_partition_append, q_embed_drift,
+# q_stream_attribution.
 
 
 def load_all_queries() -> dict[str, QueryDef]:

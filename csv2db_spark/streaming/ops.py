@@ -384,6 +384,84 @@ def stateful_ewma(stream: DataFrame, delay: str, alpha: float = 0.25) -> DataFra
     )
 
 
+def stateful_attribution(
+    stream: DataFrame,
+    delay: str,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_hours: int = 168,
+) -> DataFrame:
+    """Streaming last-touch attribution in explicit GroupState: per
+    user, carry the most recent touch event (one struct of state) and
+    emit an attribution row the moment a conversion arrives within the
+    lookback — the real-time face of
+    operators/funnel.last_touch_attribution. Under in-order replay the
+    emitted rows are EXACTLY the batch operator's output, so unlike
+    most stateful streaming this gate carries a full value-hash oracle
+    (the batch SQL) rather than a rows-only check.
+
+    Rows fold in (ts, event_id) order within each batch; correctness
+    across batches needs event-time-ordered arrival per key (file
+    replay provides it; production buffers by watermark). State: one
+    (ts_us, id, type) triple per user, forever."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, conversion_id bigint, conversion_ts_us bigint, "
+        "touch_id bigint, touch_type string, seconds_since_touch bigint"
+    )
+    state_schema = "t_us bigint, t_id bigint, t_type string"
+    lookback_us = lookback_hours * 3600 * 1_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        t_us, t_id, t_type = state.get if state.exists else (None, None, None)
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for r in pdf.itertuples(index=False):
+                if (
+                    r.event_type == conversion_type
+                    and t_us is not None
+                    and (r.ts_us - t_us) <= lookback_us
+                ):
+                    out.append(
+                        (
+                            key[0],
+                            int(r.event_id),
+                            int(r.ts_us),
+                            int(t_id),
+                            t_type,
+                            (int(r.ts_us) - int(t_us)) // 1_000_000,
+                        )
+                    )
+                if r.event_type in touch_types:
+                    t_us, t_id, t_type = int(r.ts_us), int(r.event_id), r.event_type
+        if t_us is not None:
+            state.update((t_us, t_id, t_type))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "conversion_id",
+                "conversion_ts_us",
+                "touch_id",
+                "touch_type",
+                "seconds_since_touch",
+            ],
+        )
+
+    return (
+        stream.withColumn("ts_us", F.unix_micros("ts_i"))
+        .withWatermark("ts_i", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def stream_stream_join(
     stream_a: DataFrame,
     stream_b: DataFrame,
