@@ -2321,3 +2321,57 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_new",
         (F.col("mean_new") - F.col("mean_old")).alias("shift"),
     )
+
+
+# ------------------------------------------------------ KWIC snippets
+
+
+@query(
+    "q_text_kwic_snippets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS p, unnest(t) AS tok
+      FROM toks
+    ),
+    f AS (SELECT doc_id, p, tok FROM pos WHERE tok IN ('data', 'stream')),
+    hits AS (
+      SELECT a.doc_id, a.p AS p0
+      FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      WHERE a.tok = 'data' AND b.tok = 'stream'
+    )
+    SELECT h.doc_id, h.p0,
+           array_to_string(
+             t[greatest(h.p0 - 2, 1):least(h.p0 + 3, len(t))], ' '
+           ) AS snippet
+    FROM hits h JOIN toks USING (doc_id)
+    """,
+)
+def q_text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction for the phrase "data stream": every
+    hit position (the same postings-adjacency machinery as
+    q_text_phrase_search) plus a ±2-token context window sliced from
+    the document's token array — the search-result-snippet operation,
+    pure integer slicing so snippets hash-match. The context slice
+    happens where the token array already lives (one join of hit
+    positions back to the tokenized doc), never by re-scanning text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = docs.select("doc_id", F.split("text", " ").alias("t"))
+    pos = toks_arr.select(
+        "doc_id", F.posexplode("t").alias("p0idx", "tok")
+    ).select("doc_id", (F.col("p0idx") + 1).alias("p"), "tok")
+    f = pos.where(F.col("tok").isin("data", "stream"))
+    a = f.where(F.col("tok") == "data").select("doc_id", F.col("p").alias("p0"))
+    b = f.where(F.col("tok") == "stream").select(
+        "doc_id", (F.col("p") - 1).alias("p0")
+    )
+    hits = a.join(b, ["doc_id", "p0"])
+    start = F.greatest(F.col("p0") - 2, F.lit(1))
+    length = F.least(F.col("p0") + 3, F.size("t")) - start + 1
+    return hits.join(toks_arr, "doc_id").select(
+        "doc_id",
+        "p0",
+        F.array_join(F.slice("t", start, length), " ").alias("snippet"),
+    )

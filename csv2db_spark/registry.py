@@ -108,7 +108,7 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_ingest_csv_latin1, q_ingest_csv_crlf, q_window_running_distinct,
 # q_events_ab_lift, q_join_scd2_temporal, q_agg_weighted_percentile,
 # q_sink_zstd_roundtrip, q_sink_partition_append, q_embed_drift,
-# q_stream_attribution.
+# q_stream_attribution, q_text_kwic_snippets.
 
 
 def load_all_queries() -> dict[str, QueryDef]:
