@@ -298,13 +298,19 @@ def hll_set_estimates(
     numerator = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) * F.lit(float(two43))
 
     def estimate(grouped: DataFrame) -> DataFrame:
-        # grouped: (m_j rows) -> one 1-row/1-col estimate frame
+        # grouped: (m_j rows) -> one 1-row/1-col estimate frame. The
+        # register sum is coalesced to 0 so an EMPTY input set yields
+        # _s = 64·2^43 (all registers at rho=0) and a ~0 raw estimate
+        # instead of NULL propagating through every output column.
         s = grouped.agg(
             (
-                F.sum(
-                    F.expr(
-                        f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_WBITS + 1} - m_j AS INT))"
-                    )
+                F.coalesce(
+                    F.sum(
+                        F.expr(
+                            f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_WBITS + 1} - m_j AS INT))"
+                        )
+                    ),
+                    F.lit(0).cast("long"),
                 )
                 + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(two43)
             ).alias("_s")

@@ -12,8 +12,11 @@ that even split shuffle blocks overwhelm a task, or when AQE is off
   shuffle partitions instead of one.
 
 Output is IDENTICAL to the unsalted join (the oracle checks exactly
-that), only the physical distribution changes — so the gate query's
-hash-match proves the rewrite is semantics-preserving.
+that) for the supported join types, only the physical distribution
+changes — so the gate query's hash-match proves the rewrite is
+semantics-preserving. Right/full outer joins are REJECTED: the small
+side is replicated once per salt value, so each unmatched small-side
+row would surface ``salt`` times instead of once.
 """
 
 from __future__ import annotations
@@ -32,7 +35,23 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``on`` with the big side salted into
     ``salt`` sub-keys. ``salt_src``: any column expression with good
-    per-row dispersion (defaults to a hash of all big-side columns)."""
+    per-row dispersion (defaults to a hash of all big-side columns).
+
+    ``how`` must keep the big side on the preserved side: inner, left
+    (outer), left_semi, left_anti. Right/full outer would emit each
+    unmatched small-side row once per salt replica — not the unsalted
+    result — so they raise."""
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the salt-replicated "
+            "small side would duplicate its unmatched rows under "
+            "right/full outer joins; use inner/left/left_semi/left_anti"
+        )
     if salt_src is None:
         salt_src = F.hash(*[F.col(c) for c in big.columns])
     b = big.withColumn("_salt", F.pmod(salt_src, F.lit(salt)))

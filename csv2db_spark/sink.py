@@ -590,9 +590,13 @@ def targeted_delete(
     cannot happen — so no key survives. Candidate files are re-read,
     filtered with an EXACT anti-predicate, and staged; the swap then
     renames each doomed file to a ``._delete_bak`` sibling before
-    moving staged parts in (each rename atomic; a crash mid-swap is
-    recovered on the next call by restoring the backup, same
-    discipline as compact_parquet). Returns
+    moving staged parts in (each rename atomic). A crash mid-swap is
+    recovered on the next call: a manifest of the staged replacement
+    names is committed into the backup dir BEFORE the first rename, so
+    recovery first deletes any staged parts that already moved into the
+    table dir, then restores the backups — without the manifest the
+    restored originals would coexist with already-moved replacements
+    and permanently duplicate the kept rows. Returns
     {files_total, files_rewritten, rows_deleted}.
     """
     import os as _os
@@ -607,9 +611,17 @@ def targeted_delete(
     p = _Path(path)
     bak = str(p) + "._delete_bak"
     if _os.path.isdir(bak):
-        # a previous delete crashed mid-swap: restore its backups (the
-        # staged replacements may be incomplete; rerunning the delete
-        # is always safe because it is idempotent on keys)
+        # a previous delete crashed mid-swap. First undo any staged
+        # replacements that already moved into the table dir (their
+        # names are in the manifest committed before the swap began) —
+        # they hold the kept rows of files we are about to restore, so
+        # leaving them would duplicate those rows. Then restore the
+        # backups; rerunning the delete is then safe and exact.
+        mf = _Path(bak) / "_staged_manifest.txt"
+        if mf.exists():
+            for line in mf.read_text().splitlines():
+                if line and _os.path.exists(line):
+                    _os.remove(line)
         for f in _Path(bak).glob("*.parquet"):
             dst = p / f.name
             if not dst.exists():
@@ -660,11 +672,21 @@ def targeted_delete(
     stats["rows_deleted"] = doomed.count() - kept.count()
     tmp = str(p) + f"._delete_stage_{_uuid.uuid4().hex[:8]}"
     kept.write.mode("overwrite").parquet(tmp)
+    # pre-assign every staged part's final name and commit the list to
+    # the backup dir BEFORE any rename: crash recovery reads it to
+    # remove half-swapped replacements ahead of restoring the backups
+    staged_dest = {
+        str(f): str(p / f"part-del-{_uuid.uuid4().hex[:8]}-{f.name}")
+        for f in sorted(_Path(tmp).glob("*.parquet"))
+    }
     _os.makedirs(bak, exist_ok=True)
+    (_Path(bak) / "_staged_manifest.txt").write_text(
+        "\n".join(staged_dest.values())
+    )
     for f in cand_local:
         _os.rename(f, _os.path.join(bak, _os.path.basename(f)))
-    for f in _Path(tmp).glob("*.parquet"):
-        _os.rename(str(f), str(p / f"part-del-{_uuid.uuid4().hex[:8]}-{f.name}"))
+    for src, dst in staged_dest.items():
+        _os.rename(src, dst)
     _shutil.rmtree(tmp, ignore_errors=True)
     _shutil.rmtree(bak, ignore_errors=True)
     return stats

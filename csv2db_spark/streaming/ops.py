@@ -307,8 +307,12 @@ def stateful_user_stats(stream: DataFrame, delay: str) -> DataFrame:
         )
         for pdf in pdf_iter:
             n += len(pdf)
-            # exact integer cents — no float accumulation drift
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # exact integer cents — no float accumulation drift; NULL
+            # measurements are skipped (dropna) like SQL SUM — casting
+            # NaN to int64 would raise and kill the streaming query
+            cents += int(
+                (pdf["value"].dropna() * 100).round().astype("int64").sum()
+            )
             us = pdf["ts_us"].astype("int64")
             top = int(us.idxmax())
             if int(us.loc[top]) > last_us:

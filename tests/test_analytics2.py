@@ -670,3 +670,19 @@ def test_k_anonymity_flags_small_groups_only(spark):
     assert got[("US", "B")][1] == 2 / 13
     # riskiest first
     assert out[0].group_size == 1
+
+
+def test_hll_setops_empty_side_returns_zeroish_not_null(spark):
+    from csv2db_spark.operators.sketch import hll_set_estimates
+
+    a = spark.range(0).select(F.col("id").alias("item"))  # EMPTY set
+    b = spark.range(1000).select(F.col("id").alias("item"))
+    row = hll_set_estimates(a, b).collect()[0]
+    # round-5 advice: an empty register set used to propagate NULL —
+    # the raw estimator over all-zero registers must come back instead
+    assert row.est_a is not None and row.est_union is not None
+    assert row.est_intersection is not None
+    # the raw estimator (deliberately no small-range correction, see
+    # hll_distinct) gives alpha*m ~= 45.4 for 64 all-zero registers
+    assert row.est_a < 50.0
+    assert abs(row.est_union - row.est_b) < 1e-9  # union with ∅ = b

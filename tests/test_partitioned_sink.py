@@ -203,3 +203,65 @@ def test_partition_append_never_rewrites_existing(spark, sf_dir, tmp_path):
         assert after[f] == m
     new = set(after) - set(before)
     assert new and all("o_orderstatus=O" in f for f in new)
+
+
+def test_salted_join_rejects_small_side_duplicating_how(spark, sf_dir):
+    """Right/full outer would replicate each unmatched small-side row
+    once per salt value — the operator must refuse, not silently
+    diverge from the unsalted join (round-5 advice)."""
+    import pytest
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(li, sup, on="l_suppkey", salt=4, how=how)
+    # the preserved-big-side types still work
+    assert salted_join(li, sup, on="l_suppkey", salt=4, how="left_semi").count() > 0
+
+
+def test_targeted_delete_crash_mid_swap_recovers_exactly(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash AFTER the staged replacements moved into the table dir but
+    BEFORE backup cleanup: recovery must remove the manifest-listed
+    staged parts before restoring backups, else the kept rows of every
+    rewritten file exist twice (round-5 advice, medium)."""
+    import pathlib
+    import shutil
+
+    from csv2db_spark.sink import targeted_delete
+    from csv2db_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "tdel_crash")
+    docs.repartition(8, "doc_id").write.mode("overwrite").parquet(path)
+    n0 = docs.count()
+    keys = [int(r.doc_id) for r in docs.limit(3).collect()]
+
+    # simulate the crash: suppress BOTH cleanup rmtrees of the first
+    # call, leaving the backup dir (with manifest) AND the staged
+    # replacements already swapped into the table dir
+    real_rmtree = shutil.rmtree
+    monkeypatch.setattr(shutil, "rmtree", lambda *a, **k: None)
+    stats1 = targeted_delete(spark, path, "doc_id", keys)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert stats1["rows_deleted"] == len(keys)
+    bak = pathlib.Path(path + "._delete_bak")
+    assert bak.is_dir() and (bak / "_staged_manifest.txt").exists()
+
+    # next call recovers (staged parts removed, backups restored) and
+    # re-deletes — totals exact, no duplicated kept rows
+    stats2 = targeted_delete(spark, path, "doc_id", keys)
+    assert stats2["rows_deleted"] == len(keys)
+    assert not bak.exists()
+    remaining = spark.read.parquet(path)
+    assert remaining.count() == n0 - len(keys)
+    assert remaining.where(F.col("doc_id").isin(keys)).count() == 0
+    # and every surviving doc_id appears exactly once
+    dupes = (
+        remaining.groupBy("doc_id").count().where(F.col("count") > 1).count()
+    )
+    assert dupes == 0

@@ -85,3 +85,36 @@ def test_stateful_ewma_equals_python_fold(spark, sf_dir):
         n, ewma = got[uid]
         assert n == len(vals)
         assert ewma == y  # identical float fold, bit-exact
+
+
+def test_stateful_user_stats_skips_null_values(spark, tmp_path):
+    """NULL measurements must not kill the query: pandas cannot cast
+    NaN to int64, so the cents fold drops NULLs like SQL SUM
+    (round-5 advice). The fixture ships no NULLs, so build one."""
+    import datetime as dt
+
+    from csv2db_spark.streaming.ops import run_to_df, stateful_user_stats
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "click", 1.25, t0),
+        (1, "view", None, t0 + dt.timedelta(minutes=1)),  # NULL value
+        (1, "error", 2.50, t0 + dt.timedelta(minutes=2)),
+        (2, "view", None, t0),  # all-NULL user
+    ]
+    src = str(tmp_path / "null_events")
+    spark.createDataFrame(
+        rows, "user_id bigint, event_type string, value double, ts timestamp"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, value double, ts timestamp")
+        .parquet(src)
+        .withColumn("ts_i", F.col("ts"))
+    )
+    out = run_to_df(stateful_user_stats(stream, "1 hour"), spark, "update")
+    last = {r.user_id: r for r in out.collect()}  # update mode: take rows
+    assert last[1].n_events == 3
+    assert last[1].sum_value_cents == 375  # 125 + 250, NULL skipped
+    assert last[1].last_event_type == "error"
+    assert last[2].n_events == 1
+    assert last[2].sum_value_cents == 0
