@@ -101,6 +101,11 @@ def main() -> None:
         # LM; Arrow partial-Gram fold) join the extended series
         "q_text_bigram_lm",
         "q_embed_covariance",
+        # round-6: the Python-free JVM-hash MinHash twin gets its own
+        # series next to the md5 headline entry (which stays the
+        # headline: it is oracle-coupled AND measured faster single-node
+        # — the Arrow md5 pass is not the bottleneck, see PLANS.md)
+        "q_dedup_minhash_lsh_xxh",
     )
     all_queries = load_all_queries()
     ext: dict[str, float] = {}

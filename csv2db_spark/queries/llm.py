@@ -222,6 +222,52 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_minhash_lsh_xxh")
+def q_dedup_minhash_lsh_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-hash production twin of ``q_dedup_minhash_lsh``: identical
+    banding / bucket-cap / exact-Jaccard-verify machinery, but every
+    hash is Spark's native xxhash64 in whole-stage codegen — no Python
+    worker, no Arrow transfer anywhere in the plan. Rows-only gate:
+    DuckDB has no Spark-compatible xxhash64, so cross-engine value
+    parity is impossible by construction; pytest instead pins (a) that
+    every exact-copy pair is recalled, (b) that Jaccard values agree
+    EXACTLY with the md5 path on shared pairs (set cardinalities are
+    hash-independent absent collisions), and (c) determinism.
+
+    Shuffle budget vs the md5 twin: signatures carry only the K mins
+    (96 B/doc; the md5 twin's per-doc hash sets ride its zero-shuffle
+    Arrow pass for free), and exact-verify hash sets are recomputed
+    per-row ONLY for docs surviving the band join — a broadcast
+    semi-filter of the corpus — so nothing set-sized ever shuffles.
+    Single-node the two are within ~25% of each other (measured at
+    sf0.1; the md5 Arrow pass is NOT the bottleneck — see PLANS.md
+    round-6 profiling); this path exists for clusters where Python
+    workers are unavailable or the constraint."""
+    from pyspark import StorageLevel
+
+    docs = augmented_docs(spark, sf_dir)
+    cand = D.minhash_candidates(
+        D.minhash_bands(D.minhash_doc_signatures_xxh(docs)),
+        max_bucket=_MINHASH_MAX_BUCKET,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    hs = D.minhash_doc_hashsets_xxh(docs.join(F.broadcast(ids), "doc_id"))
+    sa = hs.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
+    sb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    jac = inter / (F.size("ha") + F.size("hb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
 # --------------------------------------------------- duplicate clustering
 
 

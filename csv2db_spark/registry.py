@@ -87,7 +87,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # window (same pattern as every round); list them here as they are
 # added, driver-sim-verified at sf0.01 first:
 # (round-7 leads) q_sink_zstd_roundtrip, q_sink_partition_append,
-# q_embed_drift, q_stream_attribution, q_text_kwic_snippets.
+# q_embed_drift, q_stream_attribution, q_text_kwic_snippets;
+# (new in round 6) q_dedup_minhash_lsh_xxh (rows-only).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -441,3 +441,94 @@ def test_ppjoin_matches_naive_jaccard_with_fewer_candidates(spark, sf_dir):
     }
     assert got == want
     assert want  # the augmented corpus plants near-dups; must find them
+
+
+# ------------------------------------------------- JVM-hash MinHash twin
+
+
+def test_xxh_hashsets_match_explode_path(spark, sf_dir):
+    """Plan-diverse cross-check: the per-row HOF hash-set pass must equal
+    the explode + groupBy formulation of the same xxhash64&mask set."""
+    from csv2db_spark.llm.corpus import shingles, tokens
+
+    docs = augmented_docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    mask = (1 << 48) - 1
+    got = {
+        r.doc_id: sorted(r.hset)
+        for r in D.minhash_doc_hashsets_xxh(docs).collect()
+    }
+    ref_df = (
+        docs.select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+        .select("doc_id", F.xxhash64("s").bitwiseAND(F.lit(mask)).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("h")).alias("hset"))
+    )
+    ref = {r.doc_id: list(r.hset) for r in ref_df.collect()}
+    assert got == ref
+    # 48-bit masked hashes are non-negative
+    assert all(h >= 0 for hs in got.values() for h in hs)
+
+
+def test_xxh_signature_mins_match_python_km_fold(spark, sf_dir):
+    """Pull each doc's raw (h1, h2) shingle hashes out of Spark once,
+    replay the Kirsch-Mitzenmacher fold in pure Python, and demand the
+    operator's K mins match exactly."""
+    from csv2db_spark.llm.corpus import shingles, tokens
+
+    docs = augmented_docs(spark, sf_dir).where(F.col("doc_id") < 30)
+    mask = (1 << 48) - 1
+    raw = (
+        docs.select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+        .select(
+            "doc_id",
+            F.xxhash64("s").bitwiseAND(F.lit(mask)).alias("h1"),
+            F.xxhash64("s", F.lit(1)).bitwiseAND(F.lit(mask)).alias("h2"),
+        )
+        .collect()
+    )
+    per_doc: dict = {}
+    for r in raw:
+        per_doc.setdefault(r.doc_id, []).append((r.h1, r.h2))
+    sig = {
+        r.doc_id: [r[f"h{i}"] for i in range(D.MINHASH_K)]
+        for r in D.minhash_doc_signatures_xxh(docs).collect()
+    }
+    assert set(sig) == set(per_doc)
+    for did, hs in per_doc.items():
+        want = [
+            min((h1 + i * h2 + i * i) % D.MINHASH_P for h1, h2 in hs)
+            for i in range(D.MINHASH_K)
+        ]
+        assert sig[did] == want
+
+
+def test_minhash_xxh_gate_agrees_with_md5_gate(spark, sf_dir):
+    """The two hash families see different band collisions, so the pair
+    SETS may differ at the margin — but (a) Jaccard values on shared
+    pairs are hash-independent set cardinalities and must match EXACTLY,
+    (b) mutual overlap stays high on the fixture's engineered dups,
+    (c) every emitted pair clears the 0.5 threshold, (d) the xxh gate
+    is deterministic run-over-run."""
+    from csv2db_spark.queries.llm import (
+        q_dedup_minhash_lsh,
+        q_dedup_minhash_lsh_xxh,
+    )
+
+    md5 = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    xxh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q_dedup_minhash_lsh_xxh(spark, sf_dir).collect()
+    }
+    shared = set(md5) & set(xxh)
+    assert len(shared) >= 0.85 * max(len(md5), len(xxh))
+    for p in shared:
+        assert md5[p] == xxh[p]  # exact: same set sizes, same intersection
+    assert all(j >= 0.5 for j in xxh.values())
+    again = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q_dedup_minhash_lsh_xxh(spark, sf_dir).collect()
+    }
+    assert again == xxh
