@@ -342,7 +342,10 @@ def q_stream_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         regs = spark.read.parquet(store).select("event_type", "_j", "m_j")
         out = hll_estimate_from_registers(regs, ["event_type"])
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # materialize DISTRIBUTED (executor blocks, lineage cut) so the
+        # temp store can be removed without a driver-side collect in the
+        # gate plan — the only collect-free way to outlive the rmtree
+        out = out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
@@ -420,7 +423,9 @@ def q_stream_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint=f"{work}/ckpt",
         )
         cells = spark.read.parquet(store).select("j", "bucket", "cnt")
-        out = spark.createDataFrame(cells.collect(), cells.schema)
+        # distributed materialization (see q_stream_hll_rollup): no
+        # driver collect in the gate plan, store removable right after
+        out = cells.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -158,3 +158,58 @@ def test_password_never_persisted_in_presets(config_path):
         raw = json.load(f)
     assert raw["presets"]["mypreset"]["user"] == "alice"
     assert "s3cret" not in json.dumps(raw)
+
+
+def test_split_url_userinfo():
+    from csv2db_spark.cli import split_url_userinfo
+
+    assert split_url_userinfo("postgres://u:p@host:5432/db") == (
+        "postgres://host:5432/db", "u", "p",
+    )
+    assert split_url_userinfo("jdbc:postgresql://u:p@host/db") == (
+        "jdbc:postgresql://host/db", "u", "p",
+    )
+    # user only, no password
+    assert split_url_userinfo("mysql://bob@host/db") == (
+        "mysql://host/db", "bob", "",
+    )
+    # percent-decoding (net/url semantics in the reference's dburl)
+    assert split_url_userinfo("postgres://u%40corp:p%3Aw@h/db") == (
+        "postgres://h/db", "u@corp", "p:w",
+    )
+    # no userinfo / no scheme: untouched
+    assert split_url_userinfo("jdbc:derby:memory:x") == (
+        "jdbc:derby:memory:x", "", "",
+    )
+    assert split_url_userinfo("postgres://host/db") == (
+        "postgres://host/db", "", "",
+    )
+
+
+def test_resolve_auth_url_userinfo_heads_the_chain(monkeypatch):
+    """Reference auth.go:15-19: UrlContainsAuthInfo is the FIRST
+    provider — URL credentials beat flags, env, and the prompt; each
+    later link fills only missing pieces."""
+    from csv2db_spark.cli import resolve_auth
+
+    url = "postgres://urluser:urlpw@h/db"
+    monkeypatch.setenv("DB_USERNAME", "envuser")
+    monkeypatch.setenv("DB_PASSWORD", "envpw")
+    # url wins over arg and env
+    assert resolve_auth("arguser", "argpw", interactive=False, url=url) == (
+        "urluser", "urlpw",
+    )
+    # partial userinfo: env fills the missing password
+    assert resolve_auth("", "", interactive=False, url="postgres://u@h/db") == (
+        "u", "envpw",
+    )
+    monkeypatch.delenv("DB_USERNAME")
+    monkeypatch.delenv("DB_PASSWORD")
+    # userinfo alone suffices headless — no env, no prompt
+    assert resolve_auth("", "", interactive=False, url=url) == (
+        "urluser", "urlpw",
+    )
+    # no userinfo: chain degrades exactly as before
+    assert resolve_auth("", "", interactive=False, url="postgres://h/db") == (
+        None, None,
+    )
