@@ -175,3 +175,28 @@ def test_ddl_types_reach_derby(spark, durl, df2):
     }
     assert schema["a"] == "bigint"
     assert schema["b"].startswith("string")
+
+
+def test_jdbc_matrix_script_wiring(spark):
+    """scripts/jdbc_matrix.py — the one-command escape hatch for
+    validating the PG/MySQL dialect registry entries against a real
+    server — must stay runnable; prove the wiring against Derby."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [
+            _sys.executable,
+            str(root / "scripts" / "jdbc_matrix.py"),
+            "--url",
+            "jdbc:derby:memory:c2s_mx_wiring;create=true",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(root),
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "11/11 cells pass" in out.stdout
