@@ -496,3 +496,51 @@ def blocked_all_pairs_cosine(
             )
 
     return pairs.mapInPandas(score, out_schema)
+
+
+# ----------------------------------------------------------- recall eval
+
+
+def ann_recall_table(ann: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall of an ANN result against the exact top-k
+    baseline: (query_id, n_exact, n_hits, recall). The evaluation every
+    ANN deployment runs before trusting an index — and the quantity the
+    self-checking recall gates bound.
+
+    Scale shape: both inputs are (query_id, neighbor_id) — k rows per
+    query — so the inner join and the two aggregations touch |queries|*k
+    rows, never the corpus."""
+    a = ann.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hits = (
+        a.join(e, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (
+            F.coalesce("n_hits", F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )
+
+
+def ann_recall_violations(
+    ann: DataFrame, exact: DataFrame, min_mean_recall: float
+) -> DataFrame:
+    """EMPTY iff the ANN result's mean per-query recall clears the
+    bound; otherwise one (metric, mean_recall) row. Turns a recall
+    property into a hash-checkable gate: the oracle is the empty set,
+    so any regression (broken bucketing, seed drift, probe-count bug)
+    surfaces as a driver row-count/hash mismatch rather than a silently
+    weaker rows-only record."""
+    mean = ann_recall_table(ann, exact).agg(
+        F.avg("recall").alias("mean_recall")
+    )
+    return mean.where(F.col("mean_recall") < min_mean_recall).select(
+        F.lit("mean_recall@k").alias("metric"), "mean_recall"
+    )

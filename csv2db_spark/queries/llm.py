@@ -611,6 +611,42 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
+# Self-checking recall gates: EMPTY output iff mean recall@10 clears the
+# bound, hash-compared against an empty oracle — so ANN regressions are
+# driver-visible (a rows/hash mismatch), not just pytest-visible. Bounds
+# sit under the measured means at sf0.001/0.01/0.1 (LSH 0.26-0.42, IVF
+# 0.58-0.76 — toy index parameters; the gates catch collapses, not tuning).
+_EMPTY_RECALL_ORACLE = (
+    "SELECT 'mean_recall@k' AS metric, 0.0 AS mean_recall WHERE 1 = 0"
+)
+
+
+@query("q_sim_ann_lsh_recall", oracle=_EMPTY_RECALL_ORACLE)
+def q_sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall floor for the LSH index: violations of
+    mean recall@10 >= 0.2 vs the exact baseline (expected: none)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ann_recall_violations(
+        S.lsh_ann_topk(emb, queries, k=10),
+        S.cosine_topk(emb, queries, k=10),
+        min_mean_recall=0.2,
+    )
+
+
+@query("q_sim_ann_ivf_recall", oracle=_EMPTY_RECALL_ORACLE)
+def q_sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall floor for the IVF index: violations of
+    mean recall@10 >= 0.35 vs the exact baseline (expected: none)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ann_recall_violations(
+        S.ivf_ann_topk(emb, queries, k=10, n_centroids=16, n_probe=4),
+        S.cosine_topk(emb, queries, k=10),
+        min_mean_recall=0.35,
+    )
+
+
 # ------------------------------------------------------------- text analysis
 
 

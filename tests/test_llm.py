@@ -532,3 +532,35 @@ def test_minhash_xxh_gate_agrees_with_md5_gate(spark, sf_dir):
         for r in q_dedup_minhash_lsh_xxh(spark, sf_dir).collect()
     }
     assert again == xxh
+
+
+def test_ann_recall_table_and_gates(spark, sf_dir):
+    """The recall table matches a hand-computed set intersection, and
+    the self-checking gates are empty (bounds hold) but NOT vacuous
+    (an absurd bound does produce a violation row)."""
+    from csv2db_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, q, k=10)
+    ann = S.lsh_ann_topk(emb, q, k=10)
+    tbl = {r.query_id: r for r in S.ann_recall_table(ann, exact).collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    for qid in range(5):
+        eq = {n for (x, n) in e if x == qid}
+        aq = {n for (x, n) in a if x == qid}
+        assert tbl[qid].n_exact == len(eq)
+        assert tbl[qid].n_hits == len(eq & aq)
+        assert tbl[qid].recall == len(eq & aq) / len(eq)
+    # bounds hold -> empty; impossible bound -> exactly one violation row
+    assert S.ann_recall_violations(ann, exact, 0.2).count() == 0
+    viol = S.ann_recall_violations(ann, exact, 1.01).collect()
+    assert len(viol) == 1 and viol[0].metric == "mean_recall@k"
+    from csv2db_spark.queries.llm import (
+        q_sim_ann_ivf_recall,
+        q_sim_ann_lsh_recall,
+    )
+
+    assert q_sim_ann_lsh_recall(spark, sf_dir).count() == 0
+    assert q_sim_ann_ivf_recall(spark, sf_dir).count() == 0
