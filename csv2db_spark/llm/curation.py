@@ -570,3 +570,79 @@ def temperature_mix(
         .where(h < F.col("_cutoff"))
         .drop("_cutoff")
     )
+
+
+# ------------------------------------------------------- text normalization
+
+# Each rule is (java/RE2-compatible pattern, replacement), applied in
+# order; the control-strip runs FIRST so the later \s classes agree
+# across engines (Java \s includes \x0B, RE2's does not — moot once
+# control chars are gone). Mirrored verbatim in the oracle SQL.
+NORMALIZE_RULES: tuple[tuple[str, str], ...] = (
+    ("[\\x00-\\x1F\\x7F]", " "),       # control chars -> space
+    ("[‘’‚‛]", "'"),  # curly single quotes
+    ("[“”„‟]", '"'),  # curly double quotes
+    ("[–—―]", "-"),     # en/em/horizontal-bar dashes
+    (" ", " "),                    # no-break space
+    ("\\s+", " "),                      # collapse whitespace runs
+)
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", lowercase: bool = False
+) -> DataFrame:
+    """Canonical text normalization — the first stage of every training
+    corpus pipeline: control chars out, typographic quotes/dashes
+    folded to ASCII, whitespace runs collapsed, edges trimmed,
+    optional lowercasing. Emits the input columns with ``text_col``
+    normalized plus ``was_changed``.
+
+    Pure map stage: a chain of codegen'd regexp_replace expressions —
+    one scan, no UDF, no shuffle; at 100 TB it pipelines into the scan
+    that feeds it. Rules are data, not code (NORMALIZE_RULES), so the
+    DuckDB oracle replays the identical chain and the normalized
+    STRINGS are hash-checked."""
+    out = F.col(text_col)
+    for pat, rep in NORMALIZE_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    out = F.trim(out)
+    if lowercase:
+        out = F.lower(out)
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *others,
+        out.alias(text_col),
+        (out != F.col(text_col)).alias("was_changed"),
+    )
+
+
+# --------------------------------------------------------- pseudonymization
+
+
+def pseudonymize(
+    df: DataFrame, cols: list[str], salt: str, token_len: int = 16
+) -> DataFrame:
+    """Deterministic PII tokenization: every value in ``cols`` becomes
+    ``pid_`` + the first ``token_len`` hex chars of md5(salt || '|' ||
+    value) — the keyed surrogate that lets analysts join and aggregate
+    across tables without ever seeing the raw identifier, while a salt
+    rotation re-keys the whole corpus. NULL stays NULL (a token for
+    NULL would invent a linkable value). Same value + same salt ==
+    same token in EVERY table, so referential joins survive.
+
+    Pure map stage — one md5 per cell, codegen, no shuffle. The salt
+    must come from a secret store at deployment; tokens are
+    pseudonymous, not anonymous (GDPR art. 4(5)) — k-anonymity checks
+    (q_quality_k_anonymity) remain the caller's job."""
+    out = df
+    for c in cols:
+        tok = F.concat(
+            F.lit("pid_"),
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(c).cast("string"))),
+                1,
+                token_len,
+            ),
+        )
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
+    return out

@@ -178,8 +178,10 @@ def minhash_doc_signatures_xxh(
     ``xxhash64`` evaluated entirely JVM-side — no Python worker, no
     Arrow transfer, no per-shingle ``hashlib.md5``. The md5 path stays
     as the cross-engine parity gate (DuckDB has md5; it has no
-    Spark-compatible xxhash64); THIS is the path a 100 TB job runs —
-    the md5 Arrow pass is 50-70% of the md5 query's CPU.
+    Spark-compatible xxhash64) AND the measured-faster single-node
+    default — see PLANS.md round-6 profiling: the Arrow pass is ~0.6 s
+    of the ~2 s gate, NOT the bottleneck. This twin exists for
+    clusters where Python workers are unavailable or the constraint.
 
     Contract: (doc_id, h0..h{k-1}) — K Kirsch-Mitzenmacher min-hashes
     h_i = min((h1 + i*h2 + i*i) mod P) over 48-bit hashes (xxhash64
@@ -645,3 +647,31 @@ def ppjoin_pairs(
         .distinct()
     )
     return jaccard_pairs(sh, min_jaccard, candidate_pairs=cand)
+
+
+# ------------------------------------------------- representative selection
+
+
+def keep_best_representative(
+    members: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """The keep-one-per-cluster policy step that completes a dedup
+    pipeline: within each duplicate cluster keep the highest-quality
+    member (ties broken on the id, ascending — deterministic), mark the
+    rest as drops. ``quality`` is any (id, score) table — length,
+    Gopher score, model perplexity.
+
+    Returns members ⋈ quality plus ``is_kept``. Scale shape: one equi
+    join on the id and one window over the cluster — both shuffle only
+    cluster MEMBERS (docs that had a near-dup), never the corpus; the
+    window partition is a cluster (bounded by the dedup blocking), so
+    no skewed giant partition."""
+    j = members.join(quality, id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return j.withColumn("is_kept", F.row_number().over(w) == 1)

@@ -849,3 +849,102 @@ def q_curate_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(
         load_table(spark, sf_dir, "documents"), ranks=(5, 10, 20)
     )
+
+
+# ------------------------------------------------------- text normalization
+
+# Deterministic mess injected over the pristine fixture texts so the
+# normalizer has real work; every injected artifact is expressible
+# identically in both engines (chr() for control chars).
+_SQL_MESSY = """
+messy AS (
+  SELECT doc_id,
+         '“Quoted”' || chr(9) || '— ' || text
+           || '  ' || chr(11) || ' Tail’s end  ' AS text
+  FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id >= 40 AND doc_id < 60
+)
+"""
+
+
+def _sql_normalize_expr(col: str) -> str:
+    """Mirror of llm/curation.NORMALIZE_RULES + trim + lower."""
+    from csv2db_spark.llm.curation import NORMALIZE_RULES
+
+    expr = col
+    for pat, rep in NORMALIZE_RULES:
+        p, r = pat.replace("'", "''"), rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"lower(trim({expr}))"
+
+
+@query(
+    "q_curate_normalize_text",
+    oracle=f"""
+    WITH {_SQL_MESSY.strip()}
+    SELECT doc_id,
+           {_sql_normalize_expr('text')} AS text,
+           {_sql_normalize_expr('text')} <> text AS was_changed
+    FROM messy
+    """,
+)
+def q_curate_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (llm/curation.normalize_text):
+    control chars out, curly quotes/dashes folded to ASCII, NBSP to
+    space, whitespace collapsed, trimmed, lowercased — the normalized
+    STRINGS are hash-compared against the oracle's identical rule
+    chain over a deterministically messed-up corpus slice (the raw
+    fixture is already clean, so docs 40-59 also prove the
+    was_changed=false path... modulo lowercasing). Pure codegen map
+    stage — no UDF, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = docs.where(F.col("doc_id") < 40).select(
+        "doc_id",
+        F.concat(
+            F.lit("“Quoted”\t— "),
+            F.col("text"),
+            F.lit("  \x0b Tail’s end  "),
+        ).alias("text"),
+    )
+    clean = docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+    from csv2db_spark.llm.curation import normalize_text
+
+    return normalize_text(messy.unionByName(clean), lowercase=True)
+
+
+# --------------------------------------------------------- pseudonymization
+
+_PSEUDO_SALT = "rotate-me-2026"
+
+
+@query(
+    "q_curate_pseudonymize",
+    oracle=f"""
+    SELECT 'pid_' || substr(
+             md5('{_PSEUDO_SALT}' || '|' || CAST(user_id AS VARCHAR)), 1, 16
+           ) AS user_token,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_curate_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII tokenization (llm/curation.pseudonymize):
+    user_id becomes a salted md5 surrogate, then the usual per-user
+    aggregation runs on TOKENS — proving analyses survive
+    pseudonymization byte-for-byte (the oracle derives the same tokens
+    independently). Tokenization is a pure map stage; the aggregation
+    shuffles tokens (16 hex chars) instead of raw ids."""
+    from csv2db_spark.llm.curation import pseudonymize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    p = pseudonymize(ev, ["user_id"], salt=_PSEUDO_SALT)
+    return (
+        p.groupBy(F.col("user_id").alias("user_token"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from csv2db_spark.llm import dedup as D
 from csv2db_spark.llm import text as X
 from csv2db_spark.llm import similarity as S
-from csv2db_spark.llm.corpus import SQL_AUG, SQL_SHINGLES, augmented_docs
+from csv2db_spark.llm.corpus import SQL_AUG, SQL_SHINGLES, augmented_docs, tokens
 from csv2db_spark.registry import query
 from csv2db_spark.sources import load_table
 
@@ -1273,3 +1273,59 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    {_CTE_EX.replace("WITH ", "WITH RECURSIVE ", 1)},
+    {_sql_minhash_cte().strip()},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    scored AS (
+      SELECT c.doc_id, c.component,
+             CAST(len(string_split(t.text, ' ')) AS BIGINT) AS score
+      FROM comp c JOIN aug t ON t.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY component
+                                   ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT doc_id, component, score, rk = 1 AS is_kept
+    FROM ranked
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final policy step: within each LSH duplicate
+    cluster keep the highest-quality member — quality here = token
+    count, so the truncated near-dup copies lose to their originals and
+    exact-copy ties break on doc_id (llm/dedup.keep_best_representative).
+    Oracle: recursive-CTE transitive closure + the same (score desc, id)
+    window. The join and window touch cluster MEMBERS only — docs
+    without a near-dup never shuffle."""
+    from csv2db_spark.operators.graph import connected_components
+
+    docs = augmented_docs(spark, sf_dir)
+    ex = D.shingle_table(docs)
+    sig = D.minhash_signatures(D.shingle_hashes(ex))
+    cand = D.minhash_candidates(D.minhash_bands(sig))
+    comp = connected_components(cand, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    quality = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("score")
+    )
+    return D.keep_best_representative(comp, quality)

@@ -89,7 +89,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # (round-7 leads) q_sink_zstd_roundtrip, q_sink_partition_append,
 # q_embed_drift, q_stream_attribution, q_text_kwic_snippets;
 # (new in round 6) q_dedup_minhash_lsh_xxh (rows-only),
-# q_sim_ann_lsh_recall, q_sim_ann_ivf_recall (empty-set hash oracles).
+# q_sim_ann_lsh_recall, q_sim_ann_ivf_recall (empty-set hash oracles),
+# q_curate_normalize_text, q_curate_pseudonymize, q_dedup_keep_best.
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -564,3 +564,66 @@ def test_ann_recall_table_and_gates(spark, sf_dir):
 
     assert q_sim_ann_lsh_recall(spark, sf_dir).count() == 0
     assert q_sim_ann_ivf_recall(spark, sf_dir).count() == 0
+
+
+def test_normalize_text_idempotent_and_rules(spark):
+    from csv2db_spark.llm.curation import normalize_text
+
+    rows = [
+        (1, "“Hi”\t— there’s  \x0b a  tail  "),
+        (2, "already clean text"),
+        (3, "Nbsp here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert out[1].text == "\"Hi\" - there's a tail"
+    assert out[1].was_changed is True
+    assert out[2].text == "already clean text" and out[2].was_changed is False
+    assert out[3].text == "Nbsp here" and out[3].was_changed is True
+    # idempotent: normalizing the normalized output changes nothing
+    again = normalize_text(
+        spark.createDataFrame(
+            [(r.doc_id, r.text) for r in out.values()],
+            "doc_id bigint, text string",
+        )
+    )
+    assert all(not r.was_changed for r in again.collect())
+    # lowercase flag
+    low = normalize_text(df, lowercase=True).collect()
+    assert all(r.text == r.text.lower() for r in low)
+
+
+def test_pseudonymize_consistent_and_null_safe(spark):
+    from csv2db_spark.llm.curation import pseudonymize
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (1, "z"), (None, "n")],
+        "user_id bigint, v string",
+    )
+    b = spark.createDataFrame([(1, 10), (3, 30)], "user_id bigint, w bigint")
+    pa = pseudonymize(a, ["user_id"], salt="s")
+    pb = pseudonymize(b, ["user_id"], salt="s")
+    ta = {r.v: r.user_id for r in pa.collect()}
+    tb = {r.w: r.user_id for r in pb.collect()}
+    assert ta["x"] == ta["z"] == tb[10]          # same value same token, cross-table
+    assert ta["x"] != ta["y"] != tb[30]
+    assert ta["n"] is None                        # NULL stays NULL
+    assert all(t is None or t.startswith("pid_") for t in ta.values())
+    # different salt re-keys everything
+    pa2 = {r.v: r.user_id for r in pseudonymize(a, ["user_id"], salt="s2").collect()}
+    assert pa2["x"] != ta["x"]
+
+
+def test_keep_best_exactly_one_kept_per_cluster(spark, sf_dir):
+    from csv2db_spark.queries.llm import q_dedup_keep_best
+
+    rows = q_dedup_keep_best(spark, sf_dir).collect()
+    by_c: dict = {}
+    for r in rows:
+        by_c.setdefault(r.component, []).append(r)
+    for comp, members in by_c.items():
+        kept = [m for m in members if m.is_kept]
+        assert len(kept) == 1, comp
+        best = kept[0]
+        top = max(members, key=lambda m: (m.score, -m.doc_id))
+        assert (best.score, best.doc_id) == (top.score, top.doc_id)
