@@ -623,3 +623,43 @@ def phrase_search(
     return matched.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+
+
+# ----------------------------------------------------- feature hashing
+
+
+def feature_hash_tf(
+    docs: DataFrame, n_features: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): map each token to one
+    of ``n_features`` buckets by hash, with a second hash choosing a
+    ±1 sign so collisions cancel in expectation — the vectorizer that
+    needs NO vocabulary pass, no broadcast dictionary, no OOV handling,
+    which is what makes it THE featurizer at 100 TB (sklearn's
+    HashingVectorizer / Vowpal Wabbit semantics). Emits the sparse form
+    (doc_id, bucket, tf, signed_tf); densify downstream only if a model
+    needs it.
+
+    Hash identity across engines: bucket and sign derive from the two
+    48-bit halves of md5(token) — the corpus-wide convention
+    (llm/dedup.shingle_hashes) — so the DuckDB oracle reproduces every
+    cell exactly.
+
+    Scale shape: explode -> hash -> ONE map-side-combined groupBy
+    (doc_id, bucket); the shuffle carries <= n_features partials per
+    doc per task. No vocabulary state anywhere."""
+    from csv2db_spark.llm.corpus import tokens
+
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    md5 = F.md5("tok")
+    h1 = F.conv(F.substring(md5, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 13, 12), 16, 10).cast("long")
+    hashed = tok.select(
+        "doc_id",
+        (h1 % n_features).alias("bucket"),
+        F.when(h2 % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    return hashed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sum("sgn").alias("signed_tf"),
+    )

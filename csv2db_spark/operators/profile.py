@@ -81,6 +81,25 @@ def histogram_quantile(
     length distributions etc.) with the same exactness — the windows
     key on the group, so group count scales freely.
     """
+    counts = histogram_cells(df, col, lo, hi, n_buckets, group_cols)
+    return histogram_quantile_from_cells(
+        counts, lo, hi, n_buckets, qs, group_cols
+    )
+
+
+def histogram_cells(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 100,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The binning half of ``histogram_quantile``: equal-width bucket
+    counts (group_cols..., bucket, cnt). Split out because the cells
+    are a MERGEABLE sketch — partials from disjoint batches fold by
+    plain SUM on (group, bucket) — which is what the streaming rollup
+    (q_stream_histogram_rollup) maintains incrementally."""
     group_cols = list(group_cols or [])
     width = (hi - lo) / n_buckets
     bucket = F.least(
@@ -90,11 +109,29 @@ def histogram_quantile(
         ),
         F.lit(n_buckets - 1),
     )
-    counts = (
+    return (
         df.select(*group_cols, bucket.alias("bucket"))
         .groupBy(*group_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def histogram_quantile_from_cells(
+    counts: DataFrame,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    qs: tuple[int, ...] = (25, 50, 75, 90),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The estimation half of ``histogram_quantile``: rank targets +
+    in-bucket interpolation over an existing (group, bucket, cnt) cell
+    table — built one-shot or merged incrementally, the estimates are
+    identical (the mergeable-sketch contract the streaming gate
+    hash-verifies)."""
+    group_cols = list(group_cols or [])
+    width = (hi - lo) / n_buckets
+    df = counts
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("bucket")

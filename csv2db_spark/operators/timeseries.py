@@ -519,3 +519,51 @@ def seasonal_decompose(
             ).alias("residual"),
         )
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-key ordinary-least-squares line fit from sufficient
+    statistics: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
+    (Σy − slope·Σx)/n — the one-pass closed form every monitoring
+    system uses for "is this metric drifting". ``x`` must be an
+    integer-valued column (epoch seconds, shifted near zero to keep
+    Σx² small) and ``y`` a DECIMAL quantization of the measurement, so
+    all five sufficient statistics are EXACT on any engine and the only
+    IEEE arithmetic is the final division chain in one fixed order —
+    bit-identical cross-engine, hash-checkable.
+
+    Keys with fewer than 2 points or a degenerate x range (den = 0)
+    are dropped — no line exists.
+
+    Scale shape: ONE map-side-combined aggregation per key (five
+    partial sums); the shuffle carries one 5-number partial per key per
+    task, never rows. The same statistics are mergeable, so an
+    incremental/streaming twin folds batches with plain +."""
+    xd = x.cast("decimal(18,0)")
+    s = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(xd).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(xd * y).alias("_sxy"),
+        F.sum(xd * xd).alias("_sxx"),
+    )
+    den = F.col("n_points") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num = F.col("n_points") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / F.col("n_points")
+    return (
+        s.where((F.col("n_points") >= 2) & (den != 0))
+        .select(
+            *key_cols,
+            "n_points",
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+        )
+    )

@@ -1383,3 +1383,68 @@ def q_src_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+
+
+def _sql_pagerank_k_cte(k: int) -> str:
+    """Chained-CTE mirror of k power iterations of operators/graph.py
+    pagerank_step over the supplier->customer trade graph: per-step
+    contributions quantized to DECIMAL(28,12) before the sum (exact,
+    order-free), damping in double on the identical summed value —
+    and the damping constant spelled (1 - 0.85) in DOUBLE to reproduce
+    Python's 0.15000000000000002 bit-for-bit."""
+    damp = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE)"
+    parts = [
+        """e AS (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1)"""
+    ]
+    for i in range(k):
+        rank_expr = (
+            "CAST(1 AS DOUBLE)" if i == 0 else "r.rank"
+        )
+        rank_join = "" if i == 0 else f" JOIN r{i - 1} r ON r.node = e.src"
+        parts.append(f"""c{i} AS (
+      SELECT e.dst AS node,
+             sum(CAST({rank_expr} / deg.out_deg AS DECIMAL(28,12))) AS in_sum
+      FROM e JOIN deg ON e.src = deg.node{rank_join}
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             {damp} * COALESCE(CAST(c.in_sum AS DOUBLE), 0.0) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+    )""")
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q_graph_pagerank_k3",
+    oracle=f"""
+    WITH {_sql_pagerank_k_cte(3)}
+    SELECT node, rank FROM r2
+    """,
+)
+def q_graph_pagerank_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE full PageRank power iterations through the driver-steered
+    loop (operators/graph.pagerank, tol=0 pins exactly k rounds) — the
+    gate that hash-verifies the ITERATION machinery (rank feedback,
+    localCheckpoint lineage cuts), not just one step. Oracle: the same
+    three steps as chained CTEs, same decimal-quantized contribution
+    sums, same double damping fold. Two keyed map-combinable shuffles
+    per round; rank vectors never leave executors."""
+    from csv2db_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, max_iter=3, tol=0.0)

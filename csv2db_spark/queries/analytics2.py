@@ -2375,3 +2375,53 @@ def q_text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p0",
         F.array_join(F.slice("t", start, length), " ").alias("snippet"),
     )
+
+
+# ------------------------------------------------------ linear trend
+
+_TREND_X0 = 1704067200  # 2024-01-01 UTC — shifts epoch x near zero
+
+
+@query(
+    "q_ts_linear_trend",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 1000000 - {_TREND_X0} AS DECIMAL(18,0)) AS x,
+             CAST(value AS DECIMAL(14,2)) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, n_points,
+           CAST(n_points * sxy - sx * sy AS DOUBLE)
+             / CAST(n_points * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n_points * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_points * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n_points AS intercept
+    FROM s
+    WHERE n_points >= 2 AND n_points * sxx - sx * sx <> 0
+    """,
+)
+def q_ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS drift line over event values
+    (operators/timeseries.linear_trend): five exact-decimal sufficient
+    statistics in one map-combined aggregation, one fixed-order IEEE
+    division chain at the end — slope/intercept bit-identical to the
+    oracle. x = epoch seconds shifted to 2024-01-01 so Σx² stays tiny
+    within DECIMAL(38); y quantized to cents like every value gate."""
+    from csv2db_spark.operators.timeseries import linear_trend
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = (
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        - F.lit(_TREND_X0)
+    )
+    return linear_trend(
+        ev, ["user_id"], x=x, y=F.col("value").cast("decimal(14,2)")
+    )

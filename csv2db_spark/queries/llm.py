@@ -1329,3 +1329,31 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens("text")).cast("long").alias("score")
     )
     return D.keep_best_representative(comp, quality)
+
+
+@query(
+    "q_text_feature_hash",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64 AS bucket,
+             CASE WHEN CAST('0x' || substr(md5(tok), 13, 12) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM t
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf,
+           CAST(sum(sgn) AS BIGINT) AS signed_tf
+    FROM h GROUP BY 1, 2
+    """,
+)
+def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (llm/text.feature_hash_tf): 64-bucket
+    signed term frequencies per document, every cell hash-verified via
+    the shared md5 half-split convention. No vocabulary pass, no
+    broadcast state — the 100 TB featurizer."""
+    return X.feature_hash_tf(load_table(spark, sf_dir, "documents"))

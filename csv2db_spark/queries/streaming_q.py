@@ -369,6 +369,93 @@ def q_stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_histogram_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             least(greatest(CAST(floor((value - 0.0) / 10.0) AS BIGINT), 0), 49)
+               AS bucket
+      FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (SELECT event_type, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM counts
+    ),
+    qs AS (SELECT unnest([50, 90, 99]) AS q),
+    hits AS (
+      SELECT event_type, q, bucket, cnt, cum,
+             CAST(-floor(-(q * n) / 100) AS BIGINT) AS target_rank,
+             row_number() OVER (PARTITION BY event_type, q ORDER BY bucket) AS rn
+      FROM cum CROSS JOIN qs
+      WHERE cum >= -floor(-(q * n) / 100)
+    )
+    SELECT event_type, q, target_rank, bucket,
+           0.0 + 10.0 * (bucket + CAST(target_rank - (cum - cnt) AS DOUBLE)
+                                  / cnt) AS est_value
+    FROM hits WHERE rn = 1
+    """,
+)
+def q_stream_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-event-type latency/value percentiles: each
+    micro-batch bins its values (operators/profile.histogram_cells) and
+    the standing cell store folds by SUM through the idempotent rollup
+    sink — equal-width histogram cells are the third mergeable sketch
+    next to the HLL (MAX-merge) and count-min (SUM-merge) rollups, and
+    the one that answers "p99 right now" on an unbounded stream with
+    <= groups x n_buckets rows of state forever. The final estimates
+    (histogram_quantile_from_cells) are computed from the MERGED cells
+    and hash-match a one-shot batch build over the whole fixture — the
+    mergeable-sketch contract under streaming delivery."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.operators.profile import (
+        histogram_cells,
+        histogram_quantile_from_cells,
+    )
+    from csv2db_spark.streaming import events_stream
+    from csv2db_spark.streaming.ops import stream_rollup_to_parquet
+
+    LO, HI, NB = 0.0, 500.0, 50
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        return histogram_cells(
+            batch_df.where(F.col("value").isNotNull()),
+            "value",
+            LO,
+            HI,
+            NB,
+            ["event_type"],
+        )
+
+    work = tempfile.mkdtemp(prefix="c2s_hist_rollup_")
+    store = f"{work}/store"
+    try:
+        stream_rollup_to_parquet(
+            events_stream(spark, sf_dir),
+            store,
+            agg_builder=partial,
+            keys=["event_type", "bucket"],
+            sums=["cnt"],
+            checkpoint=f"{work}/ckpt",
+        )
+        cells = spark.read.parquet(store).select("event_type", "bucket", "cnt")
+        out = histogram_quantile_from_cells(
+            cells, LO, HI, NB, (50, 90, 99), ["event_type"]
+        )
+        # distributed materialization (see q_stream_hll_rollup): no
+        # driver collect in the gate plan, store removable right after
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@query(
     "q_stream_countmin_rollup",
     oracle=f"""
     WITH e AS ({_E}),

@@ -90,7 +90,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_embed_drift, q_stream_attribution, q_text_kwic_snippets;
 # (new in round 6) q_dedup_minhash_lsh_xxh (rows-only),
 # q_sim_ann_lsh_recall, q_sim_ann_ivf_recall (empty-set hash oracles),
-# q_curate_normalize_text, q_curate_pseudonymize, q_dedup_keep_best.
+# q_curate_normalize_text, q_curate_pseudonymize, q_dedup_keep_best,
+# q_ts_linear_trend, q_graph_pagerank_k3, q_text_feature_hash,
+# q_stream_histogram_rollup.
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -686,3 +686,38 @@ def test_hll_setops_empty_side_returns_zeroish_not_null(spark):
     # hll_distinct) gives alpha*m ~= 45.4 for 64 all-zero registers
     assert row.est_a < 50.0
     assert abs(row.est_union - row.est_b) < 1e-9  # union with ∅ = b
+
+
+def test_linear_trend_matches_python_closed_form(spark):
+    from decimal import Decimal
+
+    from csv2db_spark.operators.timeseries import linear_trend
+
+    rows = [
+        ("a", 0, "1.00"), ("a", 10, "2.50"), ("a", 20, "3.75"),
+        ("b", 5, "7.00"), ("b", 6, "7.00"),
+        ("c", 3, "9.99"),                      # single point: dropped
+        ("d", 4, "1.00"), ("d", 4, "5.00"),    # degenerate x: dropped
+    ]
+    df = spark.createDataFrame(
+        [(k, x, Decimal(y)) for k, x, y in rows],
+        "k string, x bigint, y decimal(14,2)",
+    )
+    got = {
+        r.k: r for r in linear_trend(df, ["k"], F.col("x"), F.col("y")).collect()
+    }
+    assert set(got) == {"a", "b"}
+    import numpy as np
+
+    for k in ("a", "b"):
+        xs = np.array([x for kk, x, _ in rows if kk == k], dtype=float)
+        ys = np.array([float(y) for kk, _, y in rows if kk == k])
+        n = len(xs)
+        den = n * (xs * xs).sum() - xs.sum() ** 2
+        slope = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / den
+        intercept = (ys.sum() - slope * xs.sum()) / n
+        assert got[k].n_points == n
+        assert abs(got[k].slope - slope) < 1e-12
+        assert abs(got[k].intercept - intercept) < 1e-12
+    # flat series: exact zero slope
+    assert got["b"].slope == 0.0 and got["b"].intercept == 7.0
