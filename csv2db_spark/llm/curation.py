@@ -646,3 +646,63 @@ def pseudonymize(
         )
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
     return out
+
+
+# --------------------------------------------------------------- domain cap
+
+
+def domain_cap(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    salt: str = "cap",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap — the CCNet/Gopher-style guard against
+    one domain flooding the training mix: keep at most ``k`` documents
+    per group, chosen as a deterministic uniform sample (rank by
+    md5(salt|id) within the group; the hash order is a random
+    permutation that every engine and every re-run reproduces, and a
+    salt change redraws it). Returns the surviving rows plus their
+    ``cap_rank``.
+
+    Scale shape: one window over the group — the shuffle carries only
+    (group, hash) ordering state; with the usual power-law domain
+    sizes, the heaviest domain is one partition, so for extreme skew
+    pre-filter with a count-based TABLESAMPLE before the exact cap."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("cap_rank", F.row_number().over(w))
+        .where(F.col("cap_rank") <= k)
+    )
+
+
+# ------------------------------------------------------ leakage-safe split
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+) -> DataFrame:
+    """Split assignment keyed on the duplicate-cluster REPRESENTATIVE
+    instead of the document: every member of a near-dup cluster lands
+    in the same split, so a test document can never have a training
+    twin — the leakage mode plain per-doc hashing cannot prevent.
+    ``clusters`` is (id, component) from connected components over
+    near-dup pairs; docs absent from it (no near-dup) key on their own
+    id. Same md5-threshold band assignment as ``assign_split``.
+
+    Scale shape: one left join against the (small — only docs WITH a
+    near-dup) cluster table, then a scan projection; broadcastable
+    whenever dups are a corpus minority."""
+    j = docs.join(
+        clusters.select(F.col(id_col), F.col(cluster_col)), id_col, "left"
+    )
+    j = j.withColumn(
+        "_split_key", F.coalesce(F.col(cluster_col), F.col(id_col))
+    )
+    return assign_split(j, fractions, id_col="_split_key").drop("_split_key")

@@ -542,16 +542,34 @@ def linear_trend(
 
     Scale shape: ONE map-side-combined aggregation per key (five
     partial sums); the shuffle carries one 5-number partial per key per
-    task, never rows. The same statistics are mergeable, so an
-    incremental/streaming twin folds batches with plain +."""
+    task, never rows. The same statistics are mergeable
+    (trend_sufficient_stats partials fold with plain +), which is what
+    the streaming rollup gate maintains incrementally."""
+    return trend_from_stats(
+        trend_sufficient_stats(df, key_cols, x, y), key_cols
+    )
+
+
+def trend_sufficient_stats(
+    df: DataFrame, key_cols: list[str], x: Column, y: Column
+) -> DataFrame:
+    """The five OLS sufficient statistics per key — exact decimals, all
+    additive, so disjoint-batch partials merge by SUM (the mergeable-
+    sketch property the streaming trend rollup relies on)."""
     xd = x.cast("decimal(18,0)")
-    s = df.groupBy(*key_cols).agg(
+    return df.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n_points"),
         F.sum(xd).alias("_sx"),
         F.sum(y).alias("_sy"),
         F.sum(xd * y).alias("_sxy"),
         F.sum(xd * xd).alias("_sxx"),
     )
+
+
+def trend_from_stats(s: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Finish the OLS fit from (merged) sufficient statistics — the
+    division chain runs on exact decimal inputs in one fixed order, so
+    one-shot and incrementally-merged statistics yield identical bits."""
     den = F.col("n_points") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     num = F.col("n_points") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     slope = num.cast("double") / den.cast("double")

@@ -948,3 +948,33 @@ def q_curate_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type").alias("n_types"),
         )
     )
+
+
+# --------------------------------------------------------------- domain cap
+
+
+@query(
+    "q_curate_domain_cap",
+    oracle="""
+    SELECT doc_id, source, cap_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS cap_rank
+      FROM documents
+    ) WHERE cap_rank <= 5
+    """,
+)
+def q_curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (llm/curation.domain_cap, k=5): at most
+    five docs per source, picked by the deterministic md5 permutation —
+    the guard against one domain flooding a training mix. Exact
+    membership (not just counts) is hash-verified."""
+    from csv2db_spark.llm.curation import domain_cap
+
+    return domain_cap(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        group_col="source",
+        k=5,
+    )

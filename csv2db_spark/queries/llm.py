@@ -1357,3 +1357,69 @@ def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared md5 half-split convention. No vocabulary pass, no
     broadcast state — the 100 TB featurizer."""
     return X.feature_hash_tf(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_curate_leakage_safe_split",
+    oracle=f"""
+    {_CTE_EX.replace("WITH ", "WITH RECURSIVE ", 1)},
+    {_sql_minhash_cte().strip()},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    assigned AS (
+      SELECT g.doc_id,
+             c.component IS NOT NULL AS is_clustered,
+             CASE
+               WHEN md5(CAST(coalesce(c.component, g.doc_id) AS VARCHAR))
+                    < 'e6666666666668000000000000000000' THEN 'train'
+               WHEN md5(CAST(coalesce(c.component, g.doc_id) AS VARCHAR))
+                    < 'f3333333333330000000000000000000' THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM aug g LEFT JOIN comp c ON c.doc_id = g.doc_id
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_clustered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered,
+           min(doc_id) AS min_doc_id
+    FROM assigned GROUP BY split
+    """,
+)
+def q_curate_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test assignment
+    (llm/curation.leakage_safe_split): split membership hashes the
+    duplicate-cluster REPRESENTATIVE, so a test document can never have
+    a training twin — the leakage plain per-doc splits cannot prevent
+    (every-member-same-split is additionally pinned in pytest). Oracle:
+    recursive-CTE clusters + the same md5 threshold bands. Gate
+    aggregates per split with clustered-doc counts and a min-id
+    witness."""
+    from csv2db_spark.llm.curation import leakage_safe_split
+    from csv2db_spark.operators.graph import connected_components
+
+    docs = augmented_docs(spark, sf_dir)
+    ex = D.shingle_table(docs)
+    sig = D.minhash_signatures(D.shingle_hashes(ex))
+    cand = D.minhash_candidates(D.minhash_bands(sig))
+    comp = connected_components(cand, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    s = leakage_safe_split(docs, comp)
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("component").isNotNull().cast("long")).alias("n_clustered"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

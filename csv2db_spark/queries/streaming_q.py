@@ -559,3 +559,83 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = stateful_attribution(events_stream(spark, sf_dir), "1 hour")
     return run_to_df(out, spark, "append")
+
+
+_TREND_X0 = 1704067200  # 2024-01-01 UTC — mirrors q_ts_linear_trend
+
+
+@query(
+    "q_stream_trend_rollup",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 1000000 - {_TREND_X0} AS DECIMAL(18,0)) AS x,
+             CAST(value AS DECIMAL(14,2)) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, n_points,
+           CAST(n_points * sxy - sx * sy AS DOUBLE)
+             / CAST(n_points * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n_points * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_points * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n_points AS intercept
+    FROM s
+    WHERE n_points >= 2 AND n_points * sxx - sx * sx <> 0
+    """,
+)
+def q_stream_trend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user drift line: each micro-batch contributes its
+    five OLS sufficient statistics (operators/timeseries.
+    trend_sufficient_stats — exact decimals, all additive) and the
+    standing store folds them by SUM through the idempotent rollup
+    sink; slope/intercept are finished from the MERGED statistics
+    (trend_from_stats) and hash-match the one-shot batch fit over the
+    whole fixture — regression-as-a-mergeable-sketch, state = five
+    numbers per key forever. The answer to "is this metric drifting,
+    live" without ever re-scanning history."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.operators.timeseries import (
+        trend_from_stats,
+        trend_sufficient_stats,
+    )
+    from csv2db_spark.streaming import events_stream
+    from csv2db_spark.streaming.ops import stream_rollup_to_parquet
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        x = (
+            F.expr("unix_micros(ts_i) div 1000000") - F.lit(_TREND_X0)
+        )
+        return trend_sufficient_stats(
+            batch_df.where(F.col("value").isNotNull()),
+            ["user_id"],
+            x=x,
+            y=F.col("value").cast("decimal(14,2)"),
+        )
+
+    work = tempfile.mkdtemp(prefix="c2s_trend_rollup_")
+    store = f"{work}/store"
+    try:
+        stream_rollup_to_parquet(
+            events_stream(spark, sf_dir),
+            store,
+            agg_builder=partial,
+            keys=["user_id"],
+            sums=["n_points", "_sx", "_sy", "_sxy", "_sxx"],
+            checkpoint=f"{work}/ckpt",
+        )
+        stats = spark.read.parquet(store)
+        out = trend_from_stats(stats, ["user_id"])
+        # distributed materialization (see q_stream_hll_rollup)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

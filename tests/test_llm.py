@@ -627,3 +627,52 @@ def test_keep_best_exactly_one_kept_per_cluster(spark, sf_dir):
         best = kept[0]
         top = max(members, key=lambda m: (m.score, -m.doc_id))
         assert (best.score, best.doc_id) == (top.score, top.doc_id)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """The invariant the gate's aggregate can't show directly: every
+    member of a duplicate cluster gets the SAME split."""
+    from csv2db_spark.llm.curation import leakage_safe_split
+    from csv2db_spark.operators.graph import connected_components
+
+    docs = augmented_docs(spark, sf_dir)
+    ex = D.shingle_table(docs)
+    sig = D.minhash_signatures(D.shingle_hashes(ex))
+    cand = D.minhash_candidates(D.minhash_bands(sig))
+    comp = connected_components(cand, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    s = leakage_safe_split(docs, comp)
+    mixed = (
+        s.where(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert mixed == 0
+    # and every doc got exactly one split
+    assert s.where(F.col("split").isNull()).count() == 0
+    assert s.count() == docs.count()
+
+
+def test_domain_cap_bounds_and_determinism(spark, sf_dir):
+    from csv2db_spark.llm.curation import domain_cap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    capped = domain_cap(docs, k=5)
+    per = {r.source: r.n for r in
+           capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r.source: r.n for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in per.items():
+        assert n == min(5, avail[src])
+    # deterministic: same rows on a second run; different salt redraws
+    a = sorted((r.doc_id, r.source) for r in capped.collect())
+    b = sorted((r.doc_id, r.source) for r in domain_cap(docs, k=5).collect())
+    assert a == b
+    c = sorted(
+        (r.doc_id, r.source)
+        for r in domain_cap(docs, k=5, salt="other").collect()
+    )
+    assert a != c
