@@ -706,3 +706,28 @@ def leakage_safe_split(
         "_split_key", F.coalesce(F.col(cluster_col), F.col(id_col))
     )
     return assign_split(j, fractions, id_col="_split_key").drop("_split_key")
+
+
+# -------------------------------------------------- score normalization
+
+
+def score_quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Percent-rank a quality score WITHIN each source so scores become
+    comparable ACROSS sources — the fix for mixing heterogeneous
+    quality signals (a "0.7" from a clean-wiki scorer and from a
+    web-crawl scorer mean different things; their within-source ranks
+    do not). Ties break on the id so the rank is total and
+    reproducible. Adds ``pct`` in [0, 1] ((rank-1)/(n-1), the
+    percent_rank definition — an exact integer ratio, one IEEE
+    division, hash-checkable).
+
+    One keyed window per group; the common next step is a corpus-wide
+    quantile filter on ``pct`` (see quantile_filter), now fair across
+    sources."""
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    return df.withColumn("pct", F.percent_rank().over(w))

@@ -1448,3 +1448,73 @@ def q_graph_pagerank_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, max_iter=3, tol=0.0)
+
+
+# --------------------------------------------------- record linkage (ER)
+
+
+@query(
+    "q_link_sorted_neighborhood",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey AS id, reverse(c_name) AS k FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, reverse('K' || substr(c_name, 2))
+      FROM customer WHERE c_custkey % 50 = 0
+    ),
+    w AS (SELECT id, k, substr(k, 1, 1) AS blk FROM c),
+    l AS (
+      SELECT id, k,
+             lead(id, 1) OVER win AS id1, lead(k, 1) OVER win AS k1,
+             lead(id, 2) OVER win AS id2, lead(k, 2) OVER win AS k2
+      FROM w WINDOW win AS (PARTITION BY blk ORDER BY k, id)
+    ),
+    raw_pairs AS (
+      SELECT id AS a, id1 AS b, k AS ka, k1 AS kb FROM l WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT id, id2, k, k2 FROM l WHERE id2 IS NOT NULL
+    ),
+    pairs AS (
+      SELECT DISTINCT
+             least(a, b) AS id_a, greatest(a, b) AS id_b,
+             CASE WHEN a < b THEN ka ELSE kb END AS key_a,
+             CASE WHEN a < b THEN kb ELSE ka END AS key_b
+      FROM raw_pairs
+    )
+    SELECT id_a, id_b, levenshtein(key_a, key_b) AS lev
+    FROM pairs WHERE levenshtein(key_a, key_b) <= 2
+    """,
+)
+def q_link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by sorted-neighborhood blocking
+    (operators/linkage.py): typo'd clones of every 50th customer are
+    injected (first name char flipped, id + 1e6, identically in the
+    oracle), the sort key is the REVERSED name — the classic multi-pass
+    SN key that (a) spreads blocks across the trailing digits and
+    (b) keeps a leading-char typo sort-adjacent to its original — the
+    prefix-blocked window proposes linear candidates and
+    Levenshtein <= 2 classifies matches. Block -> compare -> classify
+    with the quadratic step bounded by the window, hash-verified
+    end-to-end. One keyed window shuffle; no corpus self-join."""
+    from csv2db_spark.operators.linkage import (
+        edit_distance_matches,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.reverse(F.col("c_name")).alias("k")
+    )
+    clones = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("id"),
+            F.reverse(
+                F.concat(F.lit("K"), F.substring(F.col("c_name"), 2, 1 << 20))
+            ).alias("k"),
+        )
+    )
+    pairs = sorted_neighborhood_pairs(
+        cust.unionByName(clones), key_col="k", id_col="id"
+    )
+    return edit_distance_matches(pairs, max_distance=2)

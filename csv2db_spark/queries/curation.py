@@ -978,3 +978,29 @@ def q_curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="source",
         k=5,
     )
+
+
+# -------------------------------------------------- score normalization
+
+
+@query(
+    "q_curate_score_quantile_norm",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+             AS pct
+    FROM documents
+    """,
+)
+def q_curate_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percent-rank of a quality score
+    (llm/curation.score_quantile_normalize) — makes scores comparable
+    across heterogeneous sources before a corpus-wide quantile filter.
+    (rank-1)/(n-1) is an exact integer ratio, so the normalized scores
+    hash-match. One keyed window per source."""
+    from csv2db_spark.llm.curation import score_quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return score_quantile_normalize(docs, "source", "n_chars")

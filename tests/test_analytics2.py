@@ -721,3 +721,37 @@ def test_linear_trend_matches_python_closed_form(spark):
         assert abs(got[k].intercept - intercept) < 1e-12
     # flat series: exact zero slope
     assert got["b"].slope == 0.0 and got["b"].intercept == 7.0
+
+
+def test_sorted_neighborhood_recovers_injected_typos(spark, sf_dir):
+    """Every injected clone (first char flipped, reversed-name key) must
+    be matched back to its original at lev=1; candidates stay linear."""
+    from csv2db_spark.operators.linkage import (
+        edit_distance_matches,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.reverse(F.col("c_name")).alias("k")
+    )
+    clones = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("id"),
+            F.reverse(
+                F.concat(F.lit("K"), F.substring(F.col("c_name"), 2, 1 << 20))
+            ).alias("k"),
+        )
+    )
+    both = cust.unionByName(clones)
+    pairs = sorted_neighborhood_pairs(both, key_col="k", id_col="id")
+    # linear candidate volume: <= (window-1) * n
+    assert pairs.count() <= 2 * both.count()
+    got = {
+        (r.id_a, r.id_b): r.lev
+        for r in edit_distance_matches(pairs, 2).collect()
+    }
+    for r in clones.collect():
+        orig = r.id - 1000000
+        assert got.get((orig, r.id)) == 1, (orig, r.id)
