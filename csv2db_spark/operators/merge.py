@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -173,3 +173,47 @@ def scd2_build(
         F.lead(ts_col).over(w).alias("effective_to"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture feed (op ∈ I/U/D with a per-key
+    version order) onto a base snapshot — the consumer side of Debezium
+    / Delta change feeds, for plain DataFrames: the LATEST change per
+    key wins (ties broken on the op so a same-version D beats the I/U
+    it tombstones), D deletes the key, I/U replace the row, unchanged
+    base keys pass through.
+
+    Scale shape: one window over the CHANGE FEED per key (latest-wins
+    compaction — feed-sized, not table-sized) and one full-outer join
+    against the base on the key; no table rewrite beyond the join. At
+    100 TB the base never shuffles more than once and partition-pruned
+    storage (sink.targeted_delete / partition_append) takes over below
+    this operator."""
+    keys = list(keys)
+    data_cols = [c for c in base.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", version_col)
+    )
+    joined = base.alias("b").join(latest.alias("c"), keys, "full_outer")
+    keep_change = F.col(f"c.{op_col}").isNotNull() & (
+        F.col(f"c.{op_col}") != "D"
+    )
+    keep_base = F.col(f"c.{op_col}").isNull()
+    out_cols = [F.col(k) for k in keys] + [
+        F.when(keep_change, F.col(f"c.{c}"))
+        .otherwise(F.col(f"b.{c}"))
+        .alias(c)
+        for c in data_cols
+    ]
+    return joined.where(keep_change | keep_base).select(*out_cols)

@@ -2425,3 +2425,75 @@ def q_ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_trend(
         ev, ["user_id"], x=x, y=F.col("value").cast("decimal(14,2)")
     )
+
+
+# ------------------------------------------------------ CDC apply
+
+_SQL_CDC_FEED = """
+base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+u AS (
+  SELECT o_orderkey, 'U' AS op, 1 AS version,
+         'U-' || o_orderstatus AS o_orderstatus,
+         o_totalprice + 1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+d AS (
+  SELECT o_orderkey, 'D' AS op, 2 AS version,
+         CAST(NULL AS VARCHAR) AS o_orderstatus,
+         CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+ch AS (SELECT * FROM u UNION ALL SELECT * FROM d),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY version DESC, op DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+)
+"""
+
+
+@query(
+    "q_cdc_apply",
+    oracle=f"""
+    WITH {_SQL_CDC_FEED.strip()}
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM latest WHERE op = 'U'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume a change-data-capture feed (operators/merge.apply_cdc):
+    a synthesized I/U/D feed over orders — updates on keys % 5, deletes
+    on keys % 7 (so keys % 35 see BOTH and the higher-version delete
+    must win), inserts where the update key is absent from the base —
+    applied latest-wins. The applied snapshot is hash-compared row for
+    row. Feed compaction is one feed-sized window; the base shuffles
+    once for the full-outer join."""
+    from csv2db_spark.operators.merge import apply_cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    u = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("version"),
+        F.concat(F.lit("U-"), F.col("o_orderstatus")).alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+    )
+    d = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("version"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    return apply_cdc(base, u.unionByName(d), ["o_orderkey"])

@@ -234,3 +234,38 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return out
+
+
+@query(
+    "q_sink_compaction_plan",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(o_orderkey % 16 AS BIGINT) AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT file_id, n_rows,
+             sum(n_rows) OVER (ORDER BY n_rows DESC, file_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM m
+    )
+    SELECT file_id, n_rows,
+           CAST(floor((cum - n_rows) / 1500.0) AS BIGINT) AS bin
+    FROM c
+    """,
+)
+def q_sink_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning (sink.plan_compaction): a 16-file manifest
+    (sizes derived relationally so both engines see identical numbers)
+    grouped into ~1500-row rewrite bins by deterministic sequential
+    fill — the plan that turns small-file cleanup into bounded per-bin
+    jobs. The manifest window is file-count-sized, never row data."""
+    from csv2db_spark.sink import plan_compaction
+
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy((F.col("o_orderkey") % 16).alias("file_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return plan_compaction(m, "n_rows", target=1500)

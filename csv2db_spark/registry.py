@@ -94,7 +94,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_ts_linear_trend, q_graph_pagerank_k3, q_text_feature_hash,
 # q_stream_histogram_rollup, q_curate_domain_cap,
 # q_curate_leakage_safe_split, q_stream_trend_rollup,
-# q_link_sorted_neighborhood, q_curate_score_quantile_norm.
+# q_link_sorted_neighborhood, q_curate_score_quantile_norm,
+# q_cdc_apply, q_sink_compaction_plan.
 
 
 def load_all_queries() -> dict[str, QueryDef]:

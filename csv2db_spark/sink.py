@@ -690,3 +690,37 @@ def targeted_delete(
     _shutil.rmtree(tmp, ignore_errors=True)
     _shutil.rmtree(bak, ignore_errors=True)
     return stats
+
+
+def plan_compaction(
+    manifest: DataFrame,
+    size_col: str,
+    target: int,
+    id_col: str = "file_id",
+) -> DataFrame:
+    """Small-file compaction PLANNER: group a (file, size) manifest into
+    rewrite bins of ~``target`` size by sequential fill over the
+    size-descending order (bin = the target-multiple the file's
+    cumulative start offset falls in) — deterministic, engine-agnostic,
+    so the plan itself is hash-checkable. Each bin is then one bounded
+    rewrite job (compact_parquet over its members) instead of the
+    all-or-nothing full-table rewrite; at 100 TB you compact the
+    long tail of small files without ever touching the big healthy
+    ones in the same job.
+
+    The window is a GLOBAL sort — fine here because the input is a
+    manifest (one row per file), never row data; a 100 TB table is
+    ~10^5 files = a driver-trivial frame."""
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F
+
+    w = (
+        _W.orderBy(F.col(size_col).desc(), F.col(id_col))
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    cum = F.sum(size_col).over(w)
+    return manifest.select(
+        id_col,
+        size_col,
+        F.floor((cum - F.col(size_col)) / F.lit(float(target))).alias("bin"),
+    )

@@ -755,3 +755,25 @@ def test_sorted_neighborhood_recovers_injected_typos(spark, sf_dir):
     for r in clones.collect():
         orig = r.id - 1000000
         assert got.get((orig, r.id)) == 1, (orig, r.id)
+
+
+def test_apply_cdc_semantics(spark):
+    from csv2db_spark.operators.merge import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", 1, "b2"),     # update
+            (3, "U", 1, "c2"),     # update...
+            (3, "D", 2, None),     # ...then delete: D wins (higher version)
+            (4, "U", 1, "d"),      # insert (absent from base)
+            (5, "D", 1, None),     # delete of a key that never existed
+            (1, "U", 1, "a1"),     # update...
+            (1, "U", 2, "a2"),     # ...superseded by higher version
+        ],
+        "k bigint, op string, version int, v string",
+    )
+    got = {r.k: r.v for r in apply_cdc(base, changes, ["k"]).collect()}
+    assert got == {1: "a2", 2: "b2", 4: "d"}
