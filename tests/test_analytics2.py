@@ -777,3 +777,29 @@ def test_apply_cdc_semantics(spark):
     )
     got = {r.k: r.v for r in apply_cdc(base, changes, ["k"]).collect()}
     assert got == {1: "a2", 2: "b2", 4: "d"}
+
+
+def test_histogram_cells_merge_equals_one_shot(spark, sf_dir):
+    """Mergeable-sketch property: cells built on two halves and SUM-merged
+    give identical quantile estimates to a one-shot build."""
+    from csv2db_spark.operators.profile import (
+        histogram_cells,
+        histogram_quantile_from_cells,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    args = ("value", 0.0, 500.0, 50)
+    whole = histogram_cells(ev, *args, ["event_type"])
+    a = histogram_cells(ev.where(F.col("event_id") % 2 == 0), *args, ["event_type"])
+    b = histogram_cells(ev.where(F.col("event_id") % 2 == 1), *args, ["event_type"])
+    merged = (
+        a.unionByName(b)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    est = lambda c: sorted(
+        map(tuple, histogram_quantile_from_cells(
+            c, 0.0, 500.0, 50, (50, 90, 99), ["event_type"]
+        ).collect())
+    )
+    assert est(whole) == est(merged)

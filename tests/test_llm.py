@@ -676,3 +676,23 @@ def test_domain_cap_bounds_and_determinism(spark, sf_dir):
         for r in domain_cap(docs, k=5, salt="other").collect()
     )
     assert a != c
+
+
+def test_feature_hash_mass_conservation(spark, sf_dir):
+    """Σ tf per doc == token count; buckets in range; signed |s| <= tf."""
+    from csv2db_spark.llm.text import feature_hash_tf
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    cells = feature_hash_tf(docs).collect()
+    per_doc: dict = {}
+    for r in cells:
+        assert 0 <= r.bucket < 64
+        assert abs(r.signed_tf) <= r.tf
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tf
+    want = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    assert per_doc == want
