@@ -248,8 +248,13 @@ def countmin_join_size(
             ).alias("ip")
         )
     )
+    # an empty sketch side (or no shared cells) leaves zero per-row
+    # inner products: the join size estimate is then 0, not NULL —
+    # same empty-input discipline as hll_set_estimates
     return per_row.agg(
-        F.min("ip").cast("decimal(38,0)").cast("long").alias("est_join_size")
+        F.coalesce(
+            F.min("ip").cast("decimal(38,0)").cast("long"), F.lit(0).cast("long")
+        ).alias("est_join_size")
     )
 
 

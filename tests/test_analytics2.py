@@ -803,3 +803,16 @@ def test_histogram_cells_merge_equals_one_shot(spark, sf_dir):
         ).collect())
     )
     assert est(whole) == est(merged)
+
+
+def test_countmin_join_size_empty_side_is_zero_not_null(spark):
+    from csv2db_spark.operators.sketch import countmin_build, countmin_join_size
+
+    a = countmin_build(
+        spark.range(100).select(F.col("id").cast("string").alias("item"))
+    )
+    empty = countmin_build(
+        spark.range(0).select(F.col("id").cast("string").alias("item"))
+    )
+    row = countmin_join_size(a, empty).collect()[0]
+    assert row.est_join_size == 0  # round-6 audit: was NULL
