@@ -714,6 +714,8 @@ def plan_compaction(
     from pyspark.sql import Window as _W
     from pyspark.sql import functions as F
 
+    if target <= 0:
+        raise ValueError(f"plan_compaction: target must be positive, got {target}")
     w = (
         _W.orderBy(F.col(size_col).desc(), F.col(id_col))
         .rowsBetween(_W.unboundedPreceding, 0)
