@@ -45,25 +45,32 @@ def sorted_neighborhood_pairs(
         *[F.lead("_id", j).over(w).alias(f"_id{j}") for j in range(1, window)],
         *[F.lead("_k", j).over(w).alias(f"_k{j}") for j in range(1, window)],
     )
-    parts = []
-    for j in range(1, window):
-        parts.append(
-            lagged.where(F.col(f"_id{j}").isNotNull()).select(
+    # one struct per successor, nulls (past the block end) filtered out,
+    # exploded — a union of per-offset selects would re-run the window
+    # (and its sort shuffle) once per branch; this keeps ONE window pass.
+    # Keys follow the id normalization so (key_a, key_b) always
+    # describes (id_a, id_b).
+    structs = [
+        F.when(
+            F.col(f"_id{j}").isNotNull(),
+            F.struct(
                 F.least("_id", f"_id{j}").alias("id_a"),
                 F.greatest("_id", f"_id{j}").alias("id_b"),
-                # keys follow the id normalization so (key_a, key_b)
-                # always describes (id_a, id_b)
                 F.when(F.col("_id") < F.col(f"_id{j}"), F.col("_k"))
                 .otherwise(F.col(f"_k{j}"))
                 .alias("key_a"),
                 F.when(F.col("_id") < F.col(f"_id{j}"), F.col(f"_k{j}"))
                 .otherwise(F.col("_k"))
                 .alias("key_b"),
-            )
+            ),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        for j in range(1, window)
+    ]
+    out = lagged.select(
+        F.explode(
+            F.filter(F.array(*structs), lambda x: x.isNotNull())
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.key_a", "p.key_b")
     return out.distinct()
 
 
