@@ -105,3 +105,49 @@ def test_hll_has_mapside_partial_aggregates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_agg_hll_distinct")
     assert "partial_" in plan  # register maxes combine before the wire
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_candidates_grouped_no_anti_join(spark, sf_dir):
+    """With the bucket cap active, candidates come from ONE band-table
+    aggregation + in-bucket expansion — the hot-count broadcast
+    anti-join + self-join formulation (3 shuffles) must not return."""
+    plan = _plan(spark, sf_dir, "q_dedup_minhash_lsh")
+    assert "BroadcastHashJoin LeftAnti" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_linkage_single_window_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_link_sorted_neighborhood")
+    # successor pairs explode from ONE lead window, not one per offset
+    assert plan.count("Window") == 1
+    assert "Python" not in plan  # levenshtein is codegen
+
+
+def test_linear_trend_single_mapcombined_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_ts_linear_trend")
+    assert plan.count("Exchange") == 1
+    assert "partial_" in plan  # five sufficient stats combine map-side
+
+
+def test_feature_hash_single_exchange_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_text_feature_hash")
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
+
+
+def test_cdc_apply_full_outer_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_cdc_apply")
+    # base shuffles exactly once into the full-outer join; the feed
+    # compaction window adds its own exchange — nothing else
+    assert plan.count("SortMergeJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pseudonymize_shuffles_tokens_not_scan_twice(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_curate_pseudonymize")
+    # the count(distinct) expansion legitimately needs two aggregate
+    # exchanges; anything beyond that (or a join) is a regression
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan and "Python" not in plan
+    # tokenization happens at the scan projection, before any shuffle
+    assert plan.index("md5") > plan.index("Exchange")  # md5 deepest
