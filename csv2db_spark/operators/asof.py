@@ -35,13 +35,21 @@ def asof_join(
     by: str | list[str],
     right_payload: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the most recent right row with
-    ``right[on] <= left[on]`` within the same ``by`` group.
+    ``right[on] <= left[on]`` within the same ``by`` group — or, with
+    ``direction="forward"``, the NEAREST FOLLOWING right row
+    (``right[on] >= left[on]``): the other half of pandas
+    ``merge_asof`` semantics, same single-shuffle union+window plan
+    with the sort reversed. Ties match in both directions (the right
+    row sorts before the left at equal timestamps).
 
-    Left rows with no prior right row keep NULL payload columns
-    (left-outer as-of semantics).
+    Left rows with no prior (resp. following) right row keep NULL
+    payload columns (left-outer as-of semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     by = [by] if isinstance(by, str) else list(by)
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in by and c != on]
@@ -65,9 +73,10 @@ def asof_join(
 
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
 
+    on_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col(_TAG).asc())
+        .orderBy(on_order, F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for dst in carried.values():

@@ -2497,3 +2497,61 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("o_totalprice"),
     )
     return apply_cdc(base, u.unionByName(d), ["o_orderkey"])
+
+
+@query(
+    "q_events_ab_welch_t",
+    oracle="""
+    WITH arms AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR))
+                       < '80000000000000000000000000000000'
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, CAST(value AS DECIMAL(14,2)) AS y
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    j AS (SELECT arm, y FROM p JOIN arms USING (user_id)),
+    s AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             sum(y) AS sx, sum(y * y) AS sxx
+      FROM j GROUP BY arm
+    ),
+    c AS (SELECT n AS n_a,
+                 CAST(sx AS DOUBLE) / n AS mean_a,
+                 CAST(n * sxx - sx * sx AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (n - 1)) AS var_a
+          FROM s WHERE arm = 'control'),
+    t AS (SELECT n AS n_b,
+                 CAST(sx AS DOUBLE) / n AS mean_b,
+                 CAST(n * sxx - sx * sx AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (n - 1)) AS var_b
+          FROM s WHERE arm = 'treatment')
+    SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+           (mean_b - mean_a) / sqrt(var_b / n_b + var_a / n_a) AS t_stat
+    FROM c, t
+    """,
+)
+def q_events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic for purchase value per arm
+    (operators/stats.welch_t_test): the continuous-metric sibling of
+    q_events_ab_lift's rate readout — same md5-banded arms, exact
+    decimal sufficient statistics, one fixed-order IEEE chain at the
+    end so even the t statistic hash-matches. One map-combined
+    aggregation + a 2-row join."""
+    from csv2db_spark.llm.curation import assign_split
+    from csv2db_spark.operators.stats import welch_t_test
+
+    ev = load_table(spark, sf_dir, "events")
+    arms = assign_split(
+        ev.select("user_id").distinct(),
+        fractions={"control": 0.5, "treatment": 0.5},
+        id_col="user_id",
+    ).select("user_id", F.col("split").alias("arm"))
+    purchases = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("user_id", F.col("value").cast("decimal(14,2)").alias("y"))
+    metrics = purchases.join(arms, "user_id")
+    return welch_t_test(metrics, "arm", F.col("y"))

@@ -438,3 +438,35 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, keys=["c_custkey"], compare=["c_acctbal"])
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, v.event_id AS error_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py direction='forward'): each
+    purchase picks the user's NEAREST FOLLOWING error — the
+    which-failure-came-next investigation join — vs DuckDB's native
+    forward ASOF (`<=`) as the oracle. Same single-shuffle union+window
+    plan as the backward gate, sort reversed."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_event_id")
+    )
+    return asof_join(
+        purchases,
+        errors,
+        on="ts",
+        by="user_id",
+        right_payload=["error_event_id"],
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "error_event_id")

@@ -95,7 +95,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_stream_histogram_rollup, q_curate_domain_cap,
 # q_curate_leakage_safe_split, q_stream_trend_rollup,
 # q_link_sorted_neighborhood, q_curate_score_quantile_norm,
-# q_cdc_apply, q_sink_compaction_plan.
+# q_cdc_apply, q_sink_compaction_plan, q_join_asof_forward,
+# q_events_ab_welch_t.
 
 
 def load_all_queries() -> dict[str, QueryDef]:

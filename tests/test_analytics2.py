@@ -816,3 +816,58 @@ def test_countmin_join_size_empty_side_is_zero_not_null(spark):
     )
     row = countmin_join_size(a, empty).collect()[0]
     assert row.est_join_size == 0  # round-6 audit: was NULL
+
+
+def test_welch_t_matches_numpy(spark):
+    import numpy as np
+    from decimal import Decimal
+
+    from csv2db_spark.operators.stats import welch_t_test
+
+    a = [1.25, 2.50, 3.00, 4.75, 2.25]
+    b = [3.00, 4.25, 5.50, 6.00]
+    rows = [("control", Decimal(f"{v:.2f}")) for v in a] + [
+        ("treatment", Decimal(f"{v:.2f}")) for v in b
+    ]
+    df = spark.createDataFrame(rows, "arm string, y decimal(14,2)")
+    r = welch_t_test(df, "arm", F.col("y")).collect()[0]
+    na, nb = len(a), len(b)
+    va = np.var(a, ddof=1)
+    vb = np.var(b, ddof=1)
+    t = (np.mean(b) - np.mean(a)) / np.sqrt(vb / nb + va / na)
+    assert r.n_a == na and r.n_b == nb
+    assert abs(r.mean_a - np.mean(a)) < 1e-12
+    assert abs(r.var_b - vb) < 1e-12
+    assert abs(r.t_stat - t) < 1e-12
+
+
+def test_asof_forward_picks_nearest_following(spark):
+    import datetime as dt
+
+    from csv2db_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(hours=5))], "user_id bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0 - dt.timedelta(hours=1), 100),  # before: never matches
+            (1, t0 + dt.timedelta(hours=2), 200),  # nearest following of row 1
+            (1, t0 + dt.timedelta(hours=9), 300),  # nearest following of row 2
+        ],
+        "user_id bigint, ts timestamp, payload int",
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id",
+        right_payload=["payload"], direction="forward",
+    )
+    got = {r.ts: r.payload for r in out.collect()}
+    assert got[t0] == 200
+    assert got[t0 + dt.timedelta(hours=5)] == 300
+    # tie matches inclusively
+    tie = asof_join(
+        left, right.withColumn("ts", F.lit(t0).cast("timestamp")),
+        on="ts", by="user_id", right_payload=["payload"], direction="forward",
+    )
+    assert {r.payload for r in tie.where(F.col("ts") == t0).collect()} != {None}
