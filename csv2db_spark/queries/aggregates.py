@@ -506,3 +506,50 @@ def q_agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_rows"),
         )
     )
+
+
+# Bound gates for the engine-specific sketches: the estimates cannot be
+# value-matched cross-engine, but their ACCURACY CONTRACT can — the
+# violations view is empty iff every estimate sits inside a loose bound
+# around the exact answer, hash-compared against an empty oracle (the
+# same driver-visible upgrade as the ANN recall floors).
+
+
+@query(
+    "q_agg_approx_distinct_bounds",
+    oracle="SELECT '' AS l_returnflag, 0.0 AS rel_err WHERE 1 = 0",
+)
+def q_agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violations of |approx_count_distinct - exact| / exact <= 0.10 per
+    group (rsd=0.02, so the bound is 5 sigma) — expected empty; a
+    sketch regression becomes a driver hash mismatch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("est"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    rel = F.abs(F.col("est") - F.col("exact")) / F.col("exact")
+    return both.select("l_returnflag", rel.alias("rel_err")).where(
+        F.col("rel_err") > 0.10
+    )
+
+
+@query(
+    "q_agg_approx_percentile_bounds",
+    oracle="SELECT '' AS l_returnflag, 0.0 AS p50_approx WHERE 1 = 0",
+)
+def q_agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violations of exact-p25 <= approx-p50 <= exact-p75 per group
+    (t-digest with accuracy 10000 sits far inside this) — expected
+    empty under ANY merge order, so the gate is deterministic even
+    though the t-digest blob itself is not."""
+    li = load_table(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_exact"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75_exact"),
+    )
+    return both.select("l_returnflag", "p50_approx").where(
+        (F.col("p50_approx") < F.col("p25_exact"))
+        | (F.col("p50_approx") > F.col("p75_exact"))
+    )

@@ -96,7 +96,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_curate_leakage_safe_split, q_stream_trend_rollup,
 # q_link_sorted_neighborhood, q_curate_score_quantile_norm,
 # q_cdc_apply, q_sink_compaction_plan, q_join_asof_forward,
-# q_events_ab_welch_t.
+# q_events_ab_welch_t, q_agg_approx_distinct_bounds,
+# q_agg_approx_percentile_bounds (empty-set accuracy-bound oracles).
 
 
 def load_all_queries() -> dict[str, QueryDef]:
