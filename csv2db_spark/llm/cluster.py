@@ -303,6 +303,35 @@ def covariance_matrix(
     )
 
 
+def _pca_train(
+    embeddings: DataFrame,
+    n_components: int,
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Shared PCA training step: covariance via the partial-Gram fold
+    (the only corpus pass), dim×dim eigendecomposition on the driver,
+    deterministic sign convention. Returns (comps (dim, k) ndarray,
+    eigenvalues list, descending)."""
+    import numpy as np
+
+    cov_rows = covariance_matrix(embeddings, vec_col=vec_col, dim=dim).collect()
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r.i, r.j] = C[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order]  # (dim, k)
+    # deterministic sign: make the largest-magnitude entry of each
+    # component positive
+    for c in range(comps.shape[1]):
+        i = np.argmax(np.abs(comps[:, c]))
+        if comps[i, c] < 0:
+            comps[:, c] = -comps[:, c]
+    evs = [float(vals[o]) for o in order]
+    return comps, evs
+
+
 def pca_project(
     embeddings: DataFrame,
     n_components: int = 8,
@@ -329,26 +358,20 @@ def pca_project(
     (dim² shuffle rows per batch), one scan to project (zero shuffle —
     the component matrix rides broadcast). Nothing corpus-sized moves.
     """
-    import numpy as np
+    comps, evs = _pca_train(embeddings, n_components, vec_col, dim)
+    return _pca_apply(embeddings, comps, id_col, vec_col), evs
 
-    cov_rows = covariance_matrix(embeddings, vec_col=vec_col, dim=dim).collect()
-    C = np.zeros((dim, dim))
-    for r in cov_rows:
-        C[r.i, r.j] = C[r.j, r.i] = r.cov
-    vals, vecs = np.linalg.eigh(C)  # ascending
-    order = np.argsort(vals)[::-1][:n_components]
-    comps = vecs[:, order]  # (dim, k)
-    # deterministic sign: make the largest-magnitude entry of each
-    # component positive
-    for c in range(comps.shape[1]):
-        i = np.argmax(np.abs(comps[:, c]))
-        if comps[i, c] < 0:
-            comps[:, c] = -comps[:, c]
-    evs = [float(vals[o]) for o in order]
+
+def _pca_apply(
+    embeddings: DataFrame, comps, id_col: str, vec_col: str
+) -> DataFrame:
+    """Map-only broadcast projection of the corpus onto trained
+    components (zero shuffle — the (dim, k) matrix rides as literals)."""
+    dim, k = comps.shape
     comp_lit = F.array(
         *[
             F.array(*[F.lit(float(comps[d, c])) for d in range(dim)])
-            for c in range(n_components)
+            for c in range(k)
         ]
     )
     v = F.col(vec_col)
@@ -360,5 +383,69 @@ def pca_project(
             lambda acc, x: acc + x,
         ),
     )
-    out = embeddings.select(F.col(id_col), proj.alias("components"))
-    return out, evs
+    return embeddings.select(F.col(id_col), proj.alias("components"))
+
+
+def pca_projection_violations(
+    embeddings: DataFrame,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    rel_tol: float = 0.02,
+) -> DataFrame:
+    """EMPTY iff the trained PCA satisfies its algebraic contract —
+    the driver-visible twin of the pytest pins on ``pca_project`` (the
+    same empty-oracle upgrade as the ANN recall floors): eigenvector
+    bits vary with the LAPACK build, but these three invariants hold on
+    EVERY correct build, so their violations view hash-compares against
+    an empty oracle.
+
+    Checks (one violation row per breach: contract, comp, err):
+    - ``eig_order``: eigenvalues strictly non-increasing.
+    - ``orthonormal``: max |CᵀC − I| entry ≤ 1e-8 (driver-side k²·d
+      work on the trained components, never rows).
+    - ``variance_match``: per-component sample variance of the
+      projected corpus within ``rel_tol`` of its eigenvalue —
+      var(X·w) = wᵀΣw = λ, translation-invariant so centering is not
+      required; the tolerance absorbs the decimal(9,4) quantization the
+      covariance pass shares with its oracle.
+
+    Scale shape: one corpus pass to train (dim² shuffle rows per
+    batch), one to project + var_samp (k values per row, map-side
+    partials) — nothing corpus-sized moves."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    comps, evs = _pca_train(embeddings, n_components, vec_col, dim)
+    k = comps.shape[1]
+
+    schema = "contract string, comp int, err double"
+    driver_viol: list[tuple[str, int, float]] = []
+    for c in range(1, k):
+        if evs[c] > evs[c - 1] + 1e-12:
+            driver_viol.append(("eig_order", c, float(evs[c] - evs[c - 1])))
+    gram_err = np.abs(comps.T @ comps - np.eye(k)).max()
+    if gram_err > 1e-8:
+        driver_viol.append(("orthonormal", -1, float(gram_err)))
+    head = spark.createDataFrame(driver_viol, schema)
+
+    projected = _pca_apply(embeddings, comps, "vec_id", vec_col)
+    ev_lookup = spark.createDataFrame(
+        [(c, float(evs[c])) for c in range(k)], "comp int, eigenvalue double"
+    )
+    var_viol = (
+        projected.select(F.posexplode("components").alias("comp", "val"))
+        .groupBy("comp")
+        .agg(F.var_samp("val").alias("proj_var"))
+        .join(F.broadcast(ev_lookup), "comp")
+        .select(
+            F.lit("variance_match").alias("contract"),
+            "comp",
+            (
+                F.abs(F.col("proj_var") - F.col("eigenvalue"))
+                / F.greatest(F.col("eigenvalue"), F.lit(1e-12))
+            ).alias("err"),
+        )
+        .where(F.col("err") > rel_tol)
+    )
+    return head.unionByName(var_viol)

@@ -2555,3 +2555,69 @@ def q_events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", F.col("value").cast("decimal(14,2)").alias("y"))
     metrics = purchases.join(arms, "user_id")
     return welch_t_test(metrics, "arm", F.col("y"))
+
+
+# ----------------------------------------- driver-visible approx-gate bounds
+# Round-6 continuation of the empty-oracle upgrade (see q_sim_ann_lsh_recall
+# in queries/llm.py): the PQ family and PCA stay rows-only for their raw
+# outputs, but their accuracy/algebra contracts become hash-checked
+# violations views against an empty oracle.
+
+_EMPTY_RECALL_ORACLE = (
+    "SELECT 'mean_recall@k' AS metric, 0.0 AS mean_recall WHERE 1 = 0"
+)
+
+
+@query("q_sim_ann_pq_recall", oracle=_EMPTY_RECALL_ORACLE)
+def q_sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall floor for the PQ index: violations of mean
+    recall@20 >= 0.2 vs the exact baseline (expected: none; measured
+    means 0.29-0.40 at sf0.001/0.01/0.1 — 8-byte codes with no refine
+    are coarse by design, the gate catches collapses, not tuning).
+    Same |queries|*k join shape as the LSH/IVF recall gates."""
+    from csv2db_spark.llm import similarity as S
+    from csv2db_spark.llm.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ann_recall_violations(
+        pq_topk(emb, queries, k=20),
+        S.cosine_topk(emb, queries, k=20),
+        min_mean_recall=0.2,
+    )
+
+
+@query("q_sim_ann_ivfpq_recall", oracle=_EMPTY_RECALL_ORACLE)
+def q_sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall floor for IVF-PQ with exact refine:
+    violations of mean recall@10 >= 0.35 vs the exact baseline
+    (expected: none; measured means 0.54-0.70 at sf0.001/0.01/0.1 —
+    the exact re-rank of the ADC shortlist buys back most of PQ's
+    coarseness)."""
+    from csv2db_spark.llm import similarity as S
+    from csv2db_spark.llm.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ann_recall_violations(
+        ivfpq_topk(emb, queries, k=10),
+        S.cosine_topk(emb, queries, k=10),
+        min_mean_recall=0.35,
+    )
+
+
+@query(
+    "q_embed_pca_bounds",
+    oracle="SELECT '' AS contract, 0 AS comp, 0.0 AS err WHERE 1 = 0",
+)
+def q_embed_pca_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible PCA contract (llm/cluster.pca_projection_violations):
+    eigenvalue ordering, component orthonormality, and the projected-
+    variance identity var(X·w_c) = lambda_c within 2% — true on every
+    correct LAPACK build even though eigenvector BITS differ, so the
+    violations view hash-compares against an empty oracle while the raw
+    projection gate stays rows-only."""
+    from csv2db_spark.llm.cluster import pca_projection_violations
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_projection_violations(emb, n_components=8)

@@ -369,6 +369,95 @@ def q_stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_ewma_parity",
+    oracle="SELECT CAST(0 AS BIGINT) AS user_id, 0.0 AS err WHERE 1 = 0",
+)
+def q_stream_ewma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible parity for the unbounded streaming EWMA — the
+    empty-oracle upgrade for the one stateful gate whose output no SQL
+    oracle can replay. Two INDEPENDENT implementations of the same
+    recursion y_t = a*x_t + (1-a)*y_{t-1}, y_1 = x_1:
+
+    - streaming: the sequential GroupState fold
+      (streaming/ops.stateful_ewma), final emission per key;
+    - batch: the closed form y_N = (1-a)^(N-1)x_1 +
+      sum_{i>1} a(1-a)^(N-i)x_i as one codegen window + aggregate —
+      pow()-weighted sum, a completely different fp evaluation order.
+
+    Violations = keys where the two disagree beyond 1e-8 relative (fp
+    reassociation noise is ~N*eps ~ 1e-13 here) or on observation
+    count. EMPTY means the streaming state machine (batching, state
+    carry, in-batch ordering) reproduces the mathematical recursion;
+    a state-loss or ordering regression surfaces as a driver hash
+    mismatch. The raw gate above stays rows-only as the liveness
+    check. Batch side orders by (ts, event_id) — any monotone image of
+    the stream's (ts_us, event_id) gives the identical permutation."""
+    from pyspark.sql import Window
+
+    from csv2db_spark.sources import load_table
+    from csv2db_spark.streaming import events_stream
+    from csv2db_spark.streaming.ops import run_to_df, stateful_ewma
+
+    alpha = 0.25
+    out = run_to_df(
+        stateful_ewma(events_stream(spark, sf_dir), "1 hour"), spark, "update"
+    )
+    final = out.groupBy("user_id").agg(
+        F.max_by("ewma", "n_obs").alias("ewma_s"),
+        F.max("n_obs").alias("n_s"),
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.col("value").cast("double")
+    terms = (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("n"),
+            x.alias("x"),
+        )
+        .select(
+            "user_id",
+            "n",
+            F.when(
+                F.col("rn") == 1,
+                F.pow(F.lit(1.0 - alpha), F.col("n") - 1) * F.col("x"),
+            )
+            .otherwise(
+                F.lit(alpha)
+                * F.pow(F.lit(1.0 - alpha), F.col("n") - F.col("rn"))
+                * F.col("x")
+            )
+            .alias("term"),
+        )
+    )
+    batch = terms.groupBy("user_id").agg(
+        F.sum("term").alias("ewma_b"), F.max("n").alias("n_b")
+    )
+    err = F.abs(F.col("ewma_s") - F.col("ewma_b")) / F.greatest(
+        F.abs(F.col("ewma_b")), F.lit(1e-6)
+    )
+    return (
+        final.join(batch, "user_id", "full")
+        .select(
+            "user_id",
+            F.when(
+                F.col("n_s").isNull()
+                | F.col("n_b").isNull()
+                | (F.col("n_s") != F.col("n_b")),
+                F.lit(1e9),
+            )
+            .otherwise(err)
+            .alias("err"),
+        )
+        .where(F.col("err") > 1e-8)
+    )
+
+
+@query(
     "q_stream_histogram_rollup",
     oracle="""
     WITH b AS (

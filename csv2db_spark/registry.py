@@ -97,7 +97,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_link_sorted_neighborhood, q_curate_score_quantile_norm,
 # q_cdc_apply, q_sink_compaction_plan, q_join_asof_forward,
 # q_events_ab_welch_t, q_agg_approx_distinct_bounds,
-# q_agg_approx_percentile_bounds (empty-set accuracy-bound oracles).
+# q_agg_approx_percentile_bounds, q_sim_ann_pq_recall,
+# q_sim_ann_ivfpq_recall, q_embed_pca_bounds, q_stream_ewma_parity
+# (empty-set accuracy/contract-bound oracles).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

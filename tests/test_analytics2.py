@@ -196,6 +196,20 @@ def test_pca_components_orthonormal_and_ordered(spark, sf_dir):
     assert np.allclose(var, evs, rtol=1e-2, atol=1e-6)
 
 
+def test_pca_violations_empty_and_detector_fires(spark, sf_dir):
+    """The q_embed_pca_bounds gate contract: the violations view is
+    empty at the shipped tolerance, and the detector is live — an
+    absurdly tight tolerance makes the variance_match rows appear
+    (measured projected-variance error is ~3e-5 relative, driven by the
+    decimal(9,4) covariance quantization)."""
+    from csv2db_spark.llm.cluster import pca_projection_violations
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert pca_projection_violations(emb, 8).count() == 0
+    fired = pca_projection_violations(emb, 8, rel_tol=1e-9)
+    assert fired.where(F.col("contract") == "variance_match").count() > 0
+
+
 def test_covariance_matches_numpy(spark, sf_dir):
     import numpy as np
 

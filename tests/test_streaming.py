@@ -87,6 +87,32 @@ def test_stateful_ewma_equals_python_fold(spark, sf_dir):
         assert ewma == y  # identical float fold, bit-exact
 
 
+def test_stream_ewma_parity_gate_empty_and_nonvacuous(spark, sf_dir):
+    """q_stream_ewma_parity: the violations view is empty (streaming
+    fold == batch closed form within 1e-8) and the comparison is not
+    vacuous — every user with non-NULL values appears on both sides of
+    the full join (a wiring bug that emptied either side would trip the
+    count check here even though the gate reads empty)."""
+    from csv2db_spark.queries.streaming_q import q_stream_ewma_parity
+    from csv2db_spark.sources import load_table
+    from csv2db_spark.streaming import events_stream
+    from csv2db_spark.streaming.ops import run_to_df, stateful_ewma
+
+    assert q_stream_ewma_parity(spark, sf_dir).count() == 0
+    out = run_to_df(
+        stateful_ewma(events_stream(spark, sf_dir), "1 hour"), spark, "update"
+    )
+    n_stream = out.select("user_id").distinct().count()
+    n_batch = (
+        load_table(spark, sf_dir, "events")
+        .where("value IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert n_stream == n_batch > 0
+
+
 def test_stateful_user_stats_skips_null_values(spark, tmp_path):
     """NULL measurements must not kill the query: pandas cannot cast
     NaN to int64, so the cents fold drops NULLs like SQL SUM
