@@ -163,3 +163,75 @@ def bpe_segment(
         toks.alias("tokens"),
         F.size(toks).alias("n_tokens"),
     )
+
+
+def bpe_train_violations(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """EMPTY iff the distributed BPE trainer reproduces, merge for
+    merge, an independent in-driver reference fold over the SAME
+    word-frequency table — the driver-visible twin of the pytest
+    equality pins on ``bpe_train`` (tests/test_analytics2.py), making
+    tokenizer-training regressions a hash mismatch instead of a
+    pytest-only property.
+
+    The reference is pure Python over the (syms, n) vocab — a
+    DIFFERENT evaluation of every step (Counter argmax vs distributed
+    sum+orderBy, list surgery vs the F.aggregate fold), so agreement
+    checks the codegen fold, the tie-break total order, and the
+    weighted pair counting. The vocab collect is bounded by |distinct
+    words| — the same driver-size class as the trainer's own one-row
+    per-round collect — and is a diagnostic gate, not the production
+    training path.
+
+    Violation rows: (rank, field, spark_val, ref_val) for every
+    component that disagrees, plus a length row if one side learned
+    fewer merges."""
+    from collections import Counter
+
+    spark = docs.sparkSession
+    merges = bpe_train(docs, n_merges, text_col)
+
+    vocab: Counter = Counter()
+    for r in _word_vocab(docs, text_col).collect():
+        vocab[tuple(r.syms)] += r.n
+    ref: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ref.append((rank, a, b, int(c)))
+        nv: Counter = Counter()
+        for syms, cnt in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            nv[tuple(ns)] += cnt
+        vocab = nv
+
+    viol: list[tuple[int, str, str, str]] = []
+    if len(merges) != len(ref):
+        viol.append((0, "n_merges", str(len(merges)), str(len(ref))))
+    for (rk_s, l_s, r_s, c_s), (rk_r, l_r, r_r, c_r) in zip(merges, ref):
+        for field, sv, rv in (
+            ("rank", rk_s, rk_r),
+            ("left", l_s, l_r),
+            ("right", r_s, r_r),
+            ("weighted_count", c_s, c_r),
+        ):
+            if sv != rv:
+                viol.append((rk_r, field, str(sv), str(rv)))
+    return spark.createDataFrame(
+        viol, "rank int, field string, spark_val string, ref_val string"
+    )

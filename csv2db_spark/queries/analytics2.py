@@ -1048,6 +1048,29 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_df(spark, docs, n_merges=8)
 
 
+@query(
+    "q_text_bpe_parity",
+    oracle="SELECT 0 AS rank, '' AS field, '' AS spark_val, '' AS ref_val "
+    "WHERE 1 = 0",
+)
+def q_text_bpe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible twin of the BPE pytest pins
+    (llm/bpe.bpe_train_violations): the distributed trainer's merge
+    sequence must equal, component for component, an independent pure-
+    Python greedy fold over the same word-frequency table — a different
+    evaluation of every step (Counter argmax vs distributed
+    sum+orderBy; list surgery vs the codegen F.aggregate merge fold).
+    The reference collect is |distinct words|-sized — the same bounded
+    driver class as the trainer's own one-row-per-round argmax — so
+    the check stays corpus-free. EMPTY means tokenizer training is
+    exactly reproducible cross-implementation; the raw merge-table
+    gate above stays rows-only as the liveness check."""
+    from csv2db_spark.llm.bpe import bpe_train_violations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_violations(docs, n_merges=8)
+
+
 # ------------------------------------------------------ winsorize / impute
 
 

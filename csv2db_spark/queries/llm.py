@@ -268,6 +268,61 @@ def q_dedup_minhash_lsh_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_minhash_xxh_precision",
+    oracle="SELECT CAST(0 AS BIGINT) AS doc_a, CAST(0 AS BIGINT) AS doc_b, "
+    "0.0 AS jaccard_xxh, 0.0 AS jaccard_true WHERE 1 = 0",
+)
+def q_dedup_minhash_xxh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible precision contract for the JVM-hash twin — the
+    empty-oracle upgrade for the one rows-only dedup gate: every pair
+    the xxh path emits must have the SAME Jaccard when recomputed from
+    the raw STRING shingle sets (an independent representation — the
+    gate verifies over 48-bit xxhash64 sets, this check over
+    ``array_distinct(shingles(...))`` strings, so a hash collision
+    inflating a set intersection, a banding bug emitting an unverified
+    pair, or a threshold regression all surface as violation rows and
+    therefore a driver hash mismatch). Set cardinalities are
+    hash-independent absent collisions, so the two rationals are
+    bit-identical doubles when healthy.
+
+    Scale shape: string sets are built only for docs in emitted pairs
+    (broadcast semi-filter, same discipline as the gate's own verify
+    stage); the comparison joins |pairs| rows."""
+    from csv2db_spark.llm.corpus import shingles, tokens
+
+    docs = augmented_docs(spark, sf_dir)
+    pairs = q_dedup_minhash_lsh_xxh(spark, sf_dir)
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ss = docs.join(F.broadcast(ids), "doc_id").where(
+        F.size(tokens("text")) >= 3
+    ).select(
+        "doc_id", F.array_distinct(shingles(tokens("text"))).alias("sset")
+    )
+    sa = ss.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa"))
+    sb = ss.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    true_j = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("jaccard").alias("jaccard_xxh"),
+            true_j.alias("jaccard_true"),
+        )
+        .where(
+            (F.col("jaccard_xxh") != F.col("jaccard_true"))
+            | (F.col("jaccard_true") < 0.5)
+        )
+    )
+
+
 # --------------------------------------------------- duplicate clustering
 
 

@@ -98,8 +98,10 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_cdc_apply, q_sink_compaction_plan, q_join_asof_forward,
 # q_events_ab_welch_t, q_agg_approx_distinct_bounds,
 # q_agg_approx_percentile_bounds, q_sim_ann_pq_recall,
-# q_sim_ann_ivfpq_recall, q_embed_pca_bounds, q_stream_ewma_parity
-# (empty-set accuracy/contract-bound oracles).
+# q_sim_ann_ivfpq_recall, q_embed_pca_bounds, q_stream_ewma_parity,
+# q_dedup_minhash_xxh_precision, q_text_bpe_parity (empty-set
+# accuracy/contract-bound oracles — with these every rows-only family
+# has a driver-hash-verified contract twin).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

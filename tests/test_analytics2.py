@@ -210,6 +210,32 @@ def test_pca_violations_empty_and_detector_fires(spark, sf_dir):
     assert fired.where(F.col("contract") == "variance_match").count() > 0
 
 
+def test_bpe_parity_gate_empty(spark, sf_dir):
+    """q_text_bpe_parity: distributed trainer == pure-Python reference
+    fold over the same word-count table, merge for merge (the detector
+    compares real sequences component-wise, so any divergence emits
+    rows — the pure-Python side is exercised independently by
+    test_bpe_train_matches_python_reference)."""
+    from csv2db_spark.llm.bpe import bpe_train_violations
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert bpe_train_violations(docs, n_merges=8).count() == 0
+
+
+def test_xxh_precision_gate_empty_and_nonvacuous(spark, sf_dir):
+    """q_dedup_minhash_xxh_precision: every emitted pair's hash-set
+    Jaccard equals the string-set Jaccard (empty violations), and the
+    comparison is over a NON-EMPTY pair set — an emptied candidate
+    stage would silently pass the gate but trips this count."""
+    from csv2db_spark.queries.llm import (
+        q_dedup_minhash_lsh_xxh,
+        q_dedup_minhash_xxh_precision,
+    )
+
+    assert q_dedup_minhash_xxh_precision(spark, sf_dir).count() == 0
+    assert q_dedup_minhash_lsh_xxh(spark, sf_dir).count() > 0
+
+
 def test_covariance_matches_numpy(spark, sf_dir):
     import numpy as np
 
