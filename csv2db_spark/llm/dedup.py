@@ -675,3 +675,51 @@ def keep_best_representative(
         F.col(score_col).desc(), F.col(id_col)
     )
     return j.withColumn("is_kept", F.row_number().over(w) == 1)
+
+
+def minhash_lsh_params(
+    threshold: float,
+    max_k: int = 256,
+    fn_weight: float = 1.0,
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for a target Jaccard ``threshold``
+    — the S-curve planning step every LSH deployment does before
+    committing a signature width. A pair with Jaccard s collides in at
+    least one of b bands of r rows with probability 1 - (1 - s^r)^b;
+    this picks the (b, r) with b*r <= max_k minimizing estimated error
+    mass around the threshold: the false-positive integral of the curve
+    below t plus ``fn_weight`` times the false-negative integral above
+    it (both by small fixed Simpson grids — deterministic, no RNG).
+    ``fn_weight`` > 1 biases toward recall (catch more true dups at the
+    cost of more candidates to verify), < 1 toward a cheaper verify
+    stage.
+
+    Use: (b, r) = minhash_lsh_params(0.5); k = b*r as MINHASH_K and r
+    as BAND_ROWS. The shipped defaults (4 x 3 at k=12) are what this
+    returns for threshold 0.5 at max_k=12 — pinned in tests so the
+    planner and the deployed constants cannot drift apart."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+
+    def collide(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    def simpson(f, lo: float, hi: float, n: int = 32) -> float:
+        h = (hi - lo) / n
+        acc = f(lo) + f(hi)
+        for i in range(1, n):
+            acc += f(lo + i * h) * (4 if i % 2 else 2)
+        return acc * h / 3.0
+
+    best: tuple[float, int, int] | None = None
+    for r in range(1, max_k + 1):
+        for b in range(1, max_k // r + 1):
+            fp = simpson(lambda s: collide(s, b, r), 0.0, threshold)
+            fn = simpson(lambda s: 1.0 - collide(s, b, r), threshold, 1.0)
+            err = fp + fn_weight * fn
+            # prefer smaller signatures on ties: cheaper shuffle state
+            key = (err, b * r, r)
+            if best is None or key < best[0]:
+                best = (key, b, r)
+    assert best is not None
+    return best[1], best[2]

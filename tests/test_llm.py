@@ -696,3 +696,33 @@ def test_feature_hash_mass_conservation(spark, sf_dir):
         ).collect()
     }
     assert per_doc == want
+
+
+def test_minhash_lsh_params_planner():
+    """The S-curve planner: reproduces the deployed constants at their
+    budget (so MINHASH_K/BAND_ROWS and the planner cannot silently
+    drift apart), puts the collision-curve midpoint (1/b)^(1/r) near
+    the target threshold, and moves the midpoint DOWN (more recall)
+    when false negatives are weighted up."""
+    from csv2db_spark.llm.dedup import (
+        BAND_ROWS,
+        MINHASH_K,
+        minhash_lsh_params,
+    )
+
+    b, r = minhash_lsh_params(0.5, max_k=MINHASH_K)
+    assert (b, r) == (MINHASH_K // BAND_ROWS, BAND_ROWS)
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = minhash_lsh_params(t, max_k=128)
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - t) < 0.15, (t, b, r, mid)
+
+    b_bal, r_bal = minhash_lsh_params(0.5, max_k=64)
+    b_rec, r_rec = minhash_lsh_params(0.5, max_k=64, fn_weight=3.0)
+    assert (1.0 / b_rec) ** (1.0 / r_rec) < (1.0 / b_bal) ** (1.0 / r_bal)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_lsh_params(1.0)
