@@ -511,6 +511,66 @@ def vocab_coverage(
     )
 
 
+def epoch_upsample(
+    docs: "DataFrame",
+    epochs: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 1.0,
+) -> "DataFrame":
+    """Materialize FRACTIONAL dataset repetition — the data-mixing step
+    the downsamplers above cannot express: a domain weighted at e = 2.4
+    epochs emits every row twice plus a third copy for a deterministic
+    40% of rows (md5-coin on the row id, the same engine-exact coin as
+    ``weighted_sample``), so the realized multiplicity is floor(e) or
+    ceil(e) per row and exactly e in distribution. e < 1 degrades to
+    plain downsampling (0 or 1 copies), making this the general mixing
+    primitive. Output repeats the row with ``epoch_idx`` (0-based copy
+    number) so a downstream shard shuffle can interleave copies instead
+    of clustering them.
+
+    Scale shape: pure map-side — a per-domain CASE for the base count,
+    one md5 compare for the fractional top-up, and an
+    explode(sequence(0, n-1)); no shuffle, no RNG state, reproducible
+    under any partitioning, and the output is at most ceil(max epoch)
+    times the scan (rows with n = 0 never leave the scan)."""
+    for dom, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs must be >= 0, got {e!r} for {dom!r}")
+    if default < 0:
+        raise ValueError(f"default epochs must be >= 0, got {default!r}")
+
+    def split(e: float) -> tuple[int, str]:
+        base = int(e)
+        return base, md5_threshold(e - base)
+
+    base_c = None
+    thr_c = None
+    for dom, e in sorted(epochs.items()):
+        b, t = split(e)
+        cond = F.col(domain_col) == dom
+        base_c = (F.when(cond, b) if base_c is None else base_c.when(cond, b))
+        thr_c = (
+            F.when(cond, F.lit(t)) if thr_c is None else thr_c.when(cond, F.lit(t))
+        )
+    db, dt = split(default)
+    base_c = F.lit(db) if base_c is None else base_c.otherwise(F.lit(db))
+    thr_c = F.lit(dt) if thr_c is None else thr_c.otherwise(F.lit(dt))
+
+    coin = F.md5(F.col(id_col).cast("string"))
+    n = base_c + F.when(coin < thr_c, 1).otherwise(0)
+    return (
+        docs.withColumn("_n_copies", n)
+        .where(F.col("_n_copies") > 0)
+        .select(
+            *docs.columns,
+            F.explode(
+                F.sequence(F.lit(0), F.col("_n_copies") - 1)
+            ).alias("epoch_idx"),
+        )
+    )
+
+
 def temperature_mix(
     docs: DataFrame,
     target_frac: float = 0.5,

@@ -408,6 +408,41 @@ def q_curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T_EPOCH_04 = C.md5_threshold(0.4)  # fractional part of src0's 2.4 epochs
+_T_EPOCH_05 = C.md5_threshold(0.5)  # src1: 0.5 epochs = pure downsample
+_T_EPOCH_00 = C.md5_threshold(0.0)  # default 1.0 epochs: no top-up coin
+
+
+@query(
+    "q_curate_epoch_upsample",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, source, lang,
+             (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+              + CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+                  CASE source WHEN 'src0' THEN '{_T_EPOCH_04}'
+                              WHEN 'src1' THEN '{_T_EPOCH_05}'
+                              ELSE '{_T_EPOCH_00}' END
+                THEN 1 ELSE 0 END) AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, source, lang, CAST(u.epoch_idx AS INT) AS epoch_idx
+    FROM n, UNNEST(range(n.n_copies)) AS u(epoch_idx)
+    """,
+)
+def q_curate_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional dataset repetition (llm/curation.epoch_upsample):
+    src0 at 2.4 epochs (every row twice + a deterministic 40% a third
+    time), src1 at 0.5 (the e < 1 downsample degenerate case),
+    everything else at exactly 1 — the Llama-style mixing recipe step
+    the pure downsamplers cannot express. Rows repeat with a 0-based
+    ``epoch_idx`` so a downstream shard shuffle interleaves copies.
+    Map-side only: per-domain CASE + one md5 coin + explode(sequence);
+    no shuffle anywhere."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return C.epoch_upsample(d, {"src0": 2.4, "src1": 0.5}, default=1.0)
+
+
 @query(
     "q_pipeline_curation_v2",
     oracle=f"""

@@ -911,3 +911,32 @@ def test_asof_forward_picks_nearest_following(spark):
         on="ts", by="user_id", right_payload=["payload"], direction="forward",
     )
     assert {r.payload for r in tie.where(F.col("ts") == t0).collect()} != {None}
+
+
+def test_epoch_upsample_multiplicities(spark, sf_dir):
+    """epoch_upsample: per-row multiplicity is floor(e) or ceil(e) for
+    the row's domain, epoch_idx is a dense 0..n-1 per row, e < 1
+    degrades to plain downsampling, reruns are identical, and negative
+    epochs are rejected."""
+    import pytest
+
+    from csv2db_spark.llm.curation import epoch_upsample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    out = epoch_upsample(docs, {"src0": 2.4, "src1": 0.5}, default=1.0)
+    pdf = out.toPandas()
+    per_row = pdf.groupby(["doc_id", "source"]).epoch_idx.agg(["count", "max"])
+    assert (per_row["max"] == per_row["count"] - 1).all()  # dense 0..n-1
+    src = per_row.reset_index()
+    for dom, lo, hi in (("src0", 2, 3), ("src1", 1, 1)):
+        n = src[src.source == dom]["count"]
+        if len(n):
+            assert n.between(lo, hi).all(), (dom, sorted(n.unique()))
+    # src1 rows appearing at all is the coin's 50% keep; every kept row once
+    others = src[~src.source.isin(["src0", "src1"])]["count"]
+    assert (others == 1).all()
+    assert pdf.equals(out.toPandas())  # deterministic rerun
+    with pytest.raises(ValueError):
+        epoch_upsample(docs, {"src0": -1.0})
