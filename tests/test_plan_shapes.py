@@ -151,3 +151,12 @@ def test_pseudonymize_shuffles_tokens_not_scan_twice(spark, sf_dir):
     assert "Join" not in plan and "Python" not in plan
     # tokenization happens at the scan projection, before any shuffle
     assert plan.index("md5") > plan.index("Exchange")  # md5 deepest
+
+
+def test_epoch_upsample_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_curate_epoch_upsample")
+    # fractional repetition is a pure map: CASE + md5 coin + explode —
+    # any Exchange here means the mixing step stopped streaming from
+    # the scan
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
