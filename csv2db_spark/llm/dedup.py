@@ -214,8 +214,25 @@ def minhash_doc_signatures_xxh(
     par = docs.sparkSession.sparkContext.defaultParallelism
     if slim.rdd.getNumPartitions() < par:
         slim = slim.repartition(par)
-    ex = slim.select(
-        "doc_id", F.explode(shingles(tokens(text_col))).alias("s")
+    # Shingle build WITHOUT a higher-order function: arrays_zip of three
+    # shifted slices + explode + concat_ws — every expression is
+    # whole-stage codegen (the generic shingles() helper's transform()
+    # lambda is interpreted, the single biggest cost of this pass).
+    # array_distinct is deliberately dropped: duplicate shingles cannot
+    # change a MIN aggregate, so the signatures are bit-identical while
+    # the per-row distinct sort disappears.
+    w = tokens(text_col)
+    m = F.size(w) - 2
+    z = F.arrays_zip(
+        F.slice(w, 1, m).alias("a"),
+        F.slice(w, 2, m).alias("b"),
+        F.slice(w, 3, m).alias("c"),
+    )
+    ex = slim.where(F.size(w) >= 3).select(
+        "doc_id", F.explode(z).alias("st")
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("st.a"), F.col("st.b"), F.col("st.c")).alias("s"),
     )
     h = ex.select(
         "doc_id",
