@@ -548,10 +548,12 @@ def bigram_lm_scores(
     doc_id-keyed sum. Two corpus-sized shuffles total."""
     toks = F.split(F.col(text_col), " ")
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(toks, 1, n1),
-        F.slice(toks, 2, n1),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    # arrays_zip, not zip_with: the packing needs no lambda, and
+    # zip_with's lambda body would run interpreted outside whole-stage
+    # codegen on every corpus row (see PLANS.md round-6 HOF pitfalls)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n1).alias("a"),
+        F.slice(toks, 2, n1).alias("b"),
     )
     occ = docs.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
         id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b")
