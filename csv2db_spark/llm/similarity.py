@@ -339,6 +339,137 @@ def ivf_ann_topk(
     )
 
 
+# ------------------------------------------------- persisted IVF index
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train an IVF index ONCE and persist it — the production ANN
+    lifecycle ``ivf_ann_topk`` compresses into a single call (train at
+    build time, query many times without refitting):
+
+    - ``{path}/centroids.parquet`` — (cell, weights): the k-means model,
+      k x dim doubles, tiny.
+    - ``{path}/postings`` — (neighbor_id, c_iv, c_nrm2) PARTITIONED BY
+      cell: the inverted lists ARE the partition layout, so a query
+      probing ``n_probe`` cells reads only those directories (partition
+      pruning), never the corpus. Scoring state (quantized vector +
+      norm) is precomputed at build time — query-time cost is pure
+      candidate scoring.
+
+    Cell assignment uses the fitted model's own transform, so the
+    persisted lists are identical to what the inline operator computes;
+    float64 centroids round-trip parquet exactly, which
+    ``q_sim_ann_ivf_persisted`` pins as an empty-oracle parity gate."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    fv = array_to_vector(F.col(vec_col).cast("array<double>"))
+    corpus_v = corpus.select(F.col(id_col), F.col(vec_col), fv.alias("_fv"))
+    model = KMeans(
+        k=n_centroids, seed=42, maxIter=8, featuresCol="_fv", predictionCol="_cell"
+    ).fit(corpus_v)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(len(centers))],
+        "cell int, weights array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+
+    c_iv = F.transform(F.col(vec_col), _iel)
+    postings = model.transform(corpus_v).select(
+        F.col(id_col).alias("neighbor_id"),
+        c_iv.alias("c_iv"),
+        F.aggregate(
+            F.transform(c_iv, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("c_nrm2"),
+        F.col("_cell").alias("cell"),
+    )
+    postings.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/postings"
+    )
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (``ivf_build_index``): load the tiny
+    centroid table to the driver, pick each query's ``n_probe`` nearest
+    cells (one Arrow matmul batch), then score ONLY the postings of the
+    probed cells — ``isin`` over the bounded probed-cell set reaches the
+    partitioned store as partition pruning, so unprobed cells are never
+    read. Same exact quantized-cosine scoring as the inline operator;
+    output matches ``ivf_ann_topk`` row for row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    crows = spark.read.parquet(f"{path}/centroids.parquet").collect()
+    centers = np.stack(
+        [np.asarray(r.weights) for r in sorted(crows, key=lambda r: r.cell)]
+    )
+    n_probe = min(n_probe, len(centers))
+
+    def _probe(v):
+        x = np.stack(v.to_numpy()).astype("float64")
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    probe_udf = pandas_udf(_probe, "array<int>")
+    q_iv = F.transform(F.col(vec_col), _iel)
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        q_iv.alias("q_iv"),
+        F.aggregate(
+            F.transform(q_iv, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_nrm2"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+    # bounded collect (<= |queries| * n_probe ints) so the cell filter is
+    # a PLAN-TIME literal: static partition pruning on the postings store
+    probed = sorted({r.cell for r in qb.select("cell").distinct().collect()})
+    postings = spark.read.parquet(f"{path}/postings").where(
+        F.col("cell").isin(probed)
+    )
+    cand = postings.join(F.broadcast(qb), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cos_from_parts(
+            dot_iv(F.col("q_iv"), F.col("c_iv")),
+            F.col("q_nrm2"),
+            F.col("c_nrm2"),
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 # ------------------------------------------- LSH all-pairs near-dup cosine
 
 

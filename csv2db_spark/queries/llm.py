@@ -666,6 +666,63 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
+@query(
+    "q_sim_ann_ivf_persisted",
+    oracle="SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS "
+    "neighbor_id, '' AS side WHERE 1 = 0",
+)
+def q_sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index parity for IVF (llm/similarity.ivf_build_index /
+    ivf_query_index): train once, write centroids + cell-PARTITIONED
+    postings to disk, reload, query — the (query_id, neighbor_id, rank,
+    cos_sim) results must equal the inline ``ivf_ann_topk`` exactly
+    (float64 centroids round-trip parquet bit-exactly; the postings
+    carry the same precomputed scoring state). Violations = rows on
+    either side of the full outer join that the other side lacks —
+    expected empty, hash-compared to an empty oracle. This is the
+    train-once / query-many ANN lifecycle, with partition pruning as
+    the probe mechanism at scale."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    inline = S.ivf_ann_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+
+    work = tempfile.mkdtemp(prefix="c2s_ivf_index_")
+    try:
+        S.ivf_build_index(emb, work, n_centroids=16)
+        persisted = S.ivf_query_index(spark, work, queries_df, k=10, n_probe=4)
+        a = inline.select("query_id", "neighbor_id", "rank", "cos_sim")
+        b = persisted.select("query_id", "neighbor_id", "rank", "cos_sim")
+        out = (
+            a.join(
+                b.withColumnRenamed("cos_sim", "cs_b"),
+                ["query_id", "neighbor_id", "rank"],
+                "full",
+            )
+            .where(
+                F.col("cos_sim").isNull()
+                | F.col("cs_b").isNull()
+                | (F.col("cos_sim") != F.col("cs_b"))
+            )
+            .select(
+                F.coalesce(F.col("query_id"), F.lit(-1)).alias("query_id"),
+                F.coalesce(F.col("neighbor_id"), F.lit(-1)).alias(
+                    "neighbor_id"
+                ),
+                F.when(F.col("cos_sim").isNull(), "persisted_only")
+                .when(F.col("cs_b").isNull(), "inline_only")
+                .otherwise("cos_mismatch")
+                .alias("side"),
+            )
+        )
+        # the index dir is deleted on return: materialize first
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # Self-checking recall gates: EMPTY output iff mean recall@10 clears the
 # bound, hash-compared against an empty oracle — so ANN regressions are
 # driver-visible (a rows/hash mismatch), not just pytest-visible. Bounds

@@ -101,7 +101,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_sim_ann_ivfpq_recall, q_embed_pca_bounds, q_stream_ewma_parity,
 # q_dedup_minhash_xxh_precision, q_text_bpe_parity (empty-set
 # accuracy/contract-bound oracles — with these every rows-only family
-# has a driver-hash-verified contract twin), q_curate_epoch_upsample.
+# has a driver-hash-verified contract twin), q_curate_epoch_upsample,
+# q_sim_ann_ivf_persisted (train-once/query-many index parity).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

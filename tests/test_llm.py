@@ -726,3 +726,25 @@ def test_minhash_lsh_params_planner():
 
     with pytest.raises(ValueError):
         minhash_lsh_params(1.0)
+
+
+def test_ivf_persisted_index_roundtrip(spark, sf_dir, tmp_path):
+    """ivf_build_index / ivf_query_index: the store is laid out as
+    cell-partitioned postings (partition pruning IS the probe
+    mechanism), reload + query equals the inline operator row for row,
+    and the comparison is non-vacuous."""
+    from csv2db_spark.llm import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    S.ivf_build_index(emb, path, n_centroids=16)
+    cells = sorted(p.name for p in (tmp_path / "ivf" / "postings").iterdir()
+                   if p.name.startswith("cell="))
+    assert len(cells) > 1  # partitioned layout exists
+    inline = S.ivf_ann_topk(emb, q, k=10, n_centroids=16, n_probe=4)
+    persisted = S.ivf_query_index(spark, path, q, k=10, n_probe=4)
+    ra = sorted(map(tuple, inline.collect()))
+    rb = sorted(map(tuple, persisted.collect()))
+    assert ra == rb
+    assert len(ra) > 0
