@@ -382,8 +382,36 @@ def ivf_build_index(
         "cell int, weights array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
 
+    # assignment uses the SAME nearest-centroid routine as
+    # ivf_append_index (not model.transform), so incremental appends are
+    # bit-identical to a full rebuild — the invariance
+    # q_sim_ann_ivf_append / tests pin
+    _assign_postings(corpus, centers, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/postings")
+
+
+def _assign_postings(
+    vectors: DataFrame, centers, id_col: str, vec_col: str
+) -> DataFrame:
+    """(neighbor_id, c_iv, c_nrm2, cell) for a vector batch against
+    FIXED centroids: one Arrow matmul batch per task picks the nearest
+    cell — a pure deterministic function of (vector, centers), shared
+    by full builds and incremental appends so the two compose exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ctr = np.asarray(centers, dtype="float64")
+
+    def _nearest(v):
+        x = np.stack(v.to_numpy()).astype("float64")
+        d = ((x[:, None, :] - ctr[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    nearest_udf = pandas_udf(_nearest, "int")
     c_iv = F.transform(F.col(vec_col), _iel)
-    postings = model.transform(corpus_v).select(
+    return vectors.select(
         F.col(id_col).alias("neighbor_id"),
         c_iv.alias("c_iv"),
         F.aggregate(
@@ -391,11 +419,37 @@ def ivf_build_index(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("c_nrm2"),
-        F.col("_cell").alias("cell"),
+        nearest_udf(F.col(vec_col)).alias("cell"),
     )
-    postings.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/postings"
+
+
+def ivf_append_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: add a batch of new vectors to a
+    persisted IVF index WITHOUT retraining — load the frozen centroids,
+    assign the batch with the same nearest-centroid routine the build
+    used, and APPEND to the cell-partitioned postings (dynamic
+    partition append touches only the cells the batch lands in; all
+    standing postings files stay byte-identical). Because assignment is
+    a pure per-row function of the frozen centroids, build(part) +
+    append(rest) equals build(full) exactly — the standard daily-crawl
+    ingestion path for a production ANN index. Centroid drift from
+    distribution shift is a REBUILD decision (monitor with
+    llm/cluster.embedding_drift), not an append concern."""
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    crows = spark.read.parquet(f"{path}/centroids.parquet").collect()
+    centers = np.stack(
+        [np.asarray(r.weights) for r in sorted(crows, key=lambda r: r.cell)]
     )
+    _assign_postings(new_vectors, centers, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/postings")
 
 
 def ivf_query_index(

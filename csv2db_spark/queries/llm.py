@@ -723,6 +723,74 @@ def q_sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "q_sim_ann_ivf_append",
+    oracle="SELECT CAST(0 AS BIGINT) AS neighbor_id, '' AS side "
+    "WHERE 1 = 0",
+)
+def q_sim_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance invariance
+    (llm/similarity.ivf_append_index): build the IVF index on 80% of
+    the corpus's vectors, append the remaining 20% as a second batch
+    against the FROZEN centroids, and compare the resulting postings —
+    (neighbor_id, cell, c_iv, c_nrm2) — to a full build over the same
+    centroid set. Assignment is a pure per-row function of the frozen
+    centroids, so build(part)+append(rest) must equal build(full)
+    EXACTLY; violations (rows on one side only, or cell/state
+    mismatches) hash-compare to an empty oracle. This is the
+    daily-crawl ingestion path: appends touch only the cells the batch
+    lands in, standing postings files stay byte-identical."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    part = emb.where(F.col("vec_id") % 5 != 0)
+    rest = emb.where(F.col("vec_id") % 5 == 0)
+
+    w_inc = tempfile.mkdtemp(prefix="c2s_ivf_inc_")
+    w_full = tempfile.mkdtemp(prefix="c2s_ivf_full_")
+    try:
+        S.ivf_build_index(part, w_inc, n_centroids=16)
+        S.ivf_append_index(rest, w_inc)
+        # full rebuild AGAINST THE SAME centroids: copy the model over,
+        # then assign the whole corpus through the shared routine
+        import numpy as np
+
+        crows = spark.read.parquet(f"{w_inc}/centroids.parquet").collect()
+        centers = np.stack(
+            [np.asarray(r.weights) for r in sorted(crows, key=lambda r: r.cell)]
+        )
+        S._assign_postings(emb, centers, "vec_id", "embedding").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{w_full}/postings")
+
+        inc = spark.read.parquet(f"{w_inc}/postings").select(
+            "neighbor_id", "cell", "c_iv", "c_nrm2"
+        )
+        full = spark.read.parquet(f"{w_full}/postings").select(
+            "neighbor_id", "cell", "c_iv", "c_nrm2"
+        )
+        out = (
+            inc.withColumn("_s", F.lit(1))
+            .join(
+                full.withColumn("_s2", F.lit(1)),
+                ["neighbor_id", "cell", "c_iv", "c_nrm2"],
+                "full",
+            )
+            .where(F.col("_s").isNull() | F.col("_s2").isNull())
+            .select(
+                "neighbor_id",
+                F.when(F.col("_s").isNull(), "full_only")
+                .otherwise("incremental_only")
+                .alias("side"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(w_inc, ignore_errors=True)
+        shutil.rmtree(w_full, ignore_errors=True)
+
+
 # Self-checking recall gates: EMPTY output iff mean recall@10 clears the
 # bound, hash-compared against an empty oracle — so ANN regressions are
 # driver-visible (a rows/hash mismatch), not just pytest-visible. Bounds

@@ -102,7 +102,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_dedup_minhash_xxh_precision, q_text_bpe_parity (empty-set
 # accuracy/contract-bound oracles — with these every rows-only family
 # has a driver-hash-verified contract twin), q_curate_epoch_upsample,
-# q_sim_ann_ivf_persisted (train-once/query-many index parity).
+# q_sim_ann_ivf_persisted (train-once/query-many index parity),
+# q_sim_ann_ivf_append (incremental-maintenance invariance).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

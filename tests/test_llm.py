@@ -748,3 +748,42 @@ def test_ivf_persisted_index_roundtrip(spark, sf_dir, tmp_path):
     rb = sorted(map(tuple, persisted.collect()))
     assert ra == rb
     assert len(ra) > 0
+
+
+def test_ivf_append_leaves_standing_postings_untouched(spark, sf_dir, tmp_path):
+    """ivf_append_index: appending a batch only ADDS files — every
+    pre-existing postings file stays byte-identical (same path, size,
+    mtime), and the merged store equals a full build over the same
+    centroids row for row."""
+    import os
+
+    from csv2db_spark.llm import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    part = emb.where(F.col("vec_id") % 5 != 0)
+    rest = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf")
+    S.ivf_build_index(part, path, n_centroids=16)
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(f"{path}/postings"):
+            for f in files:
+                # job markers (_SUCCESS + its .crc) are rewritten per
+                # write; the invariant is about DATA files
+                if not f.endswith(".parquet") and ".parquet" not in f:
+                    continue
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    S.ivf_append_index(rest, path)
+    after = snapshot()
+    assert set(before) <= set(after)          # nothing removed
+    for p, sig in before.items():
+        assert after[p] == sig                # standing files untouched
+    assert len(after) > len(before)           # batch actually landed
+    n = spark.read.parquet(f"{path}/postings").count()
+    assert n == emb.count()
