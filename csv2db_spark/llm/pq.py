@@ -188,9 +188,25 @@ def pq_topk(
 
     Returns (query_id, neighbor_id, approx_d2, rank). Self-matches are
     excluded to mirror llm/similarity.cosine_topk's contract."""
-    sub = dim // m
     codebook = pq_codebook(corpus, id_col, vec_col, m, n_codes, dim)
     codes = pq_encode(corpus, codebook, id_col, vec_col, m, dim)
+    return pq_query_codes(codebook, codes, queries, k, id_col, vec_col, m, dim)
+
+
+def pq_query_codes(
+    codebook: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC scoring against a PREPARED (codebook, codes) pair — the
+    query stage ``pq_topk`` composes after training, factored out so a
+    persisted index (pq_build_index) reuses it verbatim."""
+    sub = dim // m
     qq = quantize(queries, id_col, vec_col, "query_id", "q_").select(
         "query_id", F.col("q_iv")
     )
@@ -357,3 +373,52 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> None:
+    """Persist a PQ index: ``{path}/codebook.parquet`` (m, code,
+    code_iv — M*K rows, the trained model) and ``{path}/codes.parquet``
+    (id, m, code — the 32x-compressed corpus, the representation ADC
+    scans instead of the floats). Training and encoding are exact
+    integer arithmetic end to end, so the persisted index is
+    bit-identical to what the inline operator trains —
+    ``q_sim_ann_pq_persisted`` pins reload+query == inline as an
+    empty-oracle gate. Encoding new batches against the frozen codebook
+    is ``pq_encode(new_batch, loaded_codebook)`` + append, the same
+    incremental pattern as ivf_append_index."""
+    codebook = pq_codebook(corpus, id_col, vec_col, m, n_codes, dim)
+    codebook.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebook.parquet"
+    )
+    spark = corpus.sparkSession
+    stored = spark.read.parquet(f"{path}/codebook.parquet")
+    pq_encode(corpus, stored, id_col, vec_col, m, dim).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes.parquet")
+
+
+def pq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Query a persisted PQ index (``pq_build_index``): the codebook
+    (M*K rows) broadcasts into the per-query distance tables, the codes
+    table is the only corpus-sized input — 3 skinny ints per subspace
+    per vector. Output equals the inline ``pq_topk`` row for row."""
+    codebook = spark.read.parquet(f"{path}/codebook.parquet")
+    codes = spark.read.parquet(f"{path}/codes.parquet")
+    return pq_query_codes(codebook, codes, queries, k, id_col, vec_col, m, dim)

@@ -707,6 +707,59 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, k=20)
 
 
+@query(
+    "q_sim_ann_pq_persisted",
+    oracle="SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS "
+    "neighbor_id, '' AS side WHERE 1 = 0",
+)
+def q_sim_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index parity for PQ (llm/pq.pq_build_index /
+    pq_query_index): train the codebooks once, write codebook + the
+    32x-compressed codes table, reload, ADC-query — results must equal
+    the inline ``pq_topk`` exactly (training, encoding, and ADC are
+    exact integer arithmetic end to end, and encoding runs against the
+    REREAD stored codebook, so the persisted index is bit-identical by
+    construction). Together with q_sim_ann_ivf_persisted this pins the
+    full production composition's persisted state: IVF cells bound the
+    candidates touched, PQ codes bound the bytes per candidate, and
+    both survive a round-trip through storage."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.llm.pq import pq_build_index, pq_query_index, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    inline = pq_topk(emb, queries_df, k=20)
+
+    work = tempfile.mkdtemp(prefix="c2s_pq_index_")
+    try:
+        pq_build_index(emb, work)
+        persisted = pq_query_index(spark, work, queries_df, k=20)
+        cols = ["query_id", "neighbor_id", "rank", "approx_d2"]
+        out = (
+            inline.select(*cols).withColumn("_a", F.lit(1))
+            .join(
+                persisted.select(*cols).withColumn("_b", F.lit(1)),
+                cols,
+                "full",
+            )
+            .where(F.col("_a").isNull() | F.col("_b").isNull())
+            .select(
+                F.coalesce(F.col("query_id"), F.lit(-1)).alias("query_id"),
+                F.coalesce(F.col("neighbor_id"), F.lit(-1)).alias(
+                    "neighbor_id"
+                ),
+                F.when(F.col("_a").isNull(), "persisted_only")
+                .otherwise("inline_only")
+                .alias("side"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ------------------------------------------------------ skew diagnostics
 
 

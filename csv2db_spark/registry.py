@@ -103,7 +103,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # accuracy/contract-bound oracles — with these every rows-only family
 # has a driver-hash-verified contract twin), q_curate_epoch_upsample,
 # q_sim_ann_ivf_persisted (train-once/query-many index parity),
-# q_sim_ann_ivf_append (incremental-maintenance invariance).
+# q_sim_ann_ivf_append (incremental-maintenance invariance),
+# q_sim_ann_pq_persisted (codebook+codes round-trip parity).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -940,3 +940,18 @@ def test_epoch_upsample_multiplicities(spark, sf_dir):
     assert pdf.equals(out.toPandas())  # deterministic rerun
     with pytest.raises(ValueError):
         epoch_upsample(docs, {"src0": -1.0})
+
+
+def test_pq_persisted_index_roundtrip(spark, sf_dir, tmp_path):
+    """pq_build_index / pq_query_index: reload + ADC-query equals the
+    inline operator row for row, non-vacuously."""
+    from csv2db_spark.llm.pq import pq_build_index, pq_query_index, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    path = str(tmp_path / "pq")
+    pq_build_index(emb, path)
+    ra = sorted(map(tuple, pq_topk(emb, q, k=20).collect()))
+    rb = sorted(map(tuple, pq_query_index(spark, path, q, k=20).collect()))
+    assert ra == rb
+    assert len(ra) > 0
