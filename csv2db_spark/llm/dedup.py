@@ -740,3 +740,53 @@ def minhash_lsh_params(
                 best = (key, b, r)
     assert best is not None
     return best[1], best[2]
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the C4 / RefinedWeb
+    line-dedup rule): split every document on ``sep``, keep each
+    distinct paragraph ONLY at its first occurrence ordered by
+    (document id, position), drop every later copy anywhere in the
+    corpus, and reassemble the surviving paragraphs in their original
+    order. Documents whose every paragraph was seen earlier vanish.
+
+    Returns (id_col, n_paras, text) with the rebuilt text.
+
+    Scale shape: posexplode (map-side), then the first occurrence per
+    paragraph digest is computed with a ``min(struct(id, pos))``
+    GROUPBY — map-side combinable, so a boilerplate paragraph with
+    millions of copies ("Home | About | Contact" on every page of a
+    crawl) collapses to one partial per task BEFORE the shuffle. A
+    row_number window would instead sort that whole hot partition on
+    one reducer — the exact C4-corpus skew case — which is why this
+    deliberately isn't a window. The winner table (one row per
+    distinct paragraph) joins back on the digest; the probe side's hot
+    keys are AQE-skew-splittable because the build side is unique per
+    key. Then one groupBy(doc) reassembles. The reassembly sort is
+    per-document (array_sort of a few struct elements), not a global
+    sort. At 100 TB this is two linear shuffles plus a skew-safe join
+    — the same cost class as exact_duplicates, one level finer."""
+    paras = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+    ).withColumn("_ph", F.md5("para"))
+    first = paras.groupBy("_ph").agg(
+        F.min(F.struct(id_col, "pos")).alias("_w")
+    )
+    keep = paras.join(first, "_ph").where(
+        F.struct(id_col, "pos") == F.col("_w")
+    )
+    return keep.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text"),
+    )

@@ -665,3 +665,39 @@ def feature_hash_tf(
         F.count(F.lit(1)).alias("tf"),
         F.sum("sgn").alias("signed_tf"),
     )
+
+
+def zipf_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token-frequency (Zipf) histogram over power-of-two bins:
+    tokenize, count occurrences per distinct token, then bucket tokens
+    by floor(log2(frequency)) and report per-bin type counts, total
+    occurrences, and the frequency range. A healthy natural-language
+    corpus shows the Zipf signature (type counts falling roughly
+    geometrically with the bin); a scrape full of boilerplate shows a
+    fat high-frequency tail — this is the standard one-glance corpus
+    diagnostic before training.
+
+    The bin is computed EXACTLY as the bit length of the integer count
+    (``length(bin(freq)) - 1``), never float ``log2`` — a float log at
+    a power-of-two boundary can land on either side by one ulp and
+    break cross-engine verification (see PLANS.md ln() rule). The
+    rank-slope fit stays a pytest-side float check.
+
+    Scale shape: explode (map-side) -> groupBy(token) with map-side
+    combine (the heavy shuffle, uniform except stop words — the same
+    profile every wordcount has) -> a |vocab|-row groupBy on the bin.
+    Output is <= 64 rows regardless of corpus size."""
+    tok = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    binned = freq.select(
+        "freq",
+        (F.length(F.conv(F.col("freq").cast("string"), 10, 2)) - 1)
+        .cast("int")
+        .alias("log2_bin"),
+    )
+    return binned.groupBy("log2_bin").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").alias("n_occurrences"),
+        F.min("freq").alias("min_freq"),
+        F.max("freq").alias("max_freq"),
+    )

@@ -1603,3 +1603,105 @@ def q_curate_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("component").isNotNull().cast("long")).alias("n_clustered"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# ------------------------------------------------------- paragraph dedup
+
+# Synthetic paragraph corpus (the fixture texts have no newlines): every
+# 4 consecutive documents become one multi-paragraph doc, plus a trailer
+# paragraph copied from document (7*g) % 100 — so ~each trailer
+# duplicates a body paragraph somewhere in the corpus and the
+# first-occurrence rule does real work. Both engines build it
+# relationally from the same parquet.
+_SQL_PARA_CORPUS = """
+grp AS (
+  SELECT doc_id // 4 AS pdoc_id,
+         string_agg(text, chr(10) ORDER BY doc_id) AS body
+  FROM documents GROUP BY doc_id // 4
+),
+corp AS (
+  SELECT g.pdoc_id, g.body || chr(10) || d.text AS text
+  FROM grp g JOIN documents d ON d.doc_id = (g.pdoc_id * 7) % 100
+)
+"""
+
+
+def _paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grp = docs.groupBy((F.col("doc_id") / F.lit(4)).cast("long").alias("pdoc_id")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("body")
+    )
+    trailer = docs.select(F.col("doc_id").alias("t_id"), F.col("text").alias("t_text"))
+    return grp.join(
+        trailer, (F.col("pdoc_id") * 7) % 100 == F.col("t_id")
+    ).select("pdoc_id", F.concat_ws("\n", "body", "t_text").alias("text"))
+
+
+@query(
+    "q_dedup_paragraphs",
+    oracle=f"""
+    WITH {_SQL_PARA_CORPUS.strip()},
+    px AS (
+      SELECT pdoc_id,
+             unnest(string_split(text, chr(10))) AS para,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM corp
+    ),
+    keep AS (
+      SELECT pdoc_id, pos, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY pdoc_id, pos) AS rn
+      FROM px
+    )
+    SELECT pdoc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           md5(string_agg(para, chr(10) ORDER BY pos)) AS text_md5
+    FROM keep WHERE rn = 1
+    GROUP BY pdoc_id
+    """,
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style paragraph-level exact dedup
+    (llm/dedup.dedup_paragraphs): each distinct paragraph survives only
+    at its first (doc, position) occurrence corpus-wide; documents are
+    reassembled from the survivors. Gate emits per-doc surviving-para
+    count + md5 of the rebuilt text, so a wrong keep/drop ANYWHERE
+    changes the hash. The oracle replays the same rule with a DuckDB
+    window. Two linear shuffles (paragraph digest, then doc) — no
+    pairwise step; see the operator docstring for the 100 TB shape."""
+    out = D.dedup_paragraphs(_paragraph_corpus(spark, sf_dir), id_col="pdoc_id")
+    return out.select("pdoc_id", "n_paras", F.md5("text").alias("text_md5"))
+
+
+@query(
+    "q_text_zipf_histogram",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token
+    )
+    SELECT CAST(length(format('{:b}', freq)) - 1 AS INTEGER) AS log2_bin,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(freq) AS BIGINT) AS n_occurrences,
+           min(freq) AS min_freq,
+           max(freq) AS max_freq
+    FROM freq
+    GROUP BY 1
+    """,
+)
+def q_text_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf corpus diagnostic (llm/text.zipf_histogram): token
+    frequencies bucketed by EXACT bit-length log2 bins — integer
+    arithmetic end to end, so the hash check is unconditional (no float
+    log at a bin boundary). One wordcount shuffle + a vocab-row bin
+    aggregate; <= 64 output rows at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return X.zipf_histogram(docs)

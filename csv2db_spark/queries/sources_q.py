@@ -269,3 +269,39 @@ def q_sink_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     return plan_compaction(m, "n_rows", target=1500)
+
+
+@query("q_src_xml_roundtrip", oracle=_RT_ORACLE)
+def q_src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink roundtrip via Spark 4's NATIVE xml data source
+    (no external package): the orders slice is written as one
+    ``<order>`` element per row, re-read with the explicit schema and
+    ``rowTag``, and must reproduce the parquet aggregate bit for bit —
+    same invariant as the JSON/ORC roundtrips. The reference reads only
+    CSV (csv2db.go:84, SURVEY §2.2 'Scans/sources'); XML is a common
+    enterprise feed format, so the engine treats it as a first-class
+    scan. Scale: the xml reader splits by files (one task per file like
+    json); dates/decimals parse through the supplied schema, not
+    inference, so a 100 TB feed never pays a sampling pass."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    key = f"xml:{sf_dir}"
+    path = _RT_DIRS.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="c2s_rt_xml_"), "orders")
+        _RT_DIRS[key] = path
+    src.write.mode("overwrite").format("xml").option("rowTag", "order").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(src.schema)
+        .load(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        dsum("o_totalprice", 12, 2).alias("sum_price"),
+        F.max("o_orderdate").alias("max_date"),
+    )

@@ -104,7 +104,10 @@ CHECK_FIRST: tuple[str, ...] = (
 # has a driver-hash-verified contract twin), q_curate_epoch_upsample,
 # q_sim_ann_ivf_persisted (train-once/query-many index parity),
 # q_sim_ann_ivf_append (incremental-maintenance invariance),
-# q_sim_ann_pq_persisted (codebook+codes round-trip parity).
+# q_sim_ann_pq_persisted (codebook+codes round-trip parity),
+# q_src_xml_roundtrip (Spark 4 native xml source),
+# q_dedup_paragraphs (C4-style corpus paragraph dedup),
+# q_text_zipf_histogram (exact log2-bin token-frequency histogram).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

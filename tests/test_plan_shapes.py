@@ -160,3 +160,14 @@ def test_epoch_upsample_is_shuffle_free(spark, sf_dir):
     # the scan
     assert "Exchange" not in plan
     assert "Generate explode" in plan
+
+
+def test_dedup_paragraphs_no_window_partial_agg(spark, sf_dir):
+    """First-occurrence-per-paragraph must be a map-side-combinable
+    min(struct) aggregate + join-back, NEVER a row_number window: a
+    window over md5(para) sorts every copy of a boilerplate paragraph
+    on one reducer — the C4 hot-paragraph skew case."""
+    plan = _plan(spark, sf_dir, "q_dedup_paragraphs")
+    assert "Window" not in plan
+    # partial_min proves the pre-shuffle combine on the digest groupBy
+    assert "partial_min" in plan or "partial min" in plan.lower()
