@@ -728,3 +728,88 @@ def q_stream_trend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "q_stream_minhash_dedup",
+    oracle=None,  # assembled below via _register_stream_minhash_oracle()
+)
+def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship MinHash+LSH near-dedup under Structured Streaming
+    (streaming/ops.stream_minhash_dedup): the augmented corpus arrives
+    as FOUR micro-batches (one staged file each, maxFilesPerTrigger=1);
+    every batch signs only itself, band-joins the standing signature
+    store, exact-verifies on hash sets, and commits its pairs into an
+    idempotent per-batch partition. Detection is order-invariant — a
+    pair is found exactly when its later member arrives — so the
+    accumulated result must HASH-MATCH the from-scratch whole-corpus
+    oracle (capless: bucket membership is arrival-order-dependent, so
+    the cap stays a batch-mode feature). This is the streaming twin of
+    q_dedup_minhash_lsh the way q_stream_hll_rollup twins
+    q_agg_hll_distinct: same algebra, incremental delivery, provably
+    identical output."""
+    import os
+    import shutil
+    import tempfile
+
+    from csv2db_spark.llm.corpus import augmented_docs
+    from csv2db_spark.streaming.ops import stream_minhash_dedup
+
+    aug = augmented_docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="c2s_stream_minhash_")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage)
+    try:
+        for b in range(4):
+            tmp = os.path.join(work, f"w{b}")
+            aug.where(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(tmp, part), os.path.join(stage, f"batch_{b}.parquet")
+            )
+        stream = (
+            spark.readStream.schema(aug.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        stream_minhash_dedup(stream, work)
+        out = spark.read.parquet(os.path.join(work, "pairs")).select(
+            "doc_a", "doc_b", "jaccard"
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _register_stream_minhash_oracle() -> None:
+    """The oracle is the FULL-CORPUS capless pipeline — identical CTEs
+    to q_dedup_minhash_lsh's oracle with the bucket cap off — assembled
+    from queries/llm.py's shared SQL builders. Imported lazily to keep
+    module import order symmetric (queries/__init__ imports both)."""
+    from csv2db_spark.queries.llm import (
+        _CTE_EX,
+        _JACCARD_H1_TAIL,
+        _sql_minhash_cte,
+    )
+    from csv2db_spark.registry import REGISTRY
+
+    qd = REGISTRY["q_stream_minhash_dedup"]
+    oracle = f"""
+    {_CTE_EX},
+    {_sql_minhash_cte(max_bucket=None).strip()},
+    {_JACCARD_H1_TAIL.strip()}
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= 0.5
+    """
+    REGISTRY["q_stream_minhash_dedup"] = type(qd)(
+        qd.name, qd.fn, oracle, qd.bench
+    )
+
+
+_register_stream_minhash_oracle()

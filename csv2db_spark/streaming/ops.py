@@ -734,3 +734,104 @@ def stream_rollup_to_parquet(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     w.start().awaitTermination()
+
+
+def stream_minhash_dedup(
+    doc_stream: DataFrame,
+    work_dir: str,
+    threshold: float = 0.5,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming near-duplicate detection — the flagship MinHash+LSH
+    dedup running under Structured Streaming with STANDING STATE: each
+    arriving document micro-batch computes only its own signatures
+    (one Arrow pass, batch-sized), band-joins against the signature
+    store accumulated from every earlier batch, exact-verifies the
+    band collisions on hash sets, and appends the verified pairs.
+    Detection is ORDER-INVARIANT by construction: a pair is emitted
+    exactly when its LATER member arrives (the earlier member is in
+    the store, or both are in the batch), so the union over any batch
+    partitioning of the corpus equals the from-scratch whole-corpus
+    run — which is exactly what the gate's oracle checks.
+
+    State layout under ``work_dir``: ``sig/b=N`` (per-batch signature
+    partitions) and ``pairs/b=N`` (per-batch verified pairs).
+    Idempotence needs no marker sidecar here: a batch owns its two
+    ``b=N`` partition directories and rewrites them wholesale
+    (``mode=overwrite``), so an at-least-once foreachBatch replay
+    reproduces byte-identical partitions instead of double-appending —
+    the store must start empty for a fresh checkpoint (the replay
+    contract is scoped to one checkpoint lineage, like
+    stream_rollup_to_parquet's marker).
+
+    Scale shape per batch: the signature pass touches only the batch;
+    the band join BROADCASTS the batch's bands (batch_docs x 4 bands x
+    3 longs — broadcastable for any sane micro-batch) so the standing
+    band projection streams map-side with NO shuffle of the store; the
+    hset verify joins only docs appearing in surviving candidate pairs
+    (broadcast semi-filter). What grows with history is one standing
+    STORE SCAN per batch — at 100 TB serve the band lookup from a
+    band-key-partitioned layout or an index instead of a flat scan;
+    the semantics pinned here (incremental == from-scratch) carry
+    over unchanged."""
+    import os as _os
+
+    from csv2db_spark.llm import dedup as _D
+
+    spark = doc_stream.sparkSession
+    sig_dir = _os.path.join(work_dir, "sig")
+    res_dir = _os.path.join(work_dir, "pairs")
+    rows = _D.BAND_ROWS
+    band_keys = ["band_id"] + [f"v{j}" for j in range(rows)]
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sig_new = _D.minhash_doc_signatures(batch_df.select("doc_id", "text"))
+        sig_new.write.mode("overwrite").parquet(
+            _os.path.join(sig_dir, f"b={batch_id}")
+        )
+        store = spark.read.parquet(sig_dir).drop("b")
+        bands_all = _D.minhash_bands(store)
+        bands_new = _D.minhash_bands(
+            spark.read.parquet(_os.path.join(sig_dir, f"b={batch_id}"))
+        )
+        cand = (
+            bands_all.alias("a")
+            .join(
+                F.broadcast(bands_new).alias("n"),
+                [F.col(f"a.{k}") == F.col(f"n.{k}") for k in band_keys]
+                + [F.col("a.doc_id") != F.col("n.doc_id")],
+            )
+            .select(
+                F.least("a.doc_id", "n.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "n.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        hs = store.join(F.broadcast(ids), "doc_id").select("doc_id", "hset")
+        sa = hs.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
+        sb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
+        inter = F.size(F.array_intersect("ha", "hb"))
+        jac = inter / (F.size("ha") + F.size("hb") - inter)
+        out = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+        )
+        out.write.mode("overwrite").parquet(
+            _os.path.join(res_dir, f"b={batch_id}")
+        )
+
+    ckpt = checkpoint or _os.path.join(work_dir, "ckpt")
+    q = (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
