@@ -166,3 +166,48 @@ def k_anonymity_report(
         )
         .orderBy("group_size", *quasi_identifiers)
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """The companion criterion to k-anonymity: a quasi-identifier group
+    can be large (k-anonymous) yet still leak the SENSITIVE attribute
+    if every member shares the same value — l-diversity demands at
+    least ``l`` distinct sensitive values per group. Returns one row
+    per violating combination: (quasi_identifiers..., group_size,
+    n_sensitive, top_value, top_share) — ``top_share`` (modal sensitive
+    value's fraction) quantifies how confidently an attacker infers the
+    attribute, ``top_value`` names the leak; deterministic modal
+    tie-break on the value itself. Violations sort least-diverse first.
+
+    Scale shape: one map-combined groupBy on (QI..., sensitive) —
+    partials per distinct pair per task — then a |combinations|-row
+    groupBy with max_by for the mode; only combination rows ever sort.
+    Same cost class as k_anonymity_report, one grain finer."""
+    pair = df.groupBy(*quasi_identifiers, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_vn")
+    )
+    grp = pair.groupBy(*quasi_identifiers).agg(
+        F.sum("_vn").alias("group_size"),
+        F.count(F.lit(1)).alias("n_sensitive"),
+        # modal value; ties broken toward the LARGEST value string so
+        # both engines agree (max over (count, value) pairs)
+        F.max(F.struct(F.col("_vn"), F.col(sensitive_col))).alias("_m"),
+    )
+    return (
+        grp.where(F.col("n_sensitive") < l)
+        .select(
+            *quasi_identifiers,
+            "group_size",
+            "n_sensitive",
+            F.col(f"_m.{sensitive_col}").alias("top_value"),
+            (F.col("_m._vn").cast("double") / F.col("group_size").cast("double")).alias(
+                "top_share"
+            ),
+        )
+        .orderBy("n_sensitive", "group_size", *quasi_identifiers)
+    )

@@ -2697,3 +2697,50 @@ def q_embed_pca_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_projection_violations(emb, n_components=8)
+
+
+@query(
+    "q_quality_l_diversity",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_mktsegment
+      FROM customer
+    ),
+    pair AS (
+      SELECT c_nationkey, bal_band, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS vn
+      FROM q GROUP BY 1, 2, 3
+    ),
+    grp AS (
+      SELECT c_nationkey, bal_band,
+             CAST(sum(vn) AS BIGINT) AS group_size,
+             CAST(count(*) AS BIGINT) AS n_sensitive,
+             max({'v': vn, 's': c_mktsegment}) AS m
+      FROM pair GROUP BY 1, 2
+    )
+    SELECT c_nationkey, bal_band, group_size, n_sensitive,
+           m.s AS top_value,
+           CAST(m.v AS DOUBLE) / CAST(group_size AS DOUBLE) AS top_share
+    FROM grp WHERE n_sensitive < 2
+    """,
+)
+def q_quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/quality.l_diversity_report, l=2):
+    quasi-identifier groups (nation, balance band) where every customer
+    shares ONE market segment leak the attribute even when k-anonymous
+    — the inference-attack complement of q_quality_k_anonymity. Emits
+    the modal sensitive value and its share (here 1.0 by construction
+    at l=2, but the operator reports the real fraction for any l).
+    Two map-combined groupBys, combination rows only."""
+    from csv2db_spark.operators.quality import l_diversity_report
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return l_diversity_report(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment", l=2
+    )
