@@ -305,3 +305,62 @@ def q_src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice", 12, 2).alias("sum_price"),
         F.max("o_orderdate").alias("max_date"),
     )
+
+
+_TT_AGG_SQL = f"""
+count(*) AS n,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key,
+       {sql_dsum("o_totalprice", 12, 2)} AS sum_price
+"""
+
+
+@query(
+    "q_sink_snapshot_timetravel",
+    oracle=f"""
+    SELECT 1 AS version, {_TT_AGG_SQL} FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 2 AS version, {_TT_AGG_SQL} FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 3 AS version, {_TT_AGG_SQL} FROM orders WHERE o_orderkey % 3 = 2
+    """,
+)
+def q_sink_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table (csv2db_spark/snapshots.SnapshotTable):
+    create v1 from a third of orders, append a second third (v2),
+    overwrite with the final third (v3), then TIME-TRAVEL read all
+    three versions and aggregate each — the hash proves every manifest
+    lists exactly the right immutable files (an append that re-read
+    directory contents instead of the parent manifest, or an overwrite
+    that leaked old files, changes a version's aggregate). Commits are
+    atomic O_EXCL manifest publishes; reads plan from the manifest,
+    never a directory listing."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="c2s_snap_")
+    try:
+        t = SnapshotTable(spark, os.path.join(root, "orders"))
+        t.create(orders.where(F.col("o_orderkey") % 3 == 0))
+        t.append(orders.where(F.col("o_orderkey") % 3 == 1))
+        t.overwrite(orders.where(F.col("o_orderkey") % 3 == 2))
+
+        def agg(v: int) -> DataFrame:
+            return t.read(v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                dsum("o_totalprice", 12, 2).alias("sum_price"),
+            ).select("version", "n", "min_key", "max_key", "sum_price")
+
+        out = agg(1).unionByName(agg(2)).unionByName(agg(3))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

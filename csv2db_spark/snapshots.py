@@ -1,0 +1,166 @@
+"""Snapshot-versioned parquet table (a minimal table format).
+
+The plain parquet sinks in sink.py answer "what is the table now"; a
+training-data pipeline also needs "what was the table when run X
+trained" — reproducible dataset lineage. This module adds the smallest
+table-format core that delivers it, following the published
+Iceberg/Delta design arguments (manifest-listed immutable files; the
+reference tool has no table versioning at all — its tables are whatever
+the DBMS holds after the last load):
+
+- **Immutable data files, manifest-listed.** Every commit writes its
+  rows into a fresh ``data/c{N}/`` directory and publishes a JSON
+  manifest ``_snapshots/v{N}.json`` naming the EXACT file list of the
+  new version (append = parent's list + new files, overwrite = new
+  files only). Readers never list directories — the manifest IS the
+  table, so planning cost is O(manifest), not O(objects in the bucket),
+  the core scale argument for manifests over directory listing.
+- **Atomic, optimistic commits.** The manifest is created with
+  O_CREAT|O_EXCL after its data files are fully written: a version
+  either exists completely or not at all. Two racing writers targeting
+  the same next version — the classic last-writer-wins corruption in
+  directory-based tables — make one winner and one clean
+  ``SnapshotConflict``; the loser retries against the new head.
+  A crash between data write and manifest publish leaves orphan files
+  that no manifest references: invisible to every reader, reclaimable
+  by comparing ``data/`` against the union of manifests.
+- **Time travel.** ``read(version=...)`` plans from that version's
+  manifest; ``read()`` resolves the head. Snapshot isolation falls
+  out: a reader planning from v3 is untouched by a concurrent commit
+  of v4 (v3's files are immutable).
+
+At 100 TB the data files are whatever partitioned/sorted layout the
+writer chose — this layer only versions WHICH files are in the table,
+adding one small JSON per commit; reads remain ordinary pruned parquet
+scans over the listed files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer published this version first — reread the head."""
+
+
+class NoSuchVersion(KeyError):
+    pass
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = Path(path)
+        (self.path / "_snapshots").mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------ manifests
+
+    def versions(self) -> list[int]:
+        snaps = self.path / "_snapshots"
+        return sorted(
+            int(p.stem[1:]) for p in snaps.glob("v*.json")
+        )
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        p = self.path / "_snapshots" / f"v{version}.json"
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except OSError as exc:
+            raise NoSuchVersion(version) from exc
+
+    def _publish(self, version: int, op: str, files: list[str]) -> None:
+        """Create the manifest atomically and exclusively: the version is
+        visible only with its complete file list, and a racing writer of
+        the same version loses with SnapshotConflict instead of
+        overwriting."""
+        p = self.path / "_snapshots" / f"v{version}.json"
+        body = json.dumps(
+            {"version": version, "op": op, "files": sorted(files)}, indent=1
+        )
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise SnapshotConflict(
+                f"version {version} already published at {p}"
+            ) from exc
+        with os.fdopen(fd, "w") as fh:
+            fh.write(body)
+
+    # -------------------------------------------------------------- commits
+
+    def _write_commit_files(self, df: DataFrame, version: int) -> list[str]:
+        cdir = self.path / "data" / f"c{version}"
+        df.write.mode("overwrite").parquet(str(cdir))
+        return [
+            f"data/c{version}/{name}"
+            for name in os.listdir(cdir)
+            if name.endswith(".parquet")
+        ]
+
+    def create(self, df: DataFrame) -> int:
+        if self.current_version() is not None:
+            raise SnapshotConflict(f"table at {self.path} already exists")
+        files = self._write_commit_files(df, 1)
+        self._publish(1, "create", files)
+        return 1
+
+    def append(self, df: DataFrame) -> int:
+        head = self.current_version()
+        if head is None:
+            return self.create(df)
+        nxt = head + 1
+        files = self._write_commit_files(df, nxt)
+        self._publish(nxt, "append", self._manifest(head)["files"] + files)
+        return nxt
+
+    def overwrite(self, df: DataFrame) -> int:
+        head = self.current_version()
+        nxt = (head or 0) + 1
+        files = self._write_commit_files(df, nxt)
+        self._publish(nxt, "overwrite", files)
+        return nxt
+
+    # ---------------------------------------------------------------- reads
+
+    def read(self, version: int | None = None) -> DataFrame:
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise NoSuchVersion("empty table")
+        files = self._manifest(version)["files"]
+        return self.spark.read.parquet(*[str(self.path / f) for f in files])
+
+    def history(self) -> list[dict]:
+        return [
+            {
+                "version": v,
+                "op": self._manifest(v)["op"],
+                "n_files": len(self._manifest(v)["files"]),
+            }
+            for v in self.versions()
+        ]
+
+    def orphan_files(self) -> list[str]:
+        """Data files no manifest references (crashed commits) — safe to
+        reclaim because visibility requires a manifest entry."""
+        live: set[str] = set()
+        for v in self.versions():
+            live.update(self._manifest(v)["files"])
+        found = []
+        droot = self.path / "data"
+        for cdir in sorted(droot.glob("c*")):
+            for name in sorted(os.listdir(cdir)):
+                rel = f"data/{cdir.name}/{name}"
+                if name.endswith(".parquet") and rel not in live:
+                    found.append(rel)
+        return found
