@@ -364,3 +364,41 @@ def q_sink_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q_sink_snapshot_incremental",
+    oracle=f"""
+    SELECT {_TT_AGG_SQL} FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def q_sink_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read off the snapshot table
+    (snapshots.SnapshotTable.incremental_read): after create(v1) +
+    append(v2), reading the file-list DIFF must yield exactly the
+    appended slice — the O(changed data) feed an incremental training
+    run tails instead of rescanning the table. The hash proves the
+    manifest diff captures precisely the new files' rows."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="c2s_snap_inc_")
+    try:
+        t = SnapshotTable(spark, os.path.join(root, "orders"))
+        t.create(orders.where(F.col("o_orderkey") % 3 == 0))
+        t.append(orders.where(F.col("o_orderkey") % 3 == 1))
+        out = t.incremental_read(1, 2).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            dsum("o_totalprice", 12, 2).alias("sum_price"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -110,7 +110,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_text_zipf_histogram (exact log2-bin token-frequency histogram),
 # q_stream_minhash_dedup (streaming LSH dedup == from-scratch oracle),
 # q_quality_l_diversity (inference-leak complement of k-anonymity),
-# q_sink_snapshot_timetravel (manifest-committed versioned table).
+# q_sink_snapshot_timetravel (manifest-committed versioned table),
+# q_sink_snapshot_incremental (file-diff CDC read between versions).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -164,3 +164,39 @@ class SnapshotTable:
                 if name.endswith(".parquet") and rel not in live:
                     found.append(rel)
         return found
+
+    # ------------------------------------------------------------ increments
+
+    def added_files(self, from_version: int, to_version: int) -> list[str]:
+        base = set(self._manifest(from_version)["files"])
+        return [f for f in self._manifest(to_version)["files"] if f not in base]
+
+    def removed_files(self, from_version: int, to_version: int) -> list[str]:
+        now = set(self._manifest(to_version)["files"])
+        return [f for f in self._manifest(from_version)["files"] if f not in now]
+
+    def incremental_read(self, from_version: int, to_version: int) -> DataFrame:
+        """Rows in files ADDED between two versions — the incremental
+        feed a training pipeline tails instead of re-reading the table
+        (run N processes changes since run N-1's pinned version). Because
+        data files are immutable, the file-list diff IS the row diff for
+        append-only history: cost is O(changed data), never O(table).
+        After an overwrite, pair with ``removed_files`` (rows in those
+        files left the table) — the file-granularity contract every
+        manifest-based format exposes. Returns an empty frame of the
+        table's schema when nothing was added."""
+        files = self.added_files(from_version, to_version)
+        if not files:
+            return self.read(to_version).limit(0)
+        return self.spark.read.parquet(*[str(self.path / f) for f in files])
+
+    def rollback(self, version: int) -> int:
+        """Publish the head's successor with an OLD version's exact file
+        list — undo as a forward commit (history is append-only; nothing
+        is deleted, so audits and pinned readers keep working)."""
+        head = self.current_version()
+        if head is None:
+            raise NoSuchVersion("empty table")
+        nxt = head + 1
+        self._publish(nxt, f"rollback:{version}", self._manifest(version)["files"])
+        return nxt

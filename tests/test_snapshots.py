@@ -63,3 +63,30 @@ def test_read_missing_version_raises(spark, table):
     table.create(spark.range(1).toDF("id"))
     with pytest.raises(NoSuchVersion):
         table.read(7)
+
+
+def test_incremental_read_is_the_appended_delta(spark, table):
+    table.create(spark.range(5).toDF("id"))
+    table.append(spark.range(5, 9).toDF("id"))
+    inc = table.incremental_read(1, 2)
+    assert sorted(r.id for r in inc.collect()) == [5, 6, 7, 8]
+    # no change -> empty frame, schema preserved
+    assert table.incremental_read(2, 2).count() == 0
+    assert table.incremental_read(2, 2).schema == table.read(2).schema
+
+
+def test_removed_files_after_overwrite(spark, table):
+    table.create(spark.range(3).toDF("id"))
+    table.overwrite(spark.range(100, 102).toDF("id"))
+    assert table.removed_files(1, 2) == table._manifest(1)["files"]
+    assert set(table.added_files(1, 2)) == set(table._manifest(2)["files"])
+
+
+def test_rollback_is_a_forward_commit(spark, table):
+    table.create(spark.range(6).toDF("id"))
+    table.overwrite(spark.range(1000, 1001).toDF("id"))
+    v = table.rollback(1)
+    assert v == 3
+    assert table.read().count() == 6          # head is v1's content again
+    assert table.read(2).count() == 1         # history intact
+    assert table.history()[-1]["op"] == "rollback:1"
