@@ -200,3 +200,45 @@ class SnapshotTable:
         nxt = head + 1
         self._publish(nxt, f"rollback:{version}", self._manifest(version)["files"])
         return nxt
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Reclaim storage: drop manifests older than the last
+        ``retain_last`` versions, then delete data files referenced by
+        NO surviving manifest (orphans included). Time travel keeps
+        working for every retained version — this trades history depth
+        for space, the same dial every table format exposes. Returns
+        the deleted file list. Deletion order is safe under crash:
+        manifests go first, so a file is only ever removed after no
+        reader can plan it."""
+        import shutil as _shutil
+
+        vs = self.versions()
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        doomed_vs = vs[:-retain_last] if len(vs) > retain_last else []
+        for v in doomed_vs:
+            os.remove(self.path / "_snapshots" / f"v{v}.json")
+        live: set[str] = set()
+        for v in self.versions():
+            live.update(self._manifest(v)["files"])
+        deleted = []
+        droot = self.path / "data"
+        for cdir in sorted(droot.glob("c*")) if droot.is_dir() else []:
+            names = sorted(os.listdir(cdir))
+            doomed = [
+                n
+                for n in names
+                if n.endswith(".parquet") and f"data/{cdir.name}/{n}" not in live
+            ]
+            for name in doomed:
+                os.remove(cdir / name)
+                deleted.append(f"data/{cdir.name}/{name}")
+            # a commit dir with no surviving data files goes entirely
+            # (write-time sidecars like _SUCCESS ride along)
+            if not any(
+                f"data/{cdir.name}/{n}" in live
+                for n in names
+                if n.endswith(".parquet")
+            ):
+                _shutil.rmtree(cdir, ignore_errors=True)
+        return deleted

@@ -90,3 +90,26 @@ def test_rollback_is_a_forward_commit(spark, table):
     assert table.read().count() == 6          # head is v1's content again
     assert table.read(2).count() == 1         # history intact
     assert table.history()[-1]["op"] == "rollback:1"
+
+
+def test_vacuum_retains_head_and_reclaims(spark, table):
+    table.create(spark.range(4).toDF("id"))
+    table.overwrite(spark.range(10, 12).toDF("id"))
+    table._write_commit_files(spark.range(99).toDF("id"), 9)  # orphans
+    deleted = table.vacuum(retain_last=1)
+    assert table.versions() == [2]
+    assert table.read().count() == 2            # head intact
+    assert any(d.startswith("data/c1/") for d in deleted)   # old version gone
+    assert any(d.startswith("data/c9/") for d in deleted)   # orphans gone
+    assert table.orphan_files() == []
+    with pytest.raises(NoSuchVersion):
+        table.read(1)
+
+
+def test_vacuum_retain_all_keeps_time_travel(spark, table):
+    table.create(spark.range(3).toDF("id"))
+    table.append(spark.range(3, 5).toDF("id"))
+    deleted = table.vacuum(retain_last=5)
+    assert deleted == []
+    assert table.versions() == [1, 2]
+    assert table.read(1).count() == 3
