@@ -402,3 +402,113 @@ def q_sink_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q_sink_snapshot_delete",
+    oracle=f"""
+    SELECT 1 AS version, {_TT_AGG_SQL} FROM orders
+    UNION ALL
+    SELECT 2 AS version, {_TT_AGG_SQL} FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+)
+def q_sink_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write delete on the snapshot table
+    (snapshots.SnapshotTable.delete_where): only files holding matching
+    rows are rewritten; the new manifest references every untouched
+    file verbatim and publishes atomically — no backup/restore dance,
+    no half-deleted window. The gate aggregates BOTH versions: v1
+    proves time travel still shows the pre-delete table, v2 proves the
+    delete removed exactly the predicate's rows and nothing else."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="c2s_snap_del_")
+    try:
+        t = SnapshotTable(spark, os.path.join(root, "orders"))
+        t.create(orders)
+        t.delete_where(F.col("o_orderkey") % 7 == 0)
+
+        def agg(v: int) -> DataFrame:
+            return t.read(v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                dsum("o_totalprice", 12, 2).alias("sum_price"),
+            ).select("version", "n", "min_key", "max_key", "sum_price")
+
+        out = agg(1).unionByName(agg(2)).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "q_sink_snapshot_merge",
+    oracle=f"""
+    SELECT 1 AS version, count(*) AS n, min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           {sql_dsum("o_totalprice", 12, 2)} AS sum_price
+    FROM orders
+    UNION ALL
+    SELECT 2 AS version, count(*) AS n, min(k) AS min_key,
+           max(k) AS max_key, {sql_dsum("p", 12, 2)} AS sum_price
+    FROM (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS p
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS k, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 5 = 1
+    )
+    """,
+)
+def q_sink_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO on the snapshot table
+    (snapshots.SnapshotTable.merge_into): a delta of doubled-price
+    updates (keys %5==0) plus brand-new keys (+10M) merges in one
+    commit — matched rows replaced, unmatched inserted, untouched files
+    referenced verbatim. The gate aggregates v1 (pre-merge, proving
+    time travel survives the merge) and v2 (post-merge, hash-proving
+    update-exactly-the-matched + insert-exactly-the-new semantics)."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="c2s_snap_mrg_")
+    try:
+        t = SnapshotTable(spark, os.path.join(root, "orders"))
+        t.create(orders)
+        updates = orders.where(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        inserts = orders.where(F.col("o_orderkey") % 5 == 1).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        t.merge_into(updates.unionByName(inserts), on="o_orderkey")
+
+        def agg(v: int) -> DataFrame:
+            return t.read(v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                dsum("o_totalprice", 12, 2).alias("sum_price"),
+            ).select("version", "n", "min_key", "max_key", "sum_price")
+
+        out = agg(1).unionByName(agg(2)).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -111,7 +111,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_stream_minhash_dedup (streaming LSH dedup == from-scratch oracle),
 # q_quality_l_diversity (inference-leak complement of k-anonymity),
 # q_sink_snapshot_timetravel (manifest-committed versioned table),
-# q_sink_snapshot_incremental (file-diff CDC read between versions).
+# q_sink_snapshot_incremental (file-diff CDC read between versions),
+# q_sink_snapshot_delete (copy-on-write delete, atomic manifest publish),
+# q_sink_snapshot_merge (copy-on-write MERGE: update matched + insert new).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

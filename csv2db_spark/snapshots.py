@@ -242,3 +242,157 @@ class SnapshotTable:
             ):
                 _shutil.rmtree(cdir, ignore_errors=True)
         return deleted
+
+    # ----------------------------------------------- copy-on-write / WAP
+
+    def _files_hit(self, files: list[str], hit_paths: set[str]) -> list[str]:
+        """Map ``input_file_name()`` URIs (file:/... or bare paths,
+        engine-dependent) back to the manifest's relative file names."""
+        abs_of = {f: str((self.path / f).resolve()) for f in files}
+
+        def _is_hit(rel: str) -> bool:
+            a = abs_of[rel]
+            return any(h.endswith(a) or a in h for h in hit_paths)
+
+        return [f for f in files if _is_hit(f)]
+
+    def delete_where(self, condition) -> int:
+        """Copy-on-write row deletion: locate the files that actually
+        hold matching rows (one pushdown-filtered scan over the head
+        version), rewrite ONLY those files without the doomed rows into
+        a fresh commit dir, and publish a manifest of untouched files +
+        rewrites. Untouched files are never read twice, never copied;
+        the commit is the same atomic O_EXCL publish as every other
+        write, so there is no backup/restore dance and no window where
+        a reader can see a half-deleted table (the failure mode the
+        directory-swap delete in sink.targeted_delete needs its staged
+        manifest to recover from — here crash recovery is "the new
+        version simply never appeared"). At 100 TB the locate scan is
+        the pushed predicate over column statistics (pair with the
+        bloom manifest in sources/skipping for point-delete keys);
+        rewrite cost is O(affected files)."""
+        from pyspark.sql import functions as F
+
+        head = self.current_version()
+        if head is None:
+            raise NoSuchVersion("empty table")
+        files = self._manifest(head)["files"]
+        hit_paths = {
+            r[0]
+            for r in self.read(head)
+            .where(condition)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()  # bounded by |files in the version|, never rows
+        }
+        affected = self._files_hit(files, hit_paths)
+        kept = [f for f in files if f not in set(affected)]
+        nxt = head + 1
+        new_files: list[str] = []
+        if affected:
+            # delete rows where the predicate is TRUE; NULL keeps the row
+            # (SQL DELETE semantics — a bare ~condition would silently
+            # drop NULL-evaluating rows from rewritten files)
+            survivors = self.spark.read.parquet(
+                *[str(self.path / f) for f in affected]
+            ).where(~F.coalesce(condition, F.lit(False)))
+            new_files = self._write_commit_files(survivors, nxt)
+        self._publish(nxt, "delete", kept + new_files)
+        return nxt
+
+    def merge_into(self, source: DataFrame, on: list[str] | str) -> int:
+        """Copy-on-write MERGE: ``WHEN MATCHED THEN UPDATE SET * WHEN NOT
+        MATCHED THEN INSERT *``. The source must carry the table's full
+        schema; ``on`` names the join key column(s) and source keys must
+        be unique (each matched target row is replaced by its single
+        source row — the same multi-match restriction ANSI MERGE
+        enforces with an error).
+
+        Plan shape for 100 TB: one broadcast-semi probe of the head
+        version against the source's distinct keys finds the files that
+        hold matched rows (the delta is small next to the table, so the
+        probe is a broadcast join under the pushed scan — never a fact
+        shuffle); only those files are rewritten (their unmatched rows
+        anti-joined out of the delta, then the whole source unioned in —
+        matched rows land as updates, unmatched source rows as inserts,
+        one write). Every untouched file is referenced verbatim by the
+        new manifest, and the publish is the same atomic O_EXCL commit:
+        a crash mid-merge leaves only invisible orphans."""
+        from pyspark.sql import functions as F
+
+        keys = [on] if isinstance(on, str) else list(on)
+        head = self.current_version()
+        if head is None:
+            return self.create(source)
+        files = self._manifest(head)["files"]
+        key_df = source.select(*keys).distinct()
+        hit_paths = {
+            r[0]
+            # input_file_name() must bind to the scan BEFORE the join
+            # (it has no single source above a two-table plan)
+            for r in self.read(head)
+            .withColumn("_src_file", F.input_file_name())
+            .join(F.broadcast(key_df), keys, "left_semi")
+            .select("_src_file")
+            .distinct()
+            .collect()  # bounded by |files|, never rows
+        }
+        affected = self._files_hit(files, hit_paths)
+        kept = [f for f in files if f not in set(affected)]
+        nxt = head + 1
+        if affected:
+            survivors = self.spark.read.parquet(
+                *[str(self.path / f) for f in affected]
+            ).join(F.broadcast(key_df), keys, "left_anti")
+            new_data = survivors.unionByName(source)
+        else:
+            new_data = source  # pure insert: nothing matched anywhere
+        new_files = self._write_commit_files(new_data, nxt)
+        self._publish(nxt, "merge", kept + new_files)
+        return nxt
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the head version's row set into ``target_files``
+        files as a new commit — the maintenance op that undoes
+        small-file buildup from many incremental appends/merges. Row
+        set is bit-identical (pure coalesce, no shuffle); history is
+        untouched, so pinned readers of old versions keep their exact
+        file lists and ``vacuum`` reclaims the fragmented originals
+        once they age out of retention."""
+        head = self.current_version()
+        if head is None:
+            raise NoSuchVersion("empty table")
+        nxt = head + 1
+        new_files = self._write_commit_files(
+            self.read(head).coalesce(target_files), nxt
+        )
+        self._publish(nxt, "compact", new_files)
+        return nxt
+
+    def write_audit_publish(self, df: DataFrame, rules, op: str = "append"):
+        """The WAP pattern: stage the commit's data files, AUDIT the
+        staged rows with operators/quality.check_constraints, and only
+        then publish the manifest. A failing audit publishes NOTHING —
+        the staged files are unreferenced orphans (invisible to every
+        reader, reclaimed by vacuum), so bad data can never reach a
+        consumer even transiently. Returns (version_or_None, report_df);
+        version is None iff the audit failed. ``op`` is "append" or
+        "overwrite"."""
+        from csv2db_spark.operators.quality import check_constraints
+
+        head = self.current_version()
+        nxt = (head or 0) + 1
+        files = self._write_commit_files(df, nxt)
+        staged = self.spark.read.parquet(*[str(self.path / f) for f in files])
+        report = staged.sparkSession.createDataFrame(
+            check_constraints(staged, rules).collect(),
+            "rule string, n_rows long, n_violations long, passed boolean",
+        )
+        if report.where(~report.passed).count() > 0:
+            return None, report
+        if op == "append" and head is not None:
+            files = self._manifest(head)["files"] + files
+        elif op not in ("append", "overwrite"):
+            raise ValueError(f"unsupported op {op!r}")
+        self._publish(nxt, f"wap-{op}", files)
+        return nxt, report

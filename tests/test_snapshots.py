@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from csv2db_spark.snapshots import NoSuchVersion, SnapshotConflict, SnapshotTable
 
@@ -113,3 +114,110 @@ def test_vacuum_retain_all_keeps_time_travel(spark, table):
     assert deleted == []
     assert table.versions() == [1, 2]
     assert table.read(1).count() == 3
+
+
+def test_delete_where_rewrites_only_affected_files(spark, table):
+    from pyspark.sql import functions as F
+
+    # two commits -> head references files from both commit dirs
+    table.create(spark.range(0, 50).toDF("id"))
+    table.append(spark.range(100, 150).toDF("id"))
+    v = table.delete_where(F.col("id") % 10 == 0)
+    assert v == 3
+    ids = sorted(r.id for r in table.read().collect())
+    assert all(i % 10 != 0 for i in ids) and len(ids) == 90
+    # time travel unaffected
+    assert table.read(2).count() == 100
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, table):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "drop")], "id long, tag string"
+    )
+    table.create(df)
+    table.delete_where(F.col("tag") == "drop")
+    ids = sorted(r.id for r in table.read().collect())
+    assert ids == [1, 2]  # NULL tag row survives, SQL DELETE semantics
+
+
+def test_delete_where_untouched_files_not_rewritten(spark, table):
+    from pyspark.sql import functions as F
+
+    table.create(spark.range(0, 10).toDF("id"))
+    table.append(spark.range(1000, 1010).toDF("id"))
+    c1_files = [f for f in table._manifest(1)["files"]]
+    table.delete_where(F.col("id") >= 1000)  # only commit-2 files hold hits
+    after = set(table._manifest(3)["files"])
+    # every commit-1 file is referenced verbatim — untouched data is
+    # never rewritten or copied (empty commit-2 part files may also
+    # survive verbatim: they hold no matching rows, which is correct)
+    assert set(c1_files) <= after
+    ids = sorted(r.id for r in table.read().collect())
+    assert ids == list(range(10))
+
+
+def test_wap_blocks_bad_batch_and_passes_good(spark, table):
+    from csv2db_spark.operators.quality import in_range, not_null
+
+    rules = [not_null("id"), in_range("id", 0, 100)]
+    v, report = table.write_audit_publish(
+        spark.range(0, 5).toDF("id"), rules, op="append"
+    )
+    assert v == 1 and report.where(~report.passed).count() == 0
+    bad = spark.createDataFrame([(None,), (999,)], "id long")
+    v2, report2 = table.write_audit_publish(bad, rules, op="append")
+    assert v2 is None
+    assert report2.where(~report2.passed).count() >= 1
+    # nothing published: head unchanged, staged files are orphans
+    assert table.current_version() == 1
+    assert table.read().count() == 5
+    assert table.orphan_files()
+
+
+def test_merge_into_update_and_insert(spark, table):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, val double"
+    )
+    table.create(df)
+    delta = spark.createDataFrame(
+        [(2, 99.0), (4, 40.0)], "id long, val double"
+    )
+    v = table.merge_into(delta, on="id")
+    assert v == 2
+    rows = {r.id: r.val for r in table.read().collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    # pre-merge version intact
+    assert {r.id: r.val for r in table.read(1).collect()} == {
+        1: 10.0, 2: 20.0, 3: 30.0
+    }
+
+
+def test_merge_into_pure_insert_keeps_files_verbatim(spark, table):
+    table.create(spark.range(0, 10).toDF("id").withColumn("v", F.lit(1.0)))
+    before = set(table._manifest(1)["files"])
+    delta = spark.createDataFrame([(100, 2.0)], "id long, v double")
+    table.merge_into(delta, on="id")
+    after = set(table._manifest(2)["files"])
+    assert before <= after  # nothing matched -> no target file rewritten
+    assert table.read().count() == 11
+
+
+def test_merge_into_empty_table_creates(spark, table):
+    v = table.merge_into(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), on="id"
+    )
+    assert v == 1 and table.read().count() == 1
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, table):
+    table.create(spark.range(0, 100).repartition(8).toDF("id"))
+    table.append(spark.range(100, 200).repartition(8).toDF("id"))
+    n_before = len(table._manifest(2)["files"])
+    v = table.compact(target_files=1)
+    assert v == 3
+    assert len(table._manifest(3)["files"]) < n_before
+    assert sorted(r.id for r in table.read().collect()) == list(range(200))
+    # history untouched
+    assert table.read(1).count() == 100
