@@ -450,6 +450,185 @@ def q_sink_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sink_snapshot_pruned_delete",
+    oracle=f"""
+    SELECT 1 AS version, {_TT_AGG_SQL} FROM orders
+    UNION ALL
+    SELECT 2 AS version, {_TT_AGG_SQL} FROM orders
+    WHERE o_orderkey NOT BETWEEN 3000 AND 8999
+    """,
+)
+def q_sink_snapshot_pruned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only range delete (snapshots.SnapshotTable.delete_range)
+    over a range-partitioned layout with per-file manifest stats: files
+    wholly inside [3000, 8999] leave the table WITHOUT being read or
+    rewritten (just absent from the new manifest), provably-disjoint
+    files are referenced verbatim, and only the ~2 straddling boundary
+    files get the copy-on-write rewrite — at 100 TB a retention-window
+    drop costs O(boundary files), not O(table). v1 pins time travel,
+    v2 hash-proves the delete's exact row semantics."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="c2s_snap_rng_")
+    try:
+        t = SnapshotTable(
+            spark, os.path.join(root, "orders"), stats_cols=["o_orderkey"]
+        )
+        t.create(orders.repartitionByRange(8, "o_orderkey"))
+        t.delete_range("o_orderkey", 3000, 8999)
+
+        def agg(v: int) -> DataFrame:
+            return t.read(v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                dsum("o_totalprice", 12, 2).alias("sum_price"),
+            ).select("version", "n", "min_key", "max_key", "sum_price")
+
+        out = agg(1).unionByName(agg(2)).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "q_sink_snapshot_pruned_read",
+    oracle=f"""
+    SELECT {_TT_AGG_SQL} FROM orders WHERE o_orderkey BETWEEN 1000 AND 3999
+    """,
+)
+def q_sink_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats-pruned range read (snapshots.SnapshotTable.
+    read_where): planning keeps only files whose [min, max] span can
+    intersect [1000, 3999] — the rest are never opened, not even their
+    footers (the per-file tax that dominates selective scans over
+    millions of files). The hash proves pruning is invisible: identical
+    rows to a full scan + filter. File-count reduction is pinned in
+    tests/test_snapshots.py."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="c2s_snap_prd_")
+    try:
+        t = SnapshotTable(
+            spark, os.path.join(root, "orders"), stats_cols=["o_orderkey"]
+        )
+        t.create(orders.repartitionByRange(8, "o_orderkey"))
+        out = (
+            t.read_where("o_orderkey", 1000, 3999)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                dsum("o_totalprice", 12, 2).alias("sum_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_SE_AGG_SQL = f"""
+count(*) AS n, {sql_dsum("o_totalprice", 12, 2)} AS sum_price,
+       sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS n_null_prio
+"""
+
+
+@query(
+    "q_sink_snapshot_schema_evolution",
+    oracle=f"""
+    SELECT 1 AS version, count(*) AS n,
+           {sql_dsum("o_totalprice", 12, 2)} AS sum_price,
+           CAST(NULL AS BIGINT) AS n_null_prio, 2 AS n_cols
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 2 AS version, {_SE_AGG_SQL}, 3 AS n_cols FROM orders
+    UNION ALL
+    SELECT 3 AS version, {_SE_AGG_SQL}, 4 AS n_cols FROM orders
+    UNION ALL
+    SELECT 4 AS version, count(*) AS n,
+           {sql_dsum("o_totalprice", 12, 2)} AS sum_price,
+           CAST(NULL AS BIGINT) AS n_null_prio, 3 AS n_cols
+    FROM orders
+    """,
+)
+def q_sink_snapshot_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot-table schema evolution without rewrites: v1 commits two
+    columns; v2 APPENDS rows carrying a third (``o_orderpriority``) —
+    readers NULL-fill it for every v1 file (reconcile-by-name at the
+    table-format level, the file-level twin of ingest.reconcile); v3 is
+    a metadata-only ``alter_add_column`` (zero files touched, all rows
+    NULL); v4 a metadata-only ``alter_drop_column`` of the v2 column —
+    projected away at the head while time travel below v4 still reads
+    it, because every manifest owns its version's schema. The hash
+    pins, per version: exact rows, exact NULL-fill count, and exact
+    column arity — evolution that leaked into history or rewrote data
+    would break one of them."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="c2s_snap_se_")
+    try:
+        t = SnapshotTable(spark, os.path.join(root, "orders"))
+        t.create(
+            orders.where(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_totalprice"
+            )
+        )
+        t.append(
+            orders.where(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            )
+        )
+        t.alter_add_column("score", "double")
+        t.alter_drop_column("o_orderpriority")
+
+        def agg(v: int) -> DataFrame:
+            df = t.read(v)
+            prio = (
+                F.sum(F.col("o_orderpriority").isNull().cast("long"))
+                if "o_orderpriority" in df.columns
+                else F.lit(None).cast("long")
+            )
+            return df.agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n"),
+                dsum("o_totalprice", 12, 2).alias("sum_price"),
+                prio.alias("n_null_prio"),
+                F.lit(len(df.columns)).alias("n_cols"),
+            ).select("version", "n", "sum_price", "n_null_prio", "n_cols")
+
+        out = (
+            agg(1)
+            .unionByName(agg(2))
+            .unionByName(agg(3))
+            .unionByName(agg(4))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "q_sink_snapshot_merge",
     oracle=f"""
     SELECT 1 AS version, count(*) AS n, min(o_orderkey) AS min_key,

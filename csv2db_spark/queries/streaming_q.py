@@ -813,3 +813,169 @@ def _register_stream_minhash_oracle() -> None:
 
 
 _register_stream_minhash_oracle()
+
+
+@query(
+    "q_stream_snapshot_sink",
+    oracle="""
+    SELECT count(*) AS n,
+           min(event_id) AS min_id,
+           max(event_id) AS max_id,
+           count(DISTINCT user_id) AS n_users,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+    FROM events
+    """,
+)
+def q_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lakehouse ingest with exactly-once batches: the events
+    stream lands in a snapshots.SnapshotTable via foreachBatch
+    (streaming/ops.stream_to_snapshot), each micro-batch committing its
+    data and its batch-id marker in ONE atomic manifest publish. The
+    gate then REPLAYS batch 0 with the full fixture — the at-least-once
+    delivery foreachBatch actually gives — and hash-equality against a
+    plain batch aggregate proves the replay was skipped, not
+    double-appended: the table is exactly the stream's row set."""
+    import os
+    import shutil
+    import tempfile
+
+    from csv2db_spark.snapshots import SnapshotTable
+    from csv2db_spark.sources import load_table
+    from csv2db_spark.streaming.ops import events_stream, stream_to_snapshot
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    root = tempfile.mkdtemp(prefix="c2s_snapsink_")
+    try:
+        t = SnapshotTable(spark, os.path.join(root, "events"))
+        stream_to_snapshot(
+            events_stream(spark, sf_dir).select(*cols),
+            t,
+            checkpoint=os.path.join(root, "_cp"),
+        )
+        # adversarial replay of an already-committed batch id: must be
+        # a no-op (returns None), or the sum below doubles
+        assert (
+            t.append_stream_batch(
+                load_table(spark, sf_dir, "events").select(*cols), 0
+            )
+            is None
+        )
+        out = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "q_stream_cdc_upsert",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, max_by(value, event_id) AS last_value
+        FROM events GROUP BY user_id
+    ),
+    base AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 2 = 0
+        UNION
+        SELECT DISTINCT user_id + 1000000 FROM events WHERE user_id % 5 = 0
+    ),
+    merged AS (
+        SELECT coalesce(l.user_id, b.user_id) AS user_id,
+               coalesce(l.last_value, -1.0) AS last_value
+        FROM base b FULL OUTER JOIN latest l ON b.user_id = l.user_id
+    )
+    SELECT count(*) AS n,
+           min(user_id) AS min_u,
+           max(user_id) AS max_u,
+           sum(CASE WHEN last_value = -1.0 THEN 1 ELSE 0 END) AS n_untouched,
+           cast(sum(cast(last_value AS decimal(18,2))) AS double) AS sum_last
+    FROM merged
+    """,
+)
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert with exactly-once batches (streaming/ops.
+    stream_cdc_to_snapshot + snapshots.SnapshotTable.merge_stream_batch):
+    a keyed base table takes a change stream via per-batch latest-wins
+    reduction (max_by on event_id — MERGE needs unique source keys) and
+    copy-on-write merge, each batch committing data + batch-id marker in
+    ONE atomic manifest publish. The gate replays batch 0 afterwards —
+    the at-least-once delivery foreachBatch actually gives — and the
+    hash against a full-outer-join oracle proves the replay was skipped:
+    a re-applied merge would create a phantom version and, with any
+    non-idempotent reduction, corrupt latest-wins state. Untouched base
+    keys (the +1000000 synthetics) keep their sentinel, matched keys
+    carry the stream's latest value, new keys are inserts."""
+    import os
+    import shutil
+    import tempfile
+
+    from csv2db_spark.snapshots import SnapshotTable
+    from csv2db_spark.sources import load_table
+    from csv2db_spark.streaming.ops import events_stream, stream_cdc_to_snapshot
+
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.where(F.col("user_id") % 2 == 0)
+        .select("user_id")
+        .distinct()
+        .unionByName(
+            ev.where(F.col("user_id") % 5 == 0)
+            .select((F.col("user_id") + 1000000).alias("user_id"))
+            .distinct()
+        )
+        .distinct()
+        .withColumn("last_value", F.lit(-1.0))
+    )
+
+    def latest(b: DataFrame) -> DataFrame:
+        return b.groupBy("user_id").agg(
+            F.expr("max_by(value, event_id)").alias("last_value")
+        )
+
+    root = tempfile.mkdtemp(prefix="c2s_cdcsink_")
+    try:
+        t = SnapshotTable(spark, os.path.join(root, "users"))
+        t.create(base)
+        stream_cdc_to_snapshot(
+            events_stream(spark, sf_dir).select("event_id", "user_id", "value"),
+            t,
+            on="user_id",
+            reduce=latest,
+            checkpoint=os.path.join(root, "_cp"),
+        )
+        # adversarial replay of the committed batch id: must be a no-op
+        assert (
+            t.merge_stream_batch(
+                latest(ev.select("event_id", "user_id", "value")), 0, "user_id"
+            )
+            is None
+        )
+        out = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("user_id").alias("min_u"),
+                F.max("user_id").alias("max_u"),
+                F.sum((F.col("last_value") == -1.0).cast("long")).alias(
+                    "n_untouched"
+                ),
+                F.sum(F.col("last_value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_last"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

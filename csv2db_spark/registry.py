@@ -113,7 +113,14 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_sink_snapshot_timetravel (manifest-committed versioned table),
 # q_sink_snapshot_incremental (file-diff CDC read between versions),
 # q_sink_snapshot_delete (copy-on-write delete, atomic manifest publish),
-# q_sink_snapshot_merge (copy-on-write MERGE: update matched + insert new).
+# q_sink_snapshot_merge (copy-on-write MERGE: update matched + insert new),
+# q_sink_snapshot_pruned_delete (metadata-only range delete via file stats),
+# q_sink_snapshot_pruned_read (manifest-stats range read, files never opened),
+# q_stream_snapshot_sink (exactly-once streaming append: batch-id in manifest),
+# q_sink_snapshot_schema_evolution (per-version manifest schemas: NULL-fill
+#   append evolution + metadata-only add/drop column, zero rewrites),
+# q_stream_cdc_upsert (exactly-once streaming MERGE: copy-on-write upsert
+#   with batch-id marker in the manifest commit).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

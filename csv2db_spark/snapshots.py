@@ -28,6 +28,13 @@ the DBMS holds after the last load):
   manifest; ``read()`` resolves the head. Snapshot isolation falls
   out: a reader planning from v3 is untouched by a concurrent commit
   of v4 (v3's files are immutable).
+- **Schema evolution.** Every manifest records its version's
+  [[column, type]] schema; reads reconcile each file to it by name
+  (missing column → NULL, dropped column → projected away), so
+  add/drop column is a metadata commit (``alter_add_column`` /
+  ``alter_drop_column`` or just an ``append`` with more columns) —
+  never a table rewrite. Type changes on append are refused
+  (SchemaConflict) rather than silently coerced.
 
 At 100 TB the data files are whatever partitioned/sorted layout the
 writer chose — this layer only versions WHICH files are in the table,
@@ -48,14 +55,31 @@ class SnapshotConflict(RuntimeError):
     """Another writer published this version first — reread the head."""
 
 
+class SchemaConflict(TypeError):
+    """An append changed an existing column's TYPE — that's a rewrite
+    (or a cast in the writer), never silent coercion at read time."""
+
+
 class NoSuchVersion(KeyError):
     pass
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        stats_cols: list[str] | None = None,
+    ):
+        """``stats_cols`` opts files into per-file [min, max, null_count]
+        statistics, computed once per commit over ONLY that commit's new
+        files and carried forward in the manifest — the Iceberg design:
+        planning reads the manifest, never the data. Columns should be
+        numeric or string (values must order the same way under JSON
+        round-trip as in the engine)."""
         self.spark = spark
         self.path = Path(path)
+        self.stats_cols = list(stats_cols or [])
         (self.path / "_snapshots").mkdir(parents=True, exist_ok=True)
 
     # ------------------------------------------------------------ manifests
@@ -78,14 +102,34 @@ class SnapshotTable:
         except OSError as exc:
             raise NoSuchVersion(version) from exc
 
-    def _publish(self, version: int, op: str, files: list[str]) -> None:
+    def _publish(
+        self,
+        version: int,
+        op: str,
+        files: list[str],
+        stats: dict | None = None,
+        schema: list[list[str]] | None = None,
+    ) -> None:
         """Create the manifest atomically and exclusively: the version is
         visible only with its complete file list, and a racing writer of
         the same version loses with SnapshotConflict instead of
-        overwriting."""
+        overwriting. ``schema`` is the version's committed [[name, ddl]]
+        column list (Iceberg records schemas per snapshot the same way);
+        readers reconcile every listed file to it, so column add/drop is
+        a manifest edit, never a data rewrite."""
         p = self.path / "_snapshots" / f"v{version}.json"
+        body_dict = {
+            "version": version,
+            "op": op,
+            "files": sorted(files),
+            "stats": stats or {},
+        }
+        if schema is not None:
+            body_dict["schema"] = schema
         body = json.dumps(
-            {"version": version, "op": op, "files": sorted(files)}, indent=1
+            body_dict,
+            indent=1,
+            default=str,
         )
         try:
             fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -107,11 +151,121 @@ class SnapshotTable:
             if name.endswith(".parquet")
         ]
 
+    @staticmethod
+    def _schema_of(df: DataFrame) -> list[list[str]]:
+        return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+    def _schema_at(self, version: int | None) -> list[list[str]] | None:
+        if version is None:
+            return None
+        return self._manifest(version).get("schema")
+
+    def _evolved_schema(
+        self, head: int | None, df: DataFrame
+    ) -> list[list[str]]:
+        """The schema an append commits: the parent's columns in their
+        existing order (a writer may omit any of them — readers NULL-fill
+        from the manifest), plus the append's genuinely new columns at
+        the end (add-column evolution). A same-name type change raises
+        SchemaConflict — silent coercion is how directory-based tables
+        corrupt; an intentional retype is an ``overwrite``."""
+        new = self._schema_of(df)
+        old = self._schema_at(head)
+        if old is None:
+            return new
+        new_by_name = dict((n, t) for n, t in new)
+        for n, t in old:
+            if n in new_by_name and new_by_name[n] != t:
+                raise SchemaConflict(
+                    f"column {n!r}: table has {t}, append has {new_by_name[n]}"
+                )
+        old_names = {n for n, _ in old}
+        return [list(c) for c in old] + [
+            [n, t] for n, t in new if n not in old_names
+        ]
+
+    def _read_files(
+        self, files: list[str], schema: list[list[str]] | None = None
+    ) -> DataFrame:
+        """Plan a scan over exactly ``files``, reconciled to the
+        manifest ``schema`` when one is recorded: files written before a
+        column existed yield NULL for it, files carrying since-dropped
+        columns lose them at the projection, and the column ORDER is the
+        manifest's regardless of file layout — reconcile-by-name at the
+        table-format level (the same rule ingest.reconcile applies at
+        the CSV level). Without a recorded schema this is a plain read."""
+        paths = [str(self.path / f) for f in files]
+        if not schema:
+            return self.spark.read.parquet(*paths)
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        present = set(df.columns)
+        return df.select(
+            *[
+                (F.col(n).cast(t) if n in present else F.lit(None).cast(t)).alias(n)
+                for n, t in schema
+            ]
+        )
+
+    def _stats_of(self, files: list[str]) -> dict:
+        """Per-file [min, max, null_count] for ``stats_cols``, computed
+        with ONE scan of exactly the given files (map-side aggregate
+        within each file's own split — incremental maintenance, never a
+        table rescan). Empty when the table has no stats columns."""
+        if not self.stats_cols or not files:
+            return {}
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in self.stats_cols:
+            aggs += [
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            ]
+        rows = (
+            self.spark.read.parquet(*[str(self.path / f) for f in files])
+            .withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(*aggs)
+            .collect()
+        )
+        abs_of = {f: str((self.path / f).resolve()) for f in files}
+        out: dict = {}
+        for r in rows:
+            rel = next(
+                (f for f, a in abs_of.items() if r["_f"].endswith(a) or a in r["_f"]),
+                None,
+            )
+            if rel is None:  # pragma: no cover - defensive
+                continue
+            out[rel] = {
+                c: [r[f"{c}__min"], r[f"{c}__max"], r[f"{c}__nulls"]]
+                for c in self.stats_cols
+            }
+        return out
+
+    def _carry_stats(
+        self, parent: int | None, kept: list[str], new_files: list[str]
+    ) -> dict:
+        """New manifest's stats: parent entries for carried-over files
+        (no recompute — files are immutable) + one scan over the fresh
+        files."""
+        if not self.stats_cols:
+            return {}
+        parent_stats = self._manifest(parent).get("stats", {}) if parent else {}
+        out = {f: parent_stats[f] for f in kept if f in parent_stats}
+        out.update(self._stats_of(new_files))
+        return out
+
     def create(self, df: DataFrame) -> int:
         if self.current_version() is not None:
             raise SnapshotConflict(f"table at {self.path} already exists")
         files = self._write_commit_files(df, 1)
-        self._publish(1, "create", files)
+        self._publish(
+            1, "create", files, self._stats_of(files), self._schema_of(df)
+        )
         return 1
 
     def append(self, df: DataFrame) -> int:
@@ -119,15 +273,25 @@ class SnapshotTable:
         if head is None:
             return self.create(df)
         nxt = head + 1
+        schema = self._evolved_schema(head, df)  # conflict check BEFORE write
         files = self._write_commit_files(df, nxt)
-        self._publish(nxt, "append", self._manifest(head)["files"] + files)
+        old = self._manifest(head)["files"]
+        self._publish(
+            nxt,
+            "append",
+            old + files,
+            self._carry_stats(head, old, files),
+            schema,
+        )
         return nxt
 
     def overwrite(self, df: DataFrame) -> int:
         head = self.current_version()
         nxt = (head or 0) + 1
         files = self._write_commit_files(df, nxt)
-        self._publish(nxt, "overwrite", files)
+        self._publish(
+            nxt, "overwrite", files, self._stats_of(files), self._schema_of(df)
+        )
         return nxt
 
     # ---------------------------------------------------------------- reads
@@ -137,8 +301,8 @@ class SnapshotTable:
             version = self.current_version()
             if version is None:
                 raise NoSuchVersion("empty table")
-        files = self._manifest(version)["files"]
-        return self.spark.read.parquet(*[str(self.path / f) for f in files])
+        m = self._manifest(version)
+        return self._read_files(m["files"], m.get("schema"))
 
     def history(self) -> list[dict]:
         return [
@@ -188,7 +352,7 @@ class SnapshotTable:
         files = self.added_files(from_version, to_version)
         if not files:
             return self.read(to_version).limit(0)
-        return self.spark.read.parquet(*[str(self.path / f) for f in files])
+        return self._read_files(files, self._schema_at(to_version))
 
     def rollback(self, version: int) -> int:
         """Publish the head's successor with an OLD version's exact file
@@ -198,7 +362,14 @@ class SnapshotTable:
         if head is None:
             raise NoSuchVersion("empty table")
         nxt = head + 1
-        self._publish(nxt, f"rollback:{version}", self._manifest(version)["files"])
+        m = self._manifest(version)
+        self._publish(
+            nxt,
+            f"rollback:{version}",
+            m["files"],
+            m.get("stats", {}),
+            m.get("schema"),
+        )
         return nxt
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
@@ -292,12 +463,20 @@ class SnapshotTable:
         if affected:
             # delete rows where the predicate is TRUE; NULL keeps the row
             # (SQL DELETE semantics — a bare ~condition would silently
-            # drop NULL-evaluating rows from rewritten files)
-            survivors = self.spark.read.parquet(
-                *[str(self.path / f) for f in affected]
+            # drop NULL-evaluating rows from rewritten files); the
+            # rewrite reconciles to the head schema so a predicate on an
+            # evolved column binds even over pre-evolution files
+            survivors = self._read_files(
+                affected, self._schema_at(head)
             ).where(~F.coalesce(condition, F.lit(False)))
             new_files = self._write_commit_files(survivors, nxt)
-        self._publish(nxt, "delete", kept + new_files)
+        self._publish(
+            nxt,
+            "delete",
+            kept + new_files,
+            self._carry_stats(head, kept, new_files),
+            self._schema_at(head),
+        )
         return nxt
 
     def merge_into(self, source: DataFrame, on: list[str] | str) -> int:
@@ -318,6 +497,11 @@ class SnapshotTable:
         one write). Every untouched file is referenced verbatim by the
         new manifest, and the publish is the same atomic O_EXCL commit:
         a crash mid-merge leaves only invisible orphans."""
+        return self._merge_commit(source, on, "merge")
+
+    def _merge_commit(
+        self, source: DataFrame, on: list[str] | str, op: str
+    ) -> int:
         from pyspark.sql import functions as F
 
         keys = [on] if isinstance(on, str) else list(on)
@@ -341,15 +525,48 @@ class SnapshotTable:
         kept = [f for f in files if f not in set(affected)]
         nxt = head + 1
         if affected:
-            survivors = self.spark.read.parquet(
-                *[str(self.path / f) for f in affected]
+            survivors = self._read_files(
+                affected, self._schema_at(head)
             ).join(F.broadcast(key_df), keys, "left_anti")
             new_data = survivors.unionByName(source)
         else:
             new_data = source  # pure insert: nothing matched anywhere
         new_files = self._write_commit_files(new_data, nxt)
-        self._publish(nxt, "merge", kept + new_files)
+        self._publish(
+            nxt,
+            op,
+            kept + new_files,
+            self._carry_stats(head, kept, new_files),
+            self._schema_at(head),
+        )
         return nxt
+
+    def merge_stream_batch(
+        self, source: DataFrame, batch_id: int, on: list[str] | str
+    ) -> int | None:
+        """Exactly-once MERGE for a foreachBatch CDC sink: the same
+        copy-on-write upsert as ``merge_into``, with the micro-batch id
+        committed inside the manifest op string — one atomic publish
+        carries both the merged data and the "was this batch applied"
+        marker, exactly like ``append_stream_batch``. A replayed batch
+        (foreachBatch is at-least-once) finds its marker and returns
+        None instead of double-applying — which for a merge would not
+        just duplicate rows but RE-update matched ones, silently
+        corrupting latest-wins semantics. This is the streaming face of
+        CDC-into-lakehouse: each micro-batch of upserts costs O(delta +
+        affected files), never a table rewrite."""
+        marker = f"stream-merge:{batch_id}"
+        if any(self._manifest(v)["op"] == marker for v in self.versions()):
+            return None
+        if self.current_version() is None:
+            # first batch bootstraps the table — the marker must still
+            # land in the op, or its replay would re-merge over the data
+            files = self._write_commit_files(source, 1)
+            self._publish(
+                1, marker, files, self._stats_of(files), self._schema_of(source)
+            )
+            return 1
+        return self._merge_commit(source, on, marker)
 
     def compact(self, target_files: int = 1) -> int:
         """Rewrite the head version's row set into ``target_files``
@@ -366,7 +583,177 @@ class SnapshotTable:
         new_files = self._write_commit_files(
             self.read(head).coalesce(target_files), nxt
         )
-        self._publish(nxt, "compact", new_files)
+        self._publish(
+            nxt,
+            "compact",
+            new_files,
+            self._stats_of(new_files),
+            self._schema_at(head),
+        )
+        return nxt
+
+    # ------------------------------------------- stats-pruned planning
+
+    def _classify_range(
+        self, version: int, col: str, lo, hi
+    ) -> tuple[list[str], list[str], list[str]]:
+        """Split a version's files against ``col BETWEEN lo AND hi``
+        using manifest stats only: (disjoint — provably no matching
+        row; full — provably EVERY row matches; overlap — must be
+        read). Files without stats land in overlap (pruning must be
+        conservative). A file whose min is NULL holds no non-null
+        values, so no row can satisfy a range predicate — disjoint."""
+        stats = self._manifest(version).get("stats", {})
+        disjoint: list[str] = []
+        full: list[str] = []
+        overlap: list[str] = []
+        for f in self._manifest(version)["files"]:
+            st = stats.get(f, {}).get(col)
+            if st is None:
+                overlap.append(f)
+                continue
+            mn, mx, nulls = st
+            if mn is None or mx < lo or mn > hi:
+                disjoint.append(f)
+            elif mn >= lo and mx <= hi and not nulls:
+                full.append(f)
+            else:
+                overlap.append(f)
+        return disjoint, full, overlap
+
+    def read_where(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
+        """Range read planned from manifest statistics: files whose
+        [min, max] cannot intersect [lo, hi] are never opened (not even
+        their footers — the per-file tax that dominates selective scans
+        over millions of files); survivors get the exact predicate on
+        top, so pruning is invisible to results. Requires ``col`` in
+        ``stats_cols`` for pruning to bite; without stats every file
+        conservatively survives."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise NoSuchVersion("empty table")
+        _, full, overlap = self._classify_range(version, col, lo, hi)
+        keep = full + overlap
+        if not keep:
+            return self.read(version).where(F.lit(False))
+        return self._read_files(keep, self._schema_at(version)).where(
+            F.col(col).between(F.lit(lo), F.lit(hi))
+        )
+
+    def delete_range(self, col: str, lo, hi) -> int:
+        """DELETE WHERE col BETWEEN lo AND hi, planned from manifest
+        stats: files wholly inside the range (and null-free) are
+        dropped METADATA-ONLY — no read, no rewrite, just absent from
+        the new manifest; files provably disjoint are referenced
+        verbatim — never opened; only genuinely straddling files get
+        the copy-on-write rewrite. This is the Iceberg "metadata
+        delete": against a range-partitioned layout (write_sorted_
+        parquet) dropping a retention window touches ~2 boundary files
+        regardless of table size. Falls back to delete_where when the
+        column has no stats."""
+        from pyspark.sql import functions as F
+
+        cond = F.col(col).between(F.lit(lo), F.lit(hi))
+        if col not in self.stats_cols:
+            return self.delete_where(cond)
+        head = self.current_version()
+        if head is None:
+            raise NoSuchVersion("empty table")
+        disjoint, full, overlap = self._classify_range(head, col, lo, hi)
+        nxt = head + 1
+        new_files: list[str] = []
+        if overlap:
+            survivors = self._read_files(
+                overlap, self._schema_at(head)
+            ).where(~F.coalesce(cond, F.lit(False)))
+            new_files = self._write_commit_files(survivors, nxt)
+        self._publish(
+            nxt,
+            f"delete-range(meta:{len(full)},rewrite:{len(overlap)})",
+            disjoint + new_files,
+            self._carry_stats(head, disjoint, new_files),
+            self._schema_at(head),
+        )
+        return nxt
+
+    # ------------------------------------------------- schema evolution
+
+    def alter_add_column(self, name: str, ddl_type: str) -> int:
+        """Metadata-only ADD COLUMN: publish the head's exact file list
+        with the column appended to the manifest schema — zero data
+        rewritten, every existing row reads the new column as NULL, and
+        time travel below this version never sees it. This is why
+        manifest-recorded schemas beat file-sniffed ones: column DDL on
+        a 100 TB table is one tiny JSON commit."""
+        head = self.current_version()
+        if head is None:
+            raise NoSuchVersion("empty table")
+        m = self._manifest(head)
+        schema = m.get("schema") or []
+        if any(n == name for n, _ in schema):
+            raise SchemaConflict(f"column {name!r} already exists")
+        self._publish(
+            head + 1,
+            f"add-column:{name}",
+            m["files"],
+            m.get("stats", {}),
+            schema + [[name, ddl_type]],
+        )
+        return head + 1
+
+    def alter_drop_column(self, name: str) -> int:
+        """Metadata-only DROP COLUMN: same files, schema minus the
+        column — readers project it away, the bytes stay in place until
+        the files are naturally rewritten (compact/delete) and age out.
+        Rollback/time travel restores it, because each version owns its
+        schema."""
+        head = self.current_version()
+        if head is None:
+            raise NoSuchVersion("empty table")
+        m = self._manifest(head)
+        schema = m.get("schema") or []
+        if not any(n == name for n, _ in schema):
+            raise SchemaConflict(f"no such column {name!r}")
+        self._publish(
+            head + 1,
+            f"drop-column:{name}",
+            m["files"],
+            m.get("stats", {}),
+            [[n, t] for n, t in schema if n != name],
+        )
+        return head + 1
+
+    def append_stream_batch(self, df: DataFrame, batch_id: int) -> int | None:
+        """Exactly-once append for a foreachBatch sink: the micro-batch
+        id commits INSIDE the manifest op string, so the data and the
+        "was this batch applied" marker publish in one atomic O_EXCL
+        write. foreachBatch is at-least-once (a crash between sink
+        write and checkpoint commit replays the batch); a replayed id
+        finds its marker in history and is skipped — returns None —
+        instead of double-appending. A crash BEFORE publish leaves
+        orphans and no marker: the replay simply re-stages (same commit
+        dir, overwrite) and publishes. History scan is O(versions) of
+        tiny JSON; batch ids are monotonic per checkpoint, so pair a
+        fresh checkpoint with a fresh table (same contract as
+        stream_rollup_to_parquet's marker)."""
+        marker = f"stream-append:{batch_id}"
+        if any(self._manifest(v)["op"] == marker for v in self.versions()):
+            return None
+        head = self.current_version()
+        nxt = (head or 0) + 1
+        schema = self._evolved_schema(head, df)
+        files = self._write_commit_files(df, nxt)
+        old = self._manifest(head)["files"] if head else []
+        self._publish(
+            nxt,
+            marker,
+            old + files,
+            self._carry_stats(head, old, files),
+            schema,
+        )
         return nxt
 
     def write_audit_publish(self, df: DataFrame, rules, op: str = "append"):
@@ -390,9 +777,17 @@ class SnapshotTable:
         )
         if report.where(~report.passed).count() > 0:
             return None, report
+        new_files = files
         if op == "append" and head is not None:
             files = self._manifest(head)["files"] + files
         elif op not in ("append", "overwrite"):
             raise ValueError(f"unsupported op {op!r}")
-        self._publish(nxt, f"wap-{op}", files)
+        kept = [f for f in files if f not in set(new_files)]
+        self._publish(
+            nxt,
+            f"wap-{op}",
+            files,
+            self._carry_stats(head, kept, new_files),
+            self._evolved_schema(head, df) if op == "append" else self._schema_of(df),
+        )
         return nxt, report

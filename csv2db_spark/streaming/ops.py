@@ -640,6 +640,72 @@ def static_enrich_join(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return stream.join(F.broadcast(dim), on)
 
 
+def stream_to_snapshot(
+    stream: DataFrame,
+    table,
+    checkpoint: str | None = None,
+) -> None:
+    """Continuously append a stream into a snapshots.SnapshotTable with
+    exactly-once batches: foreachBatch hands each micro-batch to
+    ``SnapshotTable.append_stream_batch``, which commits the data AND
+    the batch-id marker in one atomic manifest publish — replayed
+    batches (foreachBatch is at-least-once) are skipped, so the table
+    equals the stream's row set exactly. Every committed version is a
+    time-travel point: downstream training runs pin the version the
+    moment they start and are isolated from later arrivals — the
+    streaming face of reproducible dataset lineage.
+
+    At 100 TB this is the standard "streaming lakehouse ingest" shape:
+    per-batch files land under the table, one tiny JSON commit each,
+    and ``compact()`` + ``vacuum()`` handle the small-file buildup the
+    cadence creates."""
+    import tempfile as _tempfile
+
+    cp = checkpoint or _tempfile.mkdtemp(prefix="c2s_snapsink_cp_")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: table.append_stream_batch(b, i)
+        )
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_cdc_to_snapshot(
+    stream: DataFrame,
+    table,
+    on: list[str] | str,
+    reduce=None,
+    checkpoint: str | None = None,
+) -> None:
+    """Continuously UPSERT a change stream into a snapshots.
+    SnapshotTable: each micro-batch is first reduced to one row per key
+    (``reduce``, e.g. latest-event-wins via max_by — MERGE requires
+    unique source keys), then handed to ``merge_stream_batch``, which
+    commits the copy-on-write merge and the batch-id marker in one
+    atomic manifest publish. Replayed batches are skipped, so at-least-
+    once foreachBatch delivery becomes an exactly-once materialized
+    view of the keyed stream — the streaming CDC-into-lakehouse shape:
+    per batch, cost is O(delta + affected files), never a table
+    rewrite, and every batch is a time-travel point."""
+    import tempfile as _tempfile
+
+    cp = checkpoint or _tempfile.mkdtemp(prefix="c2s_cdcsink_cp_")
+
+    def _apply(b: DataFrame, i: int) -> None:
+        table.merge_stream_batch(reduce(b) if reduce else b, i, on)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_rollup_to_parquet(
     stream: DataFrame,
     path: str,

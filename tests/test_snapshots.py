@@ -221,3 +221,200 @@ def test_compact_preserves_rows_and_shrinks_files(spark, table):
     assert sorted(r.id for r in table.read().collect()) == list(range(200))
     # history untouched
     assert table.read(1).count() == 100
+
+
+@pytest.fixture()
+def stable(spark, tmp_path):
+    """Stats-tracked table over a range-partitioned layout: 4 files with
+    disjoint id spans (0-24, 25-49, 50-74, 75-99)."""
+    t = SnapshotTable(spark, str(tmp_path / "st"), stats_cols=["id"])
+    t.create(spark.range(0, 100).toDF("id").repartitionByRange(4, "id"))
+    return t
+
+
+def test_stats_recorded_per_file(spark, stable):
+    stats = stable._manifest(1)["stats"]
+    files = stable._manifest(1)["files"]
+    assert set(stats) == set(files)
+    spans = sorted((s["id"][0], s["id"][1]) for s in stats.values())
+    assert spans[0][0] == 0 and spans[-1][1] == 99
+    assert all(s["id"][2] == 0 for s in stats.values())  # null counts
+
+
+def test_read_where_opens_fewer_files(spark, stable):
+    pruned = stable.read_where("id", 10, 20)
+    assert len(pruned.inputFiles()) < len(stable.read().inputFiles())
+    assert sorted(r.id for r in pruned.collect()) == list(range(10, 21))
+
+
+def test_read_where_empty_selection_keeps_schema(spark, stable):
+    out = stable.read_where("id", 1000, 2000)
+    assert out.columns == ["id"] and out.count() == 0
+
+
+def test_delete_range_metadata_only_for_interior_files(spark, stable):
+    v1_files = set(stable._manifest(1)["files"])
+    disjoint, full, overlap = stable._classify_range(1, "id", 25, 74)
+    assert len(full) == 2 and len(disjoint) == 2 and not overlap
+    v = stable.delete_range("id", 25, 74)
+    m = stable._manifest(v)
+    # nothing was rewritten: the new manifest is exactly the two
+    # disjoint originals, referenced verbatim; interior files vanished
+    # from metadata without ever being read
+    assert set(m["files"]) == set(disjoint) <= v1_files
+    assert m["op"] == "delete-range(meta:2,rewrite:0)"
+    ids = sorted(r.id for r in stable.read().collect())
+    assert ids == list(range(0, 25)) + list(range(75, 100))
+
+
+def test_delete_range_rewrites_straddling_files(spark, stable):
+    v = stable.delete_range("id", 10, 60)  # straddles files 1 and 3
+    m = stable._manifest(v)
+    assert "meta:1" in m["op"] and "rewrite:2" in m["op"]
+    ids = sorted(r.id for r in stable.read().collect())
+    assert ids == list(range(0, 10)) + list(range(61, 100))
+    # stats maintained for the rewritten files too
+    assert set(m["stats"]) == set(m["files"])
+
+
+def test_delete_range_nulls_block_metadata_drop(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tn"), stats_cols=["v"])
+    df = spark.createDataFrame([(1, 5.0), (2, None), (3, 6.0)], "id long, v double")
+    t.create(df.coalesce(1))
+    t.delete_range("v", 0.0, 100.0)  # whole span, but file holds a NULL
+    rows = [(r.id, r.v) for r in t.read().collect()]
+    assert rows == [(2, None)]  # NULL row survives, SQL DELETE semantics
+
+
+def test_delete_range_without_stats_falls_back(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tf"))  # no stats_cols
+    t.create(spark.range(0, 10).toDF("id"))
+    t.delete_range("id", 3, 5)
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 6, 7, 8, 9]
+
+
+def test_append_stream_batch_replay_skipped(spark, table):
+    d1 = spark.range(0, 5).toDF("id")
+    assert table.append_stream_batch(d1, 0) == 1
+    assert table.append_stream_batch(spark.range(5, 8).toDF("id"), 1) == 2
+    # at-least-once replay of batch 1: skipped, not double-appended
+    assert table.append_stream_batch(spark.range(5, 8).toDF("id"), 1) is None
+    assert table.read().count() == 8
+    assert [h["op"] for h in table.history()] == [
+        "stream-append:0",
+        "stream-append:1",
+    ]
+
+
+def test_append_stream_batch_crash_before_publish_recovers(spark, table):
+    table.append_stream_batch(spark.range(0, 3).toDF("id"), 0)
+    # crash: batch 1's files staged, manifest never published
+    table._write_commit_files(spark.range(10, 13).toDF("id"), 2)
+    assert table.current_version() == 1  # orphans invisible
+    # replay of batch 1 re-stages the same commit dir and publishes
+    v = table.append_stream_batch(spark.range(10, 13).toDF("id"), 1)
+    assert v == 2
+    assert sorted(r.id for r in table.read().collect()) == [0, 1, 2, 10, 11, 12]
+
+
+# ----------------------------------------------------- schema evolution
+
+
+def test_append_with_new_column_null_fills_old_files(spark, table):
+    table.create(spark.range(3).toDF("id"))
+    table.append(
+        spark.range(3, 5).toDF("id").withColumn("lang", F.lit("en"))
+    )
+    head = table.read().orderBy("id").collect()
+    assert [r.asDict() for r in head] == [
+        {"id": 0, "lang": None},
+        {"id": 1, "lang": None},
+        {"id": 2, "lang": None},
+        {"id": 3, "lang": "en"},
+        {"id": 4, "lang": "en"},
+    ]
+    # time travel keeps the pre-evolution schema
+    assert table.read(1).columns == ["id"]
+
+
+def test_append_missing_column_null_fills_new_rows(spark, table):
+    table.create(
+        spark.range(2).toDF("id").withColumn("lang", F.lit("en"))
+    )
+    table.append(spark.range(2, 4).toDF("id"))
+    rows = table.read().orderBy("id").collect()
+    assert [r["lang"] for r in rows] == ["en", "en", None, None]
+    assert table.read().columns == ["id", "lang"]
+
+
+def test_append_type_change_refused(spark, table):
+    from csv2db_spark.snapshots import SchemaConflict
+
+    table.create(spark.range(2).toDF("id"))
+    with pytest.raises(SchemaConflict):
+        table.append(
+            spark.range(2, 3).toDF("id").select(F.col("id").cast("string"))
+        )
+    # the refused append left no new version behind
+    assert table.versions() == [1]
+
+
+def test_alter_add_column_is_metadata_only(spark, table):
+    table.create(spark.range(3).toDF("id"))
+    files_before = table._manifest(1)["files"]
+    v = table.alter_add_column("score", "double")
+    assert table._manifest(v)["files"] == files_before  # zero rewrite
+    assert table.read().columns == ["id", "score"]
+    assert [r["score"] for r in table.read().collect()] == [None] * 3
+    # a later append can now supply real values
+    table.append(
+        spark.range(3, 4).toDF("id").withColumn("score", F.lit(1.5))
+    )
+    got = {r["id"]: r["score"] for r in table.read().collect()}
+    assert got[3] == 1.5 and got[0] is None
+
+
+def test_alter_drop_column_projects_away_and_time_travels(spark, table):
+    table.create(
+        spark.range(2).toDF("id").withColumn("tmp", F.lit("x"))
+    )
+    v = table.alter_drop_column("tmp")
+    assert table.read().columns == ["id"]
+    assert table._manifest(v)["files"] == table._manifest(1)["files"]
+    assert table.read(1).columns == ["id", "tmp"]  # history owns its schema
+    # rollback restores the column without touching data
+    table.rollback(1)
+    assert table.read().columns == ["id", "tmp"]
+
+
+def test_delete_where_on_evolved_column(spark, table):
+    table.create(spark.range(4).toDF("id"))
+    table.append(
+        spark.range(4, 8).toDF("id").withColumn("lang", F.lit("xx"))
+    )
+    # predicate on the evolved column must bind over pre-evolution files
+    table.delete_where(F.col("lang") == "xx")
+    assert sorted(r["id"] for r in table.read().collect()) == [0, 1, 2, 3]
+    assert table.read().columns == ["id", "lang"]
+
+
+def test_compact_materializes_evolved_schema(spark, table):
+    table.create(spark.range(3).toDF("id"))
+    table.alter_add_column("lang", "string")
+    v = table.compact(1)
+    rows = table.read(v).orderBy("id").collect()
+    assert [r["lang"] for r in rows] == [None, None, None]
+    assert table.read(v).columns == ["id", "lang"]
+
+
+def test_merge_stream_batch_replay_skipped_and_bootstrap_marker(spark, table):
+    src1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    assert table.merge_stream_batch(src1, 0, "k") == 1
+    # bootstrap commit carries the marker: replaying batch 0 is a no-op
+    assert table.merge_stream_batch(src1, 0, "k") is None
+    src2 = spark.createDataFrame([(2, 99.0), (3, 30.0)], "k long, v double")
+    assert table.merge_stream_batch(src2, 1, "k") == 2
+    assert table.merge_stream_batch(src2, 1, "k") is None
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}
+    assert table.versions() == [1, 2]  # replays created no phantom versions
