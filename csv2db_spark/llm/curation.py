@@ -791,3 +791,83 @@ def score_quantile_normalize(
     sources."""
     w = Window.partitionBy(group_col).orderBy(score_col, id_col)
     return df.withColumn("pct", F.percent_rank().over(w))
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_col: str,
+    n_features: int = 64,
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-shaped data selection scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    each RAW-pool document by how much its hashed n-gram feature
+    distribution resembles a TARGET distribution, using only two count
+    vectors of ``n_features`` cells — the trick that made importance
+    resampling tractable at web scale. ``target_col`` is a boolean on
+    ``docs``: True rows define the target distribution (the quality
+    corpus you want more of), False rows are the selection pool that
+    gets scored.
+
+    Integer-exact pipeline (every division an explicit floor, mirrored
+    by the oracle): Laplace-smoothed per-bucket probabilities in
+    ``scale`` micro-units,
+
+        p_hat(b)   = ((cnt(b) + 1) * scale) div (total + n_features)
+        w_micro(b) = (p_t(b) * scale) div max(p_r(b), 1)
+
+    and score(d) = sum_b tf(d, b) * w_micro(b) — a log-free surrogate
+    of the DSIR log-likelihood ratio (monotone in each feature's
+    target/raw ratio; the downstream resampler only needs relative
+    order). Returns (doc_id, score) for pool documents.
+
+    Scale shape: one explode -> one map-combined groupBy to
+    2*n_features count cells -> broadcast weight table -> per-doc tf
+    rollup. The target corpus is never joined row-to-row against the
+    pool; model state is n_features rows regardless of corpus size."""
+    from csv2db_spark.llm.corpus import tokens
+
+    tok = docs.select(
+        "doc_id",
+        F.col(target_col).alias("_tgt"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+        % n_features
+    ).alias("bucket")
+    hashed = tok.select("doc_id", "_tgt", bucket)
+    pb = hashed.groupBy("bucket").agg(
+        F.sum(F.col("_tgt").cast("long")).alias("cnt_t"),
+        F.sum((~F.col("_tgt")).cast("long")).alias("cnt_r"),
+    )
+    tot = pb.agg(
+        F.sum("cnt_t").alias("tot_t"), F.sum("cnt_r").alias("tot_r")
+    )
+    w = (
+        pb.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr(
+                f"((cnt_t + 1) * {scale}) div (tot_t + {n_features})"
+            ).alias("p_t"),
+            F.expr(
+                f"((cnt_r + 1) * {scale}) div (tot_r + {n_features})"
+            ).alias("p_r"),
+        )
+        .select(
+            "bucket",
+            F.expr(f"(p_t * {scale}) div greatest(p_r, 1)").alias("w"),
+        )
+    )
+    tf = (
+        hashed.where(~F.col("_tgt"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+    )

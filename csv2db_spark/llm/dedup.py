@@ -608,6 +608,62 @@ def duplicated_window_stats(
     )
 
 
+def duplicated_spans(
+    docs: DataFrame, text_col: str = "text", w: int = 5
+) -> DataFrame:
+    """Maximal duplicated token spans per document — the REMOVE list
+    exact-substring training-data dedup feeds a trim stage (the
+    suffix-array approach finds the same spans centrally; fixed-width
+    window fingerprints recover every duplicate of >= ``w`` tokens with
+    corpus-linear cost). Where ``duplicated_window_stats`` answers "how
+    much of this doc is copied", this answers "exactly WHICH tokens",
+    so the curation stage can cut the span instead of dropping the doc.
+
+    Every position i emits md5 of its w-token window; windows whose
+    fingerprint occurs >= 2 times corpus-wide are duplicated; runs of
+    overlapping-or-adjacent duplicated windows (next start within w of
+    the previous) merge into maximal [span_start, span_end] token
+    intervals via gaps-and-islands. Output: (doc_id, span_start,
+    span_end, span_tokens, n_windows), 1-based inclusive positions.
+
+    Shape at scale: one digest-keyed shuffle for the corpus-wide window
+    frequency (16-byte payloads), then ONE doc_id shuffle that both the
+    island window and the span rollup reuse (same partitioning — no
+    extra exchange). No pairwise join anywhere; output is sized by
+    duplicated content, not the corpus.
+    """
+    win = (
+        "CASE WHEN size({t}) >= {w} THEN "
+        "transform(sequence(1, size({t}) - {w} + 1), "
+        "i -> struct(i AS i, md5(array_join(slice({t}, i, {w}), ' ')) AS h)) "
+        "ELSE array() END"
+    ).format(t=f"split({text_col}, ' ')", w=w)
+    exploded = docs.select(
+        "doc_id", F.explode(F.expr(win)).alias("wd")
+    ).select("doc_id", F.col("wd.i").alias("i"), F.col("wd.h").alias("h"))
+    freq = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup = exploded.withColumn("_c", freq).where(F.col("_c") >= 2).drop("_c")
+    doc_win = Window.partitionBy("doc_id").orderBy("i")
+    brk = (
+        F.when(F.col("i") - F.lag("i").over(doc_win) <= w, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk")
+    )
+    grouped = dup.select("doc_id", "i", brk).withColumn(
+        "g", F.sum("brk").over(doc_win.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        grouped.groupBy("doc_id", "g")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") + w - 1).cast("long").alias("span_end"),
+            (F.max("i") - F.min("i") + w).cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("g")
+    )
+
+
 def ppjoin_pairs(
     docs: DataFrame,
     min_jaccard: float,

@@ -667,6 +667,73 @@ def feature_hash_tf(
     )
 
 
+def hashed_linear_classifier(
+    docs: DataFrame,
+    label_col: str,
+    n_features: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-and-apply a linear classifier over hashed bag-of-words
+    features in ONE plan — the shape of fastText-style quality filters
+    (a linear model over hashed n-gram features; Joulin et al. 2016)
+    with an integer-exact discriminant so the gate can hash-verify every
+    score. ``label_col`` is a boolean column on ``docs`` (the supervised
+    signal: curated-vs-crawl, English-vs-not, ...).
+
+    Train: per-bucket token counts by class (one map-combined shuffle to
+    ``n_features`` rows), then the cross-multiplied class-skew weight
+
+        w(b) = cnt_pos(b) * total_neg_tokens - cnt_neg(b) * total_pos_tokens
+
+    — positive iff bucket b is over-represented in the positive class
+    (the division-free form of the count-ratio discriminant, same
+    integer cross-multiplication idiom as gopher_quality). Apply:
+    score(d) = sum_b tf(d,b) * w(b), predict positive iff score > 0.
+
+    Scale shape: the model is ``n_features`` rows — aggregated in one
+    pass, broadcast back; the corpus is touched twice but never joined
+    against itself, and per-doc scoring shuffles (doc_id, bucket) tf
+    partials only. No vocabulary state, no OOV handling, no Python —
+    pure codegen end to end."""
+    from csv2db_spark.llm.corpus import tokens
+
+    tok = docs.select(
+        "doc_id",
+        F.col(label_col).alias("_pos"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+        % n_features
+    ).alias("bucket")
+    hashed = tok.select("doc_id", "_pos", bucket)
+    per_bucket = hashed.groupBy("bucket").agg(
+        F.sum(F.col("_pos").cast("long")).alias("cnt_pos"),
+        F.sum((~F.col("_pos")).cast("long")).alias("cnt_neg"),
+    )
+    totals = per_bucket.agg(
+        F.sum("cnt_pos").alias("tot_pos"), F.sum("cnt_neg").alias("tot_neg")
+    )
+    weights = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.col("cnt_pos") * F.col("tot_neg")
+            - F.col("cnt_neg") * F.col("tot_pos")
+        ).alias("w"),
+    )
+    tf = hashed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        tf.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+        .select(
+            "doc_id", "score", (F.col("score") > 0).alias("predicted_pos")
+        )
+    )
+
+
 def zipf_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus token-frequency (Zipf) histogram over power-of-two bins:
     tokenize, count occurrences per distinct token, then bucket tokens

@@ -1039,3 +1039,56 @@ def q_curate_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return score_quantile_normalize(docs, "source", "n_chars")
+
+
+@query(
+    "q_curate_importance_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, tgt,
+             CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64 AS bucket
+      FROM tok
+    ),
+    pb AS (
+      SELECT bucket,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS cnt_t,
+             sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cnt_r
+      FROM h GROUP BY bucket
+    ),
+    tot AS (SELECT sum(cnt_t) AS tot_t, sum(cnt_r) AS tot_r FROM pb),
+    p AS (
+      SELECT bucket,
+             CAST((cnt_t + 1) * 1000000 AS BIGINT) // CAST(tot_t + 64 AS BIGINT) AS p_t,
+             CAST((cnt_r + 1) * 1000000 AS BIGINT) // CAST(tot_r + 64 AS BIGINT) AS p_r
+      FROM pb, tot
+    ),
+    w AS (
+      SELECT bucket, (p_t * 1000000) // greatest(p_r, 1) AS w FROM p
+    ),
+    tf AS (
+      SELECT doc_id, bucket, count(*) AS tf
+      FROM h WHERE NOT tgt GROUP BY 1, 2
+    )
+    SELECT t.doc_id, CAST(sum(t.tf * w.w) AS BIGINT) AS score
+    FROM tf t JOIN w USING (bucket)
+    GROUP BY t.doc_id
+    """,
+)
+def q_curate_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores (llm/curation.importance_weights):
+    non-English documents (the selection pool) scored against the
+    English subset (the target distribution) over 64 hashed unigram
+    buckets — the two-count-vector importance-resampling recipe, with
+    every Laplace probability and ratio an explicit integer floor so
+    the driver hash-verifies each document's exact score. Model state
+    is 64 rows broadcast over the pool; the target corpus never joins
+    the pool row-to-row."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_is_en", F.col("lang") == "en"
+    )
+    return C.importance_weights(docs, "_is_en")

@@ -602,6 +602,54 @@ def q_dedup_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_span_removal",
+    oracle=f"""
+    WITH {SQL_AUG.strip()},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    win AS (
+      SELECT doc_id,
+             unnest(range(1, len(t) - {_WIN_W} + 2)) AS i,
+             unnest(list_transform(
+               range(1, len(t) - {_WIN_W} + 2),
+               i -> md5(array_to_string(t[i:i+{_WIN_W - 1}], ' '))
+             )) AS h
+      FROM toks WHERE len(t) >= {_WIN_W}
+    ),
+    freq AS (SELECT h, count(*) AS c FROM win GROUP BY h),
+    dup AS (SELECT w.doc_id, w.i FROM win w JOIN freq f USING (h)
+            WHERE f.c >= 2),
+    isl AS (
+      SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                  <= {_WIN_W} THEN 0 ELSE 1 END AS brk
+      FROM dup
+    ),
+    grp AS (
+      SELECT doc_id, i,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(i) AS BIGINT) AS span_start,
+           CAST(max(i) + {_WIN_W} - 1 AS BIGINT) AS span_end,
+           CAST(max(i) - min(i) + {_WIN_W} AS BIGINT) AS span_tokens,
+           count(*) AS n_windows
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span extraction (llm/dedup.py:duplicated_spans):
+    the maximal duplicated token intervals a trim stage cuts — the
+    distributed form of suffix-array training-data dedup restricted to
+    duplicates >= 5 tokens. Corpus-wide window frequency (one digest
+    shuffle) + gaps-and-islands merge of overlapping duplicated windows
+    (one doc shuffle reused by the rollup). The hash pins every span's
+    exact 1-based [start, end] bounds per document — an off-by-one in
+    the merge rule or a missed adjacent window changes it."""
+    return D.duplicated_spans(augmented_docs(spark, sf_dir), w=_WIN_W)
+
+
 # -------------------------------------------------------- similarity search
 
 
@@ -1537,6 +1585,54 @@ def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared md5 half-split convention. No vocabulary pass, no
     broadcast state — the 100 TB featurizer."""
     return X.feature_hash_tf(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_hashed_classifier",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64 AS bucket
+      FROM tok
+    ),
+    pb AS (
+      SELECT bucket,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cnt_pos,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cnt_neg
+      FROM h GROUP BY bucket
+    ),
+    tot AS (SELECT sum(cnt_pos) AS tot_pos, sum(cnt_neg) AS tot_neg FROM pb),
+    w AS (
+      SELECT bucket,
+             CAST(cnt_pos * tot_neg - cnt_neg * tot_pos AS BIGINT) AS w
+      FROM pb, tot
+    ),
+    tf AS (SELECT doc_id, bucket, count(*) AS tf FROM h GROUP BY 1, 2)
+    SELECT t.doc_id,
+           CAST(sum(t.tf * w.w) AS BIGINT) AS score,
+           CAST(sum(t.tf * w.w) AS BIGINT) > 0 AS predicted_pos
+    FROM tf t JOIN w USING (bucket)
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier, trained AND applied in one plan
+    (llm/text.hashed_linear_classifier): the fastText-quality-filter
+    shape — 64 hashed bag-of-words buckets, per-class bucket counts,
+    division-free cross-multiplied skew weights, per-doc integer scores.
+    Supervision here is the fixture's lang column (en vs rest); the
+    hash pins every document's exact score and decision. The model is
+    64 rows broadcast back over the corpus — no vocabulary state, no
+    Python, two linear passes."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_is_en", F.col("lang") == "en"
+    )
+    return X.hashed_linear_classifier(docs, "_is_en")
 
 
 @query(

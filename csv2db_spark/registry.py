@@ -120,7 +120,13 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_sink_snapshot_schema_evolution (per-version manifest schemas: NULL-fill
 #   append evolution + metadata-only add/drop column, zero rewrites),
 # q_stream_cdc_upsert (exactly-once streaming MERGE: copy-on-write upsert
-#   with batch-id marker in the manifest commit).
+#   with batch-id marker in the manifest commit),
+# q_dedup_span_removal (maximal duplicated-window token spans — the
+#   exact-substring-dedup REMOVE list, gaps-and-islands merge),
+# q_text_hashed_classifier (fastText-shaped hashed-feature linear
+#   classifier, train+apply one plan, integer-exact scores),
+# q_curate_importance_weights (DSIR-style hashed-n-gram importance
+#   scores, integer Laplace ratios, 64-row broadcast model).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

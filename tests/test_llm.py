@@ -787,3 +787,70 @@ def test_ivf_append_leaves_standing_postings_untouched(spark, sf_dir, tmp_path):
     assert len(after) > len(before)           # batch actually landed
     n = spark.read.parquet(f"{path}/postings").count()
     assert n == emb.count()
+
+
+def test_duplicated_spans_exact_bounds_and_merge(spark):
+    # doc 1 and doc 2 share tokens a1..a6 (6 tokens -> windows at i=1,2
+    # with w=5, overlapping -> ONE span [1, 6]); doc 1 additionally
+    # repeats z1..z5 internally at positions 8 and 13 (adjacent windows
+    # 8 and 13: 13 - 8 == w -> merged into one contiguous span [8, 17])
+    shared = "a1 a2 a3 a4 a5 a6"
+    z = "z1 z2 z3 z4 z5"
+    rows = [
+        (1, f"{shared} x {z} {z} y"),
+        (2, f"{shared} q r s t u v w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"]): (
+            r["span_end"],
+            r["span_tokens"],
+            r["n_windows"],
+        )
+        for r in D.duplicated_spans(docs, w=5).collect()
+    }
+    assert got == {
+        (1, 1): (6, 6, 2),   # shared prefix, two overlapping windows merged
+        (1, 8): (17, 10, 2), # adjacent z-runs merged into one span
+        (2, 1): (6, 6, 2),
+    }
+
+
+def test_duplicated_spans_empty_when_no_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "u1 u2 u3 u4 u5 u6 u7"), (2, "v1 v2 v3 v4 v5 v6")],
+        "doc_id long, text string",
+    )
+    assert D.duplicated_spans(docs, w=5).count() == 0
+
+
+def test_hashed_classifier_separates_disjoint_vocabularies(spark):
+    from csv2db_spark.llm.text import hashed_linear_classifier
+
+    # two disjoint vocabularies are linearly separable in hash space
+    # (up to bucket collisions — 64 buckets, 8 tokens, none here)
+    rows = [(i, "alpha beta gamma delta", True) for i in range(10)] + [
+        (100 + i, "omega psi chi phi", False) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, pos boolean")
+    out = hashed_linear_classifier(docs, "pos").collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["predicted_pos"] == (r["doc_id"] < 100)
+    # scores are symmetric in magnitude across the two pure classes
+    mags = {abs(r["score"]) for r in out}
+    assert len(mags) == 1
+
+
+def test_importance_weights_prefer_target_like_docs(spark):
+    from csv2db_spark.llm.curation import importance_weights
+
+    rows = (
+        [(i, "alpha beta gamma delta alpha beta", True) for i in range(8)]
+        + [(100, "alpha beta gamma delta", False)]   # target-like pool doc
+        + [(101, "omega psi chi phi", False)]        # off-target pool doc
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {r["doc_id"]: r["score"] for r in importance_weights(docs, "tgt").collect()}
+    assert set(got) == {100, 101}  # only the pool is scored
+    assert got[100] > got[101]
