@@ -470,3 +470,51 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["error_event_id"],
         direction="forward",
     ).select("event_id", "user_id", "ts", "error_event_id")
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, nullif(c_nationkey, 3) AS nk, c_acctbal
+        FROM customer
+    ),
+    n AS (
+        SELECT nullif(n_nationkey, 3) AS nk, n_name FROM nation
+    )
+    SELECT coalesce(CAST(c.nk AS VARCHAR), '<null>') AS nk_str,
+           n.n_name,
+           count(*) AS n_matches,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+    GROUP BY 1, 2
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (eqNullSafe / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantics
+    CDC key comparison and snapshot_diff rely on, exposed as a join
+    operator. The fixture has no NULL keys, so both sides NULLIF one
+    value into NULL-ness; the hash proves the NULL-NULL matches appear
+    exactly once per pair and the non-null keys join normally. Plan
+    note: Spark plans <=> as a regular hash join key (it is an
+    equality on a coalesced struct), so this broadcasts like any dim
+    join — no nested-loop fallback."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk"),
+        "c_acctbal",
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(3)).alias("nk"), "n_name"
+    )
+    joined = c.join(F.broadcast(n), c["nk"].eqNullSafe(n["nk"]), "inner")
+    return joined.groupBy(
+        F.coalesce(c["nk"].cast("string"), F.lit("<null>")).alias("nk_str"),
+        "n_name",
+    ).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_bal"),
+    )

@@ -120,3 +120,41 @@ def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("ck"))
     )
     return a.exceptAll(b)
+
+
+@query(
+    "q_setop_union_by_name",
+    oracle="""
+    WITH u AS (
+        SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT s_suppkey AS id, s_name AS name, CAST(NULL AS DOUBLE) AS bal
+        FROM supplier
+    )
+    SELECT id, name, bal FROM u
+    """,
+)
+def q_setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-reconciling UNION (unionByName with allowMissingColumns):
+    the two inputs arrive with DIFFERENT column orders and one side
+    missing a column — positional UNION ALL would silently mis-map
+    columns (the classic pipeline bug this operator family exists to
+    prevent), by-name union aligns on names and NULL-fills the gap, the
+    same reconcile-by-name rule the ingest path and the snapshot-table
+    reader apply. Pure scan-side projection on each input; the union
+    itself adds no exchange."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    # deliberately different column order and no bal column
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_suppkey").alias("id")
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)

@@ -126,7 +126,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_text_hashed_classifier (fastText-shaped hashed-feature linear
 #   classifier, train+apply one plan, integer-exact scores),
 # q_curate_importance_weights (DSIR-style hashed-n-gram importance
-#   scores, integer Laplace ratios, 64-row broadcast model).
+#   scores, integer Laplace ratios, 64-row broadcast model),
+# q_setop_union_by_name (by-name union, NULL-fill missing columns),
+# q_join_null_safe (eqNullSafe join, NULL keys match exactly once).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -171,3 +171,37 @@ def test_dedup_paragraphs_no_window_partial_agg(spark, sf_dir):
     assert "Window" not in plan
     # partial_min proves the pre-shuffle combine on the digest groupBy
     assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_hashed_classifier_broadcast_model_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_text_hashed_classifier")
+    # the 64-row model must come back as a broadcast, never an SMJ,
+    # and the whole pipeline stays JVM-side
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_importance_weights_broadcast_model_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_curate_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_duplicated_spans_no_join_single_doc_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_dedup_span_removal")
+    # linear pipeline: window-frequency + islands are WINDOWS, never a
+    # self-join, and nothing touches Python
+    assert "Join" not in plan
+    assert "Python" not in plan
+    # the doc-keyed island window and the span rollup share one
+    # partitioning: exactly one exchange on doc_id
+    import re
+
+    doc_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "doc_id" in ln
+    ]
+    assert len(doc_exchanges) == 1, doc_exchanges
