@@ -632,24 +632,38 @@ def duplicated_spans(
     extra exchange). No pairwise join anywhere; output is sized by
     duplicated content, not the corpus.
     """
+    exploded = _window_fingerprints(docs, text_col, w)
+    freq = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup = exploded.withColumn("_c", freq).where(F.col("_c") >= 2).drop("_c")
+    return _merge_islands(dup, w)
+
+
+def _window_fingerprints(
+    docs: DataFrame, text_col: str, w: int
+) -> DataFrame:
+    """(doc_id, i, h): md5 of every w-token window, 1-based starts."""
     win = (
         "CASE WHEN size({t}) >= {w} THEN "
         "transform(sequence(1, size({t}) - {w} + 1), "
         "i -> struct(i AS i, md5(array_join(slice({t}, i, {w}), ' ')) AS h)) "
         "ELSE array() END"
     ).format(t=f"split({text_col}, ' ')", w=w)
-    exploded = docs.select(
+    return docs.select(
         "doc_id", F.explode(F.expr(win)).alias("wd")
     ).select("doc_id", F.col("wd.i").alias("i"), F.col("wd.h").alias("h"))
-    freq = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    dup = exploded.withColumn("_c", freq).where(F.col("_c") >= 2).drop("_c")
+
+
+def _merge_islands(marked: DataFrame, w: int) -> DataFrame:
+    """Gaps-and-islands over marked window starts (doc_id, i): runs
+    whose next start is within ``w`` of the previous merge into one
+    maximal [span_start, span_end] token interval."""
     doc_win = Window.partitionBy("doc_id").orderBy("i")
     brk = (
         F.when(F.col("i") - F.lag("i").over(doc_win) <= w, F.lit(0))
         .otherwise(F.lit(1))
         .alias("brk")
     )
-    grouped = dup.select("doc_id", "i", brk).withColumn(
+    grouped = marked.select("doc_id", "i", brk).withColumn(
         "g", F.sum("brk").over(doc_win.rowsBetween(Window.unboundedPreceding, 0))
     )
     return (
@@ -661,6 +675,57 @@ def duplicated_spans(
             F.count(F.lit(1)).alias("n_windows"),
         )
         .drop("g")
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame, text_col: str = "text", w: int = 5
+) -> DataFrame:
+    """Keep-first exact-substring dedup, applied: rebuild every document
+    with its NON-FIRST duplicated spans cut out — the full Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    transformation (their suffix-array tool removes every repeated
+    occurrence after the first; fixed-width window fingerprints recover
+    exactly that for repeats >= ``w`` tokens). Unlike
+    ``duplicated_spans`` (which marks ALL copies — the audit view),
+    this ranks each fingerprint's occurrences by (doc_id, position) and
+    dooms only occurrences 2..n, so one canonical copy of every
+    repeated passage survives the cut.
+
+    Output: (doc_id, clean_text, n_tokens) — documents whose every
+    token fell inside a doomed span drop out entirely (both engines).
+
+    Shape at scale: the occurrence ranking is a window over the digest
+    shuffle (no join); doomed windows merge to spans per doc; the cut
+    is a doc_id-keyed ANTI join of exploded token positions against the
+    span list (equi on doc_id + range residual — never a cartesian),
+    and the rebuild groupBy reuses the same doc_id partitioning. Cost
+    is corpus-linear + output-sized; no pairwise document join exists
+    anywhere."""
+    occ = _window_fingerprints(docs, text_col, w)
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "i"))
+    doomed = occ.withColumn("_rn", rn).where(F.col("_rn") > 1).drop("_rn")
+    spans = _merge_islands(doomed, w)
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "tok")
+    kept = pos.join(
+        spans,
+        on=[
+            pos["doc_id"] == spans["doc_id"],
+            pos["i"].between(spans["span_start"], spans["span_end"]),
+        ],
+        how="left_anti",
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("i").alias("i"), F.col("tok").alias("tok")))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.transform(ordered, lambda x: x["tok"])
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_tokens"),
     )
 
 

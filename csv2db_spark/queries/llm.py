@@ -650,6 +650,69 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_spans(augmented_docs(spark, sf_dir), w=_WIN_W)
 
 
+@query(
+    "q_dedup_span_trim",
+    oracle=f"""
+    WITH {SQL_AUG.strip()},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    win AS (
+      SELECT doc_id,
+             unnest(range(1, len(t) - {_WIN_W} + 2)) AS i,
+             unnest(list_transform(
+               range(1, len(t) - {_WIN_W} + 2),
+               i -> md5(array_to_string(t[i:i+{_WIN_W - 1}], ' '))
+             )) AS h
+      FROM toks WHERE len(t) >= {_WIN_W}
+    ),
+    doomed AS (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+        FROM win
+      ) WHERE rn > 1
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                  <= {_WIN_W} THEN 0 ELSE 1 END AS brk
+      FROM doomed
+    ),
+    grp AS (
+      SELECT doc_id, i,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, min(i) AS s, max(i) + {_WIN_W} - 1 AS e
+      FROM grp GROUP BY doc_id, g
+    ),
+    pos AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, unnest(t) AS tok
+      FROM toks
+    ),
+    kept AS (
+      SELECT p.doc_id, p.i, p.tok
+      FROM pos p ANTI JOIN spans s
+        ON p.doc_id = s.doc_id AND p.i BETWEEN s.s AND s.e
+    )
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY i) AS clean_text,
+           count(*) AS n_tokens
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first substring dedup APPLIED (llm/dedup.
+    remove_duplicated_spans): the augmented corpus rebuilt with every
+    non-first duplicated passage cut out — originals keep their text,
+    the exact/near copies lose the repeated spans. Occurrences rank by
+    (doc_id, position) inside the window-fingerprint shuffle (no join);
+    the cut is one doc-keyed anti join of token positions against the
+    merged doomed spans. The hash pins every surviving document's exact
+    rebuilt string — one extra/missing token anywhere breaks it."""
+    return D.remove_duplicated_spans(augmented_docs(spark, sf_dir), w=_WIN_W)
+
+
 # -------------------------------------------------------- similarity search
 
 

@@ -128,7 +128,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_curate_importance_weights (DSIR-style hashed-n-gram importance
 #   scores, integer Laplace ratios, 64-row broadcast model),
 # q_setop_union_by_name (by-name union, NULL-fill missing columns),
-# q_join_null_safe (eqNullSafe join, NULL keys match exactly once).
+# q_join_null_safe (eqNullSafe join, NULL keys match exactly once),
+# q_dedup_span_trim (keep-first substring dedup applied: rebuilt text).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -854,3 +854,22 @@ def test_importance_weights_prefer_target_like_docs(spark):
     got = {r["doc_id"]: r["score"] for r in importance_weights(docs, "tgt").collect()}
     assert set(got) == {100, 101}  # only the pool is scored
     assert got[100] > got[101]
+
+
+def test_remove_duplicated_spans_keeps_first_occurrence(spark):
+    shared = "a1 a2 a3 a4 a5 a6"
+    z = "z1 z2 z3 z4 z5"
+    rows = [
+        (1, f"{shared} x {z} {z} y"),   # internal repeat: 2nd z-run goes
+        (2, f"{shared} q r s t u v w"), # cross-doc copy: loses the prefix
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"])
+        for r in D.remove_duplicated_spans(docs, w=5).collect()
+    }
+    # doc 1 is the FIRST occurrence of both repeats: keeps its prefix and
+    # its first z-run, loses only the second z-run [13, 17]
+    assert got[1] == (f"{shared} x {z} y", 13)
+    # doc 2's copy of the shared prefix is occurrence #2: cut
+    assert got[2] == ("q r s t u v w", 7)
