@@ -211,3 +211,46 @@ def l_diversity_report(
         )
         .orderBy("n_sensitive", "group_size", *quasi_identifiers)
     )
+
+
+def referential_integrity_report(
+    child: DataFrame,
+    parent: DataFrame,
+    on: dict[str, str],
+    relation: str = "child->parent",
+) -> DataFrame:
+    """Cross-table foreign-key audit — the constraint class the
+    single-table ``check_constraints`` rules can't see (Deequ's
+    hasReferentialIntegrity): how many child rows point at no parent
+    (orphans), how many carry NULL keys (exempt per SQL FK semantics),
+    and whether the relationship holds. ``on`` maps child column ->
+    parent column.
+
+    Shape at scale: parent side reduces to DISTINCT keys first (key
+    columns only — at 100 TB that's the difference between shuffling a
+    key set and shuffling a table), then ONE outer-probe join feeds a
+    single map-combined aggregate producing every count at once — the
+    child is scanned exactly once, with no driver-side counting.
+    NULL-keyed rows are tallied but never probed as violations,
+    matching FK semantics where a NULL key can't violate. One row out
+    per call; compose calls for a whole schema's FK graph."""
+    keys = list(on.items())
+    child_cols = [c for c, _ in keys]
+    null_key = None
+    for c in child_cols:
+        cond = F.col(c).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    parent_keys = parent.select(
+        *[F.col(p).alias(c) for c, p in keys]
+    ).distinct().withColumn("_hit", F.lit(1))
+    probed = child.select(
+        *child_cols, null_key.alias("_nullkey")
+    ).join(parent_keys, child_cols, "left_outer")
+    orphan = ~F.col("_nullkey") & F.col("_hit").isNull()
+    return probed.agg(
+        F.lit(relation).alias("relation"),
+        F.count(F.lit(1)).alias("n_child_rows"),
+        F.sum(F.col("_nullkey").cast("long")).alias("n_null_keys"),
+        F.sum(orphan.cast("long")).alias("n_orphans"),
+        (F.sum(orphan.cast("long")) == 0).alias("passed"),
+    ).select("relation", "n_child_rows", "n_null_keys", "n_orphans", "passed")

@@ -585,3 +585,75 @@ def trend_from_stats(s: DataFrame, key_cols: list[str]) -> DataFrame:
             intercept.alias("intercept"),
         )
     )
+
+
+def rolling_autocorr(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    n: int = 20,
+) -> DataFrame:
+    """Rolling lag-1 autocorrelation per key — the memory/trendiness
+    signal of a measurement stream (near +1: momentum; near 0: noise;
+    negative: mean reversion), over a sliding window of the last ``n``
+    (x, y = previous x) pairs.
+
+    Pearson r needs a sqrt, which no two engines round identically —
+    so, same trick as the silhouette and z-score gates: report the
+    algebraically equivalent pair (sign(num), r² = num²/(d1·d2)) from
+    EXACT integer sufficient statistics (value quantized at 1e3,
+    rolling sums as decimal(38,0), num = c·Σxy − ΣxΣy, d = c·Σx² −
+    (Σx)²; each term stays under 2^53 so its int→double cast is exact,
+    then two IEEE multiplies and one division are correctly rounded) —
+    bit-identical across engines, and sign·sqrt(r²) recovers r whenever
+    a consumer wants the float. Windows with a
+    constant side (d1·d2 = 0) report NULL r², undefined like Pearson.
+    Overflow: |num| ≤ n·max(|v|)² ≈ 1e14 at n=20, |value| ≤ 500 →
+    num² ≈ 1e28, inside decimal(38,0) exactly.
+
+    Shape at scale: ONE per-key sort serves both the lag and the
+    rolling sums (same window spec); no join, no second scan. Only
+    full windows (exactly n pairs) are emitted, so warm-up rows never
+    produce unstable estimates."""
+    q = events.select(
+        key_col,
+        order_col,
+        (F.col(value_col).cast("decimal(18,3)") * 1000)
+        .cast("long")
+        .alias("_x"),
+    )
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    paired = q.withColumn("_y", F.lag("_x").over(w)).where(
+        F.col("_y").isNotNull()
+    )
+    roll = w.rowsBetween(-(n - 1), 0)
+    xd = F.col("_x").cast("decimal(38,0)")
+    yd = F.col("_y").cast("decimal(38,0)")
+    stats = paired.select(
+        key_col,
+        order_col,
+        F.count(F.lit(1)).over(roll).cast("decimal(38,0)").alias("_c"),
+        F.sum(xd).over(roll).alias("_sx"),
+        F.sum(yd).over(roll).alias("_sy"),
+        F.sum(xd * yd).over(roll).alias("_sxy"),
+        F.sum(xd * xd).over(roll).alias("_sx2"),
+        F.sum(yd * yd).over(roll).alias("_sy2"),
+    ).where(F.col("_c") == n)
+    num = F.col("_c") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    d1 = F.col("_c") * F.col("_sx2") - F.col("_sx") * F.col("_sx")
+    d2 = F.col("_c") * F.col("_sy2") - F.col("_sy") * F.col("_sy")
+    # cast the ~1e14-magnitude EXACT integers to double BEFORE squaring:
+    # each fits under 2^53 so the casts are exact on every engine, and
+    # from there it's three correctly-rounded IEEE ops — whereas casting
+    # the ~1e28 squares would hit not-correctly-rounded int128→double
+    # conversions (observed 1-2 ulp drift in DuckDB)
+    num_d, d1_d, d2_d = (c.cast("double") for c in (num, d1, d2))
+    return stats.select(
+        key_col,
+        order_col,
+        F.signum(num_d).cast("int").alias("corr_sign"),
+        F.when(d1 * d2 > 0, (num_d * num_d) / (d1_d * d2_d)).alias(
+            "corr_sq"
+        ),
+    )

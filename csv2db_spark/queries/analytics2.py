@@ -2744,3 +2744,126 @@ def q_quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_report(
         cust, ["c_nationkey", "bal_band"], "c_mktsegment", l=2
     )
+
+
+@query(
+    "q_quality_referential_integrity",
+    oracle="""
+    WITH rel1 AS (
+        SELECT 'lineitem->orders' AS relation,
+               count(*) AS n_child_rows,
+               CAST(0 AS BIGINT) AS n_null_keys,
+               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM lineitem l
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey
+    ),
+    rel2 AS (
+        SELECT 'orders->customer_pruned' AS relation,
+               count(*) AS n_child_rows,
+               CAST(sum(CASE WHEN nullif(c2.o_custkey, 7) IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
+               CAST(sum(CASE WHEN nullif(c2.o_custkey, 7) IS NOT NULL
+                              AND c.c_custkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        FROM orders c2
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+                   WHERE c_custkey % 10 <> 0) c
+          ON nullif(c2.o_custkey, 7) = c.c_custkey
+    )
+    SELECT relation, n_child_rows, n_null_keys, n_orphans,
+           n_orphans = 0 AS passed
+    FROM rel1
+    UNION ALL
+    SELECT relation, n_child_rows, n_null_keys, n_orphans,
+           n_orphans = 0 AS passed
+    FROM rel2
+    """,
+)
+def q_quality_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table foreign-key audit (operators/quality.
+    referential_integrity_report): the fixture's clean lineitem->orders
+    relationship passes with zero orphans, while a deliberately broken
+    one — orders probing a customer table with every 10th key removed,
+    plus custkey 7 NULLed to exercise the FK NULL exemption — reports
+    its exact orphan and NULL-key counts. One outer-probe join + one
+    map-combined aggregate per relation; the child table is scanned
+    once and nothing is counted on the driver."""
+    from csv2db_spark.operators.quality import referential_integrity_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust_pruned = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 10 != 0
+    )
+    r1 = referential_integrity_report(
+        li, orders, {"l_orderkey": "o_orderkey"}, "lineitem->orders"
+    )
+    r2 = referential_integrity_report(
+        orders.withColumn(
+            "o_custkey", F.nullif(F.col("o_custkey"), F.lit(7))
+        ),
+        cust_pruned,
+        {"o_custkey": "c_custkey"},
+        "orders->customer_pruned",
+    )
+    return r1.unionByName(r2)
+
+
+@query(
+    "q_ts_rolling_autocorr",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, event_id,
+             CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS x
+      FROM events WHERE user_id % 7 = 0
+    ),
+    paired AS (
+      SELECT user_id, event_id, x,
+             lag(x) OVER (PARTITION BY user_id ORDER BY event_id) AS y
+      FROM q
+    ),
+    p2 AS (SELECT * FROM paired WHERE y IS NOT NULL),
+    roll AS (
+      SELECT user_id, event_id,
+             CAST(count(*) OVER w AS HUGEINT) AS c,
+             CAST(sum(x) OVER w AS HUGEINT) AS sx,
+             CAST(sum(y) OVER w AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) OVER w AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS sx2,
+             CAST(sum(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS sy2
+      FROM p2
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    full_w AS (SELECT * FROM roll WHERE c = 20),
+    alg AS (
+      SELECT user_id, event_id,
+             c * sxy - sx * sy AS num,
+             c * sx2 - sx * sx AS d1,
+             c * sy2 - sy * sy AS d2
+      FROM full_w
+    )
+    SELECT user_id, event_id,
+           CAST(sign(CAST(num AS DOUBLE)) AS INTEGER) AS corr_sign,
+           CASE WHEN d1 * d2 > 0
+                THEN (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                     / (CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+           END AS corr_sq
+    FROM alg
+    """,
+)
+def q_ts_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1 autocorrelation (operators/timeseries.
+    rolling_autocorr) over every 7th user's measurement stream: sliding
+    20-pair windows, exact decimal(38,0) sufficient statistics, and the
+    sqrt-free (sign, r²) encoding that makes a correlation statistic
+    hash-comparable across engines. One per-key sort serves the lag
+    and every rolling sum; no join, no second scan."""
+    from csv2db_spark.operators.timeseries import rolling_autocorr
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 7 == 0)
+    return rolling_autocorr(ev, n=20)

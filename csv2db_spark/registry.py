@@ -129,7 +129,11 @@ CHECK_FIRST: tuple[str, ...] = (
 #   scores, integer Laplace ratios, 64-row broadcast model),
 # q_setop_union_by_name (by-name union, NULL-fill missing columns),
 # q_join_null_safe (eqNullSafe join, NULL keys match exactly once),
-# q_dedup_span_trim (keep-first substring dedup applied: rebuilt text).
+# q_dedup_span_trim (keep-first substring dedup applied: rebuilt text),
+# q_quality_referential_integrity (cross-table FK audit: orphans +
+#   NULL-key exemption, one outer-probe join + one aggregate),
+# q_ts_rolling_autocorr (sliding lag-1 Pearson, exact sufficient
+#   statistics, sqrt-free sign/r-squared encoding).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

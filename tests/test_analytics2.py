@@ -955,3 +955,58 @@ def test_pq_persisted_index_roundtrip(spark, sf_dir, tmp_path):
     rb = sorted(map(tuple, pq_query_index(spark, path, q, k=20).collect()))
     assert ra == rb
     assert len(ra) > 0
+
+
+def test_referential_integrity_composite_key_null_exemption(spark):
+    from csv2db_spark.operators.quality import referential_integrity_report
+
+    child = spark.createDataFrame(
+        [
+            (1, "a"),      # matches
+            (2, "b"),      # orphan: (2, b) not in parent
+            (None, "a"),   # NULL component -> exempt, counted as null key
+            (1, None),     # NULL component -> exempt
+        ],
+        "k1 int, k2 string",
+    )
+    parent = spark.createDataFrame(
+        [(1, "a"), (3, "c"), (1, "a")], "p1 int, p2 string"  # dup parent keys
+    )
+    r = referential_integrity_report(
+        child, parent, {"k1": "p1", "k2": "p2"}, "t"
+    ).collect()[0]
+    assert (
+        r["n_child_rows"],
+        r["n_null_keys"],
+        r["n_orphans"],
+        r["passed"],
+    ) == (4, 2, 1, False)
+
+
+def test_rolling_autocorr_perfect_line_and_alternation(spark):
+    from csv2db_spark.operators.timeseries import rolling_autocorr
+
+    # x_t = t: lag pairs are perfectly collinear -> r^2 == 1.0 EXACTLY
+    # (num^2 = d1*d2 in exact integers), sign +1
+    line = [(1, t, float(t)) for t in range(1, 40)]
+    # x_t alternates a,b,a,b: pairs (a,b),(b,a) -> r = -1 exactly
+    alt = [(2, t, 10.0 if t % 2 == 0 else 20.0) for t in range(1, 40)]
+    df = spark.createDataFrame(
+        line + alt, "user_id long, event_id long, value double"
+    )
+    out = rolling_autocorr(df, n=20).collect()
+    assert out, "full windows expected"
+    for r in out:
+        assert r["corr_sq"] == 1.0
+        assert r["corr_sign"] == (1 if r["user_id"] == 1 else -1)
+
+
+def test_rolling_autocorr_constant_series_is_null(spark):
+    from csv2db_spark.operators.timeseries import rolling_autocorr
+
+    df = spark.createDataFrame(
+        [(1, t, 5.0) for t in range(1, 30)],
+        "user_id long, event_id long, value double",
+    )
+    rows = rolling_autocorr(df, n=20).collect()
+    assert rows and all(r["corr_sq"] is None for r in rows)
