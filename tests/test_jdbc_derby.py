@@ -200,3 +200,41 @@ def test_jdbc_matrix_script_wiring(spark):
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "11/11 cells pass" in out.stdout
+
+
+def test_partitioned_read_same_rows_more_partitions(spark, durl):
+    from csv2db_spark.sources import read_jdbc_table
+
+    df = spark.range(0, 100).selectExpr("id AS a", "CAST(id AS STRING) AS b")
+    write_jdbc(df, durl, "T_PART", TableMode.CREATE)
+    plain = read_jdbc_table(spark, durl, "T_PART")
+    striped = read_jdbc_table(
+        spark, durl, "T_PART", partition_col="a", num_partitions=4
+    )
+    assert striped.rdd.getNumPartitions() == 4  # 4 concurrent range scans
+    assert sorted(r["a"] for r in striped.collect()) == sorted(
+        r["a"] for r in plain.collect()
+    )
+
+
+def test_partitioned_read_explicit_bounds_loses_nothing(spark, durl):
+    from csv2db_spark.sources import read_jdbc_table
+
+    df = spark.range(0, 50).selectExpr("id AS a", "CAST(id AS STRING) AS b")
+    write_jdbc(df, durl, "T_BOUNDS", TableMode.CREATE)
+    # stale bounds covering only [10, 20): outer stripes are unbounded,
+    # so every row still arrives exactly once
+    striped = read_jdbc_table(
+        spark, durl, "T_BOUNDS", partition_col="a",
+        num_partitions=3, bounds=(10, 20),
+    )
+    assert sorted(r["a"] for r in striped.collect()) == list(range(50))
+
+
+def test_partitioned_read_empty_table(spark, durl):
+    from csv2db_spark.sources import read_jdbc_table
+
+    df = spark.createDataFrame([], "a long, b string")
+    write_jdbc(df, durl, "T_EMPTY", TableMode.CREATE)
+    out = read_jdbc_table(spark, durl, "T_EMPTY", partition_col="a")
+    assert out.count() == 0
