@@ -115,6 +115,9 @@ def main() -> None:
         # headline: it is oracle-coupled AND measured faster single-node
         # — the Arrow md5 pass is not the bottleneck, see PLANS.md)
         "q_dedup_minhash_lsh_xxh",
+        # round-6 session 3: the heaviest new shape (corpus window
+        # fingerprints + keep-first trim rebuild) joins the series
+        "q_dedup_span_trim",
     )
     all_queries = load_all_queries()
     ext: dict[str, float] = {}

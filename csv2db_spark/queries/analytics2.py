@@ -2867,3 +2867,50 @@ def q_ts_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 7 == 0)
     return rolling_autocorr(ev, n=20)
+
+
+@query(
+    "q_observe_inline_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_discounted
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def q_observe_inline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline observability (operators/observe.observed_run): audit
+    metrics accumulated WHILE a pipeline action runs — the observation
+    attaches to the post-filter scan, the pipeline's real work (a
+    returnflag rollup) executes to a noop sink, and the metrics arrive
+    with ZERO additional scans. The oracle recomputes the same numbers
+    the expensive way (a second full pass); the hash match proves the
+    free metrics are the exact ones. At 100 TB this is every per-load
+    audit row without doubling the scan bill."""
+    from csv2db_spark.operators.observe import observed_run
+
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > cutoff
+    )
+    m = observed_run(
+        li,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            "n_discounted": F.sum(
+                (F.col("l_discount") > 0.05).cast("long")
+            ),
+        },
+        transform=lambda d: d.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["n_discounted"])],
+        "n_rows long, sum_qty double, n_discounted long",
+    )

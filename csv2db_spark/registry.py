@@ -133,7 +133,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_quality_referential_integrity (cross-table FK audit: orphans +
 #   NULL-key exemption, one outer-probe join + one aggregate),
 # q_ts_rolling_autocorr (sliding lag-1 Pearson, exact sufficient
-#   statistics, sqrt-free sign/r-squared encoding).
+#   statistics, sqrt-free sign/r-squared encoding),
+# q_observe_inline_metrics (Observation API audit metrics at zero
+#   extra scans, hash-matched to the recompute).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -1010,3 +1010,18 @@ def test_rolling_autocorr_constant_series_is_null(spark):
     )
     rows = rolling_autocorr(df, n=20).collect()
     assert rows and all(r["corr_sq"] is None for r in rows)
+
+
+def test_observed_run_meters_the_attachment_point(spark):
+    from csv2db_spark.operators.observe import observed_run
+
+    df = spark.range(100).selectExpr("id", "id % 10 AS k")
+    sink = {}
+    m = observed_run(
+        df.where(F.col("id") >= 40),  # observe POST-filter
+        {"n": F.count(F.lit(1)), "max_id": F.max("id")},
+        transform=lambda d: d.groupBy("k").count(),
+        action=lambda d: sink.update(rows=d.count()),
+    )
+    assert m == {"n": 60, "max_id": 99}
+    assert sink["rows"] == 10  # the downstream pipeline really ran
