@@ -871,3 +871,44 @@ def importance_weights(
         .groupBy("doc_id")
         .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget corpus assembly: admit documents per group, in
+    deterministic md5(doc_id) order, until the group's TOKEN budget is
+    spent — the operation that turns "we want a 1T-token mix with 30%
+    web, 20% code, ..." into an actual document set. Doc-count sampling
+    (stratified_sample) can't do this: a budget is in tokens, and doc
+    lengths vary by orders of magnitude.
+
+    The admission order is the same hash-rank device as every sampler
+    here (stable under corpus growth: a new doc displaces at most the
+    budget boundary, not the whole sample; no seed, no shuffle of the
+    data itself). A doc is kept iff its cumulative token count stays
+    within budget — the first overflowing doc is excluded, leaving the
+    budget underfilled by less than one document (the knapsack slack a
+    real mix tolerates).
+
+    Output: (doc_id, group, n_tokens, cum_tokens) for admitted docs.
+    One window sort per group over (16-byte rank, token count) pairs —
+    token counts ride the scan (size(split)), the text never shuffles."""
+    from csv2db_spark.llm.corpus import tokens
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_tok = F.size(tokens(text_col)).cast("long")
+    sized = docs.select(
+        "doc_id",
+        F.col(group_col).alias("group"),
+        n_tok.alias("n_tokens"),
+        F.sum(n_tok).over(w).alias("cum_tokens"),
+    )
+    return sized.where(F.col("cum_tokens") <= budget_tokens)

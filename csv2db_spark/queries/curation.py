@@ -1092,3 +1092,34 @@ def q_curate_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_is_en", F.col("lang") == "en"
     )
     return C.importance_weights(docs, "_is_en")
+
+
+@query(
+    "q_curate_token_budget",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, source AS "group",
+             len(string_split(text, ' ')) AS n_tokens,
+             sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM documents
+    )
+    SELECT doc_id, "group",
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM sized WHERE cum_tokens <= 400
+    """,
+)
+def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus assembly (llm/curation.token_budget_sample):
+    400 tokens admitted per source in stable md5 rank order — the
+    budget-in-tokens sampler a target mix needs where doc-count
+    sampling can't serve (doc lengths vary by orders of magnitude).
+    The hash pins the exact admitted set and every cumulative count;
+    growth-stability and the one-window shape are the same arguments as
+    assign_split's."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.token_budget_sample(docs, budget_tokens=400)

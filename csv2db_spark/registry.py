@@ -135,7 +135,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_ts_rolling_autocorr (sliding lag-1 Pearson, exact sufficient
 #   statistics, sqrt-free sign/r-squared encoding),
 # q_observe_inline_metrics (Observation API audit metrics at zero
-#   extra scans, hash-matched to the recompute).
+#   extra scans, hash-matched to the recompute),
+# q_curate_token_budget (per-group token-budget corpus assembly in
+#   stable md5 rank order).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

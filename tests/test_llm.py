@@ -873,3 +873,27 @@ def test_remove_duplicated_spans_keeps_first_occurrence(spark):
     assert got[1] == (f"{shared} x {z} y", 13)
     # doc 2's copy of the shared prefix is occurrence #2: cut
     assert got[2] == ("q r s t u v w", 7)
+
+
+def test_token_budget_sample_boundary_and_stability(spark):
+    from csv2db_spark.llm.curation import token_budget_sample
+
+    rows = [(i, " ".join(["w"] * 10), "s") for i in range(20)]  # 10 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = token_budget_sample(docs, budget_tokens=35).collect()
+    # 10-token docs against a 35-token budget: exactly 3 admitted
+    # (cum 10, 20, 30; the 4th would hit 40 > 35)
+    assert len(out) == 3
+    assert max(r["cum_tokens"] for r in out) == 30
+    # growth stability: adding docs never evicts an admitted doc with a
+    # smaller hash rank — the admitted set is a prefix of the rank order
+    more = docs.unionByName(
+        spark.createDataFrame(
+            [(100 + i, " ".join(["w"] * 10), "s") for i in range(5)],
+            "doc_id long, text string, source string",
+        )
+    )
+    before = {r["doc_id"] for r in out}
+    after = {r["doc_id"] for r in token_budget_sample(more, 35).collect()}
+    # any change is a displacement AT the boundary, not a reshuffle:
+    assert len(after) == 3 and len(before & after) >= 2
