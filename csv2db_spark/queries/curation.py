@@ -1123,3 +1123,146 @@ def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign_split's."""
     docs = load_table(spark, sf_dir, "documents")
     return C.token_budget_sample(docs, budget_tokens=400)
+
+
+@query(
+    "q_pipeline_curation_v5",
+    oracle=f"""
+    WITH {SQL_AUG.strip()},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    win AS (
+      SELECT doc_id,
+             unnest(range(1, len(t) - 5 + 2)) AS i,
+             unnest(list_transform(
+               range(1, len(t) - 5 + 2),
+               i -> md5(array_to_string(t[i:i+4], ' '))
+             )) AS h
+      FROM toks WHERE len(t) >= 5
+    ),
+    doomed AS (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, i,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+        FROM win
+      ) WHERE rn > 1
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                  <= 5 THEN 0 ELSE 1 END AS brk
+      FROM doomed
+    ),
+    grp AS (
+      SELECT doc_id, i,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, min(i) AS s, max(i) + 4 AS e
+      FROM grp GROUP BY doc_id, g
+    ),
+    pos_t AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, unnest(t) AS tok
+      FROM toks
+    ),
+    kept_tok AS (
+      SELECT p.doc_id, p.i, p.tok
+      FROM pos_t p ANTI JOIN spans s
+        ON p.doc_id = s.doc_id AND p.i BETWEEN s.s AND s.e
+    ),
+    trimmed AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+      FROM kept_tok GROUP BY doc_id
+    ),
+    labeled AS (
+      SELECT t.doc_id, t.text, d.lang, d.lang = 'en' AS pos
+      FROM trimmed t JOIN documents d ON d.doc_id = t.doc_id % 100000
+    ),
+    tok2 AS (
+      SELECT doc_id, pos, unnest(string_split(text, ' ')) AS tok
+      FROM labeled
+    ),
+    h2 AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64 AS bucket
+      FROM tok2
+    ),
+    pb AS (
+      SELECT bucket,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cnt_pos,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cnt_neg
+      FROM h2 GROUP BY bucket
+    ),
+    tot AS (SELECT sum(cnt_pos) AS tot_pos, sum(cnt_neg) AS tot_neg FROM pb),
+    wt AS (
+      SELECT bucket,
+             CAST(cnt_pos * tot_neg - cnt_neg * tot_pos AS BIGINT) AS w
+      FROM pb, tot
+    ),
+    tf AS (SELECT doc_id, bucket, count(*) AS tf FROM h2 GROUP BY 1, 2),
+    scored AS (
+      SELECT t.doc_id, CAST(sum(t.tf * wt.w) AS BIGINT) AS score
+      FROM tf t JOIN wt USING (bucket) GROUP BY t.doc_id
+    ),
+    keep AS (
+      SELECT l.doc_id, l.text, l.lang
+      FROM labeled l JOIN scored s ON l.doc_id = s.doc_id
+      WHERE s.score > 0
+    ),
+    sized AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM keep
+    ),
+    admitted AS (SELECT * FROM sized WHERE cum_tokens <= 600)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(max(cum_tokens) AS BIGINT) AS max_cum
+    FROM admitted GROUP BY lang
+    """,
+)
+def q_pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v5 — this session's operators composed end to
+    end, every intermediate exact: (1) keep-first substring dedup
+    rebuilds the augmented corpus's text (llm/dedup.
+    remove_duplicated_spans — exact and near copies lose their repeated
+    passages); (2) a hashed-feature linear classifier trains ON THE
+    TRIMMED corpus against the lang supervision and keeps
+    predicted-English docs (llm/text.hashed_linear_classifier); (3) a
+    600-token-per-lang budget admits survivors in stable hash order
+    (llm/curation.token_budget_sample); (4) per-lang accounting. The
+    oracle replays all four stages in one SQL pipeline — a single token
+    drifting anywhere in the chain breaks the hash. Order matters and
+    is the production order: dedup before training the filter (else
+    duplicated passages dominate its counts), budget last (it must see
+    final token counts)."""
+    from csv2db_spark.llm import dedup as D
+    from csv2db_spark.llm import text as X
+
+    docs = augmented_docs(spark, sf_dir)
+    trimmed = D.remove_duplicated_spans(docs, w=5).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    base = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "lang"
+    )
+    labeled = trimmed.join(
+        F.broadcast(base), trimmed["doc_id"] % 100000 == base["base_id"]
+    ).select("doc_id", "text", "lang", (F.col("lang") == "en").alias("_pos"))
+    scored = X.hashed_linear_classifier(labeled, "_pos")
+    keep = labeled.join(
+        scored.where(F.col("predicted_pos")).select("doc_id"), "doc_id"
+    )
+    admitted = C.token_budget_sample(
+        keep, budget_tokens=600, group_col="lang", text_col="text"
+    )
+    return admitted.groupBy(F.col("group").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.max("cum_tokens").alias("max_cum"),
+    )

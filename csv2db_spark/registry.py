@@ -137,7 +137,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_observe_inline_metrics (Observation API audit metrics at zero
 #   extra scans, hash-matched to the recompute),
 # q_curate_token_budget (per-group token-budget corpus assembly in
-#   stable md5 rank order).
+#   stable md5 rank order),
+# q_pipeline_curation_v5 (trim -> classifier filter -> token budget ->
+#   accounting; the four-stage oracle replay).
 
 
 def load_all_queries() -> dict[str, QueryDef]:
