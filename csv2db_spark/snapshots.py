@@ -679,6 +679,26 @@ class SnapshotTable:
         )
         return nxt
 
+    def commit_with_retry(self, op, retries: int = 5):
+        """Optimistic-concurrency driver loop: run ``op(table)`` (any
+        commit method — append, delete_where, merge_into, ...) and, when
+        a racing writer wins the version (SnapshotConflict from the
+        O_EXCL publish), re-run it against the NEW head — the commit
+        callable re-reads ``current_version()`` internally, so the retry
+        recomputes against the winner's state rather than replaying a
+        stale plan. This is the whole multi-writer protocol of a
+        manifest table: writers never lock, losers redo O(their delta)
+        work, and every published version is consistent. Raises the
+        last SnapshotConflict after ``retries`` defeats (a hot table
+        needs coarser batching, not more retries)."""
+        last: Exception | None = None
+        for _ in range(retries):
+            try:
+                return op(self)
+            except SnapshotConflict as exc:
+                last = exc
+        raise last
+
     # ------------------------------------------------- schema evolution
 
     def alter_add_column(self, name: str, ddl_type: str) -> int:

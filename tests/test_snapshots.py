@@ -418,3 +418,37 @@ def test_merge_stream_batch_replay_skipped_and_bootstrap_marker(spark, table):
     got = {r["k"]: r["v"] for r in table.read().collect()}
     assert got == {1: 10.0, 2: 99.0, 3: 30.0}
     assert table.versions() == [1, 2]  # replays created no phantom versions
+
+
+def test_commit_with_retry_wins_after_race(spark, table):
+    table.create(spark.range(3).toDF("id"))
+    raced = {"done": False}
+
+    def racing_append(t):
+        # a rival publishes the next version the first time through,
+        # AFTER we've planned: our O_EXCL publish must lose, and the
+        # retry must land on the version after the rival's
+        if not raced["done"]:
+            raced["done"] = True
+            rival_files = t._write_commit_files(
+                spark.range(100, 103).toDF("id"), 99
+            )
+            head = t.current_version()
+            t._publish(
+                head + 1, "rival", t._manifest(head)["files"] + rival_files
+            )
+        return t.append(spark.range(10, 12).toDF("id"))
+
+    v = table.commit_with_retry(racing_append)
+    assert v == 3  # v2 = rival, v3 = our retried append
+    assert table.read().count() == 3 + 3 + 2  # nothing lost on either side
+
+
+def test_commit_with_retry_exhausts(spark, table):
+    table.create(spark.range(1).toDF("id"))
+
+    def always_loses(t):
+        raise SnapshotConflict("synthetic")
+
+    with pytest.raises(SnapshotConflict):
+        table.commit_with_retry(always_loses, retries=3)
