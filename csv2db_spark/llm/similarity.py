@@ -729,3 +729,109 @@ def ann_recall_violations(
     return mean.where(F.col("mean_recall") < min_mean_recall).select(
         F.lit("mean_recall@k").alias("metric"), "mean_recall"
     )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 48,
+    dim: int = 64,
+) -> DataFrame:
+    """Binary compact codes for Hamming-space search (Charikar 2002
+    random-hyperplane rounding — SimHash for dense vectors): bit b is
+    the SIGN of the vector's dot product with pseudo-random hyperplane
+    b, and the ``n_bits`` bits pack into ONE int64 ``signature`` column
+    — 64 floats become 6 bytes, and distance becomes popcount(xor), a
+    two-instruction kernel. Where ``lsh_ann_topk`` uses hyperplanes for
+    BUCKETING (rows-only recall gate), this is the compact-code family
+    (binary cousin of PQ): every step integer-exact, so the driver can
+    hash-verify signatures and neighbor lists bit for bit.
+
+    Hyperplane weights are ±1 by md5 parity of ("hp:bit:dim") — no RNG
+    state, reproducible on any engine; components quantize through the
+    corpus-wide decimal(9,8)·1e8 convention. Ties (dot exactly 0) round
+    to bit 0. ``n_bits`` <= 62 keeps the packed code inside a signed
+    long.
+
+    Shape at scale: posexplode to (id, dim) rows, broadcast-join the
+    n_bits×dim ±1 weight table, ONE map-combined groupBy back to (id,
+    bit) partials, one more to the packed long — all shuffles carry
+    ids + small ints. The corpus is never joined to itself."""
+    spark = df.sparkSession
+    weights = (
+        spark.range(n_bits)
+        .selectExpr("id AS b")
+        .crossJoin(spark.range(1, dim + 1).selectExpr("id AS i"))
+        .select(
+            "b",
+            "i",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit("hp"), "b", "i")), 1, 2
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("w"),
+        )
+    )
+    el = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("p0", "x"),
+    ).select(
+        "vec_id", (F.col("p0") + 1).alias("i"), _iel(F.col("x")).alias("q")
+    )
+    bits = (
+        el.join(F.broadcast(weights), "i")
+        .groupBy("vec_id", "b")
+        .agg(F.sum(F.col("w") * F.col("q")).alias("dot"))
+        .select(
+            "vec_id", "b", (F.col("dot") > 0).cast("long").alias("bit")
+        )
+    )
+    return bits.groupBy("vec_id").agg(
+        F.sum(
+            F.col("bit") * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")
+        ).alias("signature")
+    )
+
+
+def hamming_topk(
+    signatures: DataFrame,
+    query_ids,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k in Hamming space over packed signatures: distance is
+    popcount(sig_q XOR sig_d) — integer, total-ordered with (distance,
+    neighbor_id) tiebreak, so the ranking is deterministic and
+    hash-checkable (the approximation lives entirely in the CODES, not
+    the search). The query side is a broadcast few-row table; the scan
+    side touches one long per corpus vector — this is the brute-force
+    kernel binary codes make affordable at 100 TB (6 bytes/vector,
+    SIMD popcount), and the re-rank shortlist generator for an exact
+    cosine refine."""
+    q = signatures.where(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("signature").alias("sig_q")
+    )
+    scored = (
+        signatures.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.bit_count(F.expr("signature ^ sig_q")).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )

@@ -1864,3 +1864,67 @@ def q_text_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; <= 64 output rows at any corpus size."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return X.zipf_histogram(docs)
+
+
+@query(
+    "q_sim_hamming_topk",
+    oracle=f"""
+    WITH wt AS (
+      SELECT b, i,
+             CASE WHEN CAST('0x' || substr(md5('hp:' || b || ':' || i), 1, 2)
+                       AS INT) % 2 = 0 THEN 1 ELSE -1 END AS w
+      FROM range(0, 48) rb(b), range(1, 65) ri(i)
+    ),
+    el AS (
+      SELECT vec_id, i, {_sql_iel('cast(embedding[i] as double)')} AS q
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    bits AS (
+      SELECT e.vec_id, wt.b,
+             CASE WHEN sum(wt.w * e.q) > 0 THEN 1 ELSE 0 END AS bit
+      FROM el e JOIN wt ON wt.i = e.i GROUP BY e.vec_id, wt.b
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS signature
+      FROM bits GROUP BY vec_id
+    ),
+    qs AS (SELECT vec_id AS query_id, signature AS sig_q
+           FROM sig WHERE vec_id < 5),
+    scored AS (
+      SELECT qs.query_id, s.vec_id AS neighbor_id,
+             bit_count(xor(s.signature, qs.sig_q)) AS hamming
+      FROM sig s, qs WHERE s.vec_id <> qs.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id,
+           CAST(hamming AS BIGINT) AS hamming,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact-code similarity search, fully hash-verified (llm/
+    similarity.hyperplane_signatures + hamming_topk): 48-bit
+    random-hyperplane signatures (Charikar rounding, md5-parity
+    hyperplanes — no RNG state) packed into one long per vector, then
+    exact top-5 by popcount(xor) with deterministic tiebreak. Unlike
+    the LSH/IVF/PQ gates (recall-bounded by nature), here BOTH stages
+    are integer-exact, so the driver hash-checks the entire ANN
+    pipeline — codes and neighbor lists — bit for bit. 64 floats
+    become 6 bytes; the scan side of a query touches one long per
+    vector."""
+    from csv2db_spark.llm import similarity as S
+
+    sig = S.hyperplane_signatures(load_table(spark, sf_dir, "embeddings"))
+    out = S.hamming_topk(sig, query_ids=range(5), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("hamming").cast("long").alias("hamming"),
+        F.col("rank").cast("long").alias("rank"),
+    )

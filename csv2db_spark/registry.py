@@ -139,7 +139,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_curate_token_budget (per-group token-budget corpus assembly in
 #   stable md5 rank order),
 # q_pipeline_curation_v5 (trim -> classifier filter -> token budget ->
-#   accounting; the four-stage oracle replay).
+#   accounting; the four-stage oracle replay),
+# q_sim_hamming_topk (48-bit hyperplane codes + exact popcount top-k —
+#   the fully hash-verified ANN family).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -897,3 +897,23 @@ def test_token_budget_sample_boundary_and_stability(spark):
     after = {r["doc_id"] for r in token_budget_sample(more, 35).collect()}
     # any change is a displacement AT the boundary, not a reshuffle:
     assert len(after) == 3 and len(before & after) >= 2
+
+
+def test_hamming_topk_identical_vector_ranks_first(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    clone = emb.where(F.col("vec_id") == 0).select(
+        F.lit(999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    sig = S.hyperplane_signatures(emb.unionByName(clone))
+    out = S.hamming_topk(sig, query_ids=[0], k=3).collect()
+    top = [r for r in out if r["rank"] == 1][0]
+    # an identical vector has an identical signature: distance 0, rank 1
+    assert top["neighbor_id"] == 999 and top["hamming"] == 0
+
+
+def test_hyperplane_signatures_deterministic_and_packed(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    a = {r["vec_id"]: r["signature"] for r in S.hyperplane_signatures(emb).collect()}
+    b = {r["vec_id"]: r["signature"] for r in S.hyperplane_signatures(emb).collect()}
+    assert a == b  # no RNG state anywhere
+    assert all(0 <= s < (1 << 48) for s in a.values())  # 48-bit packing
