@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _probe_bounds(
-    spark: SparkSession, url: str, table: str, col: str
+    spark: SparkSession,
+    url: str,
+    table: str,
+    col: str,
+    user: str = "",
+    password: str = "",
 ) -> tuple:
     """One ``SELECT MIN(col), MAX(col)`` pushed to the database.
 
@@ -30,16 +35,17 @@ def _probe_bounds(
     last: Exception | None = None
     for c in (col, f"{quote}{col}{quote}"):
         try:
-            row = (
+            probe = (
                 spark.read.format("jdbc")
                 .option("url", url)
                 .option(
                     "query",
                     f"SELECT MIN({c}) AS lo, MAX({c}) AS hi FROM {table}",
                 )
-                .load()
-                .collect()[0]
             )
+            if user:
+                probe = probe.option("user", user).option("password", password)
+            row = probe.load().collect()[0]
             return (row[0], row[1])
         except Exception as exc:  # noqa: BLE001 - dialect probe
             last = exc
@@ -54,6 +60,8 @@ def read_jdbc_table(
     num_partitions: int = 8,
     bounds: tuple | None = None,
     fetchsize: int = 1000,
+    user: str = "",
+    password: str = "",
 ) -> DataFrame:
     """Read a JDBC table, split into ``num_partitions`` concurrent range
     scans over ``partition_col`` when one is given (numeric/date column;
@@ -77,10 +85,12 @@ def read_jdbc_table(
         .option("dbtable", table)
         .option("fetchsize", str(fetchsize))
     )
+    if user:
+        reader = reader.option("user", user).option("password", password)
     if partition_col is None:
         return reader.load()
     if bounds is None:
-        bounds = _probe_bounds(spark, url, table, partition_col)
+        bounds = _probe_bounds(spark, url, table, partition_col, user, password)
     if bounds[0] is None:  # empty table: nothing to stripe
         return reader.load()
     return (

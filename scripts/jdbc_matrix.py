@@ -165,6 +165,23 @@ def main() -> int:
 
     cell("exists_probe_missing_vs_present", exists_probe)
 
+    def partitioned_read():
+        from csv2db_spark.sources import read_jdbc_table
+
+        t = fresh("pread")
+        big = spark.range(0, 200).selectExpr(
+            "id AS a", "CAST(id AS STRING) AS b"
+        )
+        write_jdbc(big, url, t, mode=TableMode.CREATE, user=user, password=password)
+        striped = read_jdbc_table(
+            spark, url, t, partition_col="a", num_partitions=4,
+            user=user, password=password,
+        )
+        assert striped.rdd.getNumPartitions() == 4
+        assert striped.count() == 200
+
+    cell("partitioned_source_read", partitioned_read)
+
     # cleanup: drop everything we made (best-effort; missing is fine)
     for t in made:
         try:
