@@ -205,3 +205,20 @@ def test_duplicated_spans_no_join_single_doc_sort(spark, sf_dir):
         if "Exchange hashpartitioning" in ln and "doc_id" in ln
     ]
     assert len(doc_exchanges) == 1, doc_exchanges
+
+
+def test_hamming_topk_broadcasts_queries_no_smj(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_sim_hamming_topk")
+    # the few-row query side must broadcast (nested-loop on a 5-row
+    # side is fine; a sort-merge join against the corpus is not),
+    # and signature packing stays JVM-side
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+    assert "Broadcast" in plan
+
+
+def test_referential_integrity_no_python_one_probe_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_quality_referential_integrity")
+    assert "Python" not in plan
+    # orphan counting is an outer probe + aggregate, never a cartesian
+    assert "CartesianProduct" not in plan
