@@ -222,3 +222,20 @@ def test_referential_integrity_no_python_one_probe_join(spark, sf_dir):
     assert "Python" not in plan
     # orphan counting is an outer probe + aggregate, never a cartesian
     assert "CartesianProduct" not in plan
+
+
+def test_plan_stats_api_counts_the_known_shapes(spark, sf_dir):
+    from csv2db_spark.plans import assert_plan, plan_stats
+
+    df = QUERIES["q_curate_url_canonicalize"].fn(spark, sf_dir)
+    s = plan_stats(df)
+    assert s["exchanges"] == 0 and s["python_nodes"] == 0  # pure codegen scan
+    # the classifier's known shape: broadcasts, no SMJ, no Python
+    clf = QUERIES["q_text_hashed_classifier"].fn(spark, sf_dir)
+    got = assert_plan(clf, sort_merge_joins=0, python_nodes=0, cartesian=0)
+    assert got["broadcasts"] >= 1
+    # violated bound raises with the actual shape in the message
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="exchanges"):
+        assert_plan(QUERIES["q_agg_groupby_multi"].fn(spark, sf_dir), exchanges=0)
