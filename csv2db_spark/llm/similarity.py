@@ -835,3 +835,48 @@ def hamming_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
+
+
+def hamming_rerank_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    shortlist: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production compact-code composition: Hamming top-``shortlist``
+    over 48-bit hyperplane signatures generates candidates (6
+    bytes/vector scanned), then EXACT quantized cosine re-ranks the
+    shortlist to top-``k`` — the same shortlist-then-refine shape as
+    ``ivfpq_topk``, in the binary-code family. Both stages are
+    deterministic (integer Hamming; cosine from exact integer dots with
+    IEEE sqrt/division, which are correctly rounded), so the full
+    pipeline is hash-checkable end to end.
+
+    Cost at scale: the signature scan touches one long per corpus
+    vector; full vectors are fetched for shortlist·|queries| rows only
+    (an id-join against the corpus, never a corpus-wide vector
+    shuffle)."""
+    sig = hyperplane_signatures(df, id_col=id_col, vec_col=vec_col)
+    cand = hamming_topk(sig, query_ids, k=shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    scored = (
+        cand.join(vecs.withColumnRenamed("_id", "query_id").withColumnRenamed("_v", "_qv"), "query_id")
+        .join(vecs.withColumnRenamed("_id", "neighbor_id").withColumnRenamed("_v", "_nv"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_nv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1928,3 +1928,96 @@ def q_sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("long").alias("hamming"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@query(
+    "q_sim_hamming_rerank",
+    oracle=f"""
+    WITH wt AS (
+      SELECT b, i,
+             CASE WHEN CAST('0x' || substr(md5('hp:' || b || ':' || i), 1, 2)
+                       AS INT) % 2 = 0 THEN 1 ELSE -1 END AS w
+      FROM range(0, 48) rb(b), range(1, 65) ri(i)
+    ),
+    el AS (
+      SELECT vec_id, i, {_sql_iel('cast(embedding[i] as double)')} AS q
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    bits AS (
+      SELECT e.vec_id, wt.b,
+             CASE WHEN sum(wt.w * e.q) > 0 THEN 1 ELSE 0 END AS bit
+      FROM el e JOIN wt ON wt.i = e.i GROUP BY e.vec_id, wt.b
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS signature
+      FROM bits GROUP BY vec_id
+    ),
+    qs AS (SELECT vec_id AS query_id, signature AS sig_q
+           FROM sig WHERE vec_id < 5),
+    hscore AS (
+      SELECT qs.query_id, s.vec_id AS neighbor_id,
+             bit_count(xor(s.signature, qs.sig_q)) AS hamming
+      FROM sig s, qs WHERE s.vec_id <> qs.query_id
+    ),
+    hrank AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hrk
+      FROM hscore
+    ),
+    cand AS (SELECT query_id, neighbor_id FROM hrank WHERE hrk <= 25),
+    norms AS (
+      SELECT vec_id,
+             sum({_sql_iel('cast(embedding[i] as double)')}
+                 * {_sql_iel('cast(embedding[i] as double)')}) AS nrm2
+      FROM embeddings, range(1, 65) r(i) GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id,
+             sum({_sql_iel('cast(eq.embedding[i] as double)')}
+                 * {_sql_iel('cast(en.embedding[i] as double)')}) AS dot
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.query_id
+      JOIN embeddings en ON en.vec_id = c.neighbor_id, range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    rer AS (
+      SELECT d.query_id, d.neighbor_id,
+             {_sql_cos('d.dot', 'nq.nrm2', 'nn.nrm2')} AS cos_sim
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nn ON nn.vec_id = d.neighbor_id
+    ),
+    fin AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM rer
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM fin WHERE rank <= 5
+    """,
+)
+def q_sim_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortlist-then-refine over binary codes (llm/similarity.
+    hamming_rerank_topk): Hamming top-25 candidates from the 48-bit
+    signatures, exact quantized-cosine re-rank to top-5 — the
+    production composition of the compact-code family (the binary
+    sibling of ivfpq_topk's ADC-then-refine). Every stage is
+    deterministic — integer Hamming, exact integer dots, correctly-
+    rounded IEEE sqrt/division — so the full two-stage ANN pipeline
+    hash-matches the oracle end to end. Full vectors are fetched for
+    shortlist×queries rows only; the corpus-wide scan touches one long
+    per vector."""
+    from csv2db_spark.llm import similarity as S
+
+    return S.hamming_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=range(5),
+        k=5,
+        shortlist=25,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )

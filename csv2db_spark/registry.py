@@ -141,7 +141,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_pipeline_curation_v5 (trim -> classifier filter -> token budget ->
 #   accounting; the four-stage oracle replay),
 # q_sim_hamming_topk (48-bit hyperplane codes + exact popcount top-k —
-#   the fully hash-verified ANN family).
+#   the fully hash-verified ANN family),
+# q_sim_hamming_rerank (Hamming shortlist -> exact cosine refine, the
+#   hash-verified two-stage ANN composition).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -917,3 +917,20 @@ def test_hyperplane_signatures_deterministic_and_packed(spark, sf_dir):
     b = {r["vec_id"]: r["signature"] for r in S.hyperplane_signatures(emb).collect()}
     assert a == b  # no RNG state anywhere
     assert all(0 <= s < (1 << 48) for s in a.values())  # 48-bit packing
+
+
+def test_hamming_rerank_recall_vs_exact_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, queries, k=5).collect()
+    rer = S.hamming_rerank_topk(emb, query_ids=range(5), k=5, shortlist=50).collect()
+    es, rs = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in rer:
+        rs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(es[q] & rs.get(q, set())) / len(es[q]) for q in es]
+    mean = sum(recalls) / len(recalls)
+    # gaussian fixture is the worst case for 48-bit codes; the bar
+    # asserts the shortlist+refine machinery beats chance (5/500 = 1%)
+    assert mean >= 0.2, f"mean recall {mean:.2f}: {recalls}"
