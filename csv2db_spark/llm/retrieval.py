@@ -108,3 +108,94 @@ def retrieval_metrics(
             F.lit(1.0) / F.min("_rank").cast("double"), F.lit(0.0)
         ).alias("mrr_at_k"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_id: int,
+    n_shortlist: int = 24,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998): rerank an exact-cosine shortlist so each pick balances
+    relevance to the query against redundancy with what is already
+    selected — score = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), greedy,
+    λ = 1/2. The standard RAG/context-assembly step after retrieval:
+    top-k BY relevance alone returns near-duplicates; MMR spends the
+    budget on coverage.
+
+    Hash-exactness: relevance and pairwise similarities are the engine's
+    quantized-integer cosines (llm/similarity: exact long dots at scale
+    1e16, then fixed-order IEEE division/sqrt — bit-identical across
+    engines); λ = 1/2 makes λ·rel an EXACT halving (power of two), so
+    the greedy argmax (ties → smaller id) is fully deterministic and the
+    oracle unrolls the same greedy as k chained SQL steps.
+
+    Scale shape (100 TB): the corpus-sized work is the shortlist — one
+    distributed exact-cosine pass (or any ANN operator upstream). The
+    greedy itself is inherently sequential in k, so it runs driver-side
+    over the COLLECTED shortlist: O(n_shortlist·k·dim) on ≤ n_shortlist
+    rows — the same bounded-driver tier as PCA's dim×dim eigh. Nothing
+    corpus-sized ever reaches the driver.
+    """
+    import math
+
+    from csv2db_spark.llm.similarity import QUANT_SQ, cosine_topk, quantize
+
+    spark = corpus.sparkSession
+    qdf = corpus.where(F.col(id_col) == query_id)
+    short = cosine_topk(
+        corpus, qdf, k=n_shortlist, id_col=id_col, vec_col=vec_col
+    )
+    cq = quantize(corpus, id_col, vec_col, "neighbor_id", "c_")
+    rows = (
+        short.join(cq, "neighbor_id")
+        .select("neighbor_id", "cos_sim", "c_iv", "c_nrm2")
+        .collect()
+    )
+    cands = {
+        int(r["neighbor_id"]): (
+            float(r["cos_sim"]),
+            [int(x) for x in r["c_iv"]],
+            int(r["c_nrm2"]),
+        )
+        for r in rows
+    }
+
+    def _cos(a_iv, a_n2, b_iv, b_n2):
+        # mirrors similarity.cos_from_parts step for step: exact integer
+        # dot, then int->double conversions and IEEE div/sqrt in the
+        # same order as both the Spark codegen and the DuckDB oracle
+        d = sum(x * y for x, y in zip(a_iv, b_iv))
+        return (d / QUANT_SQ) / (
+            math.sqrt(a_n2 / QUANT_SQ) * math.sqrt(b_n2 / QUANT_SQ)
+        )
+
+    selected: list[int] = []
+    out = []
+    remaining = dict(cands)
+    while remaining and len(out) < k:
+        best = None
+        for nid in sorted(remaining):
+            rel, iv, n2 = remaining[nid]
+            pen = max(
+                (
+                    _cos(iv, n2, cands[s][1], cands[s][2])
+                    for s in selected
+                ),
+                default=0.0,
+            )
+            score = 0.5 * rel - 0.5 * pen
+            if best is None or score > best[0]:
+                best = (score, nid, rel, pen)
+        score, nid, rel, pen = best
+        selected.append(nid)
+        out.append((len(out) + 1, nid, rel, pen, score))
+        del remaining[nid]
+    return spark.createDataFrame(
+        out,
+        "rank int, neighbor_id long, relevance double,"
+        " diversity_penalty double, mmr_score double",
+    )

@@ -18,9 +18,9 @@ strategy Delta/Iceberg MERGE compiles to for copy-on-write tables
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -217,3 +217,64 @@ def apply_cdc(
         for c in data_cols
     ]
     return joined.where(keep_change | keep_base).select(*out_cols)
+
+
+def apply_retractions(
+    view: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    op_col: str,
+    count_alias: str = "n_rows",
+    sum_cols: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Incremental view maintenance with DELETES: fold a retraction
+    stream into a standing GROUP BY view without rescanning the base.
+
+    ``view``: the materialized aggregate (keys + ``count_alias`` + the
+    keys of ``sum_cols``). ``delta``: RAW rows carrying ``op_col`` =
+    +1 (insert) / -1 (retract a previously-counted row), e.g. the
+    before/after images of a CDC feed. ``sum_cols`` maps each measure
+    alias in the view to the delta-side expression that produced it
+    (an exact-decimal cast per functions/numeric.py, so the maintained
+    sums stay order-independent).
+
+    Semantics (the classical counting algorithm for IVM over
+    SPJ+GROUP BY, per Gupta-Mumick's view-maintenance survey): the
+    delta is pre-aggregated to per-group (Σop, Σ op·measure) partials
+    — map-side combined, so the shuffle is |delta groups|, never
+    |delta rows| — then one full-outer merge with the view; groups
+    whose maintained count reaches 0 are DROPPED (the insert-only
+    ``merge_aggregates`` above cannot express that). min/max are
+    deliberately unsupported: they are not maintainable under deletes
+    without the full history.
+
+    At 100 TB the view is |groups| rows and the only scan is the
+    delta batch — the whole point: cost is O(|delta| + |groups|),
+    independent of the base fact table's size. Caller contract: every
+    op=-1 row must replay a row the view has counted (standard IVM
+    precondition); a group driven negative would indicate a corrupt
+    feed and is dropped with the zeros.
+    """
+    ks = list(keys)
+    sums = dict(sum_cols or {})
+    op = F.col(op_col).cast("long")
+    d = delta.groupBy(*ks).agg(
+        F.sum(op).alias("_dn"),
+        *[F.sum(op * expr).alias(f"_ds_{a}") for a, expr in sums.items()],
+    )
+    merged = view.join(d, ks, "full_outer")
+    n_new = F.coalesce(F.col(count_alias), F.lit(0)) + F.coalesce(
+        F.col("_dn"), F.lit(0)
+    )
+    out_cols = [F.col(k) for k in ks] + [n_new.alias(count_alias)]
+    for a in sums:
+        # NULL view-side (brand-new group) and NULL delta-side (group
+        # untouched this batch) both coalesce through; decimal + decimal
+        # keeps exactness end to end
+        out_cols.append(
+            (
+                F.coalesce(F.col(a), F.lit(0))
+                + F.coalesce(F.col(f"_ds_{a}"), F.lit(0))
+            ).alias(a)
+        )
+    return merged.select(*out_cols).where(F.col(count_alias) > 0)

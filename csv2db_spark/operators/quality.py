@@ -22,8 +22,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from csv2db_spark.functions.numeric import dec
 
 
 @dataclass(frozen=True)
@@ -254,3 +256,71 @@ def referential_integrity_report(
         F.sum(orphan.cast("long")).alias("n_orphans"),
         (F.sum(orphan.cast("long")) == 0).alias("passed"),
     ).select("relation", "n_child_rows", "n_null_keys", "n_orphans", "passed")
+
+
+# Benford first-digit expectation, permille: round(1000*log10(1+1/d)).
+# Driver-side literals — engine log() calls would not cross engines
+# bit-identically, and these are mathematical constants anyway.
+BENFORD_PERMILLE = {
+    1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46,
+}
+
+
+def benford_report(
+    df: DataFrame,
+    col: str,
+    prec: int = 12,
+    scale: int = 2,
+) -> DataFrame:
+    """Benford's-law audit of a positive fixed-point measure column —
+    the classic fabricated-data / unit-mixup smell test (Nigrini's
+    digital-analysis recipe): compare the observed first-significant-
+    digit distribution against log10(1 + 1/d).
+
+    Hash-exactness: the first digit comes from the DECIMAL-exact scaled
+    integer (cast(x as decimal)·10^scale → bigint → leading character),
+    never from float log10 (double→bigint casts TRUNCATE on Spark but
+    ROUND on DuckDB — the decimal route sidesteps that trap, see
+    functions/numeric.py); observed shares are integer permilles via
+    floor-division; expected shares are driver-side integer literals.
+
+    Scale shape: one groupBy over ≤9 digit groups (map-side combined),
+    then a 9-row broadcast of the total. The fact table is scanned
+    once, projecting one column."""
+    digit = F.substring(
+        (dec(col, prec, scale) * (10 ** scale)).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    g = (
+        df.where(F.col(col) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    expected = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for d, p in sorted(BENFORD_PERMILLE.items())
+                for x in (d, p)
+            ]
+        ),
+        F.col("digit"),
+    )
+    return (
+        g.withColumn("_tot", F.sum("n_obs").over(w))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("div(1000 * n_obs, _tot)").alias("permille_obs"),
+            expected.alias("permille_expected"),
+        )
+        .withColumn(
+            "abs_dev_permille",
+            F.abs(F.col("permille_obs") - F.col("permille_expected")),
+        )
+    )

@@ -553,3 +553,69 @@ def q_agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("p50_approx") < F.col("p25_exact"))
         | (F.col("p50_approx") > F.col("p75_exact"))
     )
+
+
+@query(
+    "q_agg_ivm_retract",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, l_suppkey % 10 AS supp_bucket,
+           count(*) AS n_rows,
+           {sql_dsum("l_quantity", 14, 2)} AS sum_qty,
+           {sql_dsum("l_extendedprice", 16, 2)} AS sum_price
+    FROM lineitem
+    WHERE l_suppkey % 5 <> 0
+    GROUP BY l_returnflag, l_linestatus, l_suppkey % 10
+    """,
+)
+def q_agg_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance WITH DELETES
+    (operators/merge.apply_retractions — the counting algorithm): a
+    standing (returnflag, linestatus, supplier-bucket) rollup is
+    maintained against a retraction stream — inserts (+1) for a new
+    order partition, retractions (-1) replaying every row of the
+    suppkey%5=0 suppliers — without ever rescanning the base fact.
+    Buckets 0 and 5 lose ALL their rows, so the maintained count hits 0
+    and the group is dropped from the view (the path insert-only merging
+    cannot express). The oracle recomputes the final state from scratch;
+    the engine's plan only ever aggregates the delta batch and merges
+    |groups| rows. Sums ride DECIMAL end to end (order-independent),
+    presented as double."""
+    from csv2db_spark.operators.merge import apply_retractions
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (F.col("l_suppkey") % 10).alias("supp_bucket")
+    keys = ["l_returnflag", "l_linestatus", "supp_bucket"]
+
+    base = li.where(F.col("l_orderkey") % 4 != 0).select("*", bucket)
+    view0 = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec("l_quantity", 14, 2)).alias("sum_qty"),
+        F.sum(dec("l_extendedprice", 16, 2)).alias("sum_price"),
+    )
+    inserts = (
+        li.where((F.col("l_orderkey") % 4 == 0) & (F.col("l_suppkey") % 5 != 0))
+        .select("*", bucket)
+        .withColumn("op", F.lit(1))
+    )
+    deletes = base.where(F.col("l_suppkey") % 5 == 0).withColumn(
+        "op", F.lit(-1)
+    )
+    maintained = apply_retractions(
+        view0,
+        inserts.unionByName(deletes),
+        keys=keys,
+        op_col="op",
+        count_alias="n_rows",
+        sum_cols={
+            "sum_qty": dec("l_quantity", 14, 2),
+            "sum_price": dec("l_extendedprice", 16, 2),
+        },
+    )
+    return maintained.select(
+        "l_returnflag",
+        "l_linestatus",
+        "supp_bucket",
+        "n_rows",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )

@@ -2914,3 +2914,37 @@ def q_observe_inline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["sum_qty"], m["n_discounted"])],
         "n_rows long, sum_qty double, n_discounted long",
     )
+
+
+@query(
+    "q_quality_benford",
+    oracle="""
+    WITH d AS (
+      SELECT cast(substr(cast(cast(cast(o_totalprice as decimal(12,2)) * 100
+                              as bigint) as varchar), 1, 1) as int) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+    t AS (SELECT sum(n_obs) AS tot FROM g),
+    e(digit, permille_expected) AS (VALUES
+      (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+      (6, 67), (7, 58), (8, 51), (9, 46))
+    SELECT g.digit, g.n_obs,
+           cast((1000 * g.n_obs) // t.tot as bigint) AS permille_obs,
+           e.permille_expected,
+           abs(cast((1000 * g.n_obs) // t.tot as bigint)
+               - e.permille_expected) AS abs_dev_permille
+    FROM g, t JOIN e ON e.digit = g.digit
+    """,
+)
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals
+    (operators/quality.benford_report): observed vs expected permille
+    share per leading digit, with the deviation that flags fabricated
+    or unit-shifted measures. Digit extraction rides the exact decimal
+    (double→bigint casts truncate on Spark but round on DuckDB); the
+    digit table the oracle joins is the same 9 integer literals the
+    engine broadcasts in a map literal."""
+    from csv2db_spark.operators.quality import benford_report
+
+    return benford_report(load_table(spark, sf_dir, "orders"), "o_totalprice")

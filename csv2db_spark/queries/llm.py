@@ -2021,3 +2021,97 @@ def q_sim_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------- MMR diversification
+
+
+def _mmr_oracle(qid: int, n_short: int, k: int) -> str:
+    """Unrolled greedy MMR in plain SQL: shortlist + pairwise cosines,
+    then k chained argmax steps (aggregates in recursive CTEs are not
+    portable, so the greedy is unrolled)."""
+    iel_e = _sql_iel("cast(e.embedding[i] as double)")
+    iel_q = _sql_iel("cast(q.embedding[i] as double)")
+    iel_a = _sql_iel("cast(ea.embedding[i] as double)")
+    iel_b = _sql_iel("cast(eb.embedding[i] as double)")
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f"""
+    sel{i} AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT {i} AS rank, c.vec_id, c.rel,
+               max(p.cs) AS diversity_penalty,
+               0.5 * c.rel - 0.5 * max(p.cs) AS mmr_score
+        FROM short c
+        JOIN pairs p ON p.va = c.vec_id
+        WHERE p.vb IN (SELECT vec_id FROM acc{i - 1})
+          AND c.vec_id NOT IN (SELECT vec_id FROM acc{i - 1})
+        GROUP BY c.vec_id, c.rel
+      ) ORDER BY mmr_score DESC, vec_id LIMIT 1
+    ),
+    acc{i} AS MATERIALIZED (SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM sel{i})""")
+    return f"""
+    WITH nrm AS MATERIALIZED (
+      SELECT vec_id,
+             sum({_sql_iel('cast(embedding[i] as double)')}
+                 * {_sql_iel('cast(embedding[i] as double)')}) AS nrm2
+      FROM embeddings, range(1, 65) r(i) GROUP BY vec_id
+    ),
+    qdots AS MATERIALIZED (
+      SELECT e.vec_id, sum({iel_q} * {iel_e}) AS dot
+      FROM embeddings e,
+           (SELECT * FROM embeddings WHERE vec_id = {qid}) q,
+           range(1, 65) r(i)
+      WHERE e.vec_id != {qid}
+      GROUP BY e.vec_id
+    ),
+    short AS MATERIALIZED (
+      SELECT d.vec_id, {_sql_cos('d.dot', 'qn.nrm2', 'nn.nrm2')} AS rel
+      FROM qdots d
+      JOIN nrm qn ON qn.vec_id = {qid}
+      JOIN nrm nn ON nn.vec_id = d.vec_id
+      ORDER BY rel DESC, d.vec_id LIMIT {n_short}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT ea.vec_id AS va, eb.vec_id AS vb,
+             {_sql_cos('sum(' + iel_a + ' * ' + iel_b + ')',
+                       'na.nrm2', 'nb.nrm2')} AS cs
+      FROM embeddings ea
+      JOIN embeddings eb ON ea.vec_id != eb.vec_id
+      JOIN nrm na ON na.vec_id = ea.vec_id
+      JOIN nrm nb ON nb.vec_id = eb.vec_id, range(1, 65) r(i)
+      WHERE ea.vec_id IN (SELECT vec_id FROM short)
+        AND eb.vec_id IN (SELECT vec_id FROM short)
+      GROUP BY ea.vec_id, eb.vec_id, na.nrm2, nb.nrm2
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT 1 AS rank, vec_id, rel, 0.0 AS diversity_penalty,
+               0.5 * rel - 0.5 * 0.0 AS mmr_score
+        FROM short
+      ) ORDER BY mmr_score DESC, vec_id LIMIT 1
+    ),
+    acc1 AS MATERIALIZED (SELECT * FROM sel1),{','.join(steps)}
+    SELECT rank, vec_id AS neighbor_id, rel AS relevance,
+           diversity_penalty, mmr_score
+    FROM acc{k}
+    """
+
+
+@query("q_retrieval_mmr_rerank", oracle=_mmr_oracle(0, 24, 8))
+def q_retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-8 for query vector 0 over a 24-candidate
+    exact-cosine shortlist (llm/retrieval.mmr_rerank): greedy
+    λ=1/2 relevance-vs-redundancy argmax, fully hash-verified — the
+    oracle replays the same greedy as 8 unrolled SQL argmax steps over
+    the same quantized-integer cosines. The corpus-sized stage is the
+    distributed shortlist; the greedy is bounded driver work
+    (24 rows × 8 picks × 64 dims)."""
+    from csv2db_spark.llm.retrieval import mmr_rerank
+
+    return mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=0,
+        n_shortlist=24,
+        k=8,
+    )

@@ -143,7 +143,11 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_sim_hamming_topk (48-bit hyperplane codes + exact popcount top-k —
 #   the fully hash-verified ANN family),
 # q_sim_hamming_rerank (Hamming shortlist -> exact cosine refine, the
-#   hash-verified two-stage ANN composition).
+#   hash-verified two-stage ANN composition),
+# q_retrieval_mmr_rerank (MMR diversification, oracle = unrolled greedy),
+# q_agg_ivm_retract (view maintenance with deletes: counting algorithm,
+#   group drop at zero),
+# q_quality_benford (first-digit digital-analysis audit).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -342,3 +342,115 @@ def test_triangle_count_known_graph(spark):
         ["src", "dst"],
     )
     assert {r.node: r.n_triangles for r in triangle_count(rev).collect()} == got
+
+
+# ----------------------------------------------------------- MMR rerank
+
+
+def test_mmr_diversifies_near_duplicate_shortlist(spark):
+    """3 near-identical vectors close to the query + 1 orthogonal-ish
+    one: plain top-k ranks the near-duplicates 1-2-3; MMR must spend
+    pick 2 on the diverse vector."""
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        (0, unit([1.0, 0.0, 0.0, 0.0])),            # query
+        (1, unit([0.80, 0.60, 0.0, 0.0])),          # best match
+        (2, unit([0.80, 0.60, 0.001, 0.0])),        # near-dup of 1
+        (3, unit([0.78, 0.0, 0.62, 0.0])),          # diverse, lower rel
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from csv2db_spark.llm.retrieval import mmr_rerank
+
+    out = mmr_rerank(emb, query_id=0, n_shortlist=3, k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert len({r["neighbor_id"] for r in out}) == 3
+    # pick 1 is the pure-relevance argmax; pick 2 must be the diverse
+    # vector (rel 0.78, sim-to-selected ~0.62) over the near-dup
+    # (rel ~0.80 but sim-to-selected ~0.9999)
+    assert out[0]["neighbor_id"] == 1
+    assert out[1]["neighbor_id"] == 3
+    assert out[2]["neighbor_id"] == 2
+    # rank 1 pays no redundancy; the near-dup pays nearly full
+    assert out[0]["diversity_penalty"] == 0.0
+    assert out[2]["diversity_penalty"] > 0.99
+
+
+# ------------------------------------------------- IVM with retractions
+
+
+def test_apply_retractions_matches_recompute_and_drops_groups(spark):
+    from pyspark.sql import functions as F
+
+    from csv2db_spark.operators.merge import apply_retractions
+
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5)],
+        "g string, x int",
+    )
+    view0 = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("x").cast("decimal(10,0)")).alias("sx"),
+    )
+    delta = spark.createDataFrame(
+        # delete both 'a' rows (group drop), delete one 'b' row,
+        # insert into 'b' and into brand-new 'd'
+        [("a", 1, -1), ("a", 2, -1), ("b", 3, -1), ("b", 9, 1), ("d", 7, 1)],
+        "g string, x int, op int",
+    )
+    out = apply_retractions(
+        view0, delta, keys=["g"], op_col="op",
+        sum_cols={"sx": F.col("x").cast("decimal(10,0)")},
+    )
+    got = {r["g"]: (r["n_rows"], int(r["sx"])) for r in out.collect()}
+    assert got == {"b": (2, 13), "c": (1, 5), "d": (1, 7)}  # 'a' dropped
+
+
+def test_apply_retractions_noop_delta_preserves_view(spark):
+    from pyspark.sql import functions as F
+
+    from csv2db_spark.operators.merge import apply_retractions
+
+    base = spark.createDataFrame([("a", 1), ("b", 2)], "g string, x int")
+    view0 = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("x").cast("decimal(10,0)")).alias("sx"),
+    )
+    empty = spark.createDataFrame([], "g string, x int, op int")
+    out = apply_retractions(
+        view0, empty, keys=["g"], op_col="op",
+        sum_cols={"sx": F.col("x").cast("decimal(10,0)")},
+    )
+    assert sorted(
+        (r["g"], r["n_rows"], int(r["sx"])) for r in out.collect()
+    ) == [("a", 1, 1), ("b", 1, 2)]
+
+
+# ----------------------------------------------------------- Benford
+
+
+def test_benford_all_leading_ones(spark):
+    from csv2db_spark.operators.quality import benford_report
+
+    df = spark.createDataFrame(
+        [(10.0,), (11.5,), (199.99,), (0.0,), (-5.0,)], "v double"
+    )
+    rows = benford_report(df, "v").collect()
+    assert len(rows) == 1  # zero/negative rows excluded
+    r = rows[0]
+    assert (r["digit"], r["n_obs"], r["permille_obs"]) == (1, 3, 1000)
+    assert r["permille_expected"] == 301
+    assert r["abs_dev_permille"] == 699
+
+
+def test_benford_digit_from_decimal_not_float_trunc(spark):
+    """9.995 → decimal(12,2) rounds to 10.00 → digit 1 (not 9): the
+    decimal route, identically on both engines."""
+    from csv2db_spark.operators.quality import benford_report
+
+    df = spark.createDataFrame([(9.995,)], "v double")
+    assert benford_report(df, "v").collect()[0]["digit"] == 1
