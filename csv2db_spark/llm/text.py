@@ -519,6 +519,7 @@ def bigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     prob_scale: int = 1_000_000,
+    train_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-bigram language-model likelihood per document — the
     KenLM-style quality signal (documents whose token sequences are
@@ -540,6 +541,13 @@ def bigram_lm_scores(
     9.2e12 occurrences of any single bigram at scale 1e6, beyond a
     100 TB corpus.
 
+    ``train_docs``: optional separate model corpus (the CCNet pattern —
+    train on a trusted reference slice, score everything). Defaults to
+    ``docs`` (score against the corpus's own statistics). Bigrams the
+    model never saw contribute probability 0 but still count in
+    n_bigrams — unseen-heavy documents score low, exactly the signal
+    the reference-LM filter wants.
+
     Plan shape: bigrams come from zipping the token array with its own
     tail (pure codegen, zero shuffle, no position self-join); one
     groupBy(a, b) for pair counts; prefix counts FOLD the pair-count
@@ -548,17 +556,21 @@ def bigram_lm_scores(
     doc_id-keyed sum. Two corpus-sized shuffles total."""
     toks = F.split(F.col(text_col), " ")
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+
+    def _occurrences(d: DataFrame) -> DataFrame:
+        pairs_ = F.arrays_zip(
+            F.slice(toks, 1, n1).alias("a"),
+            F.slice(toks, 2, n1).alias("b"),
+        )
+        return d.select(F.col(id_col), F.explode(pairs_).alias("bg")).select(
+            id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b")
+        )
     # arrays_zip, not zip_with: the packing needs no lambda, and
     # zip_with's lambda body would run interpreted outside whole-stage
     # codegen on every corpus row (see PLANS.md round-6 HOF pitfalls)
-    pairs = F.arrays_zip(
-        F.slice(toks, 1, n1).alias("a"),
-        F.slice(toks, 2, n1).alias("b"),
-    )
-    occ = docs.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
-        id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b")
-    )
-    pair_counts = occ.groupBy("a", "b").agg(
+    occ = _occurrences(docs)
+    model_occ = occ if train_docs is None else _occurrences(train_docs)
+    pair_counts = model_occ.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("cnt_pair")
     )
     prefix_counts = pair_counts.groupBy("a").agg(
@@ -569,9 +581,13 @@ def bigram_lm_scores(
         "b",
         F.expr(f"div({prob_scale}L * cnt_pair, cnt_prefix)").alias("q"),
     )
-    per_doc = occ.join(scored_vocab, ["a", "b"]).groupBy(id_col).agg(
-        F.sum("q").alias("score_scaled"),
-        F.count(F.lit(1)).alias("n_bigrams"),
+    per_doc = (
+        occ.join(scored_vocab, ["a", "b"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("q"), F.lit(0))).alias("score_scaled"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
     )
     return per_doc.select(
         id_col,

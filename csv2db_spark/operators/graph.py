@@ -404,3 +404,65 @@ def resolve_hierarchy(
     return ptr.select(
         "node", F.col("anc").alias("root"), F.col("dist").alias("depth")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Seeded (semi-supervised) label propagation: a small labelled seed
+    set spreads over the graph — each unlabelled node adopts the MODAL
+    label among its already-labelled neighbours, ties broken by the
+    smaller label; labelled nodes are CLAMPED (seeds never change, and a
+    node labelled in round r is frozen for r+1). The classic
+    cheap-classifier pattern for entity graphs: label 1% of users by a
+    trusted rule, propagate to the rest.
+
+    Synchronous rounds make the result order-independent and
+    hash-exact: round r's assignments read only the label set as of
+    round r-1, so the oracle can unroll the same rounds in SQL.
+    Returns (node, label, round_assigned); nodes never reached within
+    ``rounds`` are absent.
+
+    Scale shape: per round, one shuffle to group (node, label) counts
+    over the labelled frontier's edges and one |nodes|-row anti-join —
+    the same O(|E|) per-round cost as one PageRank step. Rounds is a
+    small constant (label coverage saturates geometrically), so the
+    total is O(rounds·|E|) with no driver-side state.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    labels = seeds.select(
+        F.col(node_col).alias("node"),
+        F.col(label_col).alias("label"),
+        F.lit(0).alias("round_assigned"),
+    )
+    from pyspark.sql import Window
+
+    for r in range(1, rounds + 1):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("cnt").desc(), F.col("label")
+        )
+        picked = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label", F.lit(r).alias("round_assigned"))
+        )
+        fresh = picked.join(labels.select("node"), "node", "left_anti")
+        labels = labels.unionByName(fresh)
+    return labels

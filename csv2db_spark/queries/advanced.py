@@ -1518,3 +1518,79 @@ def q_link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.unionByName(clones), key_col="k", id_col="id"
     )
     return edit_distance_matches(pairs, max_distance=2)
+
+
+@query(
+    "q_graph_label_propagation",
+    oracle="""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sym AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM e0
+      UNION
+      SELECT dst AS a, src AS b FROM e0
+    ),
+    l0 AS MATERIALIZED (
+      SELECT 's' || s_suppkey AS node, s_nationkey AS label,
+             0 AS round_assigned
+      FROM supplier WHERE s_suppkey % 10 = 0
+    ),
+    p1 AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT sym.a AS node, l.label,
+               row_number() OVER (PARTITION BY sym.a
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM sym JOIN l0 l ON sym.b = l.node
+        GROUP BY sym.a, l.label
+      ) WHERE rn = 1
+    ),
+    l1 AS MATERIALIZED (
+      SELECT * FROM l0
+      UNION ALL
+      SELECT node, label, 1 FROM p1
+      WHERE node NOT IN (SELECT node FROM l0)
+    ),
+    p2 AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT sym.a AS node, l.label,
+               row_number() OVER (PARTITION BY sym.a
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM sym JOIN l1 l ON sym.b = l.node
+        GROUP BY sym.a, l.label
+      ) WHERE rn = 1
+    )
+    SELECT node, label, round_assigned FROM l1
+    UNION ALL
+    SELECT node, label, 2 FROM p2
+    WHERE node NOT IN (SELECT node FROM l1)
+    """,
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation (operators/graph.label_propagation) over
+    the supplier↔customer trade graph: every 10th supplier is seeded
+    with its nation, then two synchronous rounds spread the label —
+    round 1 reaches the customers of seeded suppliers, round 2 the
+    remaining suppliers through shared customers. Modal-label voting
+    with (count desc, label) tie-break and clamped seeds make every
+    assignment deterministic, so the oracle unrolls both rounds in SQL.
+    O(|E|) per round — the semi-supervised twin of the PageRank step."""
+    from csv2db_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = s.where(F.col("s_suppkey") % 10 == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+        F.col("s_nationkey").alias("label"),
+    )
+    return label_propagation(edges, seeds, rounds=2)

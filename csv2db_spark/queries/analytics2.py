@@ -10,7 +10,7 @@ functions/numeric.py so every DuckDB oracle matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv2db_spark.registry import query
@@ -2948,3 +2948,88 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2db_spark.operators.quality import benford_report
 
     return benford_report(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@query(
+    "q_text_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
+      FROM toks
+    ),
+    occ AS (
+      SELECT p1.doc_id, p1.tok AS a, p2.tok AS b
+      FROM pos p1
+      JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+    ),
+    ref AS (
+      SELECT o.* FROM occ o JOIN documents d USING (doc_id)
+      WHERE d.source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+    ),
+    pc AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS cnt_pair
+      FROM ref GROUP BY a, b
+    ),
+    pfx AS (
+      SELECT a, CAST(sum(cnt_pair) AS BIGINT) AS cnt_prefix
+      FROM pc GROUP BY a
+    ),
+    v AS (
+      SELECT pc.a, pc.b,
+             (1000000 * pc.cnt_pair) // pfx.cnt_prefix AS q
+      FROM pc JOIN pfx ON pc.a = pfx.a
+    ),
+    scored AS (
+      SELECT occ.doc_id,
+             CAST(sum(COALESCE(v.q, 0)) AS BIGINT) AS score_scaled,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(COALESCE(v.q, 0)) AS DOUBLE) / 1000000.0
+               / CAST(count(*) AS DOUBLE) AS avg_next_token_prob
+      FROM occ LEFT JOIN v ON occ.a = v.a AND occ.b = v.b
+      GROUP BY occ.doc_id
+    )
+    SELECT s.doc_id, d.lang, s.score_scaled, s.n_bigrams,
+           s.avg_next_token_prob,
+           ntile(3) OVER (PARTITION BY d.lang
+                          ORDER BY s.avg_next_token_prob DESC, s.doc_id)
+             AS ppl_bucket
+    FROM scored s JOIN documents d USING (doc_id)
+    """,
+)
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style reference-LM quality bucketing (Wenzek et al. 2020):
+    train the bigram LM on a trusted reference slice (sources src0-src4),
+    score EVERY document against it (llm/text.bigram_lm_scores with
+    ``train_docs`` — bigrams the reference never saw contribute 0 but
+    still count, so out-of-domain text scores low), then cut each
+    language into head/middle/tail terciles with ntile(3) over the
+    total order (score desc, doc_id). The standard pretraining-corpus
+    triage: keep head, sample middle, drop tail — per language, so
+    high-resource languages don't crowd out the rest. Model-corpus
+    scan + corpus scan + one |docs|-row window; the LM itself is a
+    |vocab|-row broadcastable table."""
+    from csv2db_spark.llm.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    scored = bigram_lm_scores(docs, train_docs=ref)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_next_token_prob").desc(), F.col("doc_id")
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "score_scaled",
+            "n_bigrams",
+            "avg_next_token_prob",
+            F.ntile(3).over(w).alias("ppl_bucket"),
+        )
+    )

@@ -147,7 +147,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_retrieval_mmr_rerank (MMR diversification, oracle = unrolled greedy),
 # q_agg_ivm_retract (view maintenance with deletes: counting algorithm,
 #   group drop at zero),
-# q_quality_benford (first-digit digital-analysis audit).
+# q_quality_benford (first-digit digital-analysis audit),
+# q_text_ccnet_buckets (reference-LM head/middle/tail triage),
+# q_graph_label_propagation (seeded modal-label spread, unrolled oracle).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -454,3 +454,66 @@ def test_benford_digit_from_decimal_not_float_trunc(spark):
 
     df = spark.createDataFrame([(9.995,)], "v double")
     assert benford_report(df, "v").collect()[0]["digit"] == 1
+
+
+# ------------------------------------------------- label propagation
+
+
+def test_label_propagation_path_graph_rounds(spark):
+    """Path a-b-c-d with seed at a: b labelled round 1, c round 2, d
+    unreached within 2 rounds; seed clamped at round 0."""
+    from csv2db_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a", 7)], "node string, label int")
+    got = {
+        r["node"]: (r["label"], r["round_assigned"])
+        for r in label_propagation(edges, seeds, rounds=2).collect()
+    }
+    assert got == {"a": (7, 0), "b": (7, 1), "c": (7, 2)}
+
+
+def test_label_propagation_modal_vote_tiebreak(spark):
+    """Node x has two neighbours labelled 5 and one labelled 3 → modal 5;
+    node y has one of each → tie broken to the smaller label 3."""
+    from csv2db_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("x", "s1"), ("x", "s2"), ("x", "s3"), ("y", "s1"), ("y", "s3")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame(
+        [("s1", 5), ("s2", 5), ("s3", 3)], "node string, label int"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, rounds=1).collect()
+        if r["round_assigned"] == 1
+    }
+    assert got == {"x": 5, "y": 3}
+
+
+# ------------------------------------------------- reference-LM scoring
+
+
+def test_bigram_lm_train_docs_unseen_bigrams_score_zero(spark):
+    """Scoring against a reference model: a document whose bigrams the
+    model never saw gets score 0 but keeps its bigram count."""
+    from csv2db_spark.llm.text import bigram_lm_scores
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zzz qqq www")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["score_scaled"], r["n_bigrams"])
+        for r in bigram_lm_scores(docs, train_docs=ref).collect()
+    }
+    # 'the cat' q=1e6 (2/2); 'cat sat' q=5e5 (1/2)
+    assert got[10] == (1_500_000, 2)
+    assert got[11] == (0, 2)
