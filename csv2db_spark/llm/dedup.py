@@ -911,3 +911,65 @@ def dedup_paragraphs(
             sep,
         ).alias("text"),
     )
+
+
+def containment_pairs(
+    exploded: DataFrame,
+    min_permille: int = 700,
+    key: str = "s",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |S(A)∩S(B)| / |S(A)| —
+    the quote / sub-document detector (Broder's containment, the measure
+    resemblance-Jaccard misses: a paragraph lifted into a much larger
+    document has low Jaccard but containment ≈ 1). Emits one row per
+    DIRECTED pair above the threshold: ``doc_a`` is the (near-)contained
+    document, ``doc_b`` the container.
+
+    The threshold is an integer PERMILLE compared via exact integer
+    cross-multiplication (1000·inter ≥ permille·|S(A)| after floor
+    division — engine-identical, no float ratio), so the gate
+    hash-verifies every pair bit for bit.
+
+    Same scale discipline as ``jaccard_pairs``: ``max_doc_freq`` drops
+    stop-shingles from numerator AND denominator before the postings
+    self-join (a shingle in m docs fans out m²/2 join rows; boilerplate
+    carries no containment signal), keeping the join linear in the
+    postings list. At 100 TB this runs after an LSH candidate pass the
+    same way jaccard verification does."""
+    if max_doc_freq is not None:
+        hot = (
+            exploded.groupBy(key)
+            .agg(F.count_distinct("doc_id").alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select(key)
+        )
+        exploded = exploded.join(F.broadcast(hot), key, "anti")
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    e1, e2 = exploded.alias("e1"), exploded.alias("e2")
+    inter = (
+        e1.join(e2, F.col(f"e1.{key}") == F.col(f"e2.{key}"))
+        .where(F.col("e1.doc_id") != F.col("e2.doc_id"))
+        .groupBy(
+            F.col("e1.doc_id").alias("doc_a"),
+            F.col("e2.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("n_shingles_a")
+            ),
+            "doc_a",
+        )
+        .withColumn(
+            "containment_permille",
+            F.expr("div(1000 * n_common, n_shingles_a)"),
+        )
+        .where(F.col("containment_permille") >= min_permille)
+        .select(
+            "doc_a", "doc_b", "n_common", "n_shingles_a",
+            "containment_permille",
+        )
+    )

@@ -18,7 +18,7 @@ strategy Delta/Iceberg MERGE compiles to for copy-on-write tables
 
 from __future__ import annotations
 
-from collections.abc import Mapping, Sequence
+from collections.abc import Callable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -278,3 +278,37 @@ def apply_retractions(
             ).alias(a)
         )
     return merged.select(*out_cols).where(F.col(count_alias) > 0)
+
+
+def ivm_dirty_group_refresh(
+    view: DataFrame,
+    base_current: DataFrame,
+    changed_rows: DataFrame,
+    keys: Sequence[str],
+    aggregate: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """View maintenance for measures the counting algorithm CANNOT
+    maintain (min/max/exact-distinct under deletes): recompute only the
+    DIRTY groups — those with at least one changed row — from the
+    current base, and carry every untouched group over from the standing
+    view unread.
+
+    ``aggregate`` is the view definition (raw rows → grouped aggregate
+    over ``keys``); ``changed_rows`` is any frame carrying the group
+    keys of this batch's inserts/updates/deletes. The dirty key set is
+    small (one batch's groups), so both the semi-join that restricts the
+    base scan and the anti-join that protects the standing view
+    broadcast it.
+
+    The 100 TB contract: cost is O(|rows of dirty groups| + |groups|),
+    NOT O(|base|) — with the base partitioned/clustered by a key prefix
+    (sink.write_partitioned / snapshot-table file stats), the semi-join
+    prunes to the dirty partitions and untouched data is never read.
+    This composes with ``apply_retractions``: counts/sums maintain
+    algebraically from the delta alone; min/max refresh through here.
+    """
+    ks = list(keys)
+    dirty = changed_rows.select(*ks).distinct()
+    recomputed = aggregate(base_current.join(F.broadcast(dirty), ks, "semi"))
+    untouched = view.join(F.broadcast(dirty), ks, "left_anti")
+    return untouched.unionByName(recomputed)

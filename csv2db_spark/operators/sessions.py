@@ -124,3 +124,58 @@ def active_users(
             ),
         )
     )
+
+
+def rfm_scores(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic lifecycle-marketing cut (Hughes' quintile method): per user,
+    the last-activity timestamp, the event count, and the exact spend
+    sum, each scored into quintiles where 5 = best, concatenated into
+    the '555'-style segment label.
+
+    Determinism: quintiles are ntile over a TOTAL order — the metric
+    plus a ``user_id`` tie-break — so identical inputs give identical
+    segments on any partitioning and in the SQL oracle. The monetary
+    sum rides DECIMAL (order-independent); NULL measurements count 0.
+
+    Scale shape: one map-combined groupBy(user) over the event stream,
+    then three |users|-row window passes. At 100 TB the groupBy is the
+    only corpus-sized shuffle; the windows are global sorts over the
+    (much smaller) user dimension — if |users| itself is huge, swap
+    ntile for a percentile cut over ``histogram_cells`` partials."""
+    per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.coalesce(F.col(value_col), F.lit(0.0)).cast("decimal(18,3)")
+        ).alias("_monetary_dec"),
+    )
+    w_r = Window.orderBy(F.col("last_ts").desc(), F.col("user_id"))
+    w_f = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    w_m = Window.orderBy(F.col("_monetary_dec").desc(), F.col("user_id"))
+    n1 = n_tiles + 1
+    return (
+        per_user.withColumn("r_score", n1 - F.ntile(n_tiles).over(w_r))
+        .withColumn("f_score", n1 - F.ntile(n_tiles).over(w_f))
+        .withColumn("m_score", n1 - F.ntile(n_tiles).over(w_m))
+        .select(
+            "user_id",
+            "last_ts",
+            "n_events",
+            F.col("_monetary_dec").cast("double").alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment"),
+        )
+    )

@@ -619,3 +619,59 @@ def q_agg_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("sum_qty"),
         F.col("sum_price").cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "q_agg_ivm_dirty_refresh",
+    oracle=f"""
+    SELECT o_orderpriority, year(o_orderdate) AS order_year,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", 14, 2)} AS total_price,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders
+    WHERE NOT (year(o_orderdate) = 2001 AND o_orderkey % 3 = 0)
+    GROUP BY o_orderpriority, year(o_orderdate)
+    """,
+)
+def q_agg_ivm_dirty_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-group view refresh (operators/merge.ivm_dirty_group_refresh)
+    for measures deletes break algebraically: a (priority, year) rollup
+    with MIN/MAX holds a stale state built before a batch deleted a
+    third of year-2001's orders; the refresh recomputes ONLY the dirty
+    (priority, 2001) groups from the current base — the semi-join prunes
+    every other year's rows — and carries 1995-2000 over from the
+    standing view untouched. The oracle recomputes everything from
+    scratch; equality proves carried-over groups were genuinely
+    unreadable-stale-free. Composes with apply_retractions (counts/sums
+    from the delta alone; min/max through here)."""
+    from csv2db_spark.operators.merge import ivm_dirty_group_refresh
+
+    o = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderpriority", "order_year"]
+
+    def aggregate(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 14, 2)).alias("total_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    with_year = o.withColumn("order_year", F.year("o_orderdate"))
+    deleted = with_year.where(
+        (F.col("order_year") == 2001) & (F.col("o_orderkey") % 3 == 0)
+    )
+    current = with_year.exceptAll(deleted)
+    stale_view = aggregate(with_year)  # built BEFORE the delete batch
+    refreshed = ivm_dirty_group_refresh(
+        stale_view, current, deleted, keys, aggregate
+    )
+    return refreshed.select(
+        "o_orderpriority",
+        "order_year",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+        "first_order",
+        "last_order",
+    )

@@ -3033,3 +3033,42 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(3).over(w).alias("ppl_bucket"),
         )
     )
+
+
+@query(
+    "q_events_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum(CAST(COALESCE(value, 0.0) AS DECIMAL(18,3)))
+               AS monetary_dec
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT user_id, last_ts, n_events,
+             CAST(monetary_dec AS DOUBLE) AS monetary,
+             6 - ntile(5) OVER (ORDER BY last_ts DESC, user_id)
+               AS r_score,
+             6 - ntile(5) OVER (ORDER BY n_events DESC, user_id)
+               AS f_score,
+             6 - ntile(5) OVER (ORDER BY monetary_dec DESC, user_id)
+               AS m_score
+      FROM per_user
+    )
+    SELECT user_id, last_ts, n_events, monetary, r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM t
+    """,
+)
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of the event stream
+    (operators/sessions.rfm_scores): recency/frequency/monetary scores
+    5=best from total-order ntiles (metric + user_id tie-break —
+    deterministic on any partitioning), monetary through exact decimal.
+    One corpus shuffle + three |users|-row windows."""
+    from csv2db_spark.operators.sessions import rfm_scores
+
+    return rfm_scores(load_table(spark, sf_dir, "events"))

@@ -2115,3 +2115,43 @@ def q_retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shortlist=24,
         k=8,
     )
+
+
+# ----------------------------------------------------- shingle containment
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    {_CTE_EX},
+    exf AS (
+      SELECT doc_id, s FROM ex
+      WHERE s NOT IN (SELECT s FROM ex GROUP BY s
+                      HAVING count(DISTINCT doc_id) > 64)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY doc_id),
+    inter AS (
+      SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM exf e1 JOIN exf e2 ON e1.s = e2.s AND e1.doc_id != e2.doc_id
+      GROUP BY e1.doc_id, e2.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(sz.n AS BIGINT) AS n_shingles_a,
+           CAST((1000 * i.n_common) // sz.n AS BIGINT)
+             AS containment_permille
+    FROM inter i JOIN sizes sz ON sz.doc_id = i.doc_a
+    WHERE CAST((1000 * i.n_common) // sz.n AS BIGINT) >= 700
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment over the augmented corpus
+    (llm/dedup.containment_pairs): the truncated-prefix clones
+    (doc_id+100000 — originals minus their last 5 tokens) are true
+    SUB-documents, so they surface with containment ≈ 1000‰ toward
+    their originals even where Jaccard would sit below a dedup
+    threshold. Stop-shingle cap (df > 64) applied to numerator and
+    denominator; threshold enforced by integer permille — every
+    emitted pair hash-verified."""
+    ex = D.shingle_table(augmented_docs(spark, sf_dir))
+    return D.containment_pairs(ex, min_permille=700, max_doc_freq=64)

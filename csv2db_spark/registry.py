@@ -149,7 +149,10 @@ CHECK_FIRST: tuple[str, ...] = (
 #   group drop at zero),
 # q_quality_benford (first-digit digital-analysis audit),
 # q_text_ccnet_buckets (reference-LM head/middle/tail triage),
-# q_graph_label_propagation (seeded modal-label spread, unrolled oracle).
+# q_graph_label_propagation (seeded modal-label spread, unrolled oracle),
+# q_events_rfm_segments (RFM quintile segmentation),
+# q_dedup_containment (directed shingle containment, integer permille),
+# q_agg_ivm_dirty_refresh (recompute-only-dirty-groups maintenance).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

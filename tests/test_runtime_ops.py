@@ -517,3 +517,96 @@ def test_bigram_lm_train_docs_unseen_bigrams_score_zero(spark):
     # 'the cat' q=1e6 (2/2); 'cat sat' q=5e5 (1/2)
     assert got[10] == (1_500_000, 2)
     assert got[11] == (0, 2)
+
+
+# ------------------------------------------------- shingle containment
+
+
+def test_containment_detects_subset_direction(spark):
+    from csv2db_spark.llm.dedup import containment_pairs, shingle_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),                    # contained in 2
+            (2, "a b c d e f g h i j k l"),      # container
+            (3, "zz yy xx ww vv"),               # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    ex = shingle_table(docs)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment_permille"]
+        for r in containment_pairs(ex, min_permille=700).collect()
+    }
+    assert got == {(1, 2): 1000}  # asymmetric: only the subset fires
+
+
+def test_containment_stop_shingle_cap(spark):
+    """A shingle in every doc is dropped from numerator AND denominator."""
+    from csv2db_spark.llm.dedup import containment_pairs, shingle_table
+
+    docs = spark.createDataFrame(
+        [(i, f"common one two unique{i} tail{i} end{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    ex = shingle_table(docs)
+    # 'common one two' appears in all 5 docs; with max_doc_freq=3 it is
+    # dropped, leaving zero shared shingles -> no pairs at any threshold
+    assert containment_pairs(ex, min_permille=1, max_doc_freq=3).count() == 0
+
+
+# ------------------------------------------------- dirty-group refresh
+
+
+def test_ivm_dirty_refresh_recomputes_only_dirty_groups(spark):
+    from csv2db_spark.operators.merge import ivm_dirty_group_refresh
+
+    def aggregate(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.min("x").alias("lo")
+        )
+
+    base_current = spark.createDataFrame(
+        [("a", 5), ("a", 9), ("b", 3)], "g string, x int"
+    )
+    # the standing view: group 'a' is stale (a delete removed x=1);
+    # group 'b' is deliberately POISONED to prove it is carried over
+    # verbatim, never recomputed
+    view = spark.createDataFrame(
+        [("a", 3, 1), ("b", 999, -1)], "g string, n long, lo int"
+    )
+    changed = spark.createDataFrame([("a", 1)], "g string, x int")
+    got = {
+        r["g"]: (r["n"], r["lo"])
+        for r in ivm_dirty_group_refresh(
+            view, base_current, changed, ["g"], aggregate
+        ).collect()
+    }
+    assert got == {"a": (2, 5), "b": (999, -1)}
+
+
+# ----------------------------------------------------------- RFM
+
+
+def test_rfm_scores_orders_and_ties(spark):
+    import datetime as dt
+
+    from csv2db_spark.operators.sessions import rfm_scores
+
+    T = lambda d: dt.datetime(2024, 1, d)
+    rows = []
+    for u in range(1, 11):
+        # user u has u events on day u with value u each
+        rows += [(u, T(u), float(u))] * u
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    out = {r["user_id"]: r for r in rfm_scores(ev).collect()}
+    # user 10: latest, most frequent, biggest spend -> 555
+    assert out[10]["segment"] == "555"
+    assert out[1]["segment"] == "111"
+    assert out[10]["monetary"] == 100.0 and out[10]["n_events"] == 10
+    # quintiles over 10 users: exactly 2 users per tile on each axis
+    from collections import Counter
+
+    assert Counter(r["r_score"] for r in out.values()) == Counter(
+        {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
+    )
