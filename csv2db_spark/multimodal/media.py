@@ -338,3 +338,81 @@ def dhash_duplicate_groups(media: DataFrame) -> DataFrame:
         .where(F.col("group_size") >= 2)
         .select("media_id", "dhash", "group_size")
     )
+
+
+# magic-number prefixes for the container formats the sniffer knows.
+# (Real signatures — PNG/RIFF-WAVE/ISO-BMFF ftyp/JPEG SOI — applied to
+# the deterministic text payloads by synth_tagged_media.)
+MAGIC_PNG = b"\x89PNG\r\n\x1a\n"
+MAGIC_WAV = b"RIFF\x00\x00\x00\x00WAVE"
+MAGIC_MP4 = b"\x00\x00\x00\x18ftypmp42"
+_KIND_MAGIC = {"image": MAGIC_PNG, "audio": MAGIC_WAV, "video": MAGIC_MP4}
+_FMT_KIND = {"png": "image", "jpeg": "image", "wav": "audio", "mp4": "video"}
+
+
+def synth_tagged_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media fixture WITH container magic bytes: payload = the declared
+    kind's real magic prefix + the document's UTF-8 text — except every
+    10th row carries the NEXT kind's magic (a mislabeled blob) and every
+    17th row carries no magic at all (a corrupt/raw blob). Deterministic
+    from doc_id, so the oracle re-derives the expected classification
+    from the same arithmetic."""
+    base = synth_media(spark, sf_dir)
+    magic_kind_idx = F.when(
+        F.col("media_id") % 10 == 0, (F.col("media_id") % 3 + 1) % 3
+    ).otherwise(F.col("media_id") % 3)
+    magic = F.element_at(
+        F.array(
+            F.lit(MAGIC_PNG), F.lit(MAGIC_WAV), F.lit(MAGIC_MP4)
+        ),
+        (magic_kind_idx + 1).cast("int"),
+    )
+    payload = F.when(
+        F.col("media_id") % 17 == 0, F.col("payload")
+    ).otherwise(F.concat(magic, F.col("payload")))
+    return base.withColumn("payload", payload)
+
+
+def sniff_mime(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Classify binary payloads by their magic numbers — the first pass
+    of any multimodal ingest at scale: bytes lie less than extensions or
+    upstream metadata, and a declared-vs-sniffed mismatch audit catches
+    mislabeled and corrupt blobs BEFORE any decoder runs (decoders are
+    the expensive, crash-prone stage; see decode_image_real).
+
+    Pure whole-stage-codegen byte inspection: fixed-offset substrings of
+    the binary column hex-compared against signature literals (PNG
+    8-byte signature; RIFF····WAVE; ISO-BMFF 'ftyp' at offset 4; JPEG
+    FFD8FF) — no Python, no decode, reads at most 12 bytes per row.
+    Emits sniffed_format/sniffed_kind plus an is_mismatch flag against
+    the declared kind (NULL-safe: 'unknown' counts as a mismatch)."""
+    p = F.col(payload_col)
+
+    def hexpre(pos: int, n: int) -> F.Column:
+        return F.hex(F.substring(p, pos, n))
+
+    fmt = (
+        F.when(hexpre(1, 8) == F.lit(MAGIC_PNG.hex().upper()), "png")
+        .when(
+            (hexpre(1, 4) == F.lit(b"RIFF".hex().upper()))
+            & (hexpre(9, 4) == F.lit(b"WAVE".hex().upper())),
+            "wav",
+        )
+        .when(hexpre(5, 4) == F.lit(b"ftyp".hex().upper()), "mp4")
+        .when(hexpre(1, 3) == F.lit(b"\xff\xd8\xff".hex().upper()), "jpeg")
+        .otherwise("unknown")
+    )
+    kind_map = F.create_map(
+        *[F.lit(x) for kv in _FMT_KIND.items() for x in kv]
+    )
+    return media.select(
+        "media_id",
+        F.col("kind").alias("declared_kind"),
+        fmt.alias("sniffed_format"),
+        F.coalesce(
+            F.element_at(kind_map, fmt), F.lit("unknown")
+        ).alias("sniffed_kind"),
+    ).withColumn(
+        "is_mismatch",
+        ~F.col("sniffed_kind").eqNullSafe(F.col("declared_kind")),
+    )

@@ -68,3 +68,28 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+_SQL_INTERFACE = """
+SELECT n_name,
+       count(*) AS n_customers,
+       cast(sum(cast(c_acctbal as decimal(14,2))) as double)
+         AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment <> 'FURNITURE'
+GROUP BY n_name
+"""
+
+
+@query("q_sql_interface", oracle=_SQL_INTERFACE)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end round-trip (csv2db_spark/sqlapi.py): the SAME ANSI
+    SQL string is compiled by Spark (through ``run_sql`` over the
+    registered fixture views) and by DuckDB as the oracle — dialect-
+    portable SQL is the contract, and the decimal-sum discipline holds
+    inside raw SQL exactly as in the DataFrame API. The physical plan is
+    identical to the hand-built DataFrame one: pushed filter, pruned
+    columns, broadcast nation join."""
+    from csv2db_spark.sqlapi import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_INTERFACE)

@@ -290,3 +290,45 @@ def q_mm_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2db_spark.multimodal.media import dhash_duplicate_groups, synth_media
 
     return dhash_duplicate_groups(synth_media(spark, sf_dir))
+
+
+@query(
+    "q_mm_mime_sniff",
+    oracle=f"""
+    WITH {_M},
+    s AS (
+      SELECT media_id, kind AS declared_kind,
+             CASE
+               WHEN media_id % 17 = 0 THEN 'unknown'
+               ELSE (['png','wav','mp4'])[CAST(
+                 CASE WHEN media_id % 10 = 0
+                      THEN (media_id % 3 + 1) % 3
+                      ELSE media_id % 3 END AS INT) + 1]
+             END AS sniffed_format
+      FROM m
+    )
+    SELECT media_id, declared_kind, sniffed_format,
+           CASE sniffed_format WHEN 'png' THEN 'image'
+                               WHEN 'wav' THEN 'audio'
+                               WHEN 'mp4' THEN 'video'
+                               ELSE 'unknown' END AS sniffed_kind,
+           CASE sniffed_format WHEN 'png' THEN 'image'
+                               WHEN 'wav' THEN 'audio'
+                               WHEN 'mp4' THEN 'video'
+                               ELSE 'unknown' END <> declared_kind
+             AS is_mismatch
+    FROM s
+    """,
+)
+def q_mm_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-number MIME sniffing audit (multimodal/media.sniff_mime over
+    synth_tagged_media): the engine parses REAL container signatures —
+    PNG 8-byte magic, RIFF····WAVE, ISO-BMFF ftyp at offset 4 — from the
+    binary payloads in pure codegen (≤12 bytes read per row, no decode,
+    no Python); the oracle re-derives the expected classification from
+    the fixture's generation arithmetic. Mislabeled blobs (every 10th:
+    next kind's magic) and corrupt blobs (every 17th: no magic) must
+    surface with is_mismatch = true."""
+    from csv2db_spark.multimodal.media import sniff_mime, synth_tagged_media
+
+    return sniff_mime(synth_tagged_media(spark, sf_dir))

@@ -152,7 +152,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_graph_label_propagation (seeded modal-label spread, unrolled oracle),
 # q_events_rfm_segments (RFM quintile segmentation),
 # q_dedup_containment (directed shingle containment, integer permille),
-# q_agg_ivm_dirty_refresh (recompute-only-dirty-groups maintenance).
+# q_agg_ivm_dirty_refresh (recompute-only-dirty-groups maintenance),
+# q_sql_interface (ANSI SQL front-end round-trip),
+# q_mm_mime_sniff (magic-number MIME audit, pure codegen).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -204,3 +204,23 @@ def test_salient_terms_crafted(spark):
     # 'apple'/'pear' are doc-exclusive (df=1) and beat 'common' (df=2)
     assert top[1] == ("apple", 3, 1)
     assert top[2] == ("pear", 2, 1)
+
+
+def test_sqlapi_composes_with_operators(spark, sf_dir):
+    """run_sql results are plain DataFrames: feed one into an operator."""
+    from csv2db_spark.operators.quality import benford_report
+    from csv2db_spark.sqlapi import run_sql
+
+    df = run_sql(
+        spark, sf_dir, "SELECT o_totalprice FROM orders WHERE o_custkey < 100"
+    )
+    out = benford_report(df, "o_totalprice")
+    assert out.count() >= 1
+
+
+def test_sqlapi_view_registration_idempotent(spark, sf_dir):
+    from csv2db_spark.sqlapi import register_tables
+
+    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir)  # second call must not raise
+    assert spark.sql("SELECT count(*) FROM region").collect()[0][0] > 0

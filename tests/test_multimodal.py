@@ -67,3 +67,34 @@ def test_decode_outputs_fixed_hist_shape(spark, sf_dir):
 def test_resize_outputs_fixed_thumb_shape(spark, sf_dir):
     rows = resize_image(synth_media(spark, sf_dir)).limit(5).collect()
     assert all(len(r["thumb"]) == 64 for r in rows)
+
+
+def test_sniff_mime_real_signatures(spark):
+    """Hand-built payloads with genuine magic bytes classify correctly,
+    including JPEG (present in the sniffer but not the fixture) and a
+    too-short payload."""
+    from csv2db_spark.multimodal.media import (
+        MAGIC_MP4, MAGIC_PNG, MAGIC_WAV, sniff_mime,
+    )
+
+    rows = [
+        (1, "image", MAGIC_PNG + b"data"),
+        (2, "audio", MAGIC_WAV + b"data"),
+        (3, "video", MAGIC_MP4 + b"data"),
+        (4, "image", b"\xff\xd8\xff\xe0rest"),   # JPEG: kind still image
+        (5, "image", b"\x89PN"),                  # truncated magic
+        (6, "audio", b"plain text"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    got = {
+        r["media_id"]: (r["sniffed_format"], r["sniffed_kind"], r["is_mismatch"])
+        for r in sniff_mime(df).collect()
+    }
+    assert got[1] == ("png", "image", False)
+    assert got[2] == ("wav", "audio", False)
+    assert got[3] == ("mp4", "video", False)
+    assert got[4] == ("jpeg", "image", False)
+    assert got[5] == ("unknown", "unknown", True)
+    assert got[6] == ("unknown", "unknown", True)
