@@ -83,3 +83,67 @@ def asof_join(
         unioned = unioned.withColumn(dst, F.last(dst, ignorenulls=True).over(w))
 
     return unioned.where(F.col(_TAG) == 1).drop(_TAG)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    right_payload: list[str] | None = None,
+    suffix: str = "_near",
+) -> DataFrame:
+    """pandas ``merge_asof(direction="nearest")``: for every left row,
+    the right row in the same ``by`` group with the SMALLEST absolute
+    ``on`` distance — ties (equidistant before/after) prefer the
+    backward match, pandas' convention. Completes the as-of family
+    (backward/forward above).
+
+    Built as backward + forward passes (each the proven single-shuffle
+    union+window plan) over payload columns pre-aliased ``_bwd``/
+    ``_fwd``, then a codegen row-local pick by absolute distance — two
+    shuffles total, both keyed on ``by``, no join of left against the
+    full right group (the naive nearest formulation is a per-group
+    cross join).
+
+    Distances compare as day-time INTERVALS (timestamp subtraction) —
+    exact microsecond integers under the hood on both engines, so the
+    pick is engine-deterministic.
+    """
+    by_l = [by] if isinstance(by, str) else list(by)
+    if right_payload is None:
+        right_payload = [
+            c for c in right.columns if c not in by_l and c != on
+        ]
+    rb = right.select(
+        *by_l, on, *[F.col(c).alias(f"{c}_bwd") for c in right_payload]
+    )
+    rf = right.select(
+        *by_l, on, *[F.col(c).alias(f"{c}_fwd") for c in right_payload]
+    )
+    step = asof_join(
+        left, rb, on, by_l,
+        [f"{c}_bwd" for c in right_payload],
+        suffix="_bwd", direction="backward",
+    )
+    step = asof_join(
+        step, rf, on, by_l,
+        [f"{c}_fwd" for c in right_payload],
+        suffix="_fwd", direction="forward",
+    )
+    ts_b, ts_f = F.col(f"{on}_bwd"), F.col(f"{on}_fwd")
+    t = F.col(on)
+    # timestamp subtraction yields a DayTimeInterval; interval
+    # comparison is exact at microsecond resolution on both engines
+    take_b = ts_b.isNotNull() & (ts_f.isNull() | ((t - ts_b) <= (ts_f - t)))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(
+        F.when(take_b, ts_b).otherwise(ts_f).alias(f"{on}{suffix}")
+    )
+    for c in right_payload:
+        out_cols.append(
+            F.when(take_b, F.col(f"{c}_bwd"))
+            .otherwise(F.col(f"{c}_fwd"))
+            .alias(f"{c}{suffix}")
+        )
+    return step.select(*out_cols)

@@ -518,3 +518,53 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_bal"),
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, event_id AS view_event_id FROM events
+          WHERE event_type = 'view'),
+    ranked AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             v.ts AS ts_near, v.view_event_id,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch(p.ts) - epoch(v.ts)),
+                        CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END
+             ) AS rn
+      FROM p LEFT JOIN v ON p.user_id = v.user_id
+    )
+    SELECT event_id, user_id, ts, ts_near, view_event_id AS view_near
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (operators/asof.asof_join_nearest — pandas
+    merge_asof direction='nearest', equidistant ties prefer backward):
+    each purchase picks the user's closest view either side. The engine
+    runs two single-shuffle union+window passes plus a row-local pick;
+    the ORACLE is the naive per-group cross join ranked by absolute
+    distance — the formulation that is quadratic per group and exactly
+    what the operator avoids at scale."""
+    from csv2db_spark.operators.asof import asof_join_nearest
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    return asof_join_nearest(
+        purchases, views, on="ts", by="user_id",
+        right_payload=["view_event_id"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ts_near",
+        F.col("view_event_id_near").alias("view_near"),
+    )

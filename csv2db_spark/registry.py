@@ -154,7 +154,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_dedup_containment (directed shingle containment, integer permille),
 # q_agg_ivm_dirty_refresh (recompute-only-dirty-groups maintenance),
 # q_sql_interface (ANSI SQL front-end round-trip),
-# q_mm_mime_sniff (magic-number MIME audit, pure codegen).
+# q_mm_mime_sniff (magic-number MIME audit, pure codegen),
+# q_join_asof_nearest (merge_asof nearest, interval-distance pick).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -610,3 +610,51 @@ def test_rfm_scores_orders_and_ties(spark):
     assert Counter(r["r_score"] for r in out.values()) == Counter(
         {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
     )
+
+
+# ------------------------------------------------- nearest as-of join
+
+
+def test_asof_nearest_prefers_backward_on_ties(spark):
+    import datetime as dt
+
+    from csv2db_spark.operators.asof import asof_join_nearest
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 10, T(10)), (2, 10, T(2)), (3, 20, T(30))],
+        "lid long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        # user 10: quotes at minute 8 and 12 (equidistant from 10),
+        # user 20: only a much-earlier quote
+        [(10, T(8), 100.0), (10, T(12), 200.0), (20, T(1), 300.0)],
+        "user_id long, ts timestamp_ntz, px double",
+    )
+    got = {
+        r["lid"]: (r["px_near"], r["ts_near"])
+        for r in asof_join_nearest(
+            left, right, on="ts", by="user_id", right_payload=["px"]
+        ).collect()
+    }
+    assert got[1] == (100.0, T(8))   # tie at |2min| -> backward wins
+    assert got[2] == (100.0, T(8))   # only-forward candidates... backward absent at T(2)? nearest is T(8)
+    assert got[3] == (300.0, T(1))   # only a backward candidate
+
+
+def test_asof_nearest_no_candidates_keeps_nulls(spark):
+    import datetime as dt
+
+    from csv2db_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 5, dt.datetime(2024, 1, 1))],
+        "lid long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [], "user_id long, ts timestamp_ntz, px double"
+    )
+    r = asof_join_nearest(
+        left, right, on="ts", by="user_id", right_payload=["px"]
+    ).collect()[0]
+    assert r["px_near"] is None and r["ts_near"] is None
