@@ -239,3 +239,56 @@ def test_plan_stats_api_counts_the_known_shapes(spark, sf_dir):
 
     with _pytest.raises(AssertionError, match="exchanges"):
         assert_plan(QUERIES["q_agg_groupby_multi"].fn(spark, sf_dir), exchanges=0)
+
+
+def test_ivm_retract_merges_groups_not_facts(spark, sf_dir):
+    """The delta batch is the only fact-sized input; the view merge is a
+    |groups|-row full-outer with no sort-merge join of fact data."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_agg_ivm_retract")
+    assert "FullOuter" in plan
+    # exactly one join in the whole plan — the |groups|-row view merge;
+    # both fact scans are consumed by map-side partial aggregates
+    assert len(re.findall(r"\w+Join", plan)) == 1
+    # view build = 1 scan; the delta union = 2 filtered scans (inserts,
+    # deletes). Nothing else touches the fact table.
+    assert plan.count("FileScan") == 3
+    assert "partial_count" in plan
+
+
+def test_ivm_dirty_refresh_broadcasts_dirty_keys(spark, sf_dir):
+    """Dirty keys drive a broadcast semi (base restriction) and a
+    broadcast anti (view carry-over) — never a shuffled join."""
+    plan = _plan(spark, sf_dir, "q_agg_ivm_dirty_refresh")
+    assert "BuildRight, LeftSemi" in plan or "LeftSemi, BuildRight" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mime_sniff_is_pure_codegen_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_mm_mime_sniff")
+    assert "Exchange" not in plan  # scan-projection only, zero shuffles
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sql_interface_plan_matches_dataframe_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_sql_interface")
+    assert "BroadcastHashJoin" in plan  # nation side broadcasts
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [" in plan  # mktsegment filter reaches the scan
+
+
+def test_asof_nearest_two_window_shuffles_no_cross_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_asof_nearest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the naive nearest formulation joins left x right per group; the
+    # operator unions instead
+    assert "Union" in plan
+
+
+def test_benford_single_scan_tiny_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_quality_benford")
+    assert plan.count("FileScan") == 1  # orders scanned exactly once
+    assert "pythonUDF" not in plan
