@@ -9,7 +9,7 @@ next round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv2db_spark.functions.numeric import dsum
@@ -1265,4 +1265,134 @@ def q_pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
         F.max("cum_tokens").alias("max_cum"),
+    )
+
+
+@query(
+    "q_pipeline_curation_v6",
+    oracle=f"""
+    WITH {SQL_AUG.strip()},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    sh6 AS (SELECT doc_id, {SQL_SHINGLES.format(t="t")} AS s FROM toks),
+    ex6 AS (SELECT doc_id, unnest(s) AS s FROM sh6),
+    exf6 AS (
+      SELECT doc_id, s FROM ex6
+      WHERE s NOT IN (SELECT s FROM ex6 GROUP BY s
+                      HAVING count(DISTINCT doc_id) > 64)
+    ),
+    sizes6 AS (SELECT doc_id, count(*) AS n FROM exf6 GROUP BY doc_id),
+    inter6 AS (
+      SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b, count(*) AS n_common
+      FROM exf6 e1 JOIN exf6 e2 ON e1.s = e2.s AND e1.doc_id != e2.doc_id
+      GROUP BY e1.doc_id, e2.doc_id
+    ),
+    dropped AS (
+      SELECT DISTINCT i.doc_a AS doc_id
+      FROM inter6 i JOIN sizes6 sz ON sz.doc_id = i.doc_a
+      WHERE (1000 * i.n_common) // sz.n >= 900 AND i.doc_a > i.doc_b
+    ),
+    kept1 AS (
+      SELECT a.doc_id, a.text, d.lang, d.source
+      FROM aug a
+      JOIN documents d ON d.doc_id = a.doc_id % 100000
+      WHERE a.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    ktoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept1),
+    kpos AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
+      FROM ktoks
+    ),
+    kocc AS (
+      SELECT p1.doc_id, p1.tok AS a, p2.tok AS b
+      FROM kpos p1
+      JOIN kpos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+    ),
+    refocc AS (
+      SELECT o.* FROM kocc o JOIN kept1 k USING (doc_id)
+      WHERE k.source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+    ),
+    pc6 AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS cnt_pair
+      FROM refocc GROUP BY a, b
+    ),
+    pfx6 AS (
+      SELECT a, CAST(sum(cnt_pair) AS BIGINT) AS cnt_prefix
+      FROM pc6 GROUP BY a
+    ),
+    v6 AS (
+      SELECT pc6.a, pc6.b, (1000000 * pc6.cnt_pair) // pfx6.cnt_prefix AS q
+      FROM pc6 JOIN pfx6 ON pc6.a = pfx6.a
+    ),
+    scored6 AS (
+      SELECT kocc.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(COALESCE(v6.q, 0)) AS DOUBLE) / 1000000.0
+               / CAST(count(*) AS DOUBLE) AS avg_prob
+      FROM kocc LEFT JOIN v6 ON kocc.a = v6.a AND kocc.b = v6.b
+      GROUP BY kocc.doc_id
+    ),
+    bucketed AS (
+      SELECT k.doc_id, k.lang, k.source, s.n_bigrams,
+             ntile(3) OVER (PARTITION BY k.lang
+                            ORDER BY s.avg_prob DESC, k.doc_id) AS b
+      FROM scored6 s JOIN kept1 k USING (doc_id)
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
+    FROM bucketed WHERE b <= 2
+    GROUP BY lang, source
+    """,
+)
+def q_pipeline_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v6 — this session's operators composed end to
+    end and replayed stage-for-stage by one SQL oracle: (1) directed
+    shingle-containment dedup (llm/dedup.containment_pairs ≥900‰, keep
+    the smaller id — the truncated-prefix clones drop against their
+    originals where Jaccard would keep them); (2) reference-LM scoring
+    of the SURVIVORS (llm/text.bigram_lm_scores trained on the kept
+    src0-src4 slice — the model never sees dropped duplicates, so
+    boilerplate can't inflate its own likelihood); (3) per-language
+    CCNet tail-drop (ntile(3), keep head+middle); (4) per (lang,
+    source) accounting. Every stage feeds the next lazily — one
+    Catalyst plan, no intermediate materialization."""
+    from csv2db_spark.llm import dedup as D
+    from csv2db_spark.llm.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = augmented_docs(spark, sf_dir)
+    ex = D.shingle_table(aug)
+    cont = D.containment_pairs(ex, min_permille=900, max_doc_freq=64)
+    dropped = (
+        cont.where(F.col("doc_a") > F.col("doc_b"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    kept1 = (
+        aug.join(dropped, "doc_id", "left_anti")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("_orig"), "lang", "source"
+            ),
+            F.col("doc_id") % 100000 == F.col("_orig"),
+        )
+        .drop("_orig")
+    )
+    ref = kept1.where(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    scored = bigram_lm_scores(kept1, train_docs=ref)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_next_token_prob").desc(), F.col("doc_id")
+    )
+    bucketed = scored.join(
+        kept1.select("doc_id", "lang", "source"), "doc_id"
+    ).withColumn("b", F.ntile(3).over(w))
+    return (
+        bucketed.where(F.col("b") <= 2)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+        )
     )

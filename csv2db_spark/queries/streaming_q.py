@@ -979,3 +979,77 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q_stream_ivm_rollup",
+    oracle=f"""
+    WITH e AS ({_E})
+    SELECT event_type, user_id % 10 AS user_bucket,
+           count(*) AS n_rows,
+           CAST(sum(CAST(COALESCE(value, 0.0) AS DECIMAL(18,3)))
+                AS DOUBLE) AS sum_value
+    FROM e WHERE event_id % 5 <> 0
+    GROUP BY event_type, user_id % 10
+    """,
+)
+def q_stream_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view under RETRACTIONS
+    (streaming/ops.stream_retractions_to_parquet): the event stream is
+    reshaped into a CDC feed — every row arrives as an insert (+1) and
+    every 5th event additionally replays itself as a tombstone (-1),
+    the Debezium delete shape — and a standing (event_type,
+    user-bucket) view folds each micro-batch through
+    apply_retractions with the exactly-once batch-id marker. The
+    maintained store must equal a from-scratch aggregate over only the
+    never-retracted rows (the oracle) — groups fully cancelled leave
+    the view, and a replayed batch neither double-counts inserts nor
+    double-applies deletes. State is |live groups| rows forever."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.streaming import events_stream
+    from csv2db_spark.streaming.ops import stream_retractions_to_parquet
+
+    ev = events_stream(spark, sf_dir)
+    # insert feed + tombstone replay of every 5th event, one codegen pass
+    delta = (
+        ev.select(
+            "event_id",
+            "event_type",
+            (F.col("user_id") % 10).alias("user_bucket"),
+            "value",
+            F.explode(
+                F.when(
+                    F.col("event_id") % 5 == 0,
+                    F.array(F.lit(1), F.lit(-1)),
+                ).otherwise(F.array(F.lit(1)))
+            ).alias("op"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="c2s_ivm_rollup_")
+    store = f"{work}/store"
+    try:
+        stream_retractions_to_parquet(
+            delta,
+            store,
+            keys=["event_type", "user_bucket"],
+            op_col="op",
+            count_alias="n_rows",
+            sum_cols={
+                "sum_value": F.coalesce(F.col("value"), F.lit(0.0)).cast(
+                    "decimal(18,3)"
+                )
+            },
+            checkpoint=f"{work}/ckpt",
+        )
+        out = spark.read.parquet(store).select(
+            "event_type",
+            "user_bucket",
+            "n_rows",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

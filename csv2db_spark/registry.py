@@ -155,7 +155,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_agg_ivm_dirty_refresh (recompute-only-dirty-groups maintenance),
 # q_sql_interface (ANSI SQL front-end round-trip),
 # q_mm_mime_sniff (magic-number MIME audit, pure codegen),
-# q_join_asof_nearest (merge_asof nearest, interval-distance pick).
+# q_join_asof_nearest (merge_asof nearest, interval-distance pick),
+# q_stream_ivm_rollup (streaming materialized view under retractions),
+# q_pipeline_curation_v6 (containment dedup -> reference-LM tail-drop).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -901,3 +901,87 @@ def stream_minhash_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_retractions_to_parquet(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    op_col: str,
+    count_alias: str = "n_rows",
+    sum_cols: dict | None = None,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming MATERIALIZED VIEW with deletes: each micro-batch is a
+    retraction feed (rows carrying ``op_col`` = ±1 — the
+    insert/tombstone shape of a Debezium/CDC stream) folded into a
+    standing GROUP BY store with ``operators.merge.apply_retractions``
+    — counts and decimal sums maintain algebraically, groups whose
+    count reaches zero leave the view. The streaming complement of
+    ``stream_rollup_to_parquet`` (which is insert-only): this one keeps
+    a view correct while history is being corrected underneath it.
+
+    Same exactly-once discipline as the insert-only sink: the batch is
+    pre-aggregated inside foreachBatch (|batch groups| partials, never
+    history-sized), the merged store lands under a ``_last_batch_id``
+    marker committed with the directory swap, and a replayed batch is
+    skipped — so retractions are never applied twice (double-applying a
+    delete is as corrupting as double-counting an insert). State is
+    |live groups| rows forever.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from csv2db_spark.operators.merge import apply_retractions
+
+    spark = stream.sparkSession
+    marker = "_last_batch_id"
+    sums = dict(sum_cols or {})
+
+    def _zero_view(batch_df: DataFrame) -> DataFrame:
+        # aggregate of zero delta rows under the same spec: the right
+        # (keys, count, sums) schema for the first fold
+        op = F.col(op_col).cast("long")
+        return batch_df.limit(0).groupBy(*keys).agg(
+            F.sum(op).alias(count_alias),
+            *[F.sum(op * expr).alias(a) for a, expr in sums.items()],
+        )
+
+    def _last_folded() -> int | None:
+        try:
+            with open(_os.path.join(path, marker)) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        old = path + "._old"
+        tmp = path + "._next"
+        if not _os.path.isdir(path) and _os.path.isdir(old):
+            _os.rename(old, path)
+        if _os.path.isdir(old):
+            _shutil.rmtree(old)
+        if _os.path.isdir(path):
+            last = _last_folded()
+            if last is not None and batch_id <= last:
+                return
+            view = spark.read.parquet(path)
+        else:
+            view = _zero_view(batch_df)
+        merged = apply_retractions(
+            view, batch_df, keys, op_col, count_alias, sums
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        with open(_os.path.join(tmp, marker), "w") as fh:
+            fh.write(str(batch_id))
+        if _os.path.isdir(path):
+            _os.rename(path, old)
+            _os.rename(tmp, path)
+            _shutil.rmtree(old)
+        else:
+            _os.rename(tmp, path)
+
+    w = stream.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    w.start().awaitTermination()

@@ -176,3 +176,101 @@ def test_stream_rollup_replay_is_idempotent(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(store).collect()
     }
     assert after == before  # replayed batch folded once, not twice
+
+
+def test_stream_retractions_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """The retraction sink's marker must skip a replayed batch: a
+    double-applied tombstone corrupts the view as badly as a
+    double-counted insert."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from csv2db_spark.streaming.ops import (
+        events_stream,
+        stream_retractions_to_parquet,
+    )
+
+    def delta(sf_dir_):
+        ev = events_stream(spark, sf_dir_)
+        return ev.select(
+            "event_type",
+            "value",
+            F.explode(
+                F.when(
+                    F.col("event_id") % 5 == 0, F.array(F.lit(1), F.lit(-1))
+                ).otherwise(F.array(F.lit(1)))
+            ).alias("op"),
+        )
+
+    store = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(
+        keys=["event_type"],
+        op_col="op",
+        count_alias="n_rows",
+        sum_cols={
+            "sum_value": F.coalesce(F.col("value"), F.lit(0.0)).cast(
+                "decimal(18,3)"
+            )
+        },
+        checkpoint=ckpt,
+    )
+    stream_retractions_to_parquet(delta(sf_dir), store, **kwargs)
+    before = {
+        r.event_type: (r.n_rows, r.sum_value)
+        for r in spark.read.parquet(store).collect()
+    }
+    # every group must have survived retraction with a positive count
+    assert before and all(n > 0 for n, _ in before.values())
+    commits = sorted(
+        c
+        for c in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if not os.path.basename(c).startswith(".")
+    )
+    assert commits, "checkpoint recorded no commits"
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]),
+        "." + os.path.basename(commits[-1]) + ".crc",
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream_retractions_to_parquet(delta(sf_dir), store, **kwargs)
+    after = {
+        r.event_type: (r.n_rows, r.sum_value)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert after == before
+
+
+def test_stream_retractions_drop_cancelled_groups(spark, tmp_path):
+    """A group whose rows are all retracted leaves the view entirely."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 1.0, -1), ("b", 2.0, 1)],
+        "g string, v double, op int",
+    ).coalesce(1).write.parquet(str(src / "batch"))
+
+    from csv2db_spark.streaming.ops import stream_retractions_to_parquet
+
+    stream = (
+        spark.readStream.schema("g string, v double, op int")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "view")
+    stream_retractions_to_parquet(
+        stream,
+        store,
+        keys=["g"],
+        op_col="op",
+        sum_cols={"sv": F.col("v").cast("decimal(10,2)")},
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    rows = {r.g: (r.n_rows, float(r.sv)) for r in spark.read.parquet(store).collect()}
+    assert rows == {"b": (1, 2.0)}  # 'a' fully cancelled -> absent
