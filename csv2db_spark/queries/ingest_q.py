@@ -224,3 +224,24 @@ def q_ingest_csv_crlf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.count_distinct(F.md5("c_name")).alias("distinct_names"),
     )
+
+
+@query("q_ingest_csv_gzip", oracle=_ORACLE)
+def q_ingest_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed CSV ingest: the same header/reconcile/cast path
+    reads .csv.gz transparently (Spark dispatches on the extension via
+    Hadoop codecs — no flag on the read side). 100 TB note, documented
+    because it bites: gzip is NOT splittable, so one .gz file = one
+    task regardless of size — compressed drops must arrive as many
+    files (as here: one per writer task), or use a splittable codec
+    (bzip2) / recompress on landing. The write side pins
+    codec=gzip so the gate actually exercises the decompressor."""
+    cust = load_table(spark, sf_dir, "customer")
+    path = _tmp_dir(sf_dir, "rt_gzip")
+    cust.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(path)
+    df = ingest_csv(spark, path, CUSTOMER_SCHEMA, has_header=True)
+    return _agg(df)

@@ -157,7 +157,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_mm_mime_sniff (magic-number MIME audit, pure codegen),
 # q_join_asof_nearest (merge_asof nearest, interval-distance pick),
 # q_stream_ivm_rollup (streaming materialized view under retractions),
-# q_pipeline_curation_v6 (containment dedup -> reference-LM tail-drop).
+# q_pipeline_curation_v6 (containment dedup -> reference-LM tail-drop),
+# q_ingest_csv_gzip (gzip CSV decompressor path).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -395,3 +395,62 @@ def test_winsorize_equals_python_reference(spark, values):
         assert Decimal(str(out[i].value_winsorized)) == want.normalize() or \
             float(want) == out[i].value_winsorized
         assert out[i].was_clipped == (vq < lo or vq > hi)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),            # group
+            st.integers(-50, 50),         # measure
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    split=st.integers(0, 40),
+    del_mod=st.integers(2, 5),
+)
+@settings(**_SETTINGS)
+def test_apply_retractions_batch_split_invariant(spark, rows, split, del_mod):
+    """IVM counting algorithm: folding (inserts, then deletes) in ONE
+    delta batch equals folding them across TWO batches equals the
+    from-scratch aggregate of the surviving rows — for any input, any
+    split point, any delete pattern. This is the algebra the streaming
+    retraction sink relies on."""
+    from csv2db_spark.operators.merge import apply_retractions
+
+    data = [(g, x, i) for i, (g, x) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, x int, rid int")
+    dec = F.col("x").cast("decimal(12,0)")
+
+    def agg(d):
+        return d.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s")
+        )
+
+    inserts = df.withColumn("op", F.lit(1))
+    deletes = (
+        df.where(F.col("rid") % del_mod == 0).withColumn("op", F.lit(-1))
+    )
+    survivors = df.where(F.col("rid") % del_mod != 0)
+    want = {
+        r["g"]: (r["n"], int(r["s"])) for r in agg(survivors).collect()
+    }
+
+    view0 = agg(df.limit(0))
+    one_shot = apply_retractions(
+        view0, inserts.unionByName(deletes), ["g"], "op",
+        count_alias="n", sum_cols={"s": dec},
+    )
+    b1 = inserts.where(F.col("rid") < split)
+    b2 = inserts.where(F.col("rid") >= split)
+    two_step = apply_retractions(
+        apply_retractions(
+            apply_retractions(view0, b1, ["g"], "op", "n", {"s": dec}),
+            b2, ["g"], "op", "n", {"s": dec},
+        ),
+        deletes, ["g"], "op", "n", {"s": dec},
+    )
+    for got in (one_shot, two_step):
+        assert {
+            r["g"]: (r["n"], int(r["s"])) for r in got.collect()
+        } == want
