@@ -880,3 +880,127 @@ def hamming_rerank_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def sq8_rerank_topk(
+    corpus: DataFrame,
+    query_ids,
+    k: int = 5,
+    shortlist: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN with exact rescore — the third
+    compact-code family next to PQ (llm/pq.py) and binary hyperplane
+    codes (hamming_topk): each dimension is linearly quantized to an
+    8-bit code against the corpus's per-dimension [min, max] (the
+    FAISS ScalarQuantizer recipe), the shortlist scans uint8 dots
+    (64 bytes/vector — 4× smaller than float32, integer accumulate),
+    and the top-``shortlist`` candidates are re-scored with the exact
+    quantized cosine.
+
+    Scoring decodes on the fly (x̂ = mn + code·rng/255 — the FAISS
+    reconstruction; RAW code dots would be poisoned by the per-dim
+    shift: Σ(a+s)(b+s) rewards vector mass, not similarity) and folds
+    the decoded values through the engine's exact quantized-integer
+    dot, so the shortlist ordering is bit-deterministic.
+
+    Unlike PQ (k-means codebooks → rows-only gate), EVERY stage here is
+    deterministic: per-dim min/max are exact, code and reconstruction
+    are fixed-order IEEE expressions, decoded dots are exact integer
+    folds, and the rescore is the engine's standard exact cosine — so
+    the full two-stage pipeline hash-verifies end to end.
+
+    Scale shape: per-dim stats are ONE map-combined aggregate to 64
+    rows (collected driver-side like PCA's d×d Gram — never rows);
+    encoding is a zero-shuffle projection against broadcast literals;
+    the scan reads one 64-byte code array per vector; full vectors are
+    fetched for shortlist×queries rows only."""
+    spark = corpus.sparkSession
+    dim_stats = (
+        corpus.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    mn = [0.0] * len(dim_stats)
+    rng = [0.0] * len(dim_stats)
+    for r in dim_stats:
+        mn[r["i"]] = r["mn"]
+        rng[r["i"]] = r["mx"] - r["mn"]
+    mn_arr = F.array(*[F.lit(v) for v in mn])
+    rng_arr = F.array(*[F.lit(v) for v in rng])
+
+    def codes(df: DataFrame, out_id: str, prefix: str) -> DataFrame:
+        centered = F.zip_with(
+            F.col(vec_col), mn_arr, lambda x, m: x.cast("double") - m
+        )
+        c = F.zip_with(
+            centered,
+            rng_arr,
+            lambda d, r: F.when(r == 0, F.lit(0).cast("long")).otherwise(
+                F.floor(d * F.lit(255.0) / r)
+            ),
+        )
+        # decode (x_hat = mn + c*rng/255) and requantize to exact longs:
+        # the integer dot over x_hat is bit-deterministic cross-engine
+        scaled = F.zip_with(
+            c, rng_arr, lambda ci, r: ci.cast("double") * r / F.lit(255.0)
+        )
+        dec = F.zip_with(scaled, mn_arr, lambda d, m: _iel(d + m))
+        return df.select(F.col(id_col).alias(out_id), dec.alias(f"{prefix}dec"))
+
+    qids = list(query_ids)
+    qdf = corpus.where(F.col(id_col).isin(*[int(q) for q in qids]))
+    qc = codes(qdf, "query_id", "q_")
+    cc = codes(corpus, "neighbor_id", "c_")
+    approx = (
+        cc.crossJoin(F.broadcast(qc))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_dec"), F.col("c_dec"), lambda a, b: a * b
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("code_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("code_dot").desc(), F.col("neighbor_id")
+    )
+    short = approx.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= shortlist
+    )
+    # exact rescore: fetch full vectors for shortlist x queries only
+    cq = quantize(corpus, id_col, vec_col, "neighbor_id", "c_")
+    qq = quantize(qdf, id_col, vec_col, "query_id", "q_")
+    rescored = (
+        short.select("query_id", "neighbor_id", "code_dot")
+        .join(cq, "neighbor_id")
+        .join(F.broadcast(qq), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "code_dot",
+            cos_from_parts(
+                dot_iv(F.col("q_iv"), F.col("c_iv")),
+                F.col("q_nrm2"),
+                F.col("c_nrm2"),
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -2155,3 +2155,90 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted pair hash-verified."""
     ex = D.shingle_table(augmented_docs(spark, sf_dir))
     return D.containment_pairs(ex, min_permille=700, max_doc_freq=64)
+
+
+@query(
+    "q_sim_sq8_rerank",
+    oracle=f"""
+    WITH stats AS MATERIALIZED (
+      SELECT i, min(cast(embedding[i] as double)) AS mn,
+             max(cast(embedding[i] as double)) AS mx
+      FROM embeddings, range(1, 65) r(i) GROUP BY i
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, i,
+             cast(cast(cast(c as double) * rng / 255.0 + mn as decimal(9,8)) * 100000000 as bigint) AS d
+      FROM (
+        SELECT e0.vec_id, r0.i AS i,
+               CASE WHEN s.mx = s.mn THEN 0
+                    ELSE CAST(floor((cast(e0.embedding[r0.i] as double)
+                                     - s.mn) * 255.0 / (s.mx - s.mn))
+                              AS BIGINT)
+               END AS c, s.mn AS mn, s.mx - s.mn AS rng
+        FROM embeddings e0, range(1, 65) r0(i)
+        JOIN stats s ON s.i = r0.i
+      )
+    ),
+    qc AS MATERIALIZED (
+      SELECT vec_id AS query_id, i, d FROM codes WHERE vec_id < 5
+    ),
+    approx AS MATERIALIZED (
+      SELECT qc.query_id, c.vec_id AS neighbor_id, sum(qc.d * c.d)
+               AS code_dot
+      FROM codes c JOIN qc ON c.i = qc.i
+      WHERE c.vec_id != qc.query_id
+      GROUP BY qc.query_id, c.vec_id
+    ),
+    short AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY code_dot DESC, neighbor_id)
+                    AS rn
+        FROM approx
+      ) WHERE rn <= 25
+    ),
+    nrm AS MATERIALIZED (
+      SELECT vec_id,
+             sum({_sql_iel('cast(embedding[i] as double)')}
+                 * {_sql_iel('cast(embedding[i] as double)')}) AS nrm2
+      FROM embeddings, range(1, 65) r(i) GROUP BY vec_id
+    ),
+    rescored AS (
+      SELECT sh.query_id, sh.neighbor_id,
+             {_sql_cos(
+                 "sum(" + _sql_iel('cast(eq.embedding[i] as double)')
+                 + " * " + _sql_iel('cast(en.embedding[i] as double)') + ")",
+                 'any_value(nq.nrm2)', 'any_value(nn.nrm2)')} AS cos_sim
+      FROM short sh
+      JOIN embeddings eq ON eq.vec_id = sh.query_id
+      JOIN embeddings en ON en.vec_id = sh.neighbor_id
+      JOIN nrm nq ON nq.vec_id = sh.query_id
+      JOIN nrm nn ON nn.vec_id = sh.neighbor_id, range(1, 65) r(i)
+      GROUP BY sh.query_id, sh.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+                  AS rank
+      FROM rescored
+    ) WHERE rank <= 5
+    """,
+)
+def q_sim_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN with exact rescore
+    (llm/similarity.sq8_rerank_topk): per-dimension 8-bit linear codes
+    (FAISS ScalarQuantizer recipe) scan as integer dots, top-25
+    shortlist re-scored by the exact quantized cosine to top-5. Every
+    stage is deterministic — per-dim min/max, one fixed-order IEEE
+    quantization expression, integer code dots, exact rescore — so
+    this compact-code pipeline hash-verifies END TO END, joining
+    hamming_topk as the second fully-oracled ANN family (PQ's k-means
+    codebooks stay rows-only by nature)."""
+    from csv2db_spark.llm import similarity as S
+
+    return S.sq8_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=range(5),
+        k=5,
+        shortlist=25,
+    )

@@ -158,7 +158,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_join_asof_nearest (merge_asof nearest, interval-distance pick),
 # q_stream_ivm_rollup (streaming materialized view under retractions),
 # q_pipeline_curation_v6 (containment dedup -> reference-LM tail-drop),
-# q_ingest_csv_gzip (gzip CSV decompressor path).
+# q_ingest_csv_gzip (gzip CSV decompressor path),
+# q_sim_sq8_rerank (SQ8 decode-on-scan ANN, fully hash-verified).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

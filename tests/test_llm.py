@@ -934,3 +934,40 @@ def test_hamming_rerank_recall_vs_exact_cosine(spark, sf_dir):
     # gaussian fixture is the worst case for 48-bit codes; the bar
     # asserts the shortlist+refine machinery beats chance (5/500 = 1%)
     assert mean >= 0.2, f"mean recall {mean:.2f}: {recalls}"
+
+
+def test_sq8_rerank_recall_vs_exact_cosine(spark, sf_dir):
+    """SQ8 preserves far more signal than 48-bit binary codes (64 bytes
+    vs 6): with a 25-candidate shortlist over 500 vectors the rescored
+    top-5 should align closely with the exact top-5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, queries, k=5).collect()
+    sq = S.sq8_rerank_topk(emb, query_ids=range(5), k=5, shortlist=25).collect()
+    es, qs = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in sq:
+        qs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(es[q] & qs.get(q, set())) / len(es[q]) for q in es]
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.6, f"mean recall {mean:.2f}: {recalls}"
+
+
+def test_sq8_shortlist_orders_by_true_similarity(spark):
+    """The decoded-dot shortlist must rank a genuinely-similar vector
+    above a dissimilar one (raw SHIFTED code dots would not: they reward
+    vector mass) — and the exact rescore returns true cosines."""
+    rows = [
+        (0, [0.9, 0.1, 0.0, 0.0]),
+        (1, [0.88, 0.12, 0.01, 0.0]),   # near the query
+        (2, [-0.9, -0.1, 0.0, 0.0]),    # opposite direction
+        (3, [0.0, 0.0, 0.9, 0.1]),      # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["rank"]: r
+        for r in S.sq8_rerank_topk(emb, query_ids=[0], k=3, shortlist=3).collect()
+    }
+    assert out[1]["neighbor_id"] == 1 and out[1]["cos_sim"] > 0.99
+    assert out[3]["neighbor_id"] == 2 and out[3]["cos_sim"] < -0.99
