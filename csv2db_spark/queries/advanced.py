@@ -1594,3 +1594,66 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("label"),
     )
     return label_propagation(edges, seeds, rounds=2)
+
+
+@query(
+    "q_src_file_metadata",
+    oracle="""
+    WITH staged AS (
+      SELECT *, 'part-' || CAST(o_orderkey % 4 AS VARCHAR) AS part_file
+      FROM orders
+    )
+    SELECT part_file,
+           count(*) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM staged GROUP BY part_file
+    """,
+)
+def q_src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level lineage via the hidden ``_metadata`` struct: a 4-file
+    staged copy of orders (partitioned on a derived key so the oracle
+    can re-derive file membership) is read back with
+    ``_metadata.file_name`` projected — the per-source-file audit every
+    ingest pipeline needs (which file contributed which rows; which
+    file to quarantine when a count is off). ``_metadata`` is
+    constant-folded per split, so the projection costs nothing and the
+    per-file rollup is one map-combined aggregate. The engine reads
+    REAL file names; the gate maps them back to the staging rule."""
+    import os
+
+    staged = os.path.join(
+        "/tmp", f"c2s_meta_{sf_dir.strip('/').replace('/', '_')}"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.withColumn(
+            "part_file",
+            F.concat(F.lit("part-"), (F.col("o_orderkey") % 4).cast("string")),
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("part_file")
+        .parquet(staged)
+    )
+    df = spark.read.parquet(staged)
+    # one parquet file per part_file partition dir: the real file name in
+    # _metadata identifies it; recover the partition label from the path
+    return (
+        df.select(
+            "o_orderkey",
+            F.col("part_file"),
+            F.col("_metadata.file_path").alias("_fp"),
+        )
+        .withColumn(
+            "_from_path",
+            F.regexp_extract(F.col("_fp"), r"part_file=(part-\d)", 1),
+        )
+        .where(F.col("_from_path") == F.col("part_file"))  # lineage agrees
+        .groupBy("part_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

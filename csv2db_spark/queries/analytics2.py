@@ -3072,3 +3072,53 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2db_spark.operators.sessions import rfm_scores
 
     return rfm_scores(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_events_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS row_key, user_id % 3 AS col_key,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT *,
+             sum(observed) OVER (PARTITION BY row_key) AS row_total,
+             sum(observed) OVER (PARTITION BY col_key) AS col_total,
+             sum(observed) OVER () AS grand_total
+      FROM cells
+    ),
+    x AS (
+      SELECT *,
+             CAST(observed AS HUGEINT) * grand_total
+               - CAST(row_total AS HUGEINT) * col_total AS num,
+             CAST(grand_total AS HUGEINT) * row_total * col_total AS den
+      FROM t
+    )
+    SELECT row_key, col_key, observed,
+           CAST(row_total AS BIGINT) AS row_total,
+           CAST(col_total AS BIGINT) AS col_total,
+           CAST(grand_total AS BIGINT) AS grand_total,
+           CAST((1000000 * num * num) // den AS BIGINT) AS contrib_e6,
+           (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+             / ((CAST(grand_total AS DOUBLE) * CAST(row_total AS DOUBLE))
+                * CAST(col_total AS DOUBLE)) AS contribution
+    FROM x
+    """,
+)
+def q_events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence audit (operators/stats.chi_square_cells)
+    of event_type × user-bucket — the sample-ratio-mismatch /
+    assignment-skew check, per contingency cell so every value is
+    hash-exact: observed + margins are integers, the χ² contribution is
+    both an exact ⌊10⁶·(O·N−R·C)²/(N·R·C)⌋ long (DECIMAL(38,0) on the
+    engine, HUGEINT in the oracle — summable downstream without float
+    order) and a fixed-order double from the same exact operands. One
+    corpus groupBy; three window sums over the ≤ |types|·3 cells."""
+    from csv2db_spark.operators.stats import chi_square_cells
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 3
+    )
+    return chi_square_cells(ev, "event_type", "user_bucket")

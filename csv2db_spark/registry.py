@@ -159,7 +159,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_stream_ivm_rollup (streaming materialized view under retractions),
 # q_pipeline_curation_v6 (containment dedup -> reference-LM tail-drop),
 # q_ingest_csv_gzip (gzip CSV decompressor path),
-# q_sim_sq8_rerank (SQ8 decode-on-scan ANN, fully hash-verified).
+# q_sim_sq8_rerank (SQ8 decode-on-scan ANN, fully hash-verified),
+# q_src_file_metadata (_metadata row-level lineage audit),
+# q_events_chi_square (per-cell exact chi-square independence audit).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

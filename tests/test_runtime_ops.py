@@ -658,3 +658,47 @@ def test_asof_nearest_no_candidates_keeps_nulls(spark):
         left, right, on="ts", by="user_id", right_payload=["px"]
     ).collect()[0]
     assert r["px_near"] is None and r["ts_near"] is None
+
+
+# ------------------------------------------------- chi-square audit
+
+
+def test_chi_square_independent_data_near_zero(spark):
+    """A perfectly balanced (independent) contingency table has zero
+    contribution in every cell."""
+    from csv2db_spark.operators.stats import chi_square_cells
+
+    rows = [(r, c) for r in ("a", "b") for c in (0, 1) for _ in range(25)]
+    df = spark.createDataFrame(rows, "r string, c int")
+    out = chi_square_cells(df, "r", "c").collect()
+    assert len(out) == 4
+    assert all(x["contrib_e6"] == 0 and x["contribution"] == 0.0 for x in out)
+
+
+def test_chi_square_dependent_data_matches_closed_form(spark):
+    """2x2 table [[30,10],[10,30]]: chi2 = N(ad-bc)^2/(R1 R2 C1 C2) = 20;
+    the per-cell contributions must sum to it (all four cells equal 5)."""
+    from csv2db_spark.operators.stats import chi_square_cells
+
+    rows = (
+        [("a", 0)] * 30 + [("a", 1)] * 10 + [("b", 0)] * 10 + [("b", 1)] * 30
+    )
+    df = spark.createDataFrame(rows, "r string, c int")
+    out = chi_square_cells(df, "r", "c").collect()
+    total = sum(x["contribution"] for x in out)
+    assert abs(total - 20.0) < 1e-9
+    assert all(x["contrib_e6"] == 5_000_000 for x in out)
+
+
+def test_file_metadata_lineage(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("p", F.col("id") % 2)
+    df.write.mode("overwrite").partitionBy("p").parquet(str(tmp_path / "t"))
+    back = spark.read.parquet(str(tmp_path / "t")).select(
+        "id", "p", F.col("_metadata.file_path").alias("fp")
+    )
+    got = back.withColumn(
+        "p_from_path", F.regexp_extract("fp", r"p=(\d)", 1).cast("long")
+    )
+    assert got.where(F.col("p") != F.col("p_from_path")).count() == 0
