@@ -118,6 +118,11 @@ def main() -> None:
         # round-6 session 3: the heaviest new shape (corpus window
         # fingerprints + keep-first trim rebuild) joins the series
         "q_dedup_span_trim",
+        # round-6 session 4: the session's heaviest additions — the
+        # containment postings join and the four-stage composed pipeline
+        # built on it — get their own comparable series
+        "q_dedup_containment",
+        "q_pipeline_curation_v6",
     )
     all_queries = load_all_queries()
     ext: dict[str, float] = {}
