@@ -691,3 +691,59 @@ def q_sink_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q_sink_snapshot_asof_read",
+    oracle=f"""
+    SELECT CAST(150 AS BIGINT) AS as_of, {_TT_AGG_SQL}
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT CAST(250 AS BIGINT) AS as_of, {_TT_AGG_SQL}
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT CAST(999 AS BIGINT) AS as_of, {_TT_AGG_SQL}
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+)
+def q_sink_snapshot_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel (snapshots.read_as_of — Iceberg's FOR
+    TIMESTAMP AS OF): three commits stamped 100/200/300 by an injected
+    deterministic clock, then reads as-of 150, 250 and 999 must resolve
+    to v1, v2 and v3 respectively — the latest manifest committed at or
+    before the asked instant, resolved from manifests alone (O(history),
+    data never opened for resolution). Same immutable-file contract as
+    the version-addressed gate; the clock is injectable precisely so
+    this is hash-verifiable."""
+    import shutil
+    import tempfile
+
+    from csv2db_spark.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="c2s_snap_asof_")
+    try:
+        ticks = iter([100.0, 200.0, 300.0])
+        t = SnapshotTable(
+            spark, os.path.join(root, "orders"), clock=lambda: next(ticks)
+        )
+        t.create(orders.where(F.col("o_orderkey") % 3 == 0))
+        t.append(orders.where(F.col("o_orderkey") % 3 == 1))
+        t.overwrite(orders.where(F.col("o_orderkey") % 3 == 2))
+
+        def agg(ts: int) -> DataFrame:
+            return t.read_as_of(float(ts)).agg(
+                F.lit(ts).cast("long").alias("as_of"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                dsum("o_totalprice", 12, 2).alias("sum_price"),
+            ).select("as_of", "n", "min_key", "max_key", "sum_price")
+
+        out = agg(150).unionByName(agg(250)).unionByName(agg(999))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -161,7 +161,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_ingest_csv_gzip (gzip CSV decompressor path),
 # q_sim_sq8_rerank (SQ8 decode-on-scan ANN, fully hash-verified),
 # q_src_file_metadata (_metadata row-level lineage audit),
-# q_events_chi_square (per-cell exact chi-square independence audit).
+# q_events_chi_square (per-cell exact chi-square independence audit),
+# q_sink_snapshot_asof_read (timestamp time travel, injected clock).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -70,16 +70,25 @@ class SnapshotTable:
         spark: SparkSession,
         path: str,
         stats_cols: list[str] | None = None,
+        clock=None,
     ):
         """``stats_cols`` opts files into per-file [min, max, null_count]
         statistics, computed once per commit over ONLY that commit's new
         files and carried forward in the manifest — the Iceberg design:
         planning reads the manifest, never the data. Columns should be
         numeric or string (values must order the same way under JSON
-        round-trip as in the engine)."""
+        round-trip as in the engine).
+
+        ``clock`` (``() -> float``, default ``time.time``) stamps each
+        manifest's ``committed_at`` — the basis for timestamp time
+        travel (``read_as_of``). Injectable so tests and gates commit
+        under a deterministic clock."""
+        import time as _time
+
         self.spark = spark
         self.path = Path(path)
         self.stats_cols = list(stats_cols or [])
+        self._clock = clock or _time.time
         (self.path / "_snapshots").mkdir(parents=True, exist_ok=True)
 
     # ------------------------------------------------------------ manifests
@@ -121,6 +130,7 @@ class SnapshotTable:
         body_dict = {
             "version": version,
             "op": op,
+            "committed_at": float(self._clock()),
             "files": sorted(files),
             "stats": stats or {},
         }
@@ -304,11 +314,31 @@ class SnapshotTable:
         m = self._manifest(version)
         return self._read_files(m["files"], m.get("schema"))
 
+    def version_as_of(self, ts: float) -> int:
+        """Latest version whose ``committed_at`` <= ``ts`` — Iceberg's
+        ``FOR TIMESTAMP AS OF`` resolution. Manifests published before
+        this field existed sort as -inf (always visible). O(manifests),
+        never touches data."""
+        best = None
+        for v in self.versions():
+            at = self._manifest(v).get("committed_at", float("-inf"))
+            if at <= ts:
+                best = v
+        if best is None:
+            raise NoSuchVersion(f"no version committed at or before {ts}")
+        return best
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Timestamp time travel: the table exactly as it stood at
+        ``ts`` (the complement of version-addressed ``read``)."""
+        return self.read(self.version_as_of(ts))
+
     def history(self) -> list[dict]:
         return [
             {
                 "version": v,
                 "op": self._manifest(v)["op"],
+                "committed_at": self._manifest(v).get("committed_at"),
                 "n_files": len(self._manifest(v)["files"]),
             }
             for v in self.versions()

@@ -452,3 +452,41 @@ def test_commit_with_retry_exhausts(spark, table):
 
     with pytest.raises(SnapshotConflict):
         table.commit_with_retry(always_loses, retries=3)
+
+
+def test_read_as_of_resolution_and_bounds(spark, tmp_path):
+    from csv2db_spark.snapshots import NoSuchVersion, SnapshotTable
+
+    ticks = iter([10.0, 20.0, 30.0])
+    t = SnapshotTable(spark, str(tmp_path / "t"), clock=lambda: next(ticks))
+    t.create(spark.range(0, 3))
+    t.append(spark.range(3, 6))
+    t.overwrite(spark.range(100, 101))
+    assert t.version_as_of(10.0) == 1      # boundary: <= is inclusive
+    assert t.version_as_of(29.9) == 2
+    assert t.version_as_of(1e9) == 3
+    assert t.read_as_of(25.0).count() == 6
+    assert [r.id for r in t.read_as_of(35.0).collect()] == [100]
+    try:
+        t.version_as_of(9.9)
+    except NoSuchVersion:
+        pass
+    else:
+        raise AssertionError("pre-history as-of must raise")
+
+
+def test_read_as_of_legacy_manifest_without_timestamp(spark, tmp_path):
+    """Manifests written before committed_at existed resolve as -inf
+    (always visible) instead of crashing the reader."""
+    import json
+
+    from csv2db_spark.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), clock=lambda: 50.0)
+    t.create(spark.range(5))
+    m = tmp_path / "t" / "_snapshots" / "v1.json"
+    body = json.loads(m.read_text())
+    del body["committed_at"]
+    m.write_text(json.dumps(body))
+    assert t.version_as_of(0.0) == 1
+    assert t.read_as_of(0.0).count() == 5
