@@ -262,19 +262,35 @@ def apply_retractions(
         F.sum(op).alias("_dn"),
         *[F.sum(op * expr).alias(f"_ds_{a}") for a, expr in sums.items()],
     )
-    merged = view.join(d, ks, "full_outer")
-    n_new = F.coalesce(F.col(count_alias), F.lit(0)) + F.coalesce(
-        F.col("_dn"), F.lit(0)
+    # NULL-SAFE key merge: GROUP BY treats NULL as one group, so the
+    # view merge must too — a plain equi-join would split a NULL-keyed
+    # group into two永 rows (view-side and delta-side) instead of folding
+    v, dd = view.alias("_v"), d.alias("_d")
+    cond = None
+    for k in ks:
+        eq = F.col(f"_v.{k}").eqNullSafe(F.col(f"_d.{k}"))
+        cond = eq if cond is None else cond & eq
+    merged = v.join(dd, cond, "full_outer")
+    n_new = F.coalesce(F.col(f"_v.{count_alias}"), F.lit(0)) + F.coalesce(
+        F.col("_d._dn"), F.lit(0)
     )
-    out_cols = [F.col(k) for k in ks] + [n_new.alias(count_alias)]
+    # the delta side distinguishes "matched with NULL key" from
+    # "unmatched" by _dn (never NULL on a real delta row)
+    key_out = [
+        F.when(F.col("_d._dn").isNotNull(), F.col(f"_d.{k}"))
+        .otherwise(F.col(f"_v.{k}"))
+        .alias(k)
+        for k in ks
+    ]
+    out_cols = key_out + [n_new.alias(count_alias)]
     for a in sums:
         # NULL view-side (brand-new group) and NULL delta-side (group
         # untouched this batch) both coalesce through; decimal + decimal
         # keeps exactness end to end
         out_cols.append(
             (
-                F.coalesce(F.col(a), F.lit(0))
-                + F.coalesce(F.col(f"_ds_{a}"), F.lit(0))
+                F.coalesce(F.col(f"_v.{a}"), F.lit(0))
+                + F.coalesce(F.col(f"_d._ds_{a}"), F.lit(0))
             ).alias(a)
         )
     return merged.select(*out_cols).where(F.col(count_alias) > 0)
@@ -308,7 +324,19 @@ def ivm_dirty_group_refresh(
     algebraically from the delta alone; min/max refresh through here.
     """
     ks = list(keys)
-    dirty = changed_rows.select(*ks).distinct()
-    recomputed = aggregate(base_current.join(F.broadcast(dirty), ks, "semi"))
-    untouched = view.join(F.broadcast(dirty), ks, "left_anti")
+    dirty = changed_rows.select(*ks).distinct().alias("_dirty")
+
+    def _nullsafe(side: DataFrame, how: str) -> DataFrame:
+        # GROUP BY keys may legitimately be NULL (one group); plain
+        # semi/anti equi-joins would never match them, leaving a
+        # NULL-keyed group permanently stale
+        s = side.alias("_s")
+        cond = None
+        for k in ks:
+            eq = F.col(f"_s.{k}").eqNullSafe(F.col(f"_dirty.{k}"))
+            cond = eq if cond is None else cond & eq
+        return s.join(F.broadcast(dirty), cond, how)
+
+    recomputed = aggregate(_nullsafe(base_current, "left_semi"))
+    untouched = _nullsafe(view, "left_anti")
     return untouched.unionByName(recomputed)

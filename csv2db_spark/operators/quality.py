@@ -292,8 +292,12 @@ def benford_report(
         1,
         1,
     ).cast("int")
+    # filter on the SCALED integer, not the raw double: a positive
+    # value below half an ulp of the scale (e.g. 0.004 at scale 2)
+    # rounds to zero scaled units and has no leading digit
+    scaled = (dec(col, prec, scale) * (10 ** scale)).cast("bigint")
     g = (
-        df.where(F.col(col) > 0)
+        df.where(scaled > 0)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))

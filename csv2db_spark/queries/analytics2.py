@@ -2922,7 +2922,8 @@ def q_observe_inline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT cast(substr(cast(cast(cast(o_totalprice as decimal(12,2)) * 100
                               as bigint) as varchar), 1, 1) as int) AS digit
-      FROM orders WHERE o_totalprice > 0
+      FROM orders
+      WHERE cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) > 0
     ),
     g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
     t AS (SELECT sum(n_obs) AS tot FROM g),

@@ -702,3 +702,47 @@ def test_file_metadata_lineage(spark, tmp_path):
         "p_from_path", F.regexp_extract("fp", r"p=(\d)", 1).cast("long")
     )
     assert got.where(F.col("p") != F.col("p_from_path")).count() == 0
+
+
+def test_apply_retractions_null_group_key_folds_as_one_group(spark):
+    """SQL GROUP BY treats NULL as one group; the null-safe merge must
+    fold a NULL-keyed delta into the NULL-keyed view row, not split it."""
+    from csv2db_spark.operators.merge import apply_retractions
+
+    base = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 3)], "g string, x int"
+    )
+    view0 = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("x").cast("decimal(10,0)")).alias("sx"),
+    )
+    delta = spark.createDataFrame(
+        [(None, 1, -1), (None, 9, 1)], "g string, x int, op int"
+    )
+    out = apply_retractions(
+        view0, delta, ["g"], "op",
+        sum_cols={"sx": F.col("x").cast("decimal(10,0)")},
+    ).collect()
+    got = {r["g"]: (r["n_rows"], int(r["sx"])) for r in out}
+    assert got == {None: (2, 11), "a": (1, 3)}  # one NULL group, folded
+
+
+def test_ivm_dirty_refresh_null_key_group_refreshes(spark):
+    from csv2db_spark.operators.merge import ivm_dirty_group_refresh
+
+    def aggregate(df):
+        return df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+
+    base_current = spark.createDataFrame(
+        [(None, 1), ("a", 2)], "g string, x int"
+    )
+    # stale view claims 5 rows in the NULL group; it IS dirty
+    view = spark.createDataFrame([(None, 5), ("a", 1)], "g string, n long")
+    changed = spark.createDataFrame([(None, 0)], "g string, x int")
+    got = {
+        r["g"]: r["n"]
+        for r in ivm_dirty_group_refresh(
+            view, base_current, changed, ["g"], aggregate
+        ).collect()
+    }
+    assert got == {None: 1, "a": 1}  # NULL group recomputed, 'a' carried
