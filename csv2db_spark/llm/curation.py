@@ -912,3 +912,61 @@ def token_budget_sample(
         F.sum(n_tok).over(w).alias("cum_tokens"),
     )
     return sized.where(F.col("cum_tokens") <= budget_tokens)
+
+
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """Per-source dataset datasheet — the summary block of a dataset
+    card (Gebru et al.'s datasheets): document count, language spread,
+    exact token totals, mean and LOWER-MEDIAN document length, and the
+    English share in integer permille. The one-call accounting a corpus
+    release ships with.
+
+    Exactness discipline: every statistic is integer-derived — token
+    counts are exact longs, the mean is one IEEE division of exact
+    operands, the median is the order-statistic at ⌈n/2⌉ (lower median:
+    an actual document's length, never an interpolation), and the
+    language share is floor-permille. One corpus groupBy + one
+    |docs|-row window for the median rank."""
+    toks = F.size(F.split(F.col("text"), " "))
+    base = docs.select(
+        "source",
+        "lang",
+        toks.alias("_ntok"),
+    )
+    w = Window.partitionBy("source").orderBy("_ntok")
+    ranked = base.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(
+            Window.partitionBy("source").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+    )
+    med = ranked.where(
+        F.col("_rn") == F.ceil(F.col("_n") / 2).cast("int")
+    ).select("source", F.col("_ntok").alias("median_tokens"))
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("_ntok").alias("total_tokens"),
+        (
+            F.sum("_ntok").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_tokens"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        ).alias("_n_en"),
+    )
+    return (
+        agg.join(med, "source")
+        .withColumn(
+            "en_permille", F.expr("div(1000 * _n_en, n_docs)")
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "total_tokens",
+            "mean_tokens",
+            "median_tokens",
+            "en_permille",
+        )
+    )

@@ -1396,3 +1396,46 @@ def q_pipeline_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bigrams").alias("total_bigrams"),
         )
     )
+
+
+@query(
+    "q_curate_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, len(string_split(text, ' ')) AS ntok
+      FROM documents
+    ),
+    med AS (
+      SELECT source, ntok AS median_tokens FROM (
+        SELECT source, ntok,
+               row_number() OVER (PARTITION BY source ORDER BY ntok) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM base
+      ) WHERE rn = CAST(ceil(n / 2.0) AS INT)
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_tokens,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+      FROM base GROUP BY source
+    )
+    SELECT a.source, a.n_docs, a.n_langs, a.total_tokens, a.mean_tokens,
+           CAST(m.median_tokens AS BIGINT) AS median_tokens,
+           CAST((1000 * a.n_en) // a.n_docs AS BIGINT) AS en_permille
+    FROM agg a JOIN med m USING (source)
+    """,
+)
+def q_curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card accounting block (llm/curation.dataset_card): per
+    source, exact doc/lang/token counts, mean and lower-median document
+    length (an order statistic, never an interpolation), and English
+    share in floor-permille — every figure integer-derived so the whole
+    datasheet hash-verifies. One corpus groupBy + one window for the
+    median rank."""
+    from csv2db_spark.llm.curation import dataset_card
+
+    return dataset_card(load_table(spark, sf_dir, "documents"))

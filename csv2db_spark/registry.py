@@ -162,7 +162,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_sim_sq8_rerank (SQ8 decode-on-scan ANN, fully hash-verified),
 # q_src_file_metadata (_metadata row-level lineage audit),
 # q_events_chi_square (per-cell exact chi-square independence audit),
-# q_sink_snapshot_asof_read (timestamp time travel, injected clock).
+# q_sink_snapshot_asof_read (timestamp time travel, injected clock),
+# q_curate_dataset_card (per-source datasheet, integer-derived).
 
 
 def load_all_queries() -> dict[str, QueryDef]:
