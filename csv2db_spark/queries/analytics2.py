@@ -3123,3 +3123,66 @@ def q_events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_bucket", F.col("user_id") % 3
     )
     return chi_square_cells(ev, "event_type", "user_bucket")
+
+
+@query(
+    "q_ts_cusum_changepoints",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS bucket,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, bucket,
+             CAST(CAST(sum_value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v
+      FROM h
+    ),
+    s AS (
+      SELECT event_type, bucket, v,
+             sum(v - 200000) OVER (PARTITION BY event_type ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS ps
+      FROM m
+    ),
+    c AS (
+      SELECT event_type, bucket, v, ps,
+             ps - min(least(ps, 0)) OVER (PARTITION BY event_type
+                                          ORDER BY bucket
+                                          ROWS UNBOUNDED PRECEDING)
+               AS cusum
+      FROM s
+    )
+    SELECT event_type, bucket,
+           CAST(v AS BIGINT) AS value_milli,
+           CAST(ps AS BIGINT) AS prefix_milli,
+           CAST(cusum AS BIGINT) AS cusum_milli
+    FROM c WHERE cusum > 500000
+    """,
+)
+def q_ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's one-sided CUSUM drift detector per event type
+    (operators/timeseries.cusum_changepoints) over the hourly resample:
+    the sequential recursion max(0, C+x−k) evaluated by its exact
+    closed form C_i = S_i − min(0, min_j S_j) — cumulative sum plus
+    running min over ONE window sort, no recursion, no UDF. Allowance
+    k=200/h, threshold h=500: flags sustained above-level bursts that a
+    per-bucket z-score misses. All statistics are exact milli-scaled
+    longs — the flagged set hash-verifies."""
+    from csv2db_spark.operators.timeseries import (
+        cusum_changepoints,
+        resample,
+    )
+
+    hourly = resample(
+        load_table(spark, sf_dir, "events"), hours=1, key_col="event_type"
+    )
+    return cusum_changepoints(
+        hourly,
+        key_col="event_type",
+        bucket_col="bucket",
+        value_col="sum_value",
+        allowance_milli=200_000,
+        threshold_milli=500_000,
+    )

@@ -163,7 +163,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_src_file_metadata (_metadata row-level lineage audit),
 # q_events_chi_square (per-cell exact chi-square independence audit),
 # q_sink_snapshot_asof_read (timestamp time travel, injected clock),
-# q_curate_dataset_card (per-source datasheet, integer-derived).
+# q_curate_dataset_card (per-source datasheet, integer-derived),
+# q_ts_cusum_changepoints (Page CUSUM via prefix-min closed form).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

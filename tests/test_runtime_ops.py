@@ -746,3 +746,34 @@ def test_ivm_dirty_refresh_null_key_group_refreshes(spark):
         ).collect()
     }
     assert got == {None: 1, "a": 1}  # NULL group recomputed, 'a' carried
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The window closed form C_i = S_i - min(0, min_j S_j) must equal
+    the sequential recursion max(0, C + x - k) exactly."""
+    from csv2db_spark.operators.timeseries import cusum_changepoints
+
+    import datetime as dt
+
+    vals = [1.0, 5.0, 5.0, 0.0, 9.0, 9.0, 9.0, 0.0, 1.0]
+    k, h = 3.0, 4.0
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, bucket timestamp_ntz, sum_value double"
+    )
+    got = {
+        r["bucket"].hour: r["cusum_milli"]
+        for r in cusum_changepoints(
+            df, "key", "bucket", "sum_value",
+            allowance_milli=3000, threshold_milli=4000,
+        ).collect()
+    }
+    # reference recursion
+    c, want = 0.0, {}
+    for i, v in enumerate(vals):
+        c = max(0.0, c + v - k)
+        if c > h:
+            want[i] = int(round(c * 1000))
+    assert got == want and want  # non-empty: the burst at hours 4-6 fires
