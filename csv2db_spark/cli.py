@@ -356,8 +356,40 @@ def run(conf: Config, spark=None, password: str = "") -> int:
     return 0
 
 
+def run_sql_command(argv: list[str], spark=None) -> int:
+    """``python -m csv2db_spark sql "SELECT ..."`` — the query-side UX
+    the reference delegates to psql after loading (its README's verify
+    step). Registers the fixture tables as views (sqlapi.py) and prints
+    the result as CSV on stdout, so the load CLI and the query CLI
+    round-trip the same data without leaving the tool."""
+    q = argparse.ArgumentParser(prog="csv2db_spark sql")
+    q.add_argument("statement", help="ANSI SQL over the fixture tables")
+    q.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="fixture directory holding the parquet tables",
+    )
+    q.add_argument(
+        "--limit", type=int, default=100,
+        help="max rows printed (the full plan still runs distributed)",
+    )
+    args = q.parse_args(argv)
+    from csv2db_spark.sqlapi import run_sql
+
+    if spark is None:
+        from csv2db_spark.session import get_spark
+
+        spark = get_spark("csv2db-spark-sql")
+    df = run_sql(spark, args.sf_dir, args.statement)
+    pdf = df.limit(args.limit).toPandas()
+    sys.stdout.write(pdf.to_csv(index=False))
+    return 0
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "sql":
+        return run_sql_command(argv[1:], spark=spark)
     # the reference's stdin marker is '--' (csv2db.go:174-176), which
     # argparse reserves as the end-of-options separator — rewrite the one
     # directly following -i/--input-file; '-' is accepted as an alias

@@ -213,3 +213,34 @@ def test_resolve_auth_url_userinfo_heads_the_chain(monkeypatch):
     assert resolve_auth("", "", interactive=False, url="postgres://h/db") == (
         None, None,
     )
+
+
+def test_cli_sql_subcommand_round_trips(spark, sf_dir, capsys):
+    from csv2db_spark.cli import main
+
+    rc = main(
+        [
+            "sql",
+            "SELECT r_name, count(*) AS n FROM region GROUP BY r_name"
+            " ORDER BY r_name",
+            "--sf-dir",
+            sf_dir,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "r_name,n"
+    assert len(out) == 6  # header + 5 regions
+
+
+def test_cli_sql_limit(spark, sf_dir, capsys):
+    from csv2db_spark.cli import main
+
+    rc = main(
+        ["sql", "SELECT o_orderkey FROM orders", "--sf-dir", sf_dir,
+         "--limit", "3"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 4
