@@ -947,8 +947,15 @@ def containment_pairs(
         exploded = exploded.join(F.broadcast(hot), key, "anti")
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     e1, e2 = exploded.alias("e1"), exploded.alias("e2")
+    # the postings self-join must NEVER broadcast: both sides are the
+    # exploded corpus, and Catalyst's size estimate of an exploded
+    # intermediate undershoots badly enough to pick a corpus-sized
+    # BroadcastExchange (observed OOM at sf0.1 inside a composed
+    # pipeline). merge-hint pins the sort-merge plan — the only shape
+    # that survives 100 TB postings anyway.
     inter = (
-        e1.join(e2, F.col(f"e1.{key}") == F.col(f"e2.{key}"))
+        e1.hint("merge")
+        .join(e2, F.col(f"e1.{key}") == F.col(f"e2.{key}"))
         .where(F.col("e1.doc_id") != F.col("e2.doc_id"))
         .groupBy(
             F.col("e1.doc_id").alias("doc_a"),

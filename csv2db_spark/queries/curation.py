@@ -1378,6 +1378,13 @@ def q_pipeline_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_orig")
     )
+    # stage boundary: kept1 feeds three downstream consumers (LM train,
+    # LM score, final lang/source join); without materialization each
+    # re-plans the whole containment subtree and its exchanges stay
+    # live simultaneously — observed heap OOM at sf0.1 in a long-lived
+    # session. Real pipelines materialize between stages for the same
+    # reason.
+    kept1 = kept1.localCheckpoint(eager=True)
     ref = kept1.where(
         F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     )
