@@ -396,6 +396,14 @@ def jaccard_pairs(
         exploded = exploded.dropDuplicates(["doc_id", key])
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     e1, e2 = exploded.alias("e1"), exploded.alias("e2")
+    # unrestricted (no candidate_pairs): both sides are the exploded
+    # corpus — pin sort-merge so Catalyst's undershooting size estimate
+    # of an exploded intermediate can never pick a corpus-sized
+    # broadcast (same hazard as containment_pairs, fixed there after an
+    # observed sf0.1 OOM). Candidate-restricted postings stay unhinted:
+    # they are band-join-sized and broadcasting them is the fast path.
+    if candidate_pairs is None:
+        e1 = e1.hint("merge")
     inter = (
         e1.join(
             e2,
