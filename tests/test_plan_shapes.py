@@ -292,3 +292,16 @@ def test_benford_single_scan_tiny_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_quality_benford")
     assert plan.count("FileScan") == 1  # orders scanned exactly once
     assert "pythonUDF" not in plan
+
+
+def test_containment_postings_join_never_broadcasts(spark, sf_dir):
+    """The postings self-join sits above an explode whose size estimate
+    undershoots; an sf0.1 OOM proved Catalyst will broadcast it. The
+    merge hint must hold SMJ in the plan."""
+    plan = _plan(spark, sf_dir, "q_dedup_containment")
+    assert "SortMergeJoin" in plan
+
+
+def test_jaccard_unrestricted_postings_join_never_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_dedup_ngram_jaccard")
+    assert "SortMergeJoin" in plan
