@@ -245,3 +245,22 @@ def q_ingest_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).csv(path)
     df = ingest_csv(spark, path, CUSTOMER_SCHEMA, has_header=True)
     return _agg(df)
+
+
+@query("q_ingest_tsv_delimiter", oracle=_ORACLE)
+def q_ingest_tsv_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-delimiter ingest — the reference's ``--delimiter`` flag
+    (config.go Validate: exactly one char; P3): the same
+    read/reconcile/cast path over tab-separated files. Written with
+    sep='\\t' so the gate proves the delimiter actually reaches the
+    parser (a comma-default read of TSV collapses every row into one
+    column and the aggregate hash detonates)."""
+    cust = load_table(spark, sf_dir, "customer")
+    path = _tmp_dir(sf_dir, "rt_tsv")
+    cust.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).write.mode("overwrite").option("header", True).option(
+        "sep", "\t"
+    ).csv(path)
+    df = ingest_csv(spark, path, CUSTOMER_SCHEMA, has_header=True, delimiter="\t")
+    return _agg(df)

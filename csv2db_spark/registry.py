@@ -164,7 +164,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_events_chi_square (per-cell exact chi-square independence audit),
 # q_sink_snapshot_asof_read (timestamp time travel, injected clock),
 # q_curate_dataset_card (per-source datasheet, integer-derived),
-# q_ts_cusum_changepoints (Page CUSUM via prefix-min closed form).
+# q_ts_cusum_changepoints (Page CUSUM via prefix-min closed form),
+# q_ingest_tsv_delimiter (P3 --delimiter parity over TSV).
 
 
 def load_all_queries() -> dict[str, QueryDef]:
