@@ -970,3 +970,136 @@ def dataset_card(docs: DataFrame) -> DataFrame:
             "en_permille",
         )
     )
+
+
+# html strip rules as data (pattern, replacement), replayed verbatim by
+# the DuckDB oracle. Order matters: script/style bodies go before
+# generic tags, entities after.
+HTML_STRIP_RULES: tuple[tuple[str, str], ...] = (
+    (r"(?s)<script\b[^>]*>.*?</script>", " "),
+    (r"(?s)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"\s+", " "),
+)
+
+
+def strip_html(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate-free text from raw markup — the extraction step every
+    web-crawl corpus runs before any quality signal (the
+    trafilatura/jusText stage, reduced to its deterministic core):
+    script/style bodies and comments dropped wholesale, tags dropped,
+    the five ubiquitous entities decoded, whitespace recollapsed.
+
+    Pure map stage like ``normalize_text``: a chain of codegen
+    regexp_replace expressions — no UDF, no shuffle, pipelines into the
+    scan. Rules are data (HTML_STRIP_RULES) so the oracle replays the
+    identical chain; emits ``n_chars_raw``/``n_chars_text`` — the
+    markup-ratio signal (text far smaller than markup flags boilerplate
+    pages)."""
+    out = F.col(text_col)
+    for pat, rep in HTML_STRIP_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    out = F.trim(out)
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *others,
+        F.length(F.col(text_col)).alias("n_chars_raw"),
+        out.alias(text_col),
+        F.length(out).alias("n_chars_text"),
+    )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4's LINE-level cleaning (Raffel et al. 2020 §2.2) — the
+    complement of the document-level Gopher rules: split on newlines,
+    keep only lines that end in terminal punctuation AND have at least
+    ``min_words`` words AND don't carry boilerplate markers (lorem
+    ipsum, javascript, cookie/privacy-policy notices, curly braces),
+    then reassemble the document from its surviving lines (documents
+    losing every line disappear).
+
+    Shape: posexplode → codegen predicates → one doc-keyed
+    array_agg(sort_array) rebuild — a single shuffle on doc_id, line
+    order preserved by position, no UDF anywhere. Emits
+    ``n_lines_kept``/``n_lines_dropped`` for accounting."""
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line", F.trim(F.col("line")))
+    keep = (
+        F.col("line").rlike(r"[.!?\"']$")
+        & (F.size(F.split(F.col("line"), r"\s+")) >= min_words)
+        & ~F.lower(F.col("line")).contains("lorem ipsum")
+        & ~F.lower(F.col("line")).contains("javascript")
+        & ~F.lower(F.col("line")).contains("cookie")
+        & ~F.lower(F.col("line")).contains("privacy policy")
+        & ~F.col("line").contains("{")
+    )
+    flagged = lines.withColumn("_keep", keep)
+    rebuilt = (
+        flagged.where(F.col("_keep"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )
+    dropped = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias(
+                "n_lines_dropped"
+            )
+        )
+    )
+    return rebuilt.join(dropped, id_col)
+
+
+def shard_assignments(
+    docs: DataFrame,
+    n_shards: int,
+    salt: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic shard + within-shard training order — the terminal
+    'global shuffle then shard' step before examples are written for
+    the trainer: shard = pmod(xxhash64(id, salt), n_shards) balances
+    documents pseudo-randomly; position = md5(salt, id) rank inside the
+    shard gives a reproducible read order that changes with the salt
+    (new epoch → new permutation, same data).
+
+    One window sort per shard (the shuffle is BY SHARD, so it scales
+    out with n_shards); everything is md5 arithmetic (the engine's
+    cross-engine-stable hash family, see md5_threshold) — no RNG
+    state, any worker can recompute any document's placement."""
+    rank_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(rank_key, 1, 12), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(rank_key, id_col)
+    return docs.select(id_col, shard, rank_key.alias("_rk")).select(
+        id_col,
+        "shard",
+        F.row_number().over(w).alias("position"),
+    )

@@ -1446,3 +1446,166 @@ def q_curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2db_spark.llm.curation import dataset_card
 
     return dataset_card(load_table(spark, sf_dir, "documents"))
+
+
+_HTML_WRAP_SQL = (
+    "'<html><head><style>p{{color:red}}</style></head><body><p>' || text"
+    " || '</p><!-- footer --><script>var a=1;</script>&amp; extra</body></html>'"
+).format()
+
+
+@query(
+    "q_text_strip_html",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_HTML_WRAP_SQL} AS text FROM documents
+    ),
+    s AS (
+      SELECT doc_id, length(text) AS n_chars_raw,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(
+               text,
+               '(?s)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' ', 'g'),
+               '&amp;', '&', 'g'),
+               '&lt;', '<', 'g'),
+               '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+               '&#39;', '''', 'g'),
+               '\\s+', ' ', 'g')) AS text
+      FROM raw
+    )
+    SELECT doc_id, n_chars_raw, text, length(text) AS n_chars_text FROM s
+    """,
+)
+def q_text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction (llm/curation.strip_html): documents
+    wrapped in deterministic markup — style block, tags, a comment, a
+    script body, an &amp; entity — must come back as the original text
+    plus the decoded '& extra' tail, with raw/text char counts (the
+    markup-ratio signal). The rule chain is data (HTML_STRIP_RULES) and
+    the oracle replays it verbatim; pure codegen map, no shuffle."""
+    from csv2db_spark.llm.curation import strip_html
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p{color:red}</style></head><body><p>"),
+            F.col("text"),
+            F.lit(
+                "</p><!-- footer --><script>var a=1;</script>"
+                "&amp; extra</body></html>"
+            ),
+        ).alias("text"),
+    )
+    return strip_html(docs)
+
+
+@query(
+    "q_curate_line_filter",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             text || '.' || chr(10) || 'lorem ipsum dolor sit amet.'
+               || chr(10) || 'Buy now {instantly}.'
+               || chr(10) || 'Short line.'
+               || chr(10) || 'Please accept our cookie banner today.'
+               || chr(10) || 'A perfectly good closing sentence stays.'
+               AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i AS pos, trim(l[i]) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM raw),
+           unnest(range(1, 7)) r(i)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, line,
+             regexp_matches(line, '[.!?"'']$')
+             AND len(string_split_regex(line, '\\s+')) >= 3
+             AND NOT contains(lower(line), 'lorem ipsum')
+             AND NOT contains(lower(line), 'javascript')
+             AND NOT contains(lower(line), 'cookie')
+             AND NOT contains(lower(line), 'privacy policy')
+             AND NOT contains(line, '{') AS keep
+      FROM lines
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text,
+             CAST(count(*) AS BIGINT) AS n_lines_kept
+      FROM flagged WHERE keep GROUP BY doc_id
+    ),
+    dropped AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_lines_dropped
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.text, r.n_lines_kept, d.n_lines_dropped
+    FROM rebuilt r JOIN dropped d USING (doc_id)
+    """,
+)
+def q_curate_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (llm/curation.c4_line_filter — Raffel et
+    al. §2.2, the complement of document-level Gopher rules): each doc
+    is staged as six lines — its own text plus five boilerplate lines
+    (lorem ipsum, curly-brace junk, a 2-word line, a cookie notice, one
+    legitimate closer) — and the filter must keep exactly the
+    punctuation-terminated ≥3-word non-boilerplate lines and rebuild
+    the document in position order. posexplode → codegen predicates →
+    one doc-keyed sorted rebuild; kept/dropped accounting per doc."""
+    from csv2db_spark.llm.curation import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                ".\nlorem ipsum dolor sit amet."
+                "\nBuy now {instantly}."
+                "\nShort line."
+                "\nPlease accept our cookie banner today."
+                "\nA perfectly good closing sentence stays."
+            ),
+        ).alias("text"),
+    )
+    return c4_line_filter(docs)
+
+
+@query(
+    "q_curate_shard_shuffle",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5('epoch0' || CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, rk,
+             CAST('0x' || substr(rk, 1, 12) AS BIGINT) % 8 AS shard
+      FROM k
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id)
+                AS INT) AS position
+    FROM s
+    """,
+)
+def q_curate_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding
+    (llm/curation.shard_assignments): the terminal step before training
+    examples are written — shard = md5-prefix mod 8, within-shard order
+    = md5 rank (salted, so a new epoch salt is a fresh permutation of
+    the SAME data, reproducible by any worker with no RNG state). One
+    window sort per shard; scales out with n_shards."""
+    from csv2db_spark.llm.curation import shard_assignments
+
+    return shard_assignments(
+        load_table(spark, sf_dir, "documents"), n_shards=8, salt="epoch0"
+    )

@@ -165,7 +165,10 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_sink_snapshot_asof_read (timestamp time travel, injected clock),
 # q_curate_dataset_card (per-source datasheet, integer-derived),
 # q_ts_cusum_changepoints (Page CUSUM via prefix-min closed form),
-# q_ingest_tsv_delimiter (P3 --delimiter parity over TSV).
+# q_ingest_tsv_delimiter (P3 --delimiter parity over TSV),
+# q_text_strip_html (markup extraction, rule chain as data),
+# q_curate_line_filter (C4 line-level cleaning + rebuild),
+# q_curate_shard_shuffle (salted deterministic shard + order).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

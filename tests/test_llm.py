@@ -971,3 +971,66 @@ def test_sq8_shortlist_orders_by_true_similarity(spark):
     }
     assert out[1]["neighbor_id"] == 1 and out[1]["cos_sim"] > 0.99
     assert out[3]["neighbor_id"] == 2 and out[3]["cos_sim"] < -0.99
+
+
+def test_strip_html_exact(spark):
+    from csv2db_spark.llm.curation import strip_html
+
+    raw = (
+        "<html><head><style>p{color:red}</style></head>"
+        "<body><h1>Title</h1><p>Hello &amp; welcome</p>"
+        "<script>var x = '<p>not text</p>';</script>"
+        "<!-- hidden -->Tail&nbsp;end</body></html>"
+    )
+    df = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+    r = strip_html(df).collect()[0]
+    assert r["text"] == "Title Hello & welcome Tail end"
+    assert r["n_chars_raw"] == len(raw)
+    assert r["n_chars_text"] == len(r["text"])
+
+
+def test_c4_line_filter_semantics(spark):
+    from csv2db_spark.llm.curation import c4_line_filter
+
+    doc = "\n".join(
+        [
+            "This sentence is kept because it ends properly.",
+            "no terminal punctuation so dropped",
+            "Too short.",
+            "lorem ipsum dolor sit amet.",
+            "Enable javascript to continue.",
+            "Another good line survives here!",
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, doc), (2, "only { junk } lines")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert out[1]["text"] == (
+        "This sentence is kept because it ends properly.\n"
+        "Another good line survives here!"
+    )
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_dropped"] == 4
+    assert 2 not in out  # every line dropped -> document disappears
+
+
+def test_shard_assignments_deterministic_and_salted(spark):
+    from csv2db_spark.llm.curation import shard_assignments
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = {(r["doc_id"]): (r["shard"], r["position"])
+         for r in shard_assignments(docs, 8, "s1").collect()}
+    b = {(r["doc_id"]): (r["shard"], r["position"])
+         for r in shard_assignments(docs.repartition(32), 8, "s1").collect()}
+    assert a == b  # partition-invariant
+    c = {(r["doc_id"]): (r["shard"], r["position"])
+         for r in shard_assignments(docs, 8, "s2").collect()}
+    assert a != c  # a new salt is a new permutation
+    # positions are contiguous 1..n within every shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, pos in a.values():
+        by_shard[shard].append(pos)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_shard.values())
+    assert set(by_shard) == set(range(8))
