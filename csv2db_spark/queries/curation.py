@@ -1609,3 +1609,112 @@ def q_curate_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assignments(
         load_table(spark, sf_dir, "documents"), n_shards=8, salt="epoch0"
     )
+
+
+@query(
+    "q_pipeline_curation_v7",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             text || '.' || chr(10) || 'lorem ipsum dolor sit amet.'
+               || chr(10) || 'Buy now {instantly}.'
+               || chr(10) || 'A perfectly good closing sentence stays.'
+               AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i AS pos, trim(l[i]) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM raw),
+           unnest(range(1, 5)) r(i)
+    ),
+    kept_lines AS (
+      SELECT doc_id, pos, line FROM lines
+      WHERE regexp_matches(line, '[.!?"'']$')
+        AND len(string_split_regex(line, '\\s+')) >= 3
+        AND NOT contains(lower(line), 'lorem ipsum')
+        AND NOT contains(lower(line), 'javascript')
+        AND NOT contains(lower(line), 'cookie')
+        AND NOT contains(lower(line), 'privacy policy')
+        AND NOT contains(line, '{')
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM kept_lines GROUP BY doc_id
+    ),
+    m AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+               AS n_word_chars,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+               AS BIGINT) AS n_symbols,
+             CAST((len(string_split_regex(text, '\\bthe\\b')) - 1)
+                + (len(string_split_regex(text, '\\ba\\b')) - 1)
+                + (len(string_split_regex(text, '\\bdata\\b')) - 1)
+                + (len(string_split_regex(text, '\\btable\\b')) - 1)
+               AS BIGINT) AS stop_hits
+      FROM rebuilt
+    ),
+    survivors AS (
+      SELECT doc_id, n_words FROM m
+      WHERE n_words >= 50 AND n_words <= 100000
+        AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        AND 10 * n_symbols <= n_words
+        AND stop_hits >= 2
+    ),
+    sharded AS (
+      SELECT doc_id, n_words,
+             CAST('0x' || substr(md5('epoch0' || CAST(doc_id AS VARCHAR)),
+                                 1, 12) AS BIGINT) % 8 AS shard
+      FROM survivors
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM sharded GROUP BY shard
+    """,
+)
+def q_pipeline_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v7 — the C4-shaped web pipeline end to end,
+    replayed by one SQL oracle: (1) line-level cleaning
+    (c4_line_filter) over documents staged with boilerplate lines;
+    (2) document-level Gopher quality conjunction over the REBUILT
+    text (llm/text.gopher_quality — integer/regex rules only);
+    (3) deterministic md5 shard assignment of the survivors
+    (shard_assignments' hash rule); (4) per-shard accounting. Each
+    stage feeds the next; the line-filter rebuild is the only
+    shuffle until the final 8-group aggregate."""
+    from csv2db_spark.llm.curation import c4_line_filter
+    from csv2db_spark.llm.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                ".\nlorem ipsum dolor sit amet."
+                "\nBuy now {instantly}."
+                "\nA perfectly good closing sentence stays."
+            ),
+        ).alias("text"),
+    )
+    cleaned = c4_line_filter(docs).select("doc_id", "text")
+    flags = gopher_quality(cleaned)
+    survivors = (
+        cleaned.join(
+            flags.where(F.col("keep")).select("doc_id", "n_words"), "doc_id"
+        )
+    )
+    rk = F.md5(F.concat(F.lit("epoch0"), F.col("doc_id").cast("string")))
+    sharded = survivors.withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring(rk, 1, 12), 16, 10).cast("long"), F.lit(8)),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
