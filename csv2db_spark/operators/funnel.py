@@ -256,3 +256,60 @@ def last_touch_attribution(
             age.alias("seconds_since_touch"),
         )
     )
+
+
+def funnel_stages_windowed(
+    events: DataFrame,
+    stages: Sequence[str],
+    max_gap_hours: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Conversion-window funnel — the product-analytics variant of
+    ``funnel_stages``: a user advances to stage i+1 only with a
+    qualifying event strictly after their stage-i entry AND within
+    ``max_gap_hours`` of it (Amplitude/Mixpanel's per-step conversion
+    window; without it, a purchase three months after a click still
+    'converts'). First qualifying occurrence advances, same first-touch
+    semantics.
+
+    Same scale shape as the strict funnel: per stage, one filtered scan
+    of the event stream joined to the shrinking reached-set on user —
+    the reached-set only ever loses users stage over stage, so joins
+    get cheaper as the funnel deepens; no per-user event collection
+    anywhere. The gap test is NTZ interval arithmetic (TZ-free)."""
+    if not stages:
+        raise ValueError("funnel_stages_windowed: need at least one stage")
+    gap = F.make_interval(hours=F.lit(max_gap_hours))
+    counts = []
+    reached: DataFrame | None = None
+    for i, stage in enumerate(stages):
+        ev = events.where(F.col(type_col) == stage).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if reached is None:
+            reached = ev.groupBy("u").agg(F.min("t").alias("entry"))
+        else:
+            reached = (
+                ev.join(reached, ev.u == reached.u)
+                .where(
+                    (F.col("t") > F.col("entry"))
+                    & (F.col("t") <= F.col("entry") + gap)
+                )
+                .select(ev.u.alias("u2"), "t")
+                .groupBy("u2")
+                .agg(F.min("t").alias("entry"))
+                .withColumnRenamed("u2", "u")
+            )
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(stage).alias("stage"),
+                F.lit(i + 1).cast("int").alias("stage_idx"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -3186,3 +3186,48 @@ def q_ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         allowance_milli=200_000,
         threshold_milli=500_000,
     )
+
+
+@query(
+    "q_events_funnel_windowed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS entry FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS entry
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.entry
+        AND e.ts <= v.entry + INTERVAL 2 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS entry
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.entry
+        AND e.ts <= c.entry + INTERVAL 2 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(1 AS INT) AS stage_idx,
+           CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'click', CAST(2 AS INT), CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'purchase', CAST(3 AS INT), CAST(count(*) AS BIGINT) FROM p
+    """,
+)
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (operators/funnel.funnel_stages_windowed):
+    view → click → purchase with a 2-hour per-step window — the
+    Amplitude/Mixpanel semantics where a stage only converts within the
+    window of the previous entry (the strict funnel's count is an upper
+    bound of this one). Shrinking user joins, NTZ interval arithmetic,
+    no per-user collection."""
+    from csv2db_spark.operators.funnel import funnel_stages_windowed
+
+    return funnel_stages_windowed(
+        load_table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_gap_hours=2,
+    )

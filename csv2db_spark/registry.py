@@ -169,7 +169,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_text_strip_html (markup extraction, rule chain as data),
 # q_curate_line_filter (C4 line-level cleaning + rebuild),
 # q_curate_shard_shuffle (salted deterministic shard + order),
-# q_pipeline_curation_v7 (C4 web pipeline: clean -> gopher -> shard).
+# q_pipeline_curation_v7 (C4 web pipeline: clean -> gopher -> shard),
+# q_events_funnel_windowed (per-step conversion-window funnel).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

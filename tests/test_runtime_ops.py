@@ -777,3 +777,35 @@ def test_cusum_closed_form_equals_recursion(spark):
         if c > h:
             want[i] = int(round(c * 1000))
     assert got == want and want  # non-empty: the burst at hours 4-6 fires
+
+
+def test_funnel_windowed_gap_enforced(spark):
+    import datetime as dt
+
+    from csv2db_spark.operators.funnel import funnel_stages_windowed
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        # u1 converts within the window at each step
+        (1, "view", T(0)), (1, "click", T(1)), (1, "buy", T(2)),
+        # u2 clicks 3h after viewing -> outside the 2h window
+        (2, "view", T(0)), (2, "click", T(3)), (2, "buy", T(4)),
+        # u3 clicks in-window, buys 5h later -> drops at buy
+        (3, "view", T(0)), (3, "click", T(1, 30)), (3, "buy", T(7)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages_windowed(
+            ev, ["view", "click", "buy"], max_gap_hours=2
+        ).collect()
+    }
+    assert got == {"view": 3, "click": 2, "buy": 1}
+    # sanity: the strict funnel is the no-window upper bound
+    from csv2db_spark.operators.funnel import funnel_stages
+
+    strict = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(ev, ["view", "click", "buy"]).collect()
+    }
+    assert all(got[s] <= strict[s] for s in got)
