@@ -1004,3 +1004,38 @@ def sq8_rerank_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) search — the other half of the ANN API next to
+    top-k: ALL neighbours with cosine ≥ τ per query, however many or
+    few that is (dedup thresholds, near-duplicate audits and recall
+    sweeps want the complete ball, not a fixed k). Exact quantized
+    cosine, so the result set hash-verifies.
+
+    Plan: same broadcast-queries × corpus scan as cosine_topk but with
+    the threshold applied as a FILTER instead of a window top-k — no
+    sort, no window, output proportional to matches. At scale the scan
+    side is any ANN shortlist (LSH buckets / IVF cells) instead of the
+    full corpus."""
+    q = quantize(queries, id_col, vec_col, "query_id", "q_")
+    c = quantize(corpus, id_col, vec_col, "neighbor_id", "c_")
+    joined = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cos_from_parts(
+            dot_iv(F.col("q_iv"), F.col("c_iv")),
+            F.col("q_nrm2"),
+            F.col("c_nrm2"),
+        ).alias("cos_sim"),
+    )
+    return scored.where(F.col("cos_sim") >= F.lit(min_cosine))

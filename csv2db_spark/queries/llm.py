@@ -2242,3 +2242,44 @@ def q_sim_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         shortlist=25,
     )
+
+
+@query(
+    "q_sim_range_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    norms AS (
+      SELECT vec_id,
+             sum({_sql_iel('cast(embedding[i] as double)')}
+                 * {_sql_iel('cast(embedding[i] as double)')}) AS nrm2
+      FROM embeddings, range(1, 65) r(i) GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             sum({_sql_iel('cast(q.qv[i] as double)')}
+                 * {_sql_iel('cast(e.embedding[i] as double)')}) AS dot
+      FROM q, embeddings e, range(1, 65) r(i)
+      WHERE e.vec_id != q.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           {_sql_cos('dot', 'nq.nrm2', 'nn.nrm2')} AS cos_sim
+    FROM dots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nn ON nn.vec_id = neighbor_id
+    WHERE {_sql_cos('dot', 'nq.nrm2', 'nn.nrm2')} >= 0.15
+    """,
+)
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search (llm/similarity.cosine_range_search): the COMPLETE
+    cosine ≥ 0.15 ball around each of the first 5 vectors — the
+    threshold-complete complement of top-k (dedup audits want every
+    neighbour above τ, not a fixed count). Exact quantized cosines, a
+    filter instead of a window sort, output proportional to matches."""
+    from csv2db_spark.llm import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_range_search(
+        emb, emb.where(F.col("vec_id") < 5), min_cosine=0.15
+    )

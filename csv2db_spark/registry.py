@@ -170,7 +170,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_curate_line_filter (C4 line-level cleaning + rebuild),
 # q_curate_shard_shuffle (salted deterministic shard + order),
 # q_pipeline_curation_v7 (C4 web pipeline: clean -> gopher -> shard),
-# q_events_funnel_windowed (per-step conversion-window funnel).
+# q_events_funnel_windowed (per-step conversion-window funnel),
+# q_sim_range_search (complete cosine >= tau ball, exact).
 
 
 def load_all_queries() -> dict[str, QueryDef]:
