@@ -1657,3 +1657,56 @@ def q_src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    body = ["""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    g0 AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM e0
+      UNION
+      SELECT dst AS a, src AS b FROM e0
+    )"""]
+    for r in range(1, rounds + 1):
+        body.append(f""",
+    k{r} AS MATERIALIZED (
+      SELECT a FROM g{r - 1} GROUP BY a HAVING count(*) >= {k}
+    ),
+    g{r} AS MATERIALIZED (
+      SELECT g.a, g.b FROM g{r - 1} g
+      JOIN k{r} x ON g.a = x.a
+      JOIN k{r} y ON g.b = y.a
+    )""")
+    body.append(f"""
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM g{rounds} GROUP BY a HAVING count(*) >= {k}
+    """)
+    return "".join(body)
+
+
+@query("q_graph_k_core", oracle=_kcore_oracle(3, 3))
+def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core densification (operators/graph.k_core, k=3, three peeling
+    rounds) over the supplier↔customer trade graph: nodes with fewer
+    than 3 within-core partners peel away round over round — the spam/
+    leaf-trimming step before community analysis. Peeling is confluent
+    (the core is unique), so the bounded-round result is deterministic
+    and the oracle unrolls the same three rounds; fixpoint mode (the
+    connected_components count-loop discipline) is pytest-verified.
+    O(|E|) per round."""
+    from csv2db_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, k=3, rounds=3)

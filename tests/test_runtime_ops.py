@@ -809,3 +809,29 @@ def test_funnel_windowed_gap_enforced(spark):
         for r in funnel_stages(ev, ["view", "click", "buy"]).collect()
     }
     assert all(got[s] <= strict[s] for s in got)
+
+
+def test_k_core_fixpoint_peels_tail(spark):
+    """Path 1-2-3-4-5 plus a 4-clique {10,11,12,13}: the 2-core is
+    exactly the clique (the path peels away end-in); fixpoint mode must
+    find it and report within-core degrees."""
+    from csv2db_spark.operators.graph import k_core
+
+    path = [(i, i + 1) for i in range(1, 5)]
+    clique = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges = spark.createDataFrame(path + clique, ["src", "dst"])
+    got = {r["node"]: r["degree"] for r in k_core(edges, k=2).collect()}
+    assert got == {10: 3, 11: 3, 12: 3, 13: 3}
+
+
+def test_k_core_bounded_rounds_over_approximates(spark):
+    """A long path needs many peel rounds; one round keeps interior
+    nodes (over-approximation), fixpoint empties it entirely."""
+    from csv2db_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["src", "dst"]
+    )
+    one = {r["node"] for r in k_core(edges, k=2, rounds=1).collect()}
+    assert one  # interior survives the first peel
+    assert k_core(edges, k=2).count() == 0  # fixpoint: no 2-core in a path
