@@ -747,3 +747,39 @@ def q_sink_snapshot_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "q_src_text_lines",
+    oracle="""
+    SELECT length(text) AS line_len,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT text, length(text) AS n_chars FROM documents)
+    GROUP BY length(text)
+    """,
+)
+def q_src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line source (``spark.read.text``) — how unstructured corpora
+    actually arrive before any schema exists: documents staged one per
+    line, read back as a single ``value`` column, aggregated by line
+    length. Completes the source matrix (csv/tsv/json/orc/parquet/xml/
+    binary/fixed-width/jdbc/gzip already gated). The text reader splits
+    large files on line boundaries, so this path scales like CSV."""
+    import os
+
+    staged = os.path.join(
+        "/tmp", f"c2s_textsrc_{sf_dir.strip('/').replace('/', '_')}"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    # one doc per line: fixture text has no newlines
+    docs.select("text").write.mode("overwrite").text(staged)
+    lines = spark.read.text(staged)
+    return (
+        lines.select(F.length("value").alias("line_len"))
+        .groupBy("line_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("line_len").cast("long")).alias("total_chars"),
+        )
+    )

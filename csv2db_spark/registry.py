@@ -172,7 +172,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_pipeline_curation_v7 (C4 web pipeline: clean -> gopher -> shard),
 # q_events_funnel_windowed (per-step conversion-window funnel),
 # q_sim_range_search (complete cosine >= tau ball, exact),
-# q_graph_k_core (bounded-round peeling, unrolled oracle).
+# q_graph_k_core (bounded-round peeling, unrolled oracle),
+# q_src_text_lines (spark.read.text raw line source).
 
 
 def load_all_queries() -> dict[str, QueryDef]:
