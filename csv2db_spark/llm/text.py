@@ -784,3 +784,54 @@ def zipf_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.min("freq").alias("min_freq"),
         F.max("freq").alias("max_freq"),
     )
+
+
+def code_detect(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_permille: int = 60,
+) -> DataFrame:
+    """Is-this-code routing signal — pretraining pipelines split code
+    from prose early (different tokenizers, different quality rules,
+    different mixing weights). Heuristic in the StarCoder/pile-filter
+    family, reduced to hash-exact integer arithmetic: per document,
+    permille rates of code-y characters ({}();=<>[]), of lines-that-
+    look-like-statements (end in ; { } or start with def/import/for/
+    if/class/return), and of whitespace-indented lines; the flag fires
+    when the combined evidence clears ``threshold_permille``.
+
+    All counts are regexp_count/length integers; rates are exact
+    floor-permilles; the combined score is their integer mean — no
+    floats anywhere, so flags hash-verify. Pure scan projection:
+    costs nothing at any scale."""
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    code_chars = F.regexp_count(t, F.lit(r"[{}();=<>\[\]]"))
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    stmt_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.rlike(r"[;{}]\s*$")
+            | l.rlike(r"^\s*(def |import |for |if |class |return )"),
+        )
+    )
+    indented = F.size(F.filter(lines, lambda l: l.rlike(r"^(    |\t)")))
+    # floor-permilles: floor() of the double ratio is engine-identical
+    # (positive operands well under 2^53); a bare cast would TRUNCATE on
+    # Spark but ROUND on DuckDB
+    char_permille = F.floor(code_chars * 1000 / n_chars).cast("long")
+    stmt_permille = F.floor(stmt_lines * 1000 / n_lines).cast("long")
+    indent_permille = F.floor(indented * 1000 / n_lines).cast("long")
+    score = F.floor(
+        (char_permille + stmt_permille + indent_permille) / 3
+    ).cast("long")
+    return docs.select(
+        id_col,
+        char_permille.alias("code_char_permille"),
+        stmt_permille.alias("stmt_line_permille"),
+        indent_permille.alias("indent_line_permille"),
+        score.alias("code_score_permille"),
+        (score >= threshold_permille).alias("looks_like_code"),
+    )

@@ -2283,3 +2283,78 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_range_search(
         emb, emb.where(F.col("vec_id") < 5), min_cosine=0.15
     )
+
+
+@query(
+    "q_text_code_detect",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN
+               'def main():' || chr(10) ||
+               '    for i in range(10):' || chr(10) ||
+               '        x = compute(i);' || chr(10) ||
+               '    return {x: [1, 2]};' || chr(10) || text
+             ELSE text END AS text
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text,
+             greatest(length(text), 1) AS n_chars,
+             len(regexp_extract_all(text, '[{}();=<>\\[\\]]')) AS code_chars,
+             greatest(len(string_split(text, chr(10))), 1) AS n_lines,
+             len(list_filter(string_split(text, chr(10)),
+                 l -> regexp_matches(l, '[;{}]\\s*$')
+                   OR regexp_matches(l,
+                      '^\\s*(def |import |for |if |class |return )')))
+               AS stmt_lines,
+             len(list_filter(string_split(text, chr(10)),
+                 l -> regexp_matches(l, '^(    |\\t)'))) AS indented
+      FROM staged
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(floor(code_chars * 1000 / n_chars) AS BIGINT)
+               AS code_char_permille,
+             CAST(floor(stmt_lines * 1000 / n_lines) AS BIGINT)
+               AS stmt_line_permille,
+             CAST(floor(indented * 1000 / n_lines) AS BIGINT)
+               AS indent_line_permille
+      FROM m
+    )
+    SELECT doc_id, code_char_permille, stmt_line_permille,
+           indent_line_permille,
+           CAST(floor((code_char_permille + stmt_line_permille
+                       + indent_line_permille) / 3) AS BIGINT)
+             AS code_score_permille,
+           CAST(floor((code_char_permille + stmt_line_permille
+                       + indent_line_permille) / 3) AS BIGINT) >= 60
+             AS looks_like_code
+    FROM r
+    """,
+)
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signal (llm/text.code_detect): every 10th
+    document is staged with a python-shaped preamble (statement lines,
+    indentation, brace/semicolon characters) and must flag
+    looks_like_code while plain prose stays below threshold. All
+    features are integer floor-permilles of regexp counts — flags
+    hash-verify; pure scan projection, free at any scale."""
+    from csv2db_spark.llm.text import code_detect
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit(
+                    "def main():\n    for i in range(10):\n"
+                    "        x = compute(i);\n    return {x: [1, 2]};\n"
+                ),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return code_detect(docs)

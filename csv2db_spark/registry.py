@@ -173,7 +173,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_events_funnel_windowed (per-step conversion-window funnel),
 # q_sim_range_search (complete cosine >= tau ball, exact),
 # q_graph_k_core (bounded-round peeling, unrolled oracle),
-# q_src_text_lines (spark.read.text raw line source).
+# q_src_text_lines (spark.read.text raw line source),
+# q_text_code_detect (code-vs-prose routing, integer permilles).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

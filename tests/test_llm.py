@@ -1034,3 +1034,26 @@ def test_shard_assignments_deterministic_and_salted(spark):
         by_shard[shard].append(pos)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_shard.values())
     assert set(by_shard) == set(range(8))
+
+
+def test_code_detect_separates_code_from_prose(spark):
+    from csv2db_spark.llm.text import code_detect
+
+    code = (
+        "import os\n"
+        "def f(a, b):\n"
+        "    total = a + b;\n"
+        "    if total > 0:\n"
+        "        return {total: [a, b]};\n"
+    )
+    prose = (
+        "The quiet harbor town woke slowly under a pale sky.\n"
+        "Fishermen walked to the pier and talked about the weather.\n"
+    )
+    df = spark.createDataFrame(
+        [(1, code), (2, prose)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in code_detect(df).collect()}
+    assert got[1]["looks_like_code"] is True
+    assert got[2]["looks_like_code"] is False
+    assert got[1]["code_score_permille"] > got[2]["code_score_permille"]
