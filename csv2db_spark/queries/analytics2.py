@@ -3231,3 +3231,59 @@ def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["view", "click", "purchase"],
         max_gap_hours=2,
     )
+
+
+@query(
+    "q_sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_even
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT' OR o_orderkey % 2 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic — the
+    Hive/Spark insert-overwrite semantics every backfill relies on): a
+    priority-partitioned table is fully written, then ONE partition
+    ('1-URGENT') is overwritten with a corrected slice (its even keys
+    only). Dynamic mode must replace exactly the partitions present in
+    the write and leave every other partition byte-untouched — static
+    mode would have wiped the whole table (the classic backfill
+    data-loss trap). The oracle states the expected final content; the
+    conf is set per-write and restored."""
+    import os
+
+    staged = os.path.join(
+        "/tmp", f"c2s_dynpart_{sf_dir.strip('/').replace('/', '_')}"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        staged
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            orders.where(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderkey") % 2 == 0)
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(staged)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(staged)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0)
+        ).alias("n_even"),
+    )
