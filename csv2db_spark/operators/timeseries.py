@@ -711,3 +711,40 @@ def cusum_changepoints(
             "cusum_milli",
         )
     )
+
+
+def date_spine(
+    spark,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Generated calendar dimension — the date spine every warehouse
+    joins facts against (gap-free reporting, business-day logic,
+    fiscal rollups) without maintaining a physical table: one
+    ``sequence(start, end, 1 day)`` explode plus derived fields.
+
+    TZ-free: the spine is DATE arithmetic end to end (day-of-week via
+    ``dayofweek`` on dates — no timestamp, no session-timezone
+    dependence). Generation is a single-row sequence exploded on the
+    executors; at any scale the spine is |days| rows — broadcast-sized
+    for decades of days — and joins to facts as a broadcast dimension.
+    """
+    days = F.explode(
+        F.sequence(
+            F.lit(start).cast("date"),
+            F.lit(end).cast("date"),
+            F.expr("interval 1 day"),
+        )
+    ).alias("d")
+    base = spark.range(1).select(days)
+    dow = F.dayofweek("d")  # 1=Sunday ... 7=Saturday
+    return base.select(
+        F.col("d").alias("date"),
+        F.year("d").alias("year"),
+        F.month("d").alias("month"),
+        F.dayofmonth("d").alias("day"),
+        dow.alias("day_of_week"),
+        ((dow >= 2) & (dow <= 6)).alias("is_weekday"),
+        F.quarter("d").alias("quarter"),
+        F.date_trunc("month", F.col("d")).cast("date").alias("month_start"),
+    )

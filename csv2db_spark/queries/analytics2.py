@@ -3287,3 +3287,38 @@ def q_sink_dynamic_partition_overwrite(
             F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0)
         ).alias("n_even"),
     )
+
+
+@query(
+    "q_src_date_spine",
+    oracle="""
+    SELECT strftime(d, '%Y-%m-%d') AS date,
+           CAST(year(d) AS INT) AS year,
+           CAST(month(d) AS INT) AS month,
+           CAST(day(d) AS INT) AS day,
+           CAST(dayofweek(d) + 1 AS INT) AS day_of_week,
+           dayofweek(d) + 1 BETWEEN 2 AND 6 AS is_weekday,
+           CAST(quarter(d) AS INT) AS quarter,
+           strftime(date_trunc('month', d), '%Y-%m-%d') AS month_start
+    FROM generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                         INTERVAL 1 DAY) t(d)
+    """,
+)
+def q_src_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension (operators/timeseries.date_spine):
+    the 2024 date spine with weekday/quarter/month-start fields — pure
+    DATE arithmetic, no timestamps, so it is session-timezone-free
+    under the driver's adversarial non-UTC session. DuckDB's dayofweek
+    is 0=Sunday vs Spark's 1=Sunday; the oracle shifts by one to state
+    the same calendar. |days| rows — a broadcast dimension at any
+    scale."""
+    from csv2db_spark.operators.timeseries import date_spine
+
+    spine = date_spine(spark, "2024-01-01", "2024-12-31")
+    # DATE cells render differently through pandas on the two engines
+    # (datetime.date vs datetime64) — compare as ISO strings
+    return spine.select(
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        "year", "month", "day", "day_of_week", "is_weekday", "quarter",
+        F.date_format("month_start", "yyyy-MM-dd").alias("month_start"),
+    )
