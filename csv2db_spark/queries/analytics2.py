@@ -3322,3 +3322,57 @@ def q_src_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year", "month", "day", "day_of_week", "is_weekday", "quarter",
         F.date_format("month_start", "yyyy-MM-dd").alias("month_start"),
     )
+
+
+@query(
+    "q_events_calendar_gaps",
+    oracle="""
+    WITH spine AS (
+      SELECT strftime(d, '%Y-%m-%d') AS day
+      FROM generate_series(DATE '2024-01-01', DATE '2024-02-14',
+                           INTERVAL 1 DAY) t(d)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    expected AS (SELECT event_type, day FROM types CROSS JOIN spine),
+    observed AS (
+      SELECT DISTINCT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+               AS day
+      FROM events
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_missing_days,
+           min(e.day) AS first_missing,
+           max(e.day) AS last_missing
+    FROM expected e
+    LEFT JOIN observed o
+      ON e.event_type = o.event_type AND e.day = o.day
+    WHERE o.day IS NULL
+    GROUP BY e.event_type
+    """,
+)
+def q_events_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar completeness audit — the date spine put to work: expected
+    (event_type × day) coverage for Jan 1 - Feb 14 anti-joined against
+    the days each type actually reported (events stop Jan 30, so every
+    type must surface its missing mid-February tail). The standard
+    did-the-feed-break report: a broadcast spine × |types| expectation
+    table probed by one distinct-day aggregate of the facts — the fact
+    table is scanned once, the anti-join is dimension-sized."""
+    from csv2db_spark.operators.timeseries import date_spine
+
+    ev = load_table(spark, sf_dir, "events")
+    spine = date_spine(spark, "2024-01-01", "2024-02-14").select(
+        F.date_format("date", "yyyy-MM-dd").alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    expected = types.crossJoin(F.broadcast(spine))
+    observed = ev.select(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+    ).distinct()
+    missing = expected.join(observed, ["event_type", "day"], "left_anti")
+    return missing.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_missing_days"),
+        F.min("day").alias("first_missing"),
+        F.max("day").alias("last_missing"),
+    )

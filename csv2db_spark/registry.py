@@ -176,7 +176,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_src_text_lines (spark.read.text raw line source),
 # q_text_code_detect (code-vs-prose routing, integer permilles),
 # q_sink_dynamic_partition_overwrite (backfill-exact partition replace),
-# q_src_date_spine (generated calendar dimension, TZ-free).
+# q_src_date_spine (generated calendar dimension, TZ-free),
+# q_events_calendar_gaps (spine anti-join feed-break audit).
 
 
 def load_all_queries() -> dict[str, QueryDef]:
