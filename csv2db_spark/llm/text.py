@@ -835,3 +835,34 @@ def code_detect(
         score.alias("code_score_permille"),
         (score >= threshold_permille).alias("looks_like_code"),
     )
+
+
+def sentence_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence segmentation — the unit many span-level operators want
+    (citation checks, sentence-level dedup, context packing by
+    sentence): one row per sentence with its 1-based index, plus a
+    trailing fragment row for text after the last terminator.
+
+    Deterministic rule-based splitting via regexp_extract_all of
+    '[^.!?]*[.!?]' — an EXTRACTION pattern, not a lookbehind split
+    (RE2, the oracle's engine, has no lookbehind), so both engines
+    segment identically. Pure scan projection + posexplode; no shuffle,
+    no UDF."""
+    t = F.col(text_col)
+    sents = F.regexp_extract_all(t, F.lit(r"[^.!?]*[.!?]"), 0)
+    consumed = F.length(F.array_join(sents, ""))
+    tail = F.trim(F.substring(t, consumed + 1, F.length(t)))
+    all_parts = F.when(
+        F.length(tail) > 0, F.concat(sents, F.array(tail))
+    ).otherwise(sents)
+    return docs.select(
+        id_col, F.posexplode(all_parts).alias("pos0", "sentence")
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("int").alias("sentence_idx"),
+        F.trim(F.col("sentence")).alias("sentence"),
+    ).where(F.length("sentence") > 0)

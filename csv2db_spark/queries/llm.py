@@ -2358,3 +2358,54 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return code_detect(docs)
+
+
+@query(
+    "q_text_sentence_split",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id,
+             'First thought ends here. Second one asks? Third shouts! '
+               || text AS text
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '[^.!?]*[.!?]') AS sents
+      FROM staged
+    ),
+    with_tail AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(substr(text,
+                         length(list_aggregate(sents, 'string_agg', ''))
+                           + 1))) > 0
+                  THEN list_append(sents,
+                         trim(substr(text,
+                           length(list_aggregate(sents, 'string_agg', ''))
+                             + 1)))
+                  ELSE sents END AS sents
+      FROM parts
+    )
+    SELECT doc_id, CAST(i AS INT) AS sentence_idx,
+           trim(sents[i]) AS sentence
+    FROM with_tail, unnest(range(1, len(sents) + 1)) r(i)
+    WHERE length(trim(sents[i])) > 0
+    """,
+)
+def q_text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (llm/text.sentence_split): documents staged
+    with a three-sentence preamble (period/question/exclamation
+    terminators) followed by the fixture text as the unterminated tail
+    fragment — every sentence comes back with its 1-based index, the
+    tail included. Extraction-pattern segmentation (no lookbehind — the
+    oracle's RE2 has none); pure scan projection + posexplode."""
+    from csv2db_spark.llm.text import sentence_split
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("First thought ends here. Second one asks? Third shouts! "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return sentence_split(docs)

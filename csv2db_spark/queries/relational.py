@@ -568,3 +568,61 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_near",
         F.col("view_event_id_near").alias("view_near"),
     )
+
+
+@query(
+    "q_join_not_in_null_semantics",
+    oracle="""
+    WITH dim AS (
+      SELECT CASE WHEN n_nationkey = 7 THEN NULL ELSE n_nationkey END AS nk
+      FROM nation
+    )
+    SELECT 'null_poisoned' AS variant, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_nationkey NOT IN (SELECT nk FROM dim WHERE nk IS NULL OR nk < 10)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'null_free', c_mktsegment, CAST(count(*) AS BIGINT)
+    FROM customer
+    WHERE c_nationkey NOT IN (SELECT nk FROM dim
+                              WHERE nk IS NOT NULL AND nk < 10)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NOT IN with a NULL in the subquery — the classic three-
+    valued-logic trap: one NULL makes ``x NOT IN (...)`` UNKNOWN for
+    every non-matching x, so the filter keeps NOTHING unless the
+    planner implements null-aware anti-join semantics exactly: the
+    null-poisoned branch must return ZERO groups while the null-free
+    branch (same predicate, NULLs filtered) returns the real counts —
+    both in one result so the gate is non-vacuous. Spark plans the
+    poisoned branch as a null-aware BroadcastNestedLoopJoin (bounded:
+    25-row dimension); q_tpch_q16's rewrite shows how to AVOID that
+    plan when the subquery is provably NULL-free."""
+    from csv2db_spark.sqlapi import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        WITH dim AS (
+          SELECT CASE WHEN n_nationkey = 7 THEN NULL
+                      ELSE n_nationkey END AS nk
+          FROM nation
+        )
+        SELECT 'null_poisoned' AS variant, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer
+        WHERE c_nationkey NOT IN (SELECT nk FROM dim
+                                  WHERE nk IS NULL OR nk < 10)
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'null_free', c_mktsegment, CAST(count(*) AS BIGINT)
+        FROM customer
+        WHERE c_nationkey NOT IN (SELECT nk FROM dim
+                                  WHERE nk IS NOT NULL AND nk < 10)
+        GROUP BY c_mktsegment
+        """,
+    )

@@ -177,7 +177,9 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_text_code_detect (code-vs-prose routing, integer permilles),
 # q_sink_dynamic_partition_overwrite (backfill-exact partition replace),
 # q_src_date_spine (generated calendar dimension, TZ-free),
-# q_events_calendar_gaps (spine anti-join feed-break audit).
+# q_events_calendar_gaps (spine anti-join feed-break audit),
+# q_join_not_in_null_semantics (three-valued NOT IN, both branches),
+# q_text_sentence_split (extraction-pattern segmentation + tail).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -1057,3 +1057,26 @@ def test_code_detect_separates_code_from_prose(spark):
     assert got[1]["looks_like_code"] is True
     assert got[2]["looks_like_code"] is False
     assert got[1]["code_score_permille"] > got[2]["code_score_permille"]
+
+
+def test_sentence_split_indices_and_tail(spark):
+    from csv2db_spark.llm.text import sentence_split
+
+    df = spark.createDataFrame(
+        [
+            (1, "One. Two? Three! trailing fragment"),
+            (2, "No terminator at all"),
+            (3, "Only.One."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in sentence_split(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["sentence_idx"], r["sentence"])
+        )
+    assert got[1] == [
+        (1, "One."), (2, "Two?"), (3, "Three!"), (4, "trailing fragment"),
+    ]
+    assert got[2] == [(1, "No terminator at all")]
+    assert got[3] == [(1, "Only."), (2, "One.")]
