@@ -3376,3 +3376,103 @@ def q_events_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("first_missing"),
         F.max("day").alias("last_missing"),
     )
+
+
+@query(
+    "q_curate_ccnet_sampled",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
+      FROM toks
+    ),
+    occ AS (
+      SELECT p1.doc_id, p1.tok AS a, p2.tok AS b
+      FROM pos p1
+      JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+    ),
+    ref AS (
+      SELECT o.* FROM occ o JOIN documents d USING (doc_id)
+      WHERE d.source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+    ),
+    pc AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS cnt_pair
+      FROM ref GROUP BY a, b
+    ),
+    pfx AS (
+      SELECT a, CAST(sum(cnt_pair) AS BIGINT) AS cnt_prefix
+      FROM pc GROUP BY a
+    ),
+    v AS (
+      SELECT pc.a, pc.b,
+             (1000000 * pc.cnt_pair) // pfx.cnt_prefix AS q
+      FROM pc JOIN pfx ON pc.a = pfx.a
+    ),
+    scored AS (
+      SELECT occ.doc_id,
+             CAST(sum(COALESCE(v.q, 0)) AS DOUBLE) / 1000000.0
+               / CAST(count(*) AS DOUBLE) AS avg_prob
+      FROM occ LEFT JOIN v ON occ.a = v.a AND occ.b = v.b
+      GROUP BY occ.doc_id
+    ),
+    bucketed AS (
+      SELECT s.doc_id, d.lang,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_prob DESC, s.doc_id)
+               AS ppl_bucket
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    decided AS (
+      SELECT doc_id, lang, ppl_bucket,
+             CASE
+               WHEN ppl_bucket = 1 THEN TRUE
+               WHEN ppl_bucket = 3 THEN FALSE
+               ELSE md5('ccnet-mid' || CAST(doc_id AS VARCHAR))
+                      < '80000000000000000000000000000000'
+             END AS kept
+      FROM bucketed
+    )
+    SELECT lang, ppl_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM decided GROUP BY lang, ppl_bucket
+    """,
+)
+def q_curate_ccnet_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet ACTION step on top of q_text_ccnet_buckets: keep the
+    head tercile outright, drop the tail, Bernoulli-sample the middle
+    at p=1/2 with the md5-threshold coin (llm/curation.md5_threshold —
+    a deterministic string comparison both engines evaluate
+    identically). Per (lang, bucket): total docs and kept docs — head
+    rows must show n_kept = n_docs, tail rows n_kept = 0, middle rows
+    the coin's exact outcome."""
+    from csv2db_spark.llm.curation import md5_threshold
+    from csv2db_spark.llm.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    scored = bigram_lm_scores(docs, train_docs=ref)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_next_token_prob").desc(), F.col("doc_id")
+    )
+    bucketed = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", F.ntile(3).over(w).alias("ppl_bucket")
+    )
+    coin = F.md5(
+        F.concat(F.lit("ccnet-mid"), F.col("doc_id").cast("string"))
+    ) < F.lit(md5_threshold(0.5))
+    decided = bucketed.withColumn(
+        "kept",
+        F.when(F.col("ppl_bucket") == 1, F.lit(True))
+        .when(F.col("ppl_bucket") == 3, F.lit(False))
+        .otherwise(coin),
+    )
+    return decided.groupBy("lang", "ppl_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+    )

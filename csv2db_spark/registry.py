@@ -179,7 +179,8 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_src_date_spine (generated calendar dimension, TZ-free),
 # q_events_calendar_gaps (spine anti-join feed-break audit),
 # q_join_not_in_null_semantics (three-valued NOT IN, both branches),
-# q_text_sentence_split (extraction-pattern segmentation + tail).
+# q_text_sentence_split (extraction-pattern segmentation + tail),
+# q_curate_ccnet_sampled (head-keep/middle-coin/tail-drop action).
 
 
 def load_all_queries() -> dict[str, QueryDef]:
