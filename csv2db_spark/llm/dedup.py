@@ -276,6 +276,43 @@ def minhash_doc_hashsets_xxh(
     )
 
 
+def minhash_doc_hashsets_xxh_exploded(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """All-codegen alternative to ``minhash_doc_hashsets_xxh``: the same
+    (doc_id, hset) contract built with the signature pass's exploded
+    shape — arrays_zip of shifted slices + explode + codegen xxhash64 +
+    ``collect_set`` groupBy — instead of one interpreted ``transform``
+    per row. Trades the HOF's interpreted lambda for a candidate-set
+    shuffle (collect_set); intended only for the BOUNDED post-band-join
+    doc set, where the shuffle is tiny. Kept alongside the HOF variant
+    with the sf0.1 measurement recorded in PLANS.md (round-7): whichever
+    is faster at the call site is the one the gate uses. hset element
+    ORDER differs from the HOF variant (set semantics — array_intersect
+    consumers are order-insensitive); membership is bit-identical."""
+    mask = (1 << 48) - 1
+    w = tokens(text_col)
+    m = F.size(w) - 2
+    z = F.arrays_zip(
+        F.slice(w, 1, m).alias("a"),
+        F.slice(w, 2, m).alias("b"),
+        F.slice(w, 3, m).alias("c"),
+    )
+    ex = (
+        docs.where(F.size(w) >= 3)
+        .select("doc_id", F.explode(z).alias("st"))
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.concat_ws(" ", F.col("st.a"), F.col("st.b"), F.col("st.c"))
+            )
+            .bitwiseAND(F.lit(mask))
+            .alias("h"),
+        )
+    )
+    return ex.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+
+
 def minhash_bands(sig: DataFrame, k: int = MINHASH_K, rows: int = BAND_ROWS) -> DataFrame:
     """Band table keyed by the raw row values (long columns) — the LSH
     bucket join needs no digest at all; equality on 3 longs is cheaper

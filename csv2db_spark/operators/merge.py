@@ -197,8 +197,11 @@ def apply_cdc(
     this operator."""
     keys = list(keys)
     data_cols = [c for c in base.columns if c not in keys]
+    # Tie-break by an explicit op RANK, not the op string: lexical desc
+    # would sort 'U' > 'I' > 'D' and silently drop a same-version delete.
+    op_rank = F.when(F.col(op_col) == "D", 2).otherwise(1)
     w = Window.partitionBy(*keys).orderBy(
-        F.col(version_col).desc(), F.col(op_col).desc()
+        F.col(version_col).desc(), op_rank.desc()
     )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))

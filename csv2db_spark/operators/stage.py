@@ -1,0 +1,51 @@
+"""Stage-boundary materialization for composed pipelines.
+
+A multi-stage pipeline whose intermediate feeds SEVERAL downstream
+consumers (e.g. curation v6: the dedup survivor set feeds LM training,
+LM scoring, AND the final join) must materialize that boundary once —
+otherwise every consumer re-plans the whole upstream subtree and their
+exchanges stay live simultaneously (observed heap OOM at sf0.1 in a
+long-lived session; see queries/curation.py).
+
+Two modes, because the right mechanism changes with the deployment:
+
+- ``local`` — ``DataFrame.localCheckpoint(eager=True)``: blocks cached
+  on the EXECUTORS, zero extra I/O paths to manage. Right for gate /
+  single-JVM scale, but lineage is truncated: on a real cluster an
+  executor loss kills the cached blocks AND the plan that could rebuild
+  them — the job restarts from zero.
+- ``reliable`` — stage the rows as parquet under ``path`` and re-read:
+  survives executor loss (the re-read replans from durable files), the
+  shape a 100 TB production pipeline uses between stages. Costs one
+  write+read of the stage's rows.
+
+Row-for-row equivalence of the two modes is pinned in
+tests/test_runtime_ops.py.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def materialize_stage(
+    df: DataFrame, mode: str = "local", path: str | None = None
+) -> DataFrame:
+    """Materialize a pipeline stage boundary once (see module doc).
+
+    ``mode='local'`` → eager ``localCheckpoint`` (executor-block cache;
+    fast, NOT fault-tolerant). ``mode='reliable'`` → write parquet under
+    ``path`` (a directory; a unique subdir is created per call so
+    repeated stages never collide) and return the re-read plan.
+    """
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        if not path:
+            raise ValueError("mode='reliable' requires a staging path")
+        target = f"{path.rstrip('/')}/stage-{uuid.uuid4().hex[:12]}"
+        df.write.mode("error").parquet(target)
+        return df.sparkSession.read.parquet(target)
+    raise ValueError(f"unknown materialize mode {mode!r}")

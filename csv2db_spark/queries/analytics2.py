@@ -390,12 +390,21 @@ def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigenvector bits vary with the LAPACK build, exactly the
     cross-engine variance hash gates exclude; the algebraic contracts
     (orthonormality, eigenvalue order, projected-variance identity) are
-    pinned in tests/test_analytics2.py instead."""
+    pinned in tests/test_analytics2.py instead.
+
+    The gate flattens the library's ``components`` array into ``pc0…pc7``
+    double columns: the driver's canonicalizer sorts pandas columns, and
+    an array cell is unhashable there (the r6 driver row for this gate
+    was a canonicalizer TypeError, not a Spark failure). Library users
+    keep the array API (llm/cluster.pca_project)."""
     from csv2db_spark.llm.cluster import pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
     out, _ = pca_project(emb, n_components=8)
-    return out
+    return out.select(
+        "vec_id",
+        *[F.col("components")[i].alias(f"pc{i}") for i in range(8)],
+    )
 
 
 # ------------------------------------------------------ hybrid retrieval
@@ -2517,7 +2526,7 @@ u AS (
   FROM orders WHERE o_orderkey % 5 = 0
 ),
 d AS (
-  SELECT o_orderkey, 'D' AS op, 2 AS version,
+  SELECT o_orderkey, 'D' AS op, 1 AS version,
          CAST(NULL AS VARCHAR) AS o_orderstatus,
          CAST(NULL AS DOUBLE) AS o_totalprice
   FROM orders WHERE o_orderkey % 7 = 0
@@ -2525,8 +2534,10 @@ d AS (
 ch AS (SELECT * FROM u UNION ALL SELECT * FROM d),
 latest AS (
   SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY o_orderkey
-                                 ORDER BY version DESC, op DESC) AS rn
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY version DESC,
+               CASE WHEN op = 'D' THEN 2 ELSE 1 END DESC) AS rn
     FROM ch
   ) WHERE rn = 1
 )
@@ -2547,11 +2558,12 @@ latest AS (
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consume a change-data-capture feed (operators/merge.apply_cdc):
     a synthesized I/U/D feed over orders — updates on keys % 5, deletes
-    on keys % 7 (so keys % 35 see BOTH and the higher-version delete
-    must win), inserts where the update key is absent from the base —
-    applied latest-wins. The applied snapshot is hash-compared row for
-    row. Feed compaction is one feed-sized window; the base shuffles
-    once for the full-outer join."""
+    on keys % 7 at the SAME version (so keys % 35 hit the tie-break and
+    the delete must beat the update by op rank, not lexical op order),
+    inserts where the update key is absent from the base — applied
+    latest-wins. The applied snapshot is hash-compared row for row.
+    Feed compaction is one feed-sized window; the base shuffles once
+    for the full-outer join."""
     from csv2db_spark.operators.merge import apply_cdc
 
     orders = load_table(spark, sf_dir, "orders")
@@ -2568,7 +2580,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = orders.where(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey",
         F.lit("D").alias("op"),
-        F.lit(2).alias("version"),
+        F.lit(1).alias("version"),
         F.lit(None).cast("string").alias("o_orderstatus"),
         F.lit(None).cast("double").alias("o_totalprice"),
     )

@@ -1354,10 +1354,27 @@ def q_pipeline_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     src0-src4 slice — the model never sees dropped duplicates, so
     boilerplate can't inflate its own likelihood); (3) per-language
     CCNet tail-drop (ntile(3), keep head+middle); (4) per (lang,
-    source) accounting. Every stage feeds the next lazily — one
-    Catalyst plan, no intermediate materialization."""
+    source) accounting."""
+    return curation_v6_pipeline(spark, sf_dir)
+
+
+def curation_v6_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: str = "local",
+    stage_path: str | None = None,
+) -> DataFrame:
+    """The v6 pipeline body with its stage boundary exposed:
+    ``materialize`` picks how the multi-consumer survivor set persists
+    (operators/stage.materialize_stage). The gate defaults to 'local'
+    (eager localCheckpoint — right at gate scale, but executor-cached:
+    an executor loss on a real cluster kills the truncated lineage and
+    the job restarts); a 100 TB run passes 'reliable' + a staging dir so
+    the boundary is durable parquet. Both modes are row-for-row equal
+    (tests/test_runtime_ops.py)."""
     from csv2db_spark.llm import dedup as D
     from csv2db_spark.llm.text import bigram_lm_scores
+    from csv2db_spark.operators.stage import materialize_stage
 
     docs = load_table(spark, sf_dir, "documents")
     aug = augmented_docs(spark, sf_dir)
@@ -1383,8 +1400,8 @@ def q_pipeline_curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-plans the whole containment subtree and its exchanges stay
     # live simultaneously — observed heap OOM at sf0.1 in a long-lived
     # session. Real pipelines materialize between stages for the same
-    # reason.
-    kept1 = kept1.localCheckpoint(eager=True)
+    # reason; the mode knob picks executor-cached vs durable staging.
+    kept1 = materialize_stage(kept1, mode=materialize, path=stage_path)
     ref = kept1.where(
         F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     )

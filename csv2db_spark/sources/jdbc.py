@@ -13,7 +13,28 @@ This module wraps that recipe with automatic bounds probing.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Conservative identifier grammar: optional schema qualifier, each part
+# either a bare word or already-quoted ("..." / `...`) with no embedded
+# quote characters. Everything else is refused BEFORE interpolation into
+# the pushed-down SQL — table/column names here come from config, and
+# config-driven SQL injection on the probe connection is exactly the
+# hole the reference avoids by building statements from validated
+# config (main.go flag parsing feeds pq.QuoteIdentifier).
+_IDENT_PART = r'(?:[A-Za-z_][A-Za-z0-9_$]*|"[^"]+"|`[^`]+`)'
+_IDENT_RE = re.compile(rf"^{_IDENT_PART}(?:\.{_IDENT_PART})?$")
+
+
+def _check_identifier(name: str, what: str) -> str:
+    if not _IDENT_RE.match(name):
+        raise ValueError(
+            f"unsafe {what} {name!r}: use a plain or pre-quoted SQL "
+            "identifier (optionally schema-qualified)"
+        )
+    return name
 
 
 def _probe_bounds(
@@ -31,6 +52,8 @@ def _probe_bounds(
     tries the bare spelling first and retries quoted with the dialect's
     identifier quote — covering both a pre-existing unquoted table and
     one our writer created."""
+    _check_identifier(table, "table name")
+    _check_identifier(col, "partition column")
     quote = "`" if url.startswith("jdbc:mysql") else '"'
     last: Exception | None = None
     for c in (col, f"{quote}{col}{quote}"):
@@ -79,6 +102,9 @@ def read_jdbc_table(
     Without ``partition_col`` this is the plain single-connection read —
     correct for dimension-sized tables that broadcast afterwards
     anyway."""
+    _check_identifier(table, "table name")
+    if partition_col is not None:
+        _check_identifier(partition_col, "partition column")
     reader = (
         spark.read.format("jdbc")
         .option("url", url)

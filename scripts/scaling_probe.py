@@ -60,6 +60,14 @@ DEFAULT_QUERIES = [
     "q_curate_decontaminate",
     "q_dedup_embedding_cosine",
     "q_events_sessionize",
+    # round-7 additions: the heavies that entered in round 6 (VERDICT
+    # next-round #7) — track their 100x-span growth like the headline set
+    "q_dedup_containment",
+    "q_dedup_span_trim",
+    "q_pipeline_curation_v6",
+    "q_pipeline_curation_v7",
+    "q_sink_snapshot_merge",
+    "q_stream_minhash_dedup",
 ]
 
 

@@ -812,6 +812,9 @@ def test_apply_cdc_semantics(spark):
             (5, "D", 1, None),     # delete of a key that never existed
             (1, "U", 1, "a1"),     # update...
             (1, "U", 2, "a2"),     # ...superseded by higher version
+            (6, "I", 1, "f"),      # insert...
+            (6, "U", 1, "f2"),     # ...same-version U loses to the D below
+            (6, "D", 1, None),     # same-version tie: D beats I/U
         ],
         "k bigint, op string, version int, v string",
     )

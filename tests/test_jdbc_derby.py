@@ -241,3 +241,27 @@ def test_partitioned_read_empty_table(spark, durl):
     write_jdbc(df, durl, "T_EMPTY", TableMode.CREATE)
     out = read_jdbc_table(spark, durl, "T_EMPTY", partition_col="a")
     assert out.count() == 0
+
+
+def test_jdbc_identifier_injection_refused(spark, durl):
+    """Table/column names reach pushed-down SQL by interpolation; a
+    crafted value must be refused BEFORE any connection is made."""
+    import pytest
+
+    from csv2db_spark.sources import read_jdbc_table
+    from csv2db_spark.sources.jdbc import _check_identifier
+
+    for bad in (
+        "t; DROP TABLE x--",
+        "t) UNION SELECT password FROM users --",
+        't" FROM x; --',
+        "a.b.c.d",
+        "",
+    ):
+        with pytest.raises(ValueError, match="unsafe"):
+            read_jdbc_table(spark, durl, bad)
+        with pytest.raises(ValueError, match="unsafe"):
+            read_jdbc_table(spark, durl, "T_PART", partition_col=bad)
+    # legitimate spellings all pass: bare, qualified, pre-quoted
+    for ok in ("t1", "app.t1", '"Weird Name"', "`back tick`", '"S"."T"'):
+        assert _check_identifier(ok, "table name") == ok

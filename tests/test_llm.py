@@ -1080,3 +1080,18 @@ def test_sentence_split_indices_and_tail(spark):
     ]
     assert got[2] == [(1, "No terminator at all")]
     assert got[3] == [(1, "Only."), (2, "One.")]
+
+
+def test_xxh_hashsets_exploded_variant_set_identical(spark, sf_dir):
+    """The all-codegen exploded hashset builder must produce the SAME
+    sets as the HOF variant for every doc (element order is free)."""
+    docs = augmented_docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    hof = {
+        r.doc_id: sorted(r.hset)
+        for r in D.minhash_doc_hashsets_xxh(docs).collect()
+    }
+    expl = {
+        r.doc_id: sorted(r.hset)
+        for r in D.minhash_doc_hashsets_xxh_exploded(docs).collect()
+    }
+    assert hof == expl and hof

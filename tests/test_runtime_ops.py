@@ -835,3 +835,37 @@ def test_k_core_bounded_rounds_over_approximates(spark):
     one = {r["node"] for r in k_core(edges, k=2, rounds=1).collect()}
     assert one  # interior survives the first peel
     assert k_core(edges, k=2).count() == 0  # fixpoint: no 2-core in a path
+
+
+# --------------------------------------------- stage-boundary materialization
+
+
+def test_materialize_stage_modes_row_for_row_equal(spark, sf_dir, tmp_path):
+    """The v6 pipeline's stage boundary must produce identical results
+    under executor-cached (local) and durable-parquet (reliable)
+    staging — the knob changes fault-tolerance, never semantics."""
+    from csv2db_spark.queries.curation import curation_v6_pipeline
+
+    key = lambda df: sorted(
+        tuple(r) for r in df.collect()
+    )
+    local = key(curation_v6_pipeline(spark, sf_dir, materialize="local"))
+    reliable = key(
+        curation_v6_pipeline(
+            spark, sf_dir, materialize="reliable", stage_path=str(tmp_path)
+        )
+    )
+    assert local == reliable and local
+
+
+def test_materialize_stage_validation(spark):
+    import pytest
+
+    from csv2db_spark.operators.stage import materialize_stage
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="staging path"):
+        materialize_stage(df, mode="reliable")
+    with pytest.raises(ValueError, match="unknown"):
+        materialize_stage(df, mode="weird")
+    assert materialize_stage(df, mode="local").count() == 3

@@ -46,7 +46,7 @@ def test_orphans_invisible_and_reported(spark, table):
     assert table.current_version() == 1
     assert table.read().count() == 4  # reader never sees the orphans
     orphans = table.orphan_files()
-    assert orphans and all(o.startswith("data/c2/") for o in orphans)
+    assert orphans and all(o.startswith("data/c2-") for o in orphans)
 
 
 def test_snapshot_isolation_under_concurrent_commit(spark, table):
@@ -100,8 +100,8 @@ def test_vacuum_retains_head_and_reclaims(spark, table):
     deleted = table.vacuum(retain_last=1)
     assert table.versions() == [2]
     assert table.read().count() == 2            # head intact
-    assert any(d.startswith("data/c1/") for d in deleted)   # old version gone
-    assert any(d.startswith("data/c9/") for d in deleted)   # orphans gone
+    assert any(d.startswith("data/c1-") for d in deleted)   # old version gone
+    assert any(d.startswith("data/c9-") for d in deleted)   # orphans gone
     assert table.orphan_files() == []
     with pytest.raises(NoSuchVersion):
         table.read(1)
@@ -490,3 +490,113 @@ def test_read_as_of_legacy_manifest_without_timestamp(spark, tmp_path):
     m.write_text(json.dumps(body))
     assert t.version_as_of(0.0) == 1
     assert t.read_as_of(0.0).count() == 5
+
+
+# ------------------------------------------- round-7 hardening regressions
+
+
+def test_racing_writers_never_share_a_staging_dir(spark, table):
+    """Two writers both computing nxt = head + 1 must stage into
+    DIFFERENT directories: with a version-keyed staging dir the second
+    writer's write deletes the first's part files, so the O_EXCL publish
+    winner can reference files the loser just destroyed — a permanently
+    broken version."""
+    table.create(spark.range(3).toDF("id"))
+    # writer A stages its commit for v2 ...
+    a_files = table._write_commit_files(spark.range(10, 14).toDF("id"), 2)
+    # ... then writer B (same computed version) stages ITS commit for v2
+    b_files = table._write_commit_files(spark.range(20, 22).toDF("id"), 2)
+    assert set(a_files).isdisjoint(b_files)
+    # A wins the publish; its version must be fully readable
+    table._publish(2, "append", table._manifest(1)["files"] + a_files)
+    assert sorted(r.id for r in table.read(2).collect()) == [
+        0, 1, 2, 10, 11, 12, 13,
+    ]
+    # B loses cleanly; its staged files are invisible orphans
+    with pytest.raises(SnapshotConflict):
+        table._publish(2, "append", table._manifest(1)["files"] + b_files)
+    assert set(table.orphan_files()) == set(b_files)
+
+
+def test_vacuum_preserves_stream_batch_markers(spark, table):
+    """A vacuum between a streaming sink write and a foreachBatch replay
+    must not forget which batch ids were applied: markers from aged-out
+    manifests fold into _snapshots/stream_markers.json and still block
+    the replay (else the batch double-applies)."""
+    table.append_stream_batch(spark.range(0, 3).toDF("id"), 0)
+    table.append_stream_batch(spark.range(3, 5).toDF("id"), 1)
+    table.overwrite(spark.range(100, 104).toDF("id"))
+    table.vacuum(retain_last=1)  # both stream-append manifests age out
+    assert table.versions() == [3]
+    # replayed batches are STILL skipped after their manifests are gone
+    assert table.append_stream_batch(spark.range(0, 3).toDF("id"), 0) is None
+    assert table.append_stream_batch(spark.range(3, 5).toDF("id"), 1) is None
+    assert table.read().count() == 4
+
+
+def test_merge_stream_batch_marker_survives_vacuum(spark, table):
+    src = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    table.merge_stream_batch(src, 0, "k")
+    table.overwrite(spark.createDataFrame([(9, 9.0)], "k long, v double"))
+    table.vacuum(retain_last=1)
+    assert table.merge_stream_batch(src, 0, "k") is None  # replay blocked
+    assert {r.k for r in table.read().collect()} == {9}
+
+
+def test_delete_and_merge_on_percent_encoded_table_path(spark, tmp_path):
+    """input_file_name() returns percent-encoded file: URIs; a table
+    path with a space must still classify affected files correctly in
+    delete_where / merge_into (else deletes silently survive and merges
+    duplicate keys)."""
+    t = SnapshotTable(spark, str(tmp_path / "dir with space" / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "k long, v double"
+        ).repartition(2)
+    )
+    t.delete_where(F.col("k") >= 6)
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4, 5]
+    src = spark.createDataFrame([(0, 99.0), (50, 50.0)], "k long, v double")
+    t.merge_into(src, "k")
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[0] == 99.0 and got[50] == 50.0 and len(got) == 7
+
+
+def test_concurrent_appenders_lose_nothing(spark, tmp_path):
+    """End-to-end multi-writer protocol: N threads race commit_with_retry
+    appends against one table. Every row must survive (no writer may
+    destroy another's staged files) and versions must be a clean
+    1..N+1 chain."""
+    import threading
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(0, 10).toDF("id"))
+    errors: list[Exception] = []
+
+    def writer(lo: int) -> None:
+        try:
+            t.commit_with_retry(
+                lambda tab: tab.append(
+                    spark.range(lo, lo + 10).toDF("id")
+                ),
+                retries=16,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(100 * (i + 1),))
+        for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    assert t.versions() == [1, 2, 3, 4, 5]
+    ids = sorted(r.id for r in t.read().collect())
+    want = sorted(
+        list(range(10))
+        + [100 * (i + 1) + j for i in range(4) for j in range(10)]
+    )
+    assert ids == want  # nothing lost, nothing duplicated
