@@ -285,11 +285,12 @@ def minhash_doc_hashsets_xxh_exploded(
     ``collect_set`` groupBy — instead of one interpreted ``transform``
     per row. Trades the HOF's interpreted lambda for a candidate-set
     shuffle (collect_set); intended only for the BOUNDED post-band-join
-    doc set, where the shuffle is tiny. Kept alongside the HOF variant
-    with the sf0.1 measurement recorded in PLANS.md (round-7): whichever
-    is faster at the call site is the one the gate uses. hset element
-    ORDER differs from the HOF variant (set semantics — array_intersect
-    consumers are order-insensitive); membership is bit-identical."""
+    doc set, where the shuffle is tiny. Measured at sf0.1 (PLANS.md
+    round-7): 2.31 s vs 3.28 s end-to-end for the xxh LSH gate, same
+    pair set — this is now the gate's default; the HOF variant stays
+    for zero-shuffle call sites. hset element ORDER differs from the
+    HOF variant (set semantics — array_intersect consumers are
+    order-insensitive); membership is bit-identical."""
     mask = (1 << 48) - 1
     w = tokens(text_col)
     m = F.size(w) - 2

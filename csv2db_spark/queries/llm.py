@@ -237,8 +237,9 @@ def q_dedup_minhash_lsh_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle budget vs the md5 twin: signatures carry only the K mins
     (96 B/doc; the md5 twin's per-doc hash sets ride its zero-shuffle
     Arrow pass for free), and exact-verify hash sets are recomputed
-    per-row ONLY for docs surviving the band join — a broadcast
-    semi-filter of the corpus — so nothing set-sized ever shuffles.
+    ONLY for docs surviving the band join — a broadcast semi-filter of
+    the corpus — so the one set-sized shuffle (the exploded builder's
+    collect_set) is bounded by the candidate set, never the corpus.
     Single-node the two are within ~25% of each other (measured at
     sf0.1; the md5 Arrow pass is NOT the bottleneck — see PLANS.md
     round-6 profiling); this path exists for clusters where Python
@@ -255,7 +256,12 @@ def q_dedup_minhash_lsh_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    hs = D.minhash_doc_hashsets_xxh(docs.join(F.broadcast(ids), "doc_id"))
+    # exploded (all-codegen) hashset build: measured 2.31 s vs 3.28 s
+    # for the interpreted-HOF variant end-to-end at sf0.1, identical
+    # pair set — PLANS.md round-7 xxh measurement
+    hs = D.minhash_doc_hashsets_xxh_exploded(
+        docs.join(F.broadcast(ids), "doc_id")
+    )
     sa = hs.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
     sb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
     inter = F.size(F.array_intersect("ha", "hb"))
