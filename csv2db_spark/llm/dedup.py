@@ -60,27 +60,32 @@ def shingle_table(
 ) -> DataFrame:
     """Word n-grams per document as rows (doc_id, s).
 
-    Built via posexplode + window ``lead`` rather than a higher-order
-    ``transform`` lambda: HOF lambda bodies evaluate interpreted
-    (outside whole-stage codegen) and measured ~4x slower. The window
-    shuffle keys on doc_id — bounded per-document work, no skew risk at
-    scale for normal document lengths.
+    Built ZERO-SHUFFLE in whole-stage codegen: arrays_zip of n shifted
+    array slices + explode + concat_ws, all per-row expressions. Two
+    earlier shapes lost: a higher-order ``transform`` lambda evaluates
+    interpreted (~4x slower, measured round 5), and posexplode + window
+    ``lead`` pays a per-doc window SHUFFLE before the consumer's own
+    (round-7 measurement in PLANS.md: the zip shape cut the containment
+    gate's shingle stage shuffle out entirely). Same idiom as
+    ``minhash_doc_signatures_xxh``'s signature pass.
 
     ``distinct=False`` skips the per-doc dedup shuffle — correct for any
     duplicate-insensitive consumer (min-hash aggregation); set consumers
     (Jaccard) dedup their own, typically much smaller, slice."""
     toks = tokens(text_col)
-    tok = docs.select(
-        "doc_id",
-        F.size(toks).alias("ntok"),
-        F.posexplode(toks).alias("pos", "tok"),
+    m = F.size(toks) - (n - 1)
+    z = F.arrays_zip(
+        *[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(n)]
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
     out = (
-        tok.withColumn("s", F.concat_ws(" ", *grams))
-        .where(F.col("pos") <= F.col("ntok") - n)
-        .select("doc_id", "s")
+        docs.where(F.size(toks) >= n)
+        .select("doc_id", F.explode(z).alias("st"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.col(f"st.t{j}") for j in range(n)]
+            ).alias("s"),
+        )
     )
     return out.dropDuplicates(["doc_id", "s"]) if distinct else out
 
