@@ -18,6 +18,20 @@ QUERIES = load_all_queries()
 def test_query_parity(name, spark, duck, sf_dir):
     qd = QUERIES[name]
     sdf = qd.fn(spark, sf_dir)
+    # Driver-canonicalizer contract: the driver sorts pandas columns to
+    # hash them, and non-scalar cells are unhashable there (an array
+    # column crashed the r6 driver row for q_embed_pca_project). Every
+    # gate output must be scalar-typed — flatten in the GATE, keep rich
+    # types in the library API.
+    exotic = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if any(
+            k in f.dataType.simpleString()
+            for k in ("array", "map<", "struct", "binary")
+        )
+    ]
+    assert not exotic, f"non-scalar gate output columns: {exotic}"
     pdf = sdf.toPandas()
     if qd.oracle is None:
         # rows-only check, mirroring the driver's weaker path
