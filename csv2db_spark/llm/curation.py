@@ -67,6 +67,62 @@ def decontaminate_ngram(
     )
 
 
+def decontaminate_semantic(
+    corpus_vecs: DataFrame,
+    benchmark_vecs: DataFrame,
+    tau: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark-contamination report — the semantic
+    complement of ``decontaminate_ngram`` (paraphrased or lightly
+    reworded benchmark leakage shares no n-grams but lands next to the
+    benchmark in embedding space; SemDeDup-era pipelines screen both).
+
+    For EVERY corpus vector: its single most-similar benchmark vector
+    (exact cosine, quantized-long dot per llm/similarity.quantize so
+    the doubles hash bit-identically cross-engine), and whether that
+    similarity clears ``tau`` (the drop/down-weight verdict). Returns
+    (vec_id, best_bench_id, best_cos, contaminated).
+
+    Plan shape for 100 TB: the benchmark side is small by definition —
+    it rides BROADCAST into one corpus scan (|corpus|x|bench| codegen
+    fold work, zero corpus shuffle); the per-vector argmax is a
+    map-side-combinable max(struct) aggregate keyed on the corpus id,
+    NOT a window. Ties break to the smallest benchmark id
+    (struct max on (cos, -bench_id))."""
+    from csv2db_spark.llm.similarity import (
+        cos_from_parts,
+        dot_iv,
+        quantize,
+    )
+
+    c = quantize(corpus_vecs, id_col, vec_col, "vec_id", "c_")
+    b = quantize(benchmark_vecs, id_col, vec_col, "bench_id", "b_")
+    scored = c.crossJoin(F.broadcast(b)).select(
+        "vec_id",
+        "bench_id",
+        cos_from_parts(
+            dot_iv(F.col("c_iv"), F.col("b_iv")),
+            F.col("c_nrm2"),
+            F.col("b_nrm2"),
+        ).alias("cos_sim"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos_sim"), (-F.col("bench_id")).alias("neg_bench")
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.neg_bench")).alias("best_bench_id"),
+        F.col("m.cos_sim").alias("best_cos"),
+        (F.col("m.cos_sim") >= F.lit(tau)).alias("contaminated"),
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, k: int, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -57,6 +57,57 @@ def q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_curate_decontaminate_semantic",
+    oracle="""
+    WITH iq AS (
+      SELECT vec_id, r.i,
+             CAST(CAST(CAST(embedding[r.i] AS DOUBLE) AS DECIMAL(9,8))
+                  * 100000000 AS BIGINT) AS q
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    nrm AS (SELECT vec_id, sum(q * q) AS nrm2 FROM iq GROUP BY vec_id),
+    dots AS (
+      SELECT c.vec_id, b.vec_id AS bench_id, sum(c.q * b.q) AS dot
+      FROM iq c JOIN iq b ON c.i = b.i
+      WHERE b.vec_id % 100 = 0 AND c.vec_id % 100 <> 0
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.vec_id, d.bench_id,
+             (CAST(d.dot AS DOUBLE) / 1e16)
+               / (sqrt(CAST(nc.nrm2 AS DOUBLE) / 1e16)
+                  * sqrt(CAST(nb.nrm2 AS DOUBLE) / 1e16)) AS cos_sim
+      FROM dots d
+      JOIN nrm nc ON nc.vec_id = d.vec_id
+      JOIN nrm nb ON nb.vec_id = d.bench_id
+    )
+    SELECT vec_id, bench_id AS best_bench_id, cos_sim AS best_cos,
+           cos_sim >= 0.8 AS contaminated
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_curate_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (llm/curation.decontaminate_semantic): every 100th vector plays the
+    held-out benchmark; EVERY other corpus vector reports its most
+    similar benchmark vector (exact quantized-long cosine — the same
+    hash-stable arithmetic as q_sim_cosine_topk) and whether it clears
+    tau = 0.8. The semantic complement of q_curate_decontaminate:
+    paraphrased leakage shares no n-grams but lands next to the
+    benchmark in embedding space. Scale shape: the benchmark broadcasts
+    into one corpus scan; the per-vector argmax is a map-side
+    max(struct) aggregate, never a corpus window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 100 == 0)
+    corpus = emb.where(F.col("vec_id") % 100 != 0)
+    return C.decontaminate_semantic(corpus, bench, tau=0.8)
+
+
+@query(
     "q_curate_stratified_sample",
     oracle="""
     SELECT doc_id, lang, source, n_chars

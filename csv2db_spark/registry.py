@@ -179,7 +179,11 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_events_calendar_gaps (spine anti-join feed-break audit),
 # q_join_not_in_null_semantics (three-valued NOT IN, both branches),
 # q_text_sentence_split (extraction-pattern segmentation + tail),
-# q_curate_ccnet_sampled (head-keep/middle-coin/tail-drop action).
+# q_curate_ccnet_sampled (head-keep/middle-coin/tail-drop action);
+# (new in round 7, sf0.001/0.01/0.1-verified before registration)
+# q_curate_decontaminate_semantic (embedding-space benchmark
+#   contamination: broadcast bench, exact quantized cosine, map-side
+#   argmax — the semantic complement of q_curate_decontaminate).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -1095,3 +1095,25 @@ def test_xxh_hashsets_exploded_variant_set_identical(spark, sf_dir):
         for r in D.minhash_doc_hashsets_xxh_exploded(docs).collect()
     }
     assert hof == expl and hof
+
+
+def test_decontaminate_semantic_argmax_tiebreak_and_flag(spark):
+    """Per-vector best benchmark neighbour: exact argmax, smallest
+    bench_id on cosine ties, tau flag on the winning similarity."""
+    from csv2db_spark.llm.curation import decontaminate_semantic
+
+    mk = lambda rows: spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bench = mk([(100, [1.0, 0.0]), (200, [1.0, 0.0]), (300, [0.0, 1.0])])
+    corpus = mk([
+        (1, [2.0, 0.0]),    # cos 1.0 vs BOTH 100 and 200 -> tie -> 100
+        (2, [0.0, 5.0]),    # best = 300 at cos 1.0
+        (3, [1.0, 1.0]),    # cos ~0.707 everywhere -> tie -> 100, clean
+    ])
+    got = {
+        r.vec_id: (r.best_bench_id, round(r.best_cos, 6), r.contaminated)
+        for r in decontaminate_semantic(corpus, bench, tau=0.8).collect()
+    }
+    assert got[1] == (100, 1.0, True)
+    assert got[2] == (300, 1.0, True)
+    assert got[3][0] == 100 and got[3][2] is False
+    assert abs(got[3][1] - 0.707107) < 1e-5
