@@ -130,6 +130,48 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ------------------------------------------------- encoding anomalies
+
+
+# Mojibake / decode-damage signatures. Same portability rule as
+# PII_PATTERNS (llm/curation.py): character classes and literals only —
+# identical semantics in Java regex (Spark) and RE2 (DuckDB).
+# - replacement: U+FFFD, what a lossy decode leaves behind.
+# - c1_control: U+0080-U+009F — bytes 0x80-0x9F decoded as latin-1;
+#   never legitimate in clean text.
+# - double_utf8: 'Ã' + [U+0080-U+00BF] — a UTF-8 lead byte 0xC3 and its
+#   continuation byte each decoded as one latin-1 char (é -> 'Ã©').
+# - win1252_punct: 'â€' — UTF-8 punctuation (0xE2 0x80 ..) misdecoded
+#   as cp1252 ("don't" -> 'donâ€™t').
+MOJIBAKE_PATTERNS: dict[str, str] = {
+    "replacement": "\ufffd",
+    "c1_control": "[\u0080-\u009f]",
+    "double_utf8": "\u00c3[\u0080-\u00bf]",
+    "win1252_punct": "\u00e2\u20ac",
+}
+
+
+def encoding_anomaly_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mojibake / decode-damage counts — the encoding-quality
+    filter every web-corpus pipeline runs before training (documents that
+    survived a wrong-charset decode poison the token distribution with
+    garbage code points that n-gram quality scores barely notice).
+
+    One codegen'd ``regexp_count`` column per signature + an any-hit
+    flag: a pure scan projection, zero shuffle, the same plan class as
+    ``pii_counts``."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat in MOJIBAKE_PATTERNS.items()
+    ]
+    out = docs.select("doc_id", "source", *counts)
+    total = None
+    for name in MOJIBAKE_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("is_mojibake", total > 0)
+
+
 # ----------------------------------------------------- pandas-UDF token stats
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from csv2db_spark.functions.numeric import dsum
 from csv2db_spark.llm import curation as C
 from csv2db_spark.llm.corpus import SQL_AUG, SQL_SHINGLES, augmented_docs
+from csv2db_spark.llm.text import MOJIBAKE_PATTERNS, encoding_anomaly_counts
 from csv2db_spark.operators.sessions import sessionize
 from csv2db_spark.registry import query
 from csv2db_spark.sources import load_table
@@ -105,6 +106,92 @@ def q_curate_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFra
     bench = emb.where(F.col("vec_id") % 100 == 0)
     corpus = emb.where(F.col("vec_id") % 100 != 0)
     return C.decontaminate_semantic(corpus, bench, tau=0.8)
+
+
+_MOJI_REPL = "\ufffd"
+_MOJI_CAFE = "caf\u00c3\u00a9"            # 'caf\u00e9' double-encoded
+_MOJI_APOS = "don\u00e2\u20ac\u2122t"     # "don't" UTF-8 read as cp1252
+_MOJI_C1 = "x\u0085y"                      # stray C1 control (NEL)
+
+
+def _moji_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic decode-damage injections (mirrored
+    verbatim in the oracle CTE below, same style as _pii_docs)."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 19 == 0, F.lit(f" bad{_MOJI_REPL}decode")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 23 == 0, F.lit(f" {_MOJI_CAFE}")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 29 == 0, F.lit(f" {_MOJI_APOS}")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 31 == 0, F.lit(f" {_MOJI_C1}")).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.select("doc_id", "source", txt.alias("text"))
+
+
+@query(
+    "q_curate_encoding_anomalies",
+    oracle=f"""
+    WITH mdocs AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 19 = 0 THEN ' bad{_MOJI_REPL}decode'
+                     ELSE '' END
+             || CASE WHEN doc_id % 23 = 0 THEN ' {_MOJI_CAFE}' ELSE '' END
+             || CASE WHEN doc_id % 29 = 0 THEN ' {_MOJI_APOS}' ELSE '' END
+             || CASE WHEN doc_id % 31 = 0 THEN ' {_MOJI_C1}' ELSE '' END
+             AS text
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text,
+                 '{MOJIBAKE_PATTERNS["replacement"]}')) AS n_replacement,
+             len(regexp_extract_all(text,
+                 '{MOJIBAKE_PATTERNS["c1_control"]}')) AS n_c1_control,
+             len(regexp_extract_all(text,
+                 '{MOJIBAKE_PATTERNS["double_utf8"]}')) AS n_double_utf8,
+             len(regexp_extract_all(text,
+                 '{MOJIBAKE_PATTERNS["win1252_punct"]}')) AS n_win1252_punct
+      FROM mdocs
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_replacement) AS BIGINT) AS total_replacement,
+           CAST(sum(n_c1_control) AS BIGINT) AS total_c1_control,
+           CAST(sum(n_double_utf8) AS BIGINT) AS total_double_utf8,
+           CAST(sum(n_win1252_punct) AS BIGINT) AS total_win1252_punct,
+           CAST(sum(CASE WHEN n_replacement + n_c1_control + n_double_utf8
+                              + n_win1252_punct > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def q_curate_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / decode-damage census per source
+    (llm/text.encoding_anomaly_counts) over a deterministically
+    decode-damaged corpus (U+FFFD, C1 controls, latin-1-double-encoded
+    UTF-8, cp1252-misdecoded punctuation): the encoding-quality filter a
+    web pipeline runs before training. Pure regexp_count scan
+    projection + one map-side aggregate; the hash pins every signature
+    pattern's cross-engine semantics."""
+    per_doc = encoding_anomaly_counts(_moji_docs(spark, sf_dir))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_replacement").alias("total_replacement"),
+        F.sum("n_c1_control").alias("total_c1_control"),
+        F.sum("n_double_utf8").alias("total_double_utf8"),
+        F.sum("n_win1252_punct").alias("total_win1252_punct"),
+        F.sum(F.col("is_mojibake").cast("long")).alias("n_docs_flagged"),
+    )
 
 
 @query(

@@ -183,7 +183,10 @@ CHECK_FIRST: tuple[str, ...] = (
 # (new in round 7, sf0.001/0.01/0.1-verified before registration)
 # q_curate_decontaminate_semantic (embedding-space benchmark
 #   contamination: broadcast bench, exact quantized cosine, map-side
-#   argmax — the semantic complement of q_curate_decontaminate).
+#   argmax — the semantic complement of q_curate_decontaminate);
+# q_curate_encoding_anomalies (mojibake/decode-damage census: U+FFFD,
+#   C1 controls, double-encoded UTF-8, cp1252 punctuation — portable
+#   regexp signatures hash-pinned cross-engine).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

@@ -1117,3 +1117,30 @@ def test_decontaminate_semantic_argmax_tiebreak_and_flag(spark):
     assert got[2] == (300, 1.0, True)
     assert got[3][0] == 100 and got[3][2] is False
     assert abs(got[3][1] - 0.707107) < 1e-5
+
+
+def test_encoding_anomaly_counts_signatures(spark):
+    """Each mojibake signature fires on its canonical damage and stays
+    silent on clean text."""
+    from csv2db_spark.llm.text import encoding_anomaly_counts
+
+    rows = [
+        (1, "w", "clean plain ascii text"),
+        (2, "w", "lossy \ufffd here and \ufffd there"),
+        (3, "w", "caf\u00c3\u00a9 na\u00c3\u00afve"),       # double-encoded
+        (4, "w", "don\u00e2\u20ac\u2122t \u00e2\u20ac\u0153quote"),  # cp1252
+        (5, "w", "stray x\u0085y control"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: (
+            r.n_replacement, r.n_double_utf8,
+            r.n_win1252_punct, r.n_c1_control, r.is_mojibake,
+        )
+        for r in encoding_anomaly_counts(df).collect()
+    }
+    assert got[1] == (0, 0, 0, 0, False)
+    assert got[2][0] == 2 and got[2][4] is True
+    assert got[3][1] == 2 and got[3][4] is True
+    assert got[4][2] == 2 and got[4][4] is True
+    assert got[5][3] == 1 and got[5][4] is True
