@@ -83,8 +83,10 @@ CHECK_FIRST: tuple[str, ...] = (
 )
 # Historical ledger — gates registered in round 6 with one-line intent
 # descriptions (kept for the judge; driver rows arrive as the rotation
-# reaches them). Gates newly registered in round 7+ join the back of
-# the never-checked queue in registration order:
+# reaches them). Gates newly registered in round 7+ join the
+# never-checked pool at their module-import position; each future
+# window is recomputed as registry order minus the CORRECTNESS_r*.json
+# union minus the rows-only names, so position is cosmetic:
 # q_sink_zstd_roundtrip, q_sink_partition_append,
 # q_embed_drift, q_stream_attribution, q_text_kwic_snippets;
 # (new in round 6) q_dedup_minhash_lsh_xxh (rows-only),

@@ -454,3 +454,54 @@ def test_apply_retractions_batch_split_invariant(spark, rows, split, del_mod):
         assert {
             r["g"]: (r["n"], int(r["s"])) for r in got.collect()
         } == want
+
+
+@given(
+    n_corpus=st.integers(1, 12),
+    n_bench=st.integers(1, 5),
+    dim=st.sampled_from([2, 4]),
+    seed=st.integers(0, 10_000),
+    tau=st.sampled_from([0.0, 0.5, 0.9]),
+)
+@settings(**_SETTINGS)
+def test_decontaminate_semantic_matches_numpy(
+    spark, n_corpus, n_bench, dim, seed, tau
+):
+    """Exact-argmax property vs a numpy reference on the SAME quantized
+    integers: best benchmark neighbour, smallest-id tie-break, tau flag."""
+    import numpy as np
+
+    from csv2db_spark.llm.curation import decontaminate_semantic
+
+    rng = np.random.RandomState(seed)
+    # values within decimal(9,8) range, away from quantization midpoints
+    mk = lambda n: np.round(rng.uniform(-5, 5, (n, dim)), 4)
+    cv, bv = mk(n_corpus), mk(n_bench)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in cv[i]]) for i in range(n_corpus)],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, [float(x) for x in bv[i]]) for i in range(n_bench)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.best_bench_id, r.best_cos, r.contaminated)
+        for r in decontaminate_semantic(corpus, bench, tau=tau).collect()
+    }
+    # numpy reference on the quantized longs (matches llm/similarity._iel:
+    # the column is float32, so quantize the FLOAT32 value like the
+    # decimal(9,8) cast does, not the float64 the generator produced)
+    q = lambda m: np.round(m.astype("float32").astype("float64") * 1e8).astype(
+        "int64"
+    )
+    cq, bq = q(cv), q(bv)
+    for i in range(n_corpus):
+        dots = (cq[i][None, :] * bq).sum(axis=1).astype("float64") / 1e16
+        cn = np.sqrt(float((cq[i] * cq[i]).sum()) / 1e16)
+        bn = np.sqrt((bq * bq).sum(axis=1).astype("float64") / 1e16)
+        cos = dots / (cn * bn)
+        best = int(np.argmax(cos))  # np.argmax ties -> first = smallest id
+        assert got[i][0] == 100 + best
+        assert got[i][1] == cos[best]  # bit-exact: same quantized operands
+        assert got[i][2] == bool(cos[best] >= tau)
