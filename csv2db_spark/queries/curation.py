@@ -1873,3 +1873,90 @@ def q_pipeline_curation_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+
+@query(
+    "q_pipeline_curation_v8",
+    oracle=f"""
+    WITH mdocs AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 19 = 0 THEN ' bad{_MOJI_REPL}decode'
+                     ELSE '' END
+             || CASE WHEN doc_id % 23 = 0 THEN ' {_MOJI_CAFE}' ELSE '' END
+             || CASE WHEN doc_id % 29 = 0 THEN ' {_MOJI_APOS}' ELSE '' END
+             || CASE WHEN doc_id % 31 = 0 THEN ' {_MOJI_C1}' ELSE '' END
+             AS text
+      FROM documents
+    ),
+    clean AS (
+      SELECT * FROM mdocs
+      WHERE len(regexp_extract_all(text,
+              '{MOJIBAKE_PATTERNS["replacement"]}'))
+          + len(regexp_extract_all(text,
+              '{MOJIBAKE_PATTERNS["c1_control"]}'))
+          + len(regexp_extract_all(text,
+              '{MOJIBAKE_PATTERNS["double_utf8"]}'))
+          + len(regexp_extract_all(text,
+              '{MOJIBAKE_PATTERNS["win1252_punct"]}')) = 0
+    ),
+    toksc AS (SELECT doc_id, string_split(text, ' ') AS t FROM clean),
+    shc AS (SELECT doc_id, {SQL_SHINGLES.format(t="t")} AS s FROM toksc),
+    exc AS (SELECT doc_id, unnest(s) AS s FROM shc),
+    bsh AS (SELECT DISTINCT s FROM exc WHERE doc_id % 97 = 0),
+    cex AS (SELECT doc_id, s FROM exc WHERE doc_id % 97 <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM cex GROUP BY doc_id),
+    ov AS (
+      SELECT cex.doc_id, count(*) AS n_ov
+      FROM cex JOIN bsh ON cex.s = bsh.s GROUP BY cex.doc_id
+    ),
+    contaminated AS (
+      SELECT o.doc_id FROM ov o JOIN sizes z ON z.doc_id = o.doc_id
+      WHERE CAST(o.n_ov AS DOUBLE) / z.n_sh >= 0.05
+    ),
+    kept AS (
+      SELECT c.doc_id, c.source, c.text FROM clean c
+      WHERE c.doc_id % 97 <> 0
+        AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def q_pipeline_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v8 — the round-7 operators composed end to end
+    and replayed stage-for-stage by one SQL oracle: (1) encoding-quality
+    filter (llm/text.encoding_anomaly_counts) drops every decode-damaged
+    document from a deterministically damaged corpus; (2) benchmark
+    decontamination (llm/curation.decontaminate_ngram, every 97th CLEAN
+    doc plays the eval set) drops survivors sharing >= 5% of their
+    3-grams with it; (3) per-source corpus accounting of the kept set.
+    Stage order is load-bearing (a damaged doc never reaches the
+    contamination join) and the hash pins it. Plan: two pure scan
+    projections + one broadcast shingle join; the corpus shuffles only
+    for the final per-source aggregate."""
+    from csv2db_spark.llm.curation import decontaminate_ngram
+    from csv2db_spark.llm.text import n_tokens
+
+    docs = _moji_docs(spark, sf_dir)
+    flags = encoding_anomaly_counts(docs).select("doc_id", "is_mojibake")
+    clean = (
+        docs.join(flags, "doc_id")
+        .where(~F.col("is_mojibake"))
+        .drop("is_mojibake")
+    )
+    bench = clean.where(F.col("doc_id") % 97 == 0)
+    corpus = clean.where(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        decontaminate_ngram(corpus, bench)
+        .where(F.col("overlap_ratio") >= 0.05)
+        .select("doc_id")
+    )
+    kept = corpus.join(contaminated, "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(n_tokens(F.col("text"))).alias("total_tokens"),
+    )

@@ -188,7 +188,10 @@ CHECK_FIRST: tuple[str, ...] = (
 #   argmax — the semantic complement of q_curate_decontaminate);
 # q_curate_encoding_anomalies (mojibake/decode-damage census: U+FFFD,
 #   C1 controls, double-encoded UTF-8, cp1252 punctuation — portable
-#   regexp signatures hash-pinned cross-engine).
+#   regexp signatures hash-pinned cross-engine);
+# q_pipeline_curation_v8 (round-7 ops composed: encoding filter ->
+#   n-gram decontamination of the clean survivors -> accounting,
+#   stage order hash-pinned).
 
 
 def load_all_queries() -> dict[str, QueryDef]:
