@@ -1955,7 +1955,9 @@ def q_pipeline_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("overlap_ratio") >= 0.05)
         .select("doc_id")
     )
-    kept = corpus.join(contaminated, "doc_id", "left_anti")
+    # the drop list is bounded by docs similar to the (small) benchmark:
+    # broadcast it so the corpus TEXT never rides a doc_id shuffle
+    kept = corpus.join(F.broadcast(contaminated), "doc_id", "left_anti")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(n_tokens(F.col("text"))).alias("total_tokens"),

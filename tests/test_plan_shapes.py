@@ -333,3 +333,39 @@ def test_shingle_table_is_window_free(spark, sf_dir):
         .toString()
     )
     assert "Window" not in plan_d
+
+
+def test_semantic_decontaminate_broadcasts_bench_no_smj(spark, sf_dir):
+    """The benchmark side must ride broadcast into one corpus scan (a
+    sort-merge or shuffled join here would shuffle the 100 TB corpus
+    for a dimension-sized eval set), and the per-vector argmax must be
+    an aggregate, not a window."""
+    plan = _plan(spark, sf_dir, "q_curate_decontaminate_semantic")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "pythonUDF" not in plan
+
+
+def test_encoding_anomalies_single_scan_no_python(spark, sf_dir):
+    """Mojibake census: one documents scan, codegen regexp columns, one
+    map-side-combined aggregate — the same plan class as the PII scan."""
+    plan = _plan(spark, sf_dir, "q_curate_encoding_anomalies")
+    assert plan.count("FileScan") == 1
+    assert "pythonUDF" not in plan
+    assert "Window" not in plan
+
+
+def test_curation_v8_corpus_text_never_shuffles(spark, sf_dir):
+    """v8's corpus-facing joins are all broadcast: the benchmark
+    shingles (BuildRight under the scan) and the contamination DROP
+    LIST's anti join — corpus text must never ride a doc_id shuffle.
+    (Aggregate-to-aggregate joins of per-doc COUNTS may sort-merge;
+    they carry 16-byte rows, not bodies.) No Python anywhere."""
+    plan = _plan(spark, sf_dir, "q_pipeline_curation_v8")
+    assert "BroadcastHashJoin" in plan
+    assert "pythonUDF" not in plan
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines and all(
+        "BroadcastHashJoin" in ln for ln in anti_lines
+    ), f"anti join not broadcast: {anti_lines}"
