@@ -1128,7 +1128,10 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = comp.where(F.col("component") != F.col("node")).select(
         F.col("node").alias("doc_id")
     )
-    final = exact.join(losers, "doc_id", "left_anti")
+    # losers is bounded by the near-dup candidate set — broadcast the
+    # drop list so the text-carrying survivor table never rides a
+    # doc_id shuffle (same shape as v8's contamination anti join)
+    final = exact.join(F.broadcast(losers), "doc_id", "left_anti")
     return final.select(
         "doc_id", F.size(_tokens("text")).cast("long").alias("n_tokens")
     )
