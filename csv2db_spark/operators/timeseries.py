@@ -37,6 +37,77 @@ def time_bucket(ts: Column, hours: int) -> Column:
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    bucket_hours: int = 24,
+) -> DataFrame:
+    """Time-weighted average (TWAP-style) per (key, bucket) over an
+    IRREGULARLY sampled series — the aggregate a plain AVG gets wrong
+    whenever sampling density correlates with level (a sensor that
+    reports more often when the value spikes, a price feed that ticks
+    faster in volatility). Each observation holds its value until the
+    next observation in the same bucket; the bucket's last observation
+    holds until bucket end (last-observation-carried-forward), so the
+    weight of observation i is ``dt_i = min(next_ts, bucket_end) -
+    ts_i`` in whole seconds.
+
+    Exactness contract (hash-checkable): dt is INTEGER seconds (NTZ
+    timestampdiff — tz-free), the value quantizes to DECIMAL cents, so
+    numerator Σ(v·dt) and denominator Σdt are exact on any engine; the
+    average itself is ONE IEEE division of those exact operands.
+    Simultaneous timestamps get a deterministic ``order_col`` tiebreak
+    (the earlier row's dt is 0 — it never holds).
+
+    Scale shape: one window pass keyed (key, bucket) for the lead —
+    bounded per-bucket work — then one map-side-combined aggregation;
+    the shuffle carries (key, bucket) partials, never raw ticks twice.
+    """
+    ts = F.col(ts_col)
+    bucket = time_bucket(ts, bucket_hours)
+    secs = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    end_secs = (
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', _twa_bucket)"
+        )
+        + F.lit(bucket_hours * 3600)
+    )
+    w = Window.partitionBy(*key_cols, "_twa_bucket").orderBy(
+        ts_col, order_col
+    )
+    staged = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("_twa_bucket", bucket)
+        .withColumn("_twa_secs", secs)
+        .withColumn(
+            "_twa_dt",
+            F.coalesce(F.lead("_twa_secs").over(w), end_secs)
+            - F.col("_twa_secs"),
+        )
+        .withColumn("_twa_v", F.col(value_col).cast("decimal(14,2)"))
+    )
+    out = staged.groupBy(*key_cols, "_twa_bucket").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("_twa_v") * F.col("_twa_dt")).alias("_num"),
+        F.sum("_twa_dt").cast("long").alias("twa_den_s"),
+    )
+    return out.select(
+        *key_cols,
+        F.col("_twa_bucket").alias("bucket"),
+        "n_obs",
+        F.col("_num").cast("double").alias("twa_num"),
+        "twa_den_s",
+        (F.col("_num").cast("double") / F.col("twa_den_s").cast("double")).alias(
+            "twa"
+        ),
+    )
+
+
 def resample(
     events: DataFrame,
     hours: int = 6,

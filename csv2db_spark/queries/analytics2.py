@@ -58,6 +58,53 @@ def q_ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_bars(ev, hours=6)
 
 
+@query(
+    "q_ts_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, ts, event_id,
+             CAST(value AS DECIMAL(14,2)) AS v,
+             date_trunc('day', ts) AS bucket,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+    ),
+    l AS (
+      SELECT *,
+             coalesce(
+               lead(s) OVER (PARTITION BY event_type, bucket
+                             ORDER BY ts, event_id),
+               CAST(epoch_us(bucket) // 1000000 AS BIGINT) + 86400
+             ) - s AS dt
+      FROM e
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(v * dt) AS DOUBLE) AS twa_num,
+           CAST(sum(dt) AS BIGINT) AS twa_den_s,
+           CAST(sum(v * dt) AS DOUBLE)
+             / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) AS twa
+    FROM l GROUP BY event_type, bucket
+    """,
+)
+def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average of event values per event type
+    (operators/timeseries.time_weighted_avg): each observation holds
+    until the next one in its day, the last until midnight — the
+    irregular-sampling aggregate a plain AVG biases whenever tick
+    density correlates with level. dt is integer NTZ seconds and the
+    value quantizes to cents, so numerator and denominator are exact
+    and the average is one IEEE division — bit-identical to the
+    oracle's replay. One bounded window pass + one map-combined
+    aggregate."""
+    from csv2db_spark.operators.timeseries import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, ["event_type"], ts_col="ts", value_col="value",
+        order_col="event_id", bucket_hours=24,
+    )
+
+
 # ------------------------------------------------------ EWMA
 
 

@@ -191,7 +191,9 @@ CHECK_FIRST: tuple[str, ...] = (
 #   regexp signatures hash-pinned cross-engine);
 # q_pipeline_curation_v8 (round-7 ops composed: encoding filter ->
 #   n-gram decontamination of the clean survivors -> accounting,
-#   stage order hash-pinned).
+#   stage order hash-pinned);
+# q_ts_time_weighted_avg (TWAP over irregular ticks: LOCF integer-second
+#   weights, exact numerator/denominator, one IEEE division).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

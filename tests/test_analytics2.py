@@ -1028,3 +1028,35 @@ def test_observed_run_meters_the_attachment_point(spark):
     )
     assert m == {"n": 60, "max_id": 99}
     assert sink["rows"] == 10  # the downstream pipeline really ran
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """LOCF weights on a hand-checkable day: values 10 (held 6h), 40
+    (held 12h), 10 (held to midnight, 6h) -> TWA 25.0; a plain AVG
+    would say 20. Ties weight the earlier row zero."""
+    from csv2db_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        ("a", 1, "2024-03-01 00:00:00", 10.0),
+        ("a", 2, "2024-03-01 06:00:00", 40.0),
+        ("a", 3, "2024-03-01 18:00:00", 10.0),
+        # tie at the same ts: event 4 never holds (dt 0)
+        ("b", 4, "2024-03-02 00:00:00", 99.0),
+        ("b", 5, "2024-03-02 00:00:00", 1.0),
+        # NULL value ignored entirely
+        ("a", 6, "2024-03-01 12:00:00", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts_s string, value double"
+    ).select(
+        "event_type",
+        "event_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+    out = {
+        (r.event_type,): (r.n_obs, r.twa_den_s, r.twa)
+        for r in time_weighted_avg(df, ["event_type"]).collect()
+    }
+    assert out[("a",)] == (3, 86400, 25.0)
+    assert out[("b",)] == (2, 86400, 1.0)  # only the later tie row holds
