@@ -30,3 +30,45 @@ def test_every_registered_gate_cited_in_survey():
     text = (Path(__file__).resolve().parent.parent / "SURVEY.md").read_text()
     missing = [n for n in QUERIES if n not in text]
     assert not missing, f"gates not cited in SURVEY.md: {missing}"
+
+
+def test_correctness_window_contains_only_oracle_gates():
+    """Round-7 policy pin: the driver records a rows-only gate as
+    `err: no_oracle` by construction (round 6 burned 8 window slots
+    proving it), so CHECK_FIRST must name only registered gates WITH
+    oracles."""
+    from csv2db_spark.registry import CHECK_FIRST
+
+    for name in CHECK_FIRST:
+        assert name in QUERIES, f"{name} in CHECK_FIRST but not registered"
+        assert QUERIES[name].oracle is not None, (
+            f"{name} is rows-only: it can never go green in the driver "
+            "window — replace it with a never-checked oracle gate"
+        )
+
+
+def test_every_rows_only_gate_has_a_hash_gated_contract_twin():
+    """Every approximate/engine-specific gate the driver can only
+    rows-check must keep a registered hash-gated twin that pins its
+    semantics (empty-oracle violation views / parity checks)."""
+    twins = {
+        "q_agg_approx_distinct": "q_agg_approx_distinct_bounds",
+        "q_agg_approx_percentile": "q_agg_approx_percentile_bounds",
+        "q_sim_ann_lsh": "q_sim_ann_lsh_recall",
+        "q_sim_ann_ivf": "q_sim_ann_ivf_recall",
+        "q_sim_ann_pq": "q_sim_ann_pq_recall",
+        "q_sim_ann_ivfpq": "q_sim_ann_ivfpq_recall",
+        "q_embed_pca_project": "q_embed_pca_bounds",
+        "q_text_bpe_train": "q_text_bpe_parity",
+        "q_stream_stateful_ewma": "q_stream_ewma_parity",
+        "q_dedup_minhash_lsh_xxh": "q_dedup_minhash_xxh_precision",
+    }
+    rows_only = {n for n, q in QUERIES.items() if q.oracle is None}
+    assert rows_only == set(twins), (
+        "rows-only gate set changed: update the twin map (and give any "
+        f"new rows-only gate a hash-gated twin); diff={rows_only ^ set(twins)}"
+    )
+    for gate, twin in twins.items():
+        assert twin in QUERIES and QUERIES[twin].oracle is not None, (
+            f"{gate}'s contract twin {twin} missing or oracle-less"
+        )
