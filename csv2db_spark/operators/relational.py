@@ -9,6 +9,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# A 64-bit key column is ~8 bytes + row overhead; 50M keys is comfortably
+# inside a 10 GB broadcast threshold on a production driver/executor and
+# far beyond anything a bounded candidate set produces at gate scale.
+DROP_LIST_BROADCAST_MAX_ROWS = 50_000_000
+
+
+def anti_join_drop_list(
+    big: DataFrame,
+    drop: DataFrame,
+    on: str | list[str],
+    max_broadcast_rows: int = DROP_LIST_BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """``big LEFT ANTI JOIN drop`` with a SIZE-GATED broadcast hint.
+
+    Dedup/decontamination pipelines end with "drop these ids from the
+    corpus". When the drop list is small (the common case: bounded
+    candidate sets, benchmark contamination), broadcasting it keeps the
+    text-carrying corpus off the shuffle entirely — the single biggest
+    shuffle saving in those plans. But at web-corpus scale a near-dup
+    loser set can be a large FRACTION of the corpus, and a forced
+    ``F.broadcast`` overrides Spark's size-based planning and OOMs the
+    driver. So: count the (already-computed, typically checkpointed)
+    drop side first, and fall back to Spark's own join planning — AQE
+    picks SMJ or broadcast from runtime stats — when it exceeds
+    ``max_broadcast_rows``. The count is one cheap job over the
+    key-only drop list, never over ``big``.
+    """
+    if drop.count() <= max_broadcast_rows:
+        drop = F.broadcast(drop)
+    return big.join(drop, on, "left_anti")
+
 
 def range_join(
     facts: DataFrame,

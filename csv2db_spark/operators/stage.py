@@ -25,6 +25,9 @@ tests/test_runtime_ops.py.
 
 from __future__ import annotations
 
+import os
+import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame
@@ -39,6 +42,14 @@ def materialize_stage(
     fast, NOT fault-tolerant). ``mode='reliable'`` → write parquet under
     ``path`` (a directory; a unique subdir is created per call so
     repeated stages never collide) and return the re-read plan.
+
+    Cleanup contract for ``reliable``: stage subdirs are CALLER-OWNED.
+    Nothing here deletes them — the returned plan reads the files
+    lazily, so the library can never know when the last consumer is
+    done. Reclaim them when a pipeline run retires via
+    ``vacuum_stages(path)`` (age-gated, mirroring
+    ``snapshots.SnapshotTable.vacuum``) or by deleting ``path``
+    wholesale between runs.
     """
     if mode == "local":
         return df.localCheckpoint(eager=True)
@@ -49,3 +60,39 @@ def materialize_stage(
         df.write.mode("error").parquet(target)
         return df.sparkSession.read.parquet(target)
     raise ValueError(f"unknown materialize mode {mode!r}")
+
+
+def vacuum_stages(path: str, older_than_seconds: float = 86400.0) -> list[str]:
+    """Delete ``stage-*`` subdirs under ``path`` whose last modification
+    is older than ``older_than_seconds`` (default 1 day).
+
+    The companion to ``materialize_stage(mode='reliable')``: repeated
+    pipeline runs against one staging root accumulate a uuid subdir per
+    stage per run, and no run cleans up after itself (see the cleanup
+    contract above). The age gate keeps a vacuum safe to run while a
+    pipeline is live — an in-flight run's stages are recent by
+    construction, the same grace discipline as ``snapshots.vacuum``.
+    Returns the deleted subdir names.
+    """
+    cutoff = time.time() - max(0.0, older_than_seconds)
+    deleted = []
+    root = path.rstrip("/")
+    try:
+        names = sorted(os.listdir(root))
+    except OSError:
+        return deleted  # nothing staged yet
+    for name in names:
+        sub = os.path.join(root, name)
+        if not name.startswith("stage-") or not os.path.isdir(sub):
+            continue
+        try:
+            newest = max(
+                (e.stat().st_mtime for e in os.scandir(sub)),
+                default=os.stat(sub).st_mtime,
+            )
+        except OSError:
+            continue  # raced with a concurrent vacuum
+        if newest <= cutoff:
+            shutil.rmtree(sub, ignore_errors=True)
+            deleted.append(name)
+    return deleted

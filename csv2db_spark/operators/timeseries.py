@@ -68,8 +68,13 @@ def time_weighted_avg(
     """
     ts = F.col(ts_col)
     bucket = time_bucket(ts, bucket_hours)
+    # the epoch-seconds exprs reference only the FIXED internal staging
+    # names (_twa_ts/_twa_bucket), never the caller's ts_col — a column
+    # name needing backticks (spaces, dots, hyphens) can't break or
+    # misresolve the SQL fragment (same identifier discipline as
+    # sources/jdbc.py)
     secs = F.expr(
-        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', _twa_ts)"
     )
     end_secs = (
         F.expr(
@@ -78,10 +83,11 @@ def time_weighted_avg(
         + F.lit(bucket_hours * 3600)
     )
     w = Window.partitionBy(*key_cols, "_twa_bucket").orderBy(
-        ts_col, order_col
+        "_twa_ts", order_col
     )
     staged = (
         df.where(F.col(value_col).isNotNull())
+        .withColumn("_twa_ts", ts)
         .withColumn("_twa_bucket", bucket)
         .withColumn("_twa_secs", secs)
         .withColumn(

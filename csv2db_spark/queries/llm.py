@@ -16,6 +16,7 @@ from csv2db_spark.llm import dedup as D
 from csv2db_spark.llm import text as X
 from csv2db_spark.llm import similarity as S
 from csv2db_spark.llm.corpus import SQL_AUG, SQL_SHINGLES, augmented_docs, tokens
+from csv2db_spark.operators import relational as R
 from csv2db_spark.registry import query
 from csv2db_spark.sources import load_table
 
@@ -1128,10 +1129,14 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = comp.where(F.col("component") != F.col("node")).select(
         F.col("node").alias("doc_id")
     )
-    # losers is bounded by the near-dup candidate set — broadcast the
-    # drop list so the text-carrying survivor table never rides a
-    # doc_id shuffle (same shape as v8's contamination anti join)
-    final = exact.join(F.broadcast(losers), "doc_id", "left_anti")
+    # size-gated broadcast of the drop list: when the near-dup loser set
+    # is small (the common case) the text-carrying survivor table never
+    # rides a doc_id shuffle; a web-corpus-scale loser set (a large
+    # corpus fraction is normal there) falls back to Spark's own
+    # size-based planning instead of a forced driver-OOM broadcast.
+    # The gating count is cheap: comp's labels are localCheckpointed
+    # inside connected_components.
+    final = R.anti_join_drop_list(exact, losers, "doc_id")
     return final.select(
         "doc_id", F.size(_tokens("text")).cast("long").alias("n_tokens")
     )

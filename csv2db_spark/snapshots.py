@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -414,7 +415,9 @@ class SnapshotTable:
         )
         return nxt
 
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_last: int = 1, orphan_grace_seconds: float = 900.0
+    ) -> list[str]:
         """Reclaim storage: drop manifests older than the last
         ``retain_last`` versions, then delete data files referenced by
         NO surviving manifest (orphans included). Time travel keeps
@@ -422,7 +425,17 @@ class SnapshotTable:
         for space, the same dial every table format exposes. Returns
         the deleted file list. Deletion order is safe under crash:
         manifests go first, so a file is only ever removed after no
-        reader can plan it."""
+        reader can plan it.
+
+        Unreferenced files younger than ``orphan_grace_seconds`` are
+        KEPT: a writer stages files under a unique ``data/c{N}-{uuid}``
+        dir *before* its O_EXCL manifest publish, so a vacuum racing an
+        in-flight commit would otherwise delete the staged files as
+        orphans and the subsequent publish would create a permanently
+        broken version. The grace window (same discipline as Iceberg's
+        ``remove_orphan_files`` retention interval) makes vacuum safe to
+        run alongside live writers; pass ``0`` only when no writer can
+        be in flight."""
         import shutil as _shutil
 
         vs = self.versions()
@@ -450,23 +463,43 @@ class SnapshotTable:
         for v in self.versions():
             live.update(self._manifest(v)["files"])
         deleted = []
+        cutoff = time.time() - max(0.0, orphan_grace_seconds)
         droot = self.path / "data"
         for cdir in sorted(droot.glob("c*")) if droot.is_dir() else []:
             names = sorted(os.listdir(cdir))
-            doomed = [
-                n
-                for n in names
-                if n.endswith(".parquet") and f"data/{cdir.name}/{n}" not in live
-            ]
+            doomed = []
+            in_grace = False
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                if f"data/{cdir.name}/{n}" in live:
+                    continue
+                try:
+                    if (cdir / n).stat().st_mtime > cutoff:
+                        in_grace = True  # possible in-flight writer
+                        continue
+                except OSError:
+                    continue  # raced with another vacuum; nothing to do
+                doomed.append(n)
             for name in doomed:
                 os.remove(cdir / name)
                 deleted.append(f"data/{cdir.name}/{name}")
             # a commit dir with no surviving data files goes entirely
-            # (write-time sidecars like _SUCCESS ride along)
-            if not any(
-                f"data/{cdir.name}/{n}" in live
-                for n in names
-                if n.endswith(".parquet")
+            # (write-time sidecars like _SUCCESS ride along) — unless it
+            # holds grace-protected files or is itself young enough to
+            # be an in-flight writer's staging dir mid-population
+            try:
+                dir_young = cdir.stat().st_mtime > cutoff
+            except OSError:
+                continue
+            if (
+                not in_grace
+                and not dir_young
+                and not any(
+                    f"data/{cdir.name}/{n}" in live
+                    for n in names
+                    if n.endswith(".parquet")
+                )
             ):
                 _shutil.rmtree(cdir, ignore_errors=True)
         return deleted

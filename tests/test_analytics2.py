@@ -1060,3 +1060,26 @@ def test_time_weighted_avg_hand_computed(spark):
     }
     assert out[("a",)] == (3, 86400, 25.0)
     assert out[("b",)] == (2, 86400, 1.0)  # only the later tie row holds
+
+
+def test_time_weighted_avg_odd_ts_column_name(spark):
+    """A ts column whose name needs backticks (space + hyphen) must not
+    break or misresolve the internal epoch-seconds SQL fragment — the
+    exprs reference only fixed staging names (identifier discipline)."""
+    from csv2db_spark.operators.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [("a", 1, "2024-03-01 00:00:00", 10.0),
+         ("a", 2, "2024-03-01 06:00:00", 40.0),
+         ("a", 3, "2024-03-01 18:00:00", 10.0)],
+        "event_type string, event_id long, ts_s string, value double",
+    ).select(
+        "event_type",
+        "event_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("tick time-stamp"),
+        "value",
+    )
+    [r] = time_weighted_avg(
+        df, ["event_type"], ts_col="tick time-stamp"
+    ).collect()
+    assert (r.n_obs, r.twa_den_s, r.twa) == (3, 86400, 25.0)

@@ -869,3 +869,27 @@ def test_materialize_stage_validation(spark):
     with pytest.raises(ValueError, match="unknown"):
         materialize_stage(df, mode="weird")
     assert materialize_stage(df, mode="local").count() == 3
+
+
+def test_vacuum_stages_age_gated(spark, tmp_path):
+    """vacuum_stages reclaims only stage dirs older than the grace
+    window: a live run's fresh stage survives the default sweep; an
+    aged one (mtimes pushed past the cutoff) goes; non-stage entries
+    are never touched."""
+    import os
+
+    from csv2db_spark.operators.stage import materialize_stage, vacuum_stages
+
+    root = str(tmp_path)
+    staged = materialize_stage(spark.range(5), mode="reliable", path=root)
+    assert staged.count() == 5
+    (tmp_path / "not-a-stage").mkdir()
+    [stage_name] = [n for n in os.listdir(root) if n.startswith("stage-")]
+    assert vacuum_stages(root) == []          # fresh: default grace keeps it
+    old = 10.0
+    for entry in os.scandir(tmp_path / stage_name):
+        os.utime(entry.path, (old, old))
+    os.utime(tmp_path / stage_name, (old, old))
+    assert vacuum_stages(root) == [stage_name]
+    assert sorted(os.listdir(root)) == ["not-a-stage"]
+    assert vacuum_stages(str(tmp_path / "missing")) == []

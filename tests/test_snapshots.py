@@ -97,7 +97,7 @@ def test_vacuum_retains_head_and_reclaims(spark, table):
     table.create(spark.range(4).toDF("id"))
     table.overwrite(spark.range(10, 12).toDF("id"))
     table._write_commit_files(spark.range(99).toDF("id"), 9)  # orphans
-    deleted = table.vacuum(retain_last=1)
+    deleted = table.vacuum(retain_last=1, orphan_grace_seconds=0)
     assert table.versions() == [2]
     assert table.read().count() == 2            # head intact
     assert any(d.startswith("data/c1-") for d in deleted)   # old version gone
@@ -105,6 +105,24 @@ def test_vacuum_retains_head_and_reclaims(spark, table):
     assert table.orphan_files() == []
     with pytest.raises(NoSuchVersion):
         table.read(1)
+
+
+def test_vacuum_grace_period_protects_inflight_staging(spark, table):
+    """An unreferenced-but-young file is an in-flight writer's staged
+    commit, not an orphan: default-grace vacuum must leave it (and its
+    staging dir) alone so the writer's subsequent manifest publish
+    stays valid; a zero-grace vacuum on a quiet table reclaims it."""
+    table.create(spark.range(4).toDF("id"))
+    table._write_commit_files(spark.range(9).toDF("id"), 7)  # staged, unpublished
+    staged = [f for f in table.orphan_files() if f.startswith("data/c7-")]
+    assert staged
+    deleted = table.vacuum(retain_last=1)  # default grace: just-written files
+    assert all(not d.startswith("data/c7-") for d in deleted)
+    assert [f for f in table.orphan_files() if f.startswith("data/c7-")] == staged
+    assert table.read().count() == 4
+    deleted = table.vacuum(retain_last=1, orphan_grace_seconds=0)
+    assert any(d.startswith("data/c7-") for d in deleted)
+    assert table.orphan_files() == []
 
 
 def test_vacuum_retain_all_keeps_time_travel(spark, table):
