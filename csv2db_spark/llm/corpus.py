@@ -46,18 +46,30 @@ def shingles(toks: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(make)
 
 
-def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = docs.where(F.col("doc_id") < 30).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+def augmented_docs(
+    spark: SparkSession, sf_dir: str, with_meta: bool = False
+) -> DataFrame:
+    """The duplicate-bearing test corpus: documents + exact clones
+    (+200000) + truncated near-clones (+100000).
+
+    ``with_meta=True`` carries lang/source through every branch — free,
+    since the clone branches derive from the same documents scan — so a
+    consumer needing those columns after a dedup stage doesn't pay a
+    corpus-sized join back to ``documents`` (the r7 verdict's v6
+    join-back finding). Default stays the 2-column shape: Catalyst
+    prunes, but the narrower contract keeps oracle SQL_AUG aligned."""
+    cols = ["doc_id", "text"] + (["lang", "source"] if with_meta else [])
+    docs = load_table(spark, sf_dir, "documents").select(*cols)
+    exact = docs.where(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 200000
     )
     toks = tokens("text")
     near = (
         docs.where(F.col("doc_id") < 50)
-        .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.array_join(F.slice(toks, 1, F.size(toks) - 5), " ").alias("text"),
+        .withColumn(
+            "text", F.array_join(F.slice(toks, 1, F.size(toks) - 5), " ")
         )
+        .withColumn("doc_id", F.col("doc_id") + 100000)
     )
     return docs.unionByName(exact).unionByName(near)
 

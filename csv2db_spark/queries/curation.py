@@ -16,6 +16,7 @@ from csv2db_spark.functions.numeric import dsum
 from csv2db_spark.llm import curation as C
 from csv2db_spark.llm.corpus import SQL_AUG, SQL_SHINGLES, augmented_docs
 from csv2db_spark.llm.text import MOJIBAKE_PATTERNS, encoding_anomaly_counts
+from csv2db_spark.operators import relational as R
 from csv2db_spark.operators.sessions import sessionize
 from csv2db_spark.registry import query
 from csv2db_spark.sources import load_table
@@ -1514,25 +1515,20 @@ def curation_v6_pipeline(
     from csv2db_spark.llm.text import bigram_lm_scores
     from csv2db_spark.operators.stage import materialize_stage
 
-    docs = load_table(spark, sf_dir, "documents")
-    aug = augmented_docs(spark, sf_dir)
-    ex = D.shingle_table(aug)
+    # lang/source ride the augmented corpus from the scan (with_meta) —
+    # the survivor join-back to `documents` on doc_id % 100000 that r7
+    # shipped is gone (r7 VERDICT #6; A/B measured at sf0.1, PLANS.md
+    # round-8). The shingle subtree still reads only (doc_id, text):
+    # Catalyst prunes lang/source below the explode.
+    aug = augmented_docs(spark, sf_dir, with_meta=True)
+    ex = D.shingle_table(aug.select("doc_id", "text"))
     cont = D.containment_pairs(ex, min_permille=900, max_doc_freq=64)
     dropped = (
         cont.where(F.col("doc_a") > F.col("doc_b"))
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
     )
-    kept1 = (
-        aug.join(dropped, "doc_id", "left_anti")
-        .join(
-            docs.select(
-                F.col("doc_id").alias("_orig"), "lang", "source"
-            ),
-            F.col("doc_id") % 100000 == F.col("_orig"),
-        )
-        .drop("_orig")
-    )
+    kept1 = aug.join(dropped, "doc_id", "left_anti")
     # stage boundary: kept1 feeds three downstream consumers (LM train,
     # LM score, final lang/source join); without materialization each
     # re-plans the whole containment subtree and its exchanges stay
@@ -1954,10 +1950,16 @@ def q_pipeline_curation_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate_ngram(corpus, bench)
         .where(F.col("overlap_ratio") >= 0.05)
         .select("doc_id")
+        # materialize the (bounded-by-near-benchmark-docs) drop list once
+        # so the size-gated broadcast decision below doesn't recompute
+        # the decontamination scan — and so the 100 TB plan computes the
+        # contamination set exactly once however many consumers read it
+        .localCheckpoint(eager=True)
     )
-    # the drop list is bounded by docs similar to the (small) benchmark:
-    # broadcast it so the corpus TEXT never rides a doc_id shuffle
-    kept = corpus.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    # size-gated broadcast: small drop list (the normal case) keeps the
+    # corpus TEXT off any doc_id shuffle; an unbounded one falls back to
+    # Spark's size-based join planning instead of a forced broadcast
+    kept = R.anti_join_drop_list(corpus, contaminated, "doc_id")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(n_tokens(F.col("text"))).alias("total_tokens"),
