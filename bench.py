@@ -125,7 +125,15 @@ def main() -> None:
         "q_pipeline_curation_v6",
     )
     all_queries = load_all_queries()
+    # Best-of-3 after target-SF warmup (round-8, per the r7 verdict):
+    # the extended entries were single-shot, so one scheduler hiccup on a
+    # loaded host read as a phantom 15-35% regression every round (all
+    # four r7 "regressions" vanished on an idle rerun). min-of-3 is the
+    # standard noise floor estimator for steady-state throughput; the
+    # single-shot first run is kept alongside for continuity with the
+    # r5-r7 series.
     ext: dict[str, float] = {}
+    ext_single: dict[str, float] = {}
     for name in extended_names:
         qd = all_queries[name]
         for wd in (warm_dir, sf_dir):  # same steady-state protocol
@@ -134,9 +142,13 @@ def main() -> None:
                     qd.fn(spark, wd).write.format("noop").mode("overwrite").save()
                 except Exception:
                     pass
-        t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        ext[name] = round(time.perf_counter() - t0, 3)
+        series = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            series.append(time.perf_counter() - t0)
+        ext_single[name] = round(series[0], 3)
+        ext[name] = round(min(series), 3)
 
     print(
         json.dumps(
@@ -147,6 +159,8 @@ def main() -> None:
                 "queries": times,
                 "extended": ext,
                 "extended_total": round(sum(ext.values()), 3),
+                "extended_protocol": "best_of_3_after_target_sf_warmup",
+                "extended_single_shot": ext_single,
                 "sf": sf,
             }
         )

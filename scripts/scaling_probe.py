@@ -68,6 +68,12 @@ DEFAULT_QUERIES = [
     "q_pipeline_curation_v7",
     "q_sink_snapshot_merge",
     "q_stream_minhash_dedup",
+    # round-8 additions: the round-7 gates (r7 VERDICT next-round #5) —
+    # corpus-scan decontamination, the v8 composition, and the windowed
+    # TWAP join the standing 100x-span tracking
+    "q_curate_decontaminate_semantic",
+    "q_pipeline_curation_v8",
+    "q_ts_time_weighted_avg",
 ]
 
 
