@@ -356,7 +356,44 @@ def test_encoding_anomalies_single_scan_no_python(spark, sf_dir):
     assert "Window" not in plan
 
 
-def test_curation_v8_corpus_text_never_shuffles(spark, sf_dir):
+def test_training_data_drop_list_anti_join_broadcasts(spark, sf_dir):
+    """The training-data pipeline's near-dup LOSERS anti join must stay
+    broadcast at bounded drop-list sizes (the r7 audit's second
+    text-carrying fix): an SMJ here shuffles the survivor TEXT by
+    doc_id at 100 TB. The size gate (anti_join_drop_list) falls back to
+    planner choice only above the documented bound."""
+    plan = _plan(spark, sf_dir, "q_pipeline_training_data")
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines and all(
+        "BroadcastHashJoin" in ln for ln in anti_lines
+    ), f"anti join not broadcast: {anti_lines}"
+
+
+# The round-7 registry-wide audit adjudicated every remaining
+# SortMergeJoin LeftAnti/LeftSemi as correctly big-big: k-core and
+# label-propagation peeling rounds join 8-byte node/edge ids whose
+# survivor sets can be graph-sized (a forced broadcast would OOM at
+# scale), and TPC-H Q21's lineitem-vs-lineitem anti join is big-big by
+# construction. scripts/audit_anti_joins.py re-derives this list; the
+# pins below make a silent Catalyst/AQE strategy flip loud in CI.
+SMJ_ANTI_SEMI_ADJUDICATED = {
+    "q_graph_k_core": 26,
+    "q_graph_label_propagation": 1,
+    "q_tpch_q21_waiting": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SMJ_ANTI_SEMI_ADJUDICATED))
+def test_adjudicated_big_big_joins_stay_sort_merge(spark, sf_dir, name):
+    from scripts.audit_anti_joins import smj_anti_semi_lines
+
+    plan = _plan(spark, sf_dir, name)
+    lines = smj_anti_semi_lines(plan)
+    assert len(lines) == SMJ_ANTI_SEMI_ADJUDICATED[name], (
+        f"{name}: expected {SMJ_ANTI_SEMI_ADJUDICATED[name]} SMJ anti/semi "
+        f"joins, found {len(lines)} — a join strategy flipped; re-run "
+        f"scripts/audit_anti_joins.py and re-adjudicate"
+    )
     """v8's corpus-facing joins are all broadcast: the benchmark
     shingles (BuildRight under the scan) and the contamination DROP
     LIST's anti join — corpus text must never ride a doc_id shuffle.
