@@ -908,3 +908,104 @@ def sentence_split(
         (F.col("pos0") + 1).cast("int").alias("sentence_idx"),
         F.trim(F.col("sentence")).alias("sentence"),
     ).where(F.length("sentence") > 0)
+
+
+# ----------------------------------------------------- compressibility
+
+
+def compressibility(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — the RedPajama-v2 / Dolma /
+    CCNet-class quality signal: highly compressible text is repeated
+    boilerplate (nav bars, SEO spam, template farms), nearly
+    incompressible text is often encoding damage or binary junk; the
+    useful middle band is a cheap single-scan document quality feature
+    that catches repetition n-gram heuristics miss (long-range repeats
+    beyond any fixed window).
+
+    DEFLATE has no Catalyst expression, so this is the documented slow
+    path done right: one Arrow-batched pandas_udf (zlib's C loop over
+    each batch — no per-row Python), applied in a pure scan projection.
+    No shuffle, no driver data. compress_permille = 1000 * deflated /
+    raw bytes, floor-integer so downstream thresholds are exact;
+    deterministic for a fixed zlib level (RFC 1951 encoder state is
+    fully determined by input + level; parity vs an independent driver
+    recompute is gate-checked in q_text_compressibility_parity)."""
+
+    def _zlen(s):
+        import zlib
+
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            if t is not None
+            else None
+        )
+
+    zlen_udf = pandas_udf(_zlen, "long")
+    n_bytes = F.octet_length(F.col(text_col))
+    n_zbytes = zlen_udf(F.col(text_col))
+    return docs.select(
+        id_col,
+        n_bytes.cast("long").alias("n_bytes"),
+        n_zbytes.alias("n_zbytes"),
+        F.floor(n_zbytes * 1000 / n_bytes).cast("long").alias(
+            "compress_permille"
+        ),
+    )
+
+
+def compressibility_violations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+    sample_n: int = 256,
+) -> DataFrame:
+    """Empty-set parity check for ``compressibility``: re-derive the
+    deflated length for a BOUNDED deterministic sample (the sample_n
+    smallest doc ids — bounded at any corpus scale) with an independent
+    driver-side zlib pass and emit one row per disagreement. EMPTY means
+    the executor-side Arrow batch path computes exactly what a plain
+    single-process pass computes — the same driver-visible contract
+    style as q_text_bpe_parity."""
+    sample = (
+        docs.select(id_col, text_col)
+        .orderBy(id_col)
+        .limit(sample_n)
+    )
+    spark_side = compressibility(sample, text_col, id_col, level)
+
+    import zlib
+
+    ref_rows = [
+        (
+            r[0],
+            len(r[1].encode("utf-8")),
+            len(zlib.compress(r[1].encode("utf-8"), level)),
+        )
+        for r in sample.collect()
+    ]
+    spark = docs.sparkSession
+    ref = spark.createDataFrame(
+        ref_rows or [(0, 0, 0)],
+        f"{id_col} long, ref_bytes long, ref_zbytes long",
+    )
+    if not ref_rows:
+        ref = ref.where(F.lit(False))
+    joined = spark_side.join(ref, id_col, "full_outer")
+    return (
+        joined.where(
+            ~F.col("n_bytes").eqNullSafe(F.col("ref_bytes"))
+            | ~F.col("n_zbytes").eqNullSafe(F.col("ref_zbytes"))
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("n_zbytes", F.lit(-1)).alias("spark_zbytes"),
+            F.coalesce("ref_zbytes", F.lit(-1)).alias("ref_zbytes"),
+        )
+        .orderBy(id_col)
+    )

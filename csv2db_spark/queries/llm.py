@@ -2375,6 +2375,28 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_compressibility_parity",
+    oracle="SELECT CAST(0 AS BIGINT) AS doc_id,"
+    " CAST(0 AS BIGINT) AS spark_zbytes,"
+    " CAST(0 AS BIGINT) AS ref_zbytes WHERE 1 = 0",
+)
+def q_text_compressibility_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible parity gate for the zlib compressibility signal
+    (llm/text.compressibility — the RedPajama-v2/Dolma-class
+    boilerplate/junk quality feature; DEFLATE has no Catalyst
+    expression, so it is the repo's canonical Arrow-batched pandas_udf
+    slow path). The executor-side batch computation must byte-agree
+    with an independent single-process driver recompute on a BOUNDED
+    deterministic sample (the 256 smallest doc ids — bounded at any
+    corpus scale). EMPTY means the Arrow path is exact, hash-verified
+    the same way as q_text_bpe_parity."""
+    from csv2db_spark.llm.text import compressibility_violations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compressibility_violations(docs)
+
+
+@query(
     "q_text_sentence_split",
     oracle="""
     WITH staged AS (

@@ -194,7 +194,11 @@ CHECK_FIRST: tuple[str, ...] = (
 #   n-gram decontamination of the clean survivors -> accounting,
 #   stage order hash-pinned);
 # q_ts_time_weighted_avg (TWAP over irregular ticks: LOCF integer-second
-#   weights, exact numerator/denominator, one IEEE division).
+#   weights, exact numerator/denominator, one IEEE division);
+# (new in round 8, sf0.001/0.01/0.1-verified before registration)
+# q_text_compressibility_parity (zlib compressibility quality signal —
+#   the Arrow-batched pandas_udf slow path; executor-vs-driver byte
+#   parity on a bounded 256-doc sample, empty-set hash oracle).
 
 
 def load_all_queries() -> dict[str, QueryDef]:

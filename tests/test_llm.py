@@ -1144,3 +1144,36 @@ def test_encoding_anomaly_counts_signatures(spark):
     assert got[3][1] == 2 and got[3][4] is True
     assert got[4][2] == 2 and got[4][4] is True
     assert got[5][3] == 1 and got[5][4] is True
+
+
+def test_compressibility_hand_computed(spark):
+    """zlib lengths match a direct library call; boilerplate compresses
+    far below prose; permille is the exact floor-integer ratio."""
+    import zlib
+
+    from csv2db_spark.llm.text import compressibility
+
+    boiler = "nav home about contact " * 50
+    prose = "the quick brown fox jumps over the lazy dog once only"
+    df = spark.createDataFrame(
+        [(1, boiler), (2, prose)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in compressibility(df).collect()}
+    for doc_id, text in ((1, boiler), (2, prose)):
+        raw = text.encode("utf-8")
+        assert got[doc_id].n_bytes == len(raw)
+        assert got[doc_id].n_zbytes == len(zlib.compress(raw, 6))
+        assert (
+            got[doc_id].compress_permille
+            == 1000 * len(zlib.compress(raw, 6)) // len(raw)
+        )
+    # the signal separates: repeated boilerplate far more compressible
+    assert got[1].compress_permille < got[2].compress_permille - 300
+
+
+def test_compressibility_violations_empty_on_fixture(spark, sf_dir):
+    from csv2db_spark.llm.text import compressibility_violations
+    from csv2db_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert compressibility_violations(docs, sample_n=64).count() == 0
