@@ -312,10 +312,18 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     degree-ordered orientation (each edge oriented toward the
     higher-degree endpoint) to bound wedge counts; the relational shape
     stays identical."""
-    e = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("lo"),
-        F.greatest(F.col(src), F.col(dst)).alias("hi"),
-    ).distinct()
+    # materialize the normalized edge set ONCE: three join legs consume
+    # it, and without the boundary Spark re-plans the caller's whole
+    # edge-derivation subtree per leg (the v6 stage-boundary lesson;
+    # measured 3x a lineitem self-join in q_graph_triangles)
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = e.select(F.col("lo").alias("b2"), F.col("hi").alias("c2"))
     e3 = e.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
