@@ -810,13 +810,23 @@ def ppjoin_pairs(
     to sum(df_prefix^2) — the stop-shingle problem solved by
     construction rather than by a cap.
     """
-    sh = shingle_table(docs, text_col=text_col, n=n)
+    # the exploded shingle table feeds the frequency count, the prefix
+    # build, AND the exact verify — materialize it once (the v6
+    # stage-boundary discipline; |docs|*~shingles rows of short strings,
+    # executor-cache-sized relative to the corpus it derives from)
+    sh = shingle_table(docs, text_col=text_col, n=n).localCheckpoint(
+        eager=True
+    )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    wv = Window.orderBy("df", "s")
-    ranked = dfreq.select("s", F.row_number().over(wv).alias("r"))
-    tr = sh.join(ranked, "s").select("doc_id", "r")
+    # the consistent global order the prefix theorem needs is (df, s)
+    # used DIRECTLY: per-doc positions come from a doc-partitioned
+    # window ordered by (df, s), and the candidate join keys on the
+    # shingle itself — no vocabulary-wide rank (the earlier global
+    # row_number was a single-partition sort of the whole vocab, the
+    # one non-scalable stage in this plan)
+    tr = sh.join(dfreq, "s").select("doc_id", "s", "df")
     sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
-    wd = Window.partitionBy("doc_id").orderBy("r")
+    wd = Window.partitionBy("doc_id").orderBy("df", "s")
     ordered = tr.withColumn("pos", F.row_number().over(wd))
     pref = (
         ordered.join(sizes, "doc_id")
@@ -824,11 +834,11 @@ def ppjoin_pairs(
             F.col("pos")
             <= F.col("nsh") - F.ceil(F.lit(min_jaccard) * F.col("nsh")) + 1
         )
-        .select("doc_id", "r")
+        .select("doc_id", "s")
     )
     cand = (
         pref.alias("a")
-        .join(pref.alias("b"), "r")
+        .join(pref.alias("b"), "s")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
