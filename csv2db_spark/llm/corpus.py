@@ -34,13 +34,19 @@ def tokens(c: Column | str) -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-grams; empty array when the doc is shorter than n."""
+    """Distinct word n-grams; empty array when the doc is shorter than n.
+
+    Built from arrays_zip of n shifted slices — the repo's standard
+    n-gram idiom — with the transform body reduced to struct-field
+    access + one concat_ws. The earlier sequence + per-index
+    element_at×n body evaluated interpreted per element and measured
+    8.7× slower at sf0.1 (2.95 → 0.34 s for the size-only projection,
+    element-identical output; PLANS.md round-8)."""
+    m = F.size(toks) - (n - 1)
+    z = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(n)])
     make = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
+            z, lambda st: F.concat_ws(" ", *[st[f"t{j}"] for j in range(n)])
         )
     )
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(make)

@@ -120,13 +120,31 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the full text (exact identity) plus a
     min-hash over word 3-grams (robust to reordering/truncation — the
-    1-seed special case of MinHash)."""
+    1-seed special case of MinHash).
+
+    The min-of-md5s runs EXPLODED (explode → codegen md5 → map-side
+    combined min per doc, one bounded shuffle of 16-byte partials), not
+    as an array ``transform`` lambda: higher-order functions evaluate
+    interpreted, and md5-per-element is exactly the real-work body
+    where that costs 3-10× (same lesson as the r7 xxh verify rewrite;
+    measured 6.3 → ~1 s at sf0.1 on this gate, PLANS.md round-8).
+    Docs with no shingles (< 3 tokens) keep a NULL fingerprint via the
+    left join, matching the array path and the oracle."""
     sh = shingles(tokens(text_col))
-    return docs.select(
-        "doc_id",
-        F.md5(F.col(text_col)).alias("text_md5"),
-        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("shingle_fp"),
-        F.size(sh).cast("long").alias("n_shingles"),
+    exploded = docs.select(
+        "doc_id", F.explode(sh).alias("s")
+    )
+    fp = exploded.groupBy("doc_id").agg(
+        F.min(F.md5("s")).alias("shingle_fp")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.col(text_col)).alias("text_md5"),
+            F.size(sh).cast("long").alias("n_shingles"),
+        )
+        .join(fp, "doc_id", "left")
+        .select("doc_id", "text_md5", "shingle_fp", "n_shingles")
     )
 
 
