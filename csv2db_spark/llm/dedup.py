@@ -692,16 +692,29 @@ def duplicated_spans(
 def _window_fingerprints(
     docs: DataFrame, text_col: str, w: int
 ) -> DataFrame:
-    """(doc_id, i, h): md5 of every w-token window, 1-based starts."""
-    win = (
-        "CASE WHEN size({t}) >= {w} THEN "
-        "transform(sequence(1, size({t}) - {w} + 1), "
-        "i -> struct(i AS i, md5(array_join(slice({t}, i, {w}), ' ')) AS h)) "
-        "ELSE array() END"
-    ).format(t=f"split({text_col}, ' ')", w=w)
-    return docs.select(
-        "doc_id", F.explode(F.expr(win)).alias("wd")
-    ).select("doc_id", F.col("wd.i").alias("i"), F.col("wd.h").alias("h"))
+    """(doc_id, i, h): md5 of every w-token window, 1-based starts.
+
+    Built as arrays_zip of ``w`` shifted slices (the repo's n-gram
+    idiom, see llm/corpus.shingles) with posexplode BEFORE the hash, so
+    concat_ws + md5 run whole-stage-codegen per exploded row instead of
+    interpreted per array element — the earlier sequence + per-index
+    slice/array_join/md5 lambda was the interpreted-HOF-with-real-work
+    class this repo eliminates on sight (PLANS.md round-8)."""
+    t = F.split(F.col(text_col), " ")
+    m = F.size(t) - (w - 1)
+    z = F.arrays_zip(*[F.slice(t, j + 1, m).alias(f"t{j}") for j in range(w)])
+    # posexplode of NULL emits no rows, exactly the size<w empty case
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(F.when(F.size(t) >= w, z)).alias("p0", "wd"),
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("p0") + 1).alias("i"),
+        F.md5(
+            F.concat_ws(" ", *[F.col("wd").getField(f"t{j}") for j in range(w)])
+        ).alias("h"),
+    )
 
 
 def _merge_islands(marked: DataFrame, w: int) -> DataFrame:
@@ -772,10 +785,10 @@ def remove_duplicated_spans(
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col("i").alias("i"), F.col("tok").alias("tok")))
     )
+    # .getField on array<struct> is the codegen GetArrayStructFields
+    # projection — no interpreted per-element lambda
     return kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ", F.transform(ordered, lambda x: x["tok"])
-        ).alias("clean_text"),
+        F.concat_ws(" ", ordered.getField("tok")).alias("clean_text"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
 
