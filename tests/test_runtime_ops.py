@@ -342,6 +342,18 @@ def test_triangle_count_known_graph(spark):
         ["src", "dst"],
     )
     assert {r.node: r.n_triangles for r in triangle_count(rev).collect()} == got
+    # physical-strategy identity: forcing the general wedge path
+    # (dense_node_span=0) gives the same answer as the bitmap path
+    wedge = triangle_count(edges, dense_node_span=0)
+    assert {r.node: r.n_triangles for r in wedge.collect()} == got
+    # and sparse wide-ID graphs fall through to the wedge path untouched
+    wide = spark.createDataFrame(
+        [(10**9, 2 * 10**9), (10**9, 3 * 10**9), (2 * 10**9, 3 * 10**9)],
+        ["src", "dst"],
+    )
+    assert {
+        r.node: r.n_triangles for r in triangle_count(wide).collect()
+    } == {10**9: 1, 2 * 10**9: 1, 3 * 10**9: 1}
 
 
 # ----------------------------------------------------------- MMR rerank
