@@ -74,6 +74,11 @@ DEFAULT_QUERIES = [
     "q_curate_decontaminate_semantic",
     "q_pipeline_curation_v8",
     "q_ts_time_weighted_avg",
+    # round-8 session 3: the rewritten heavies (bitmap triangles, the
+    # arrays_zip window-fingerprint span family) join the tracking set
+    "q_graph_triangles",
+    "q_dedup_span_removal",
+    "q_pipeline_curation_v5",
 ]
 
 
