@@ -394,11 +394,18 @@ def test_adjudicated_big_big_joins_stay_sort_merge(spark, sf_dir, name):
         f"joins, found {len(lines)} — a join strategy flipped; re-run "
         f"scripts/audit_anti_joins.py and re-adjudicate"
     )
+
+
+def test_curation_v8_corpus_joins_broadcast_no_python(spark, sf_dir):
     """v8's corpus-facing joins are all broadcast: the benchmark
     shingles (BuildRight under the scan) and the contamination DROP
     LIST's anti join — corpus text must never ride a doc_id shuffle.
     (Aggregate-to-aggregate joins of per-doc COUNTS may sort-merge;
-    they carry 16-byte rows, not bodies.) No Python anywhere."""
+    they carry 16-byte rows, not bodies.) No Python anywhere.
+
+    (This block had been accidentally appended to the parametrized
+    adjudicated-SMJ test body, where it ran three times under the wrong
+    name — split back out as its own test.)"""
     plan = _plan(spark, sf_dir, "q_pipeline_curation_v8")
     assert "BroadcastHashJoin" in plan
     assert "pythonUDF" not in plan
@@ -406,3 +413,19 @@ def test_adjudicated_big_big_joins_stay_sort_merge(spark, sf_dir, name):
     assert anti_lines and all(
         "BroadcastHashJoin" in ln for ln in anti_lines
     ), f"anti join not broadcast: {anti_lines}"
+
+
+def test_triangles_dense_path_broadcasts_no_wedge(spark, sf_dir):
+    """q_graph_triangles on the fixture graph (node span <= 4096) must
+    take the bitmap path: both adjacency joins broadcast and NO 3-way
+    wedge self-join survives — exactly one non-broadcast join is
+    allowed (the lineitem pair-aggregation precursor). A flip back to
+    the wedge plan re-materializes ~46M rows at sf0.1 (13.6 s vs
+    3.7 s, PLANS.md round-8 session 3)."""
+    plan = _plan(spark, sf_dir, "q_graph_triangles")
+    assert "BroadcastHashJoin" in plan
+    n_smj = plan.count("SortMergeJoin")
+    assert n_smj <= 1, (
+        f"expected at most the precursor self-join as SMJ, found {n_smj} — "
+        "the dense bitmap path regressed to the wedge self-join"
+    )
