@@ -123,6 +123,11 @@ def main() -> None:
         # built on it — get their own comparable series
         "q_dedup_containment",
         "q_pipeline_curation_v6",
+        # round-8 session 3: the graph family's heaviest shape joins the
+        # series after its adaptive bitmap rewrite (13.6 -> 3.7 s; the
+        # series guards the dense-path plan the same way the plan-shape
+        # pin does, but in wall-clock)
+        "q_graph_triangles",
     )
     all_queries = load_all_queries()
     # Best-of-3 after target-SF warmup (round-8, per the r7 verdict):
