@@ -984,10 +984,23 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2db_spark.operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sa"))
-    b = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sb"))
+    # per-order pair expansion instead of a lineitem self-join: ONE
+    # orderkey shuffle builds the sorted supplier list (multiplicity
+    # kept — the oracle counts row pairs), then ordered pairs explode
+    # per row with zero joins; the sa < sb filter drops same-supplier
+    # row pairs exactly like the join condition did
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_suppkey")).alias("ss")
+    )
+    lhs = per_order.select(F.posexplode("ss").alias("i", "sa"), "ss")
     pairs = (
-        a.join(b, (F.col("k") == F.col("k2")) & (F.col("sa") < F.col("sb")))
+        lhs.select(
+            "sa",
+            F.explode(
+                F.slice("ss", F.col("i") + 2, F.size("ss") - F.col("i") - 1)
+            ).alias("sb"),
+        )
+        .where(F.col("sa") < F.col("sb"))
         .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).alias("w"))
     )
