@@ -551,7 +551,12 @@ def deletion_variants(c: Column) -> Column:
     deletion-neighborhood blocking). Two strings are within edit
     distance 1 (one insert, delete, or substitute) iff their variant
     sets intersect, so an equi-join on the variant is a complete
-    candidate generator for ED<=1 — no all-pairs comparison."""
+    candidate generator for ED<=1 — no all-pairs comparison.
+
+    This array form is the spec / ad-hoc helper; ``fuzzy_pairs`` inlines
+    the explode-first equivalent so the substr+concat work runs codegen
+    per row instead of interpreted per lambda element (measured 1.6x on
+    the gate, PLANS.md round-8 session 3)."""
     return F.concat(
         F.array(c),
         F.transform(
@@ -583,11 +588,30 @@ def fuzzy_pairs(
     collision but ED>1, e.g. "ab"/"ba") are removed by one exact
     ``levenshtein`` on the candidate pairs only.
     """
-    var = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(s_col).alias("_s"),
-        F.explode(deletion_variants(F.col(s_col))).alias("v"),
-    ).distinct()
+    # deletion_variants semantics, exploded FIRST: the int sequence is
+    # the only array built per row, and the substr+concat string work
+    # runs whole-stage-codegen per exploded row instead of interpreted
+    # per lambda element (_i = 0 is the identity variant)
+    var = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(s_col).alias("_s"),
+            F.explode(F.sequence(F.lit(0), F.length(s_col))).alias("_i"),
+        )
+        .select(
+            "_id",
+            "_s",
+            F.when(F.col("_i") == 0, F.col("_s"))
+            .otherwise(
+                F.concat(
+                    F.col("_s").substr(F.lit(1), F.col("_i") - 1),
+                    F.col("_s").substr(F.col("_i") + 1, F.length("_s")),
+                )
+            )
+            .alias("v"),
+        )
+        .distinct()
+    )
     if max_bucket is not None:
         hot = (
             var.groupBy("v")
@@ -639,15 +663,9 @@ def duplicated_window_stats(
     (whole-doc similarity) can't see a copied paragraph inside an
     otherwise-unique document.
     """
-    win = (
-        "CASE WHEN size({t}) >= {w} THEN "
-        "transform(sequence(1, size({t}) - {w} + 1), "
-        "i -> md5(array_join(slice({t}, i, {w}), ' '))) "
-        "ELSE array() END"
-    ).format(t=f"split({text_col}, ' ')", w=w)
-    exploded = docs.select(
-        "doc_id", F.explode(F.expr(win)).alias("h")
-    )
+    # same arrays_zip + hash-after-explode build as the span family —
+    # the position column is unused here, only the digest stream
+    exploded = _window_fingerprints(docs, text_col, w).select("doc_id", "h")
     c = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
         exploded.withColumn("_c", c)
