@@ -908,14 +908,23 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_cdc_to_snapshot + snapshots.SnapshotTable.merge_stream_batch):
     a keyed base table takes a change stream via per-batch latest-wins
     reduction (max_by on event_id — MERGE needs unique source keys) and
-    copy-on-write merge, each batch committing data + batch-id marker in
-    ONE atomic manifest publish. The gate replays batch 0 afterwards —
-    the at-least-once delivery foreachBatch actually gives — and the
+    RECENCY-CONDITIONED copy-on-write merge (version_col=last_event_id:
+    a matched key updates only when the batch's event_id is newer), each
+    batch committing data + batch-id marker in ONE atomic manifest
+    publish. The version condition is what makes the gate deterministic:
+    micro-batch composition is an accident of file listing (one batch
+    today, N batches under maxFilesPerTrigger or a different file
+    split), and per-batch latest-wins + unconditional update equals the
+    oracle's global max_by only under version-ordered batches — the r08
+    driver flake. With the condition the result is batch-split-invariant
+    by construction (pinned by the adversarial multi-batch regression in
+    tests/test_streaming_ingest.py). The gate replays batch 0 afterwards
+    — the at-least-once delivery foreachBatch actually gives — and the
     hash against a full-outer-join oracle proves the replay was skipped:
-    a re-applied merge would create a phantom version and, with any
-    non-idempotent reduction, corrupt latest-wins state. Untouched base
-    keys (the +1000000 synthetics) keep their sentinel, matched keys
-    carry the stream's latest value, new keys are inserts."""
+    a re-applied merge would create a phantom version and corrupt state.
+    Untouched base keys (the +1000000 synthetics) keep their sentinel,
+    matched keys carry the stream's latest value, new keys are
+    inserts."""
     import os
     import shutil
     import tempfile
@@ -936,11 +945,14 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .withColumn("last_value", F.lit(-1.0))
+        # NULL version on seed rows: any real change outranks them
+        .withColumn("last_event_id", F.lit(None).cast("long"))
     )
 
     def latest(b: DataFrame) -> DataFrame:
         return b.groupBy("user_id").agg(
-            F.expr("max_by(value, event_id)").alias("last_value")
+            F.expr("max_by(value, event_id)").alias("last_value"),
+            F.max("event_id").alias("last_event_id"),
         )
 
     root = tempfile.mkdtemp(prefix="c2s_cdcsink_")
@@ -953,11 +965,15 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             on="user_id",
             reduce=latest,
             checkpoint=os.path.join(root, "_cp"),
+            version_col="last_event_id",
         )
         # adversarial replay of the committed batch id: must be a no-op
         assert (
             t.merge_stream_batch(
-                latest(ev.select("event_id", "user_id", "value")), 0, "user_id"
+                latest(ev.select("event_id", "user_id", "value")),
+                0,
+                "user_id",
+                version_col="last_event_id",
             )
             is None
         )

@@ -609,7 +609,12 @@ class SnapshotTable:
         )
         return nxt
 
-    def merge_into(self, source: DataFrame, on: list[str] | str) -> int:
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list[str] | str,
+        version_col: str | None = None,
+    ) -> int:
         """Copy-on-write MERGE: ``WHEN MATCHED THEN UPDATE SET * WHEN NOT
         MATCHED THEN INSERT *``. The source must carry the table's full
         schema; ``on`` names the join key column(s) and source keys must
@@ -626,11 +631,28 @@ class SnapshotTable:
         matched rows land as updates, unmatched source rows as inserts,
         one write). Every untouched file is referenced verbatim by the
         new manifest, and the publish is the same atomic O_EXCL commit:
-        a crash mid-merge leaves only invisible orphans."""
-        return self._merge_commit(source, on, "merge")
+        a crash mid-merge leaves only invisible orphans.
+
+        ``version_col`` makes the merge RECENCY-CONDITIONED: a matched
+        target row is replaced only when the source row's version is
+        newer (NULL target version always loses; ties prefer the
+        source). Without it, matched rows are updated unconditionally —
+        correct for a full-refresh delta, but order-DEPENDENT when the
+        deltas are micro-batches of a change stream: per-batch
+        latest-wins + unconditional update equals a global max_by only
+        if batches happen to arrive in version order. With it, the
+        final table state is invariant under ANY split or ordering of
+        the deltas (each key keeps its globally newest row), which is
+        what makes ``merge_stream_batch`` deterministic under Spark's
+        undefined micro-batch file grouping."""
+        return self._merge_commit(source, on, "merge", version_col)
 
     def _merge_commit(
-        self, source: DataFrame, on: list[str] | str, op: str
+        self,
+        source: DataFrame,
+        on: list[str] | str,
+        op: str,
+        version_col: str | None = None,
     ) -> int:
         from pyspark.sql import functions as F
 
@@ -654,7 +676,30 @@ class SnapshotTable:
         affected = self._files_hit(files, hit_paths)
         kept = [f for f in files if f not in set(affected)]
         nxt = head + 1
-        if affected:
+        if affected and version_col is not None:
+            # recency-conditioned: union target rows from affected files
+            # with the delta and keep, per key, the newest row (NULL
+            # version sorts last so seed rows always lose to real
+            # changes; version ties prefer the source). One per-key
+            # shuffle over O(delta + affected files) rows — never the
+            # table. Unmatched target rows in affected files are their
+            # key's only row and survive trivially.
+            from pyspark.sql import Window
+
+            tagged = (
+                self._read_files(affected, self._schema_at(head))
+                .withColumn("_is_src", F.lit(0))
+                .unionByName(source.withColumn("_is_src", F.lit(1)))
+            )
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(version_col).desc_nulls_last(), F.col("_is_src").desc()
+            )
+            new_data = (
+                tagged.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "_is_src")
+            )
+        elif affected:
             survivors = self._read_files(
                 affected, self._schema_at(head)
             ).join(F.broadcast(key_df), keys, "left_anti")
@@ -672,7 +717,11 @@ class SnapshotTable:
         return nxt
 
     def merge_stream_batch(
-        self, source: DataFrame, batch_id: int, on: list[str] | str
+        self,
+        source: DataFrame,
+        batch_id: int,
+        on: list[str] | str,
+        version_col: str | None = None,
     ) -> int | None:
         """Exactly-once MERGE for a foreachBatch CDC sink: the same
         copy-on-write upsert as ``merge_into``, with the micro-batch id
@@ -684,7 +733,17 @@ class SnapshotTable:
         just duplicate rows but RE-update matched ones, silently
         corrupting latest-wins semantics. This is the streaming face of
         CDC-into-lakehouse: each micro-batch of upserts costs O(delta +
-        affected files), never a table rewrite."""
+        affected files), never a table rewrite.
+
+        Pass ``version_col`` (the change-ordering column, e.g. the CDC
+        log offset) whenever the stream's key order is not guaranteed
+        to match micro-batch order — i.e. always, in practice: Spark
+        groups source files into batches by listing order, so without
+        the recency condition an early-keyed change landing in a late
+        batch would clobber a newer value. With it the table equals the
+        stream's global latest-wins reduction under ANY batch split
+        (regression-pinned by the adversarial maxFilesPerTrigger=1
+        test in tests/test_streaming_ingest.py)."""
         marker = f"stream-merge:{batch_id}"
         if self._batch_applied(marker):
             return None
@@ -696,7 +755,7 @@ class SnapshotTable:
                 1, marker, files, self._stats_of(files), self._schema_of(source)
             )
             return 1
-        return self._merge_commit(source, on, marker)
+        return self._merge_commit(source, on, marker, version_col)
 
     def compact(self, target_files: int = 1) -> int:
         """Rewrite the head version's row set into ``target_files``

@@ -679,6 +679,7 @@ def stream_cdc_to_snapshot(
     on: list[str] | str,
     reduce=None,
     checkpoint: str | None = None,
+    version_col: str | None = None,
 ) -> None:
     """Continuously UPSERT a change stream into a snapshots.
     SnapshotTable: each micro-batch is first reduced to one row per key
@@ -689,13 +690,21 @@ def stream_cdc_to_snapshot(
     once foreachBatch delivery becomes an exactly-once materialized
     view of the keyed stream — the streaming CDC-into-lakehouse shape:
     per batch, cost is O(delta + affected files), never a table
-    rewrite, and every batch is a time-travel point."""
+    rewrite, and every batch is a time-travel point.
+
+    ``version_col`` names the change-ordering column the reduced batch
+    carries (e.g. max event_id per key); the merge then updates a
+    matched key only when the batch's version is newer, making the
+    materialized view equal to the stream's GLOBAL latest-wins
+    reduction under any micro-batch split. Omit it only when the
+    source guarantees key-monotonic batches — Spark's file-listing
+    batch grouping does not."""
     import tempfile as _tempfile
 
     cp = checkpoint or _tempfile.mkdtemp(prefix="c2s_cdcsink_cp_")
 
     def _apply(b: DataFrame, i: int) -> None:
-        table.merge_stream_batch(reduce(b) if reduce else b, i, on)
+        table.merge_stream_batch(reduce(b) if reduce else b, i, on, version_col)
 
     q = (
         stream.writeStream.foreachBatch(_apply)

@@ -274,3 +274,86 @@ def test_stream_retractions_drop_cancelled_groups(spark, tmp_path):
     )
     rows = {r.g: (r.n_rows, float(r.sv)) for r in spark.read.parquet(store).collect()}
     assert rows == {"b": (1, 2.0)}  # 'a' fully cancelled -> absent
+
+
+def test_stream_cdc_upsert_batch_split_invariant(spark, tmp_path):
+    """The r08 driver flake, forced: a change stream split into multiple
+    micro-batches (maxFilesPerTrigger=1) staged in ADVERSARIAL order —
+    the file holding each key's NEWEST change is processed FIRST, the
+    stale changes arrive in a LATER batch. Per-batch latest-wins +
+    unconditional merge would clobber the fresh values with the stale
+    batch; the recency-conditioned merge (version_col) must equal the
+    global max_by reduction regardless of how Spark groups files into
+    batches."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from csv2db_spark.snapshots import SnapshotTable
+    from csv2db_spark.streaming.ops import stream_cdc_to_snapshot
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    cols = ["event_id", "user_id", "value"]
+
+    def stage(rows, name, mtime):
+        d = tmp_path / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        tgt = src / name
+        shutil.move(str(part), str(tgt))
+        os.utime(tgt, (mtime, mtime))
+
+    # FileStreamSource orders unread files oldest-mtime-first: the file
+    # with the NEWER event_ids gets the older mtime, so batch 0 applies
+    # the fresh values and batch 1 replays the stale ones.
+    stage([(10, 1, 111.0), (11, 2, 222.0)], "newer.parquet", 1_000)
+    stage([(1, 1, -5.0), (2, 2, -6.0), (3, 3, 333.0)], "older.parquet", 2_000)
+
+    base = (
+        spark.createDataFrame([(1,), (2,), (3,), (99,)], ["user_id"])
+        .withColumn("last_value", F.lit(-1.0))
+        .withColumn("last_event_id", F.lit(None).cast("long"))
+    )
+    t = SnapshotTable(spark, str(tmp_path / "users_tbl"))
+    t.create(base)
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    def latest(b):
+        return b.groupBy("user_id").agg(
+            F.expr("max_by(value, event_id)").alias("last_value"),
+            F.max("event_id").alias("last_event_id"),
+        )
+
+    stream_cdc_to_snapshot(
+        stream,
+        t,
+        on="user_id",
+        reduce=latest,
+        checkpoint=str(tmp_path / "cp"),
+        version_col="last_event_id",
+    )
+
+    # two merge batches really happened: create=1, batch0=2, batch1=3
+    assert t.current_version() == 3
+    # version 2 proves the adversarial order held (newer file first)
+    v2 = {r["user_id"]: r["last_value"] for r in t.read(2).collect()}
+    assert v2[1] == 111.0 and v2[2] == 222.0
+    # head: the stale second batch must NOT have clobbered fresh keys
+    got = {
+        r["user_id"]: (r["last_value"], r["last_event_id"])
+        for r in t.read().collect()
+    }
+    assert got == {
+        1: (111.0, 10),
+        2: (222.0, 11),
+        3: (333.0, 3),
+        99: (-1.0, None),
+    }
