@@ -321,11 +321,19 @@ def triangle_count(
       map-side join — no wedge materialization (the wedge set of a 43%-
       dense 1000-node graph is ~46M rows; the bitmap plan touches 215k).
 
-    - **General graphs** (unbounded IDs): the ordered 3-way self-join
-      e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c — each triangle
-      enumerated once, credited to all three corners. Two hash
-      self-joins on single node keys; at 100 TB pre-filter high-degree
-      nodes or orient by degree to bound the wedge count.
+    - **General graphs** (any ID type, unbounded span): DEGREE-ORDERED
+      wedge enumeration. Nodes are totally ordered by (degree, id) and
+      every edge oriented from the lower to the higher endpoint; a
+      triangle x ≺ y ≺ z is then found exactly once as the wedge
+      (x→y, x→z) closed by the edge y→z. The wedge join therefore costs
+      Σ C(d⁺(v), 2) where d⁺ is OUT-degree under the orientation —
+      the classic O(m^1.5) bound (no node's out-degree exceeds ~√(2m)),
+      versus Σ C(d(v), 2) for the naive lo<hi orientation, which is
+      quadratic in the max RAW degree: a single 1M-follower hub node
+      contributes ~5·10^11 wedges naive but (being every edge's HIGHER
+      endpoint) zero oriented. Skew-proof by construction — star
+      centers, celebrity nodes, and boilerplate hubs land on the
+      receiving side of their edges.
     """
     # materialize the normalized edge set ONCE: every strategy consumes
     # it multiple times, and without the boundary Spark re-plans the
@@ -343,22 +351,31 @@ def triangle_count(
     # bounded driver-side scalars (justified-collect class): the ID span
     # picks the physical strategy, exactly like AQE picks join strategy
     # from runtime sizes. min(lo)/max(hi) are the global bounds because
-    # normalization puts every edge's smaller endpoint in lo.
-    bounds = e.agg(F.min("lo").alias("mn"), F.max("hi").alias("mx")).collect()[0]
-    if bounds["mn"] is not None:
-        span = int(bounds["mx"]) - int(bounds["mn"]) + 1
-        if 0 < span <= dense_node_span:
-            return _triangle_count_bitmap(e, int(bounds["mn"]), span)
-    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    e2 = e.select(F.col("lo").alias("b2"), F.col("hi").alias("c2"))
-    e3 = e.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
+    # normalization puts every edge's smaller endpoint in lo. The dense
+    # path is gated on INTEGRAL IDs first: int() on a string/date bound
+    # raises at the driver, and fractional float IDs inside a small span
+    # would alias after the (v - mn) long cast — silently wrong counts
+    # (ADVICE r8); non-integral IDs always take the general path, which
+    # handles any orderable type via least/greatest.
+    if dict(e.dtypes)["lo"] in ("tinyint", "smallint", "int", "bigint"):
+        bounds = e.agg(
+            F.min("lo").alias("mn"), F.max("hi").alias("mx")
+        ).collect()[0]
+        if bounds["mn"] is not None:
+            span = int(bounds["mx"]) - int(bounds["mn"]) + 1
+            if 0 < span <= dense_node_span:
+                return _triangle_count_bitmap(e, int(bounds["mn"]), span)
+    o = _orient_by_degree(e)
+    w1 = o.select("x", F.col("y").alias("b"), F.col("ky").alias("kb"))
+    w2 = o.select("x", F.col("y").alias("c"), F.col("ky").alias("kc"))
+    closing = o.select(F.col("x").alias("b"), F.col("y").alias("c"))
     tri = (
-        e1.join(e2, F.col("b") == F.col("b2"))
-        .join(
-            e3,
-            (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("c3")),
-        )
-        .select("a", "b", F.col("c2").alias("c"))
+        w1.join(w2, "x")
+        # strict < both halves the wedge pairs and drops the (b == c)
+        # self-pair the join on x would otherwise emit
+        .where(F.col("kb") < F.col("kc"))
+        .join(closing, ["b", "c"])
+        .select(F.col("x").alias("a"), "b", "c")
     )
     corners = (
         tri.select(F.col("a").alias("node"))
@@ -366,6 +383,36 @@ def triangle_count(
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _orient_by_degree(e: DataFrame) -> DataFrame:
+    """Orient the normalized (lo, hi) edge set by the total order
+    (degree, id): every edge points from its lower-ranked endpoint x to
+    the higher y. Returns (x, y, ky) where ky is y's rank key (a
+    comparable struct), materialized once — the wedge join consumes the
+    result three times. The two degree-attach joins are |E| ⋈ |V| hash
+    joins; nothing here is proportional to wedge count."""
+    deg = (
+        e.select(F.col("lo").alias("n"))
+        .unionAll(e.select(F.col("hi").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = e.join(
+        deg.select(F.col("n").alias("lo"), F.col("d").alias("dl")), "lo"
+    ).join(deg.select(F.col("n").alias("hi"), F.col("d").alias("dh")), "hi")
+    # (degree, id) struct ordering: lexicographic, never equal for the
+    # two endpoints of one edge (lo != hi on a simple graph)
+    klo = F.struct(F.col("dl").alias("d"), F.col("lo").alias("n"))
+    khi = F.struct(F.col("dh").alias("d"), F.col("hi").alias("n"))
+    return (
+        ranked.select(
+            F.when(klo < khi, F.col("lo")).otherwise(F.col("hi")).alias("x"),
+            F.when(klo < khi, F.col("hi")).otherwise(F.col("lo")).alias("y"),
+            F.when(klo < khi, khi).otherwise(klo).alias("ky"),
+        )
+        .localCheckpoint(eager=True)
+    )
 
 
 def _triangle_count_bitmap(e: DataFrame, mn: int, span: int) -> DataFrame:

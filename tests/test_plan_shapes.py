@@ -417,15 +417,16 @@ def test_curation_v8_corpus_joins_broadcast_no_python(spark, sf_dir):
 
 def test_triangles_dense_path_broadcasts_no_wedge(spark, sf_dir):
     """q_graph_triangles on the fixture graph (node span <= 4096) must
-    take the bitmap path: both adjacency joins broadcast and NO 3-way
-    wedge self-join survives — exactly one non-broadcast join is
-    allowed (the lineitem pair-aggregation precursor). A flip back to
-    the wedge plan re-materializes ~46M rows at sf0.1 (13.6 s vs
-    3.7 s, PLANS.md round-8 session 3)."""
+    take the bitmap path: both adjacency joins broadcast and NO
+    sort-merge join anywhere — the edge-derivation precursor is a
+    join-free per-order expansion since round 8, so ANY SMJ means
+    either the wedge self-join or the precursor self-join regressed.
+    A flip back to the wedge plan re-materializes ~46M rows at sf0.1
+    (13.6 s vs 3.7 s, PLANS.md round-8 session 3)."""
     plan = _plan(spark, sf_dir, "q_graph_triangles")
     assert "BroadcastHashJoin" in plan
     n_smj = plan.count("SortMergeJoin")
-    assert n_smj <= 1, (
-        f"expected at most the precursor self-join as SMJ, found {n_smj} — "
-        "the dense bitmap path regressed to the wedge self-join"
+    assert n_smj == 0, (
+        f"expected a join-free precursor + broadcast bitmap path, found "
+        f"{n_smj} SortMergeJoin(s) — a self-join regressed into the plan"
     )

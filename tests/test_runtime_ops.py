@@ -356,6 +356,61 @@ def test_triangle_count_known_graph(spark):
     } == {10**9: 1, 2 * 10**9: 1, 3 * 10**9: 1}
 
 
+def test_triangle_count_non_integral_ids(spark):
+    """String node IDs must work (the general path handles any orderable
+    type), and float IDs within a small span must NOT take the dense
+    bitmap path — the (v - mn) long cast would alias 1.2 and 1.7 onto
+    the same bit and silently miscount (ADVICE r8)."""
+    from csv2db_spark.operators.graph import triangle_count
+
+    named = spark.createDataFrame(
+        [("ann", "bob"), ("bob", "cat"), ("ann", "cat"), ("cat", "dan")],
+        ["src", "dst"],
+    )
+    assert {r.node: r.n_triangles for r in triangle_count(named).collect()} == {
+        "ann": 1,
+        "bob": 1,
+        "cat": 1,
+    }
+    # 1.2 and 1.7 alias to bit 0 under a long cast: a bitmap path would
+    # see a triangle among {1.2/1.7, 2.5, 3.5}; the true graph has none
+    fl = spark.createDataFrame(
+        [(1.2, 2.5), (1.7, 3.5), (2.5, 3.5)], ["src", "dst"]
+    )
+    assert triangle_count(fl).count() == 0
+
+
+def test_triangle_orientation_bounds_skewed_wedges(spark):
+    """Star + clique: the skew shape the naive lo<hi orientation dies
+    on. A 200-leaf star center has C(200,2)=19900 naive wedges; under
+    degree orientation every star edge points leaf->center (leaves have
+    degree 1), so each leaf has out-degree 1 and the star contributes
+    ZERO wedge pairs. Correctness: only the disjoint K4 holds
+    triangles."""
+    from pyspark.sql import functions as F
+
+    from csv2db_spark.operators.graph import _orient_by_degree, triangle_count
+
+    star = [(0, i) for i in range(100, 300)]
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(star + k4, ["src", "dst"])
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_count(edges, dense_node_span=0).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # the boundedness invariant itself: max out-degree after orientation
+    # stays at the clique scale (3), never the star center's 200
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        ).distinct()
+    )
+    out_deg = _orient_by_degree(e).groupBy("x").count()
+    assert out_deg.agg(F.max("count")).collect()[0][0] <= 3
+
+
 # ----------------------------------------------------------- MMR rerank
 
 
