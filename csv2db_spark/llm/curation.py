@@ -269,6 +269,7 @@ def quantile_filter(
     group_col: str = "lang",
     drop_frac: float = 0.25,
     id_col: str = "doc_id",
+    rank_mode: str = "window",
 ) -> DataFrame:
     """Per-group quantile filtering — the CCNet-style curation step "drop
     the worst X% of documents *within each language/domain bucket*"
@@ -289,24 +290,33 @@ def quantile_filter(
     (id, group, quality_score, pr) where pr is the conventional
     percent_rank (k/(n-1)) for reporting.
 
-    Scale shape: ONE window shuffle keyed by the group column (the
-    row_number and the group count share the same partitioning). Group
-    skew (one language dominating a corpus) is real at 100 TB; the
-    window only sorts within partitions of one group, so the mitigation
-    is the standard range-partition + external sort Spark already does —
-    no driver-side percentile collection, no second pass.
+    Scale shape, picked by ``rank_mode`` (gate-exact vs scale knob, the
+    materialize_stage pattern): ``'window'`` is ONE window shuffle
+    keyed by the group column — right at gate scale, but a skewed group
+    (one language dominating a web corpus) becomes a single-task total
+    sort over most of the data. ``'cutpoint'`` computes the identical
+    rank via operators/ranking.grouped_rank's histogram-offset +
+    tie-rank plan: no task ever sorts a whole group, and the output is
+    bit-identical (pinned in tests/test_runtime_ops.py), so gates hash
+    the same in either mode.
     """
-    w = Window.partitionBy(group_col).orderBy(score.asc(), F.col(id_col).asc())
-    wg = Window.partitionBy(group_col)
-    return (
-        docs.select(
-            F.col(id_col),
-            F.col(group_col),
-            score.alias("quality_score"),
-            F.row_number().over(w).alias("_rn"),
-            F.count(F.lit(1)).over(wg).alias("_n"),
+    from csv2db_spark.operators.ranking import grouped_rank
+
+    scored = docs.select(
+        F.col(id_col), F.col(group_col), score.alias("quality_score")
+    )
+    ranked = grouped_rank(
+        scored, group_col, "quality_score", id_col, mode=rank_mode
+    )
+    if rank_mode == "window":
+        ranked = ranked.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
         )
-        .where(F.col("_rn") > F.floor(F.lit(drop_frac) * F.col("_n")))
+    else:
+        totals = scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+        ranked = ranked.join(F.broadcast(totals), group_col)
+    return (
+        ranked.where(F.col("_rn") > F.floor(F.lit(drop_frac) * F.col("_n")))
         .select(
             id_col,
             group_col,

@@ -1,0 +1,152 @@
+"""Skew-safe exact per-group ranking — the scale mode behind the CCNet
+bucketing family.
+
+``row_number() OVER (PARTITION BY lang ORDER BY score)`` and its
+``ntile`` cousin are the canonical curation cut (quantile_filter, CCNet
+head/middle/tail), and at gate scale the plain window is the right
+plan. At 100 TB it is not: a web corpus is ~90% one language, so the
+"en" window partition is a SINGLE TASK doing a total sort over most of
+the corpus — the one plan shape that cannot be saved by adding
+executors (r8 VERDICT, scale caveat #2).
+
+``mode='cutpoint'`` computes the SAME rank exactly, with no whole-group
+sort, by splitting the rank into two bounded pieces:
+
+1. **Run offset** — aggregate the corpus to a per-(group, score)
+   HISTOGRAM (map-side-combinable shuffle, |distinct scores| rows per
+   group), then a running sum over the histogram gives every score run
+   its global offset ``below`` = number of group rows ranking strictly
+   ahead. The only group-wide window left partitions over histogram
+   rows, not documents.
+2. **Tie rank** — rank rows WITHIN one (group, score) run by the id
+   tiebreak: a window partitioned by (group, score), so each sort task
+   holds one tie set, never a language. rank = below + tie_rank.
+
+Equivalence (pinned in tests/test_runtime_ops.py): the window order is
+(score, id) total, so rank decomposes uniquely into the run's offset
+plus the position among equal scores — both modes are bit-identical,
+letting gates hash in exact mode while the scale mode carries the same
+contract. Degenerate case: if one (group, score) pair dominates (a
+truly constant score over a giant group), its tie set IS the group and
+the skew returns — quantize or pre-bucket the score upstream; real
+quality scores (integer-scaled permilles, LM permilles) have bounded
+runs by construction.
+
+``ntile`` needs no window at all once the rank exists: Spark's bucket
+assignment is a closed form over (rank, group size) — first n%k buckets
+get ceil(n/k) rows, the rest floor(n/k) — so the scale mode derives it
+arithmetically from the cutpoint rank plus a broadcast of per-group
+totals.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _groups(group_cols: str | list[str]) -> list[str]:
+    return [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: str | list[str],
+    order_col: str,
+    id_col: str,
+    descending: bool = False,
+    mode: str = "window",
+    out_col: str = "_rn",
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group ORDER BY order_col
+    [DESC], id_col)`` — exact, total (the id tiebreak), identical in
+    both modes. ``mode='window'`` is the plain window (gate scale);
+    ``mode='cutpoint'`` is the histogram-offset + tie-rank plan with no
+    whole-group sort (see module doc). NULL scores order the way the
+    window would (NULLS FIRST asc / NULLS LAST desc); the histogram
+    join is null-safe so they rank, not vanish."""
+    gs = _groups(group_cols)
+    if mode == "window":
+        ordc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+        w = Window.partitionBy(*gs).orderBy(ordc, F.col(id_col).asc())
+        return df.withColumn(out_col, F.row_number().over(w))
+    if mode != "cutpoint":
+        raise ValueError(f"unknown rank mode {mode!r}")
+    ord_alias = "_gr_ord"
+    base = df.withColumn(ord_alias, F.col(order_col))
+    hord = F.col(ord_alias).desc() if descending else F.col(ord_alias).asc()
+    hist = (
+        base.groupBy(*gs, ord_alias)
+        .agg(F.count(F.lit(1)).alias("_gr_cnt"))
+        .withColumn(
+            "_gr_below",
+            F.sum("_gr_cnt").over(Window.partitionBy(*gs).orderBy(hord))
+            - F.col("_gr_cnt"),
+        )
+        .select(
+            *[F.col(c).alias(f"_h_{c}") for c in gs],
+            F.col(ord_alias).alias("_h_ord"),
+            "_gr_below",
+        )
+    )
+    cond = reduce(
+        Column.__and__,
+        [base[c].eqNullSafe(F.col(f"_h_{c}")) for c in gs]
+        + [base[ord_alias].eqNullSafe(F.col("_h_ord"))],
+    )
+    # tie window keyed by (group, score): tasks sort tie SETS, never a
+    # whole group; the join keys match the window keys so EnsureRequirements
+    # satisfies both with one exchange
+    tw = Window.partitionBy(*gs, ord_alias).orderBy(F.col(id_col).asc())
+    return (
+        base.join(hist, cond)
+        .withColumn(
+            out_col,
+            (F.col("_gr_below") + F.row_number().over(tw)).cast("int"),
+        )
+        .select(*df.columns, out_col)  # window-mode column order parity
+    )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: str | list[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+    descending: bool = False,
+    mode: str = "window",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """``ntile(k) OVER (PARTITION BY group ORDER BY order_col [DESC],
+    id_col)`` in both modes. The cutpoint mode reconstructs Spark's
+    ntile arithmetic exactly: with n group rows, the first ``n % k``
+    buckets hold ``n // k + 1`` rows, the rest ``n // k`` — a closed
+    form over the cutpoint rank plus one broadcast join of per-group
+    totals (|groups| rows — languages/domains, never corpus-sized)."""
+    gs = _groups(group_cols)
+    if mode == "window":
+        ordc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+        w = Window.partitionBy(*gs).orderBy(ordc, F.col(id_col).asc())
+        return df.withColumn(out_col, F.ntile(k).over(w))
+    ranked = grouped_rank(
+        df, gs, order_col, id_col, descending, mode=mode, out_col="_gr_rn"
+    )
+    totals = df.groupBy(*gs).agg(F.count(F.lit(1)).alias("_gr_n"))
+    n, rn = F.col("_gr_n"), F.col("_gr_rn")
+    q = F.floor(n / k)  # base bucket size (0 when n < k)
+    r = n % k  # this many leading buckets take one extra row
+    thr = r * (q + 1)  # ranks <= thr live in the larger buckets
+    bucket = (
+        F.when(rn <= thr, F.ceil(rn / (q + 1)))
+        # greatest(q, 1): when n < k the branch is never taken (thr = n
+        # covers every rank) but Spark still type-checks the division
+        .otherwise(r + F.ceil((rn - thr) / F.greatest(q, F.lit(1))))
+    )
+    return (
+        ranked.join(F.broadcast(totals), gs)
+        .withColumn(out_col, bucket.cast("int"))
+        .select(*df.columns, out_col)  # window-mode column order parity
+    )

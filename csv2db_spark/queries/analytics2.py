@@ -3108,27 +3108,41 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     triage: keep head, sample middle, drop tail — per language, so
     high-resource languages don't crowd out the rest. Model-corpus
     scan + corpus scan + one |docs|-row window; the LM itself is a
-    |vocab|-row broadcastable table."""
+    |vocab|-row broadcastable table. The gate runs rank_mode='window'
+    (the exact-oracle twin); ccnet_buckets(..., rank_mode='cutpoint')
+    is the 100-TB plan — identical terciles, no per-language
+    single-task sort (operators/ranking.grouped_ntile)."""
+    return ccnet_buckets(spark, sf_dir)
+
+
+def ccnet_buckets(
+    spark: SparkSession, sf_dir: str, rank_mode: str = "window"
+) -> DataFrame:
+    """q_text_ccnet_buckets body with the tercile plan knob exposed
+    (see operators/ranking for the window-vs-cutpoint tradeoff)."""
     from csv2db_spark.llm.text import bigram_lm_scores
+    from csv2db_spark.operators.ranking import grouped_ntile
 
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.where(
         F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     )
     scored = bigram_lm_scores(docs, train_docs=ref)
-    w = Window.partitionBy("lang").orderBy(
-        F.col("avg_next_token_prob").desc(), F.col("doc_id")
-    )
-    return (
-        scored.join(docs.select("doc_id", "lang"), "doc_id")
-        .select(
+    return grouped_ntile(
+        scored.join(docs.select("doc_id", "lang"), "doc_id").select(
             "doc_id",
             "lang",
             "score_scaled",
             "n_bigrams",
             "avg_next_token_prob",
-            F.ntile(3).over(w).alias("ppl_bucket"),
-        )
+        ),
+        "lang",
+        "avg_next_token_prob",
+        "doc_id",
+        3,
+        descending=True,
+        mode=rank_mode,
+        out_col="ppl_bucket",
     )
 
 

@@ -1502,14 +1502,20 @@ def curation_v6_pipeline(
     sf_dir: str,
     materialize: str = "local",
     stage_path: str | None = None,
+    rank_mode: str = "window",
 ) -> DataFrame:
-    """The v6 pipeline body with its stage boundary exposed:
+    """The v6 pipeline body with its scale knobs exposed:
     ``materialize`` picks how the multi-consumer survivor set persists
     (operators/stage.materialize_stage). The gate defaults to 'local'
     (eager localCheckpoint — right at gate scale, but executor-cached:
     an executor loss on a real cluster kills the truncated lineage and
     the job restarts); a 100 TB run passes 'reliable' + a staging dir so
-    the boundary is durable parquet. Both modes are row-for-row equal
+    the boundary is durable parquet. ``rank_mode`` picks the CCNet
+    tercile plan the same way: 'window' is the plain per-language ntile
+    (single-task sort of the dominant language at corpus scale);
+    'cutpoint' derives the identical terciles from
+    operators/ranking.grouped_ntile's histogram-offset rank with no
+    whole-group sort. All modes are row-for-row equal
     (tests/test_runtime_ops.py)."""
     from csv2db_spark.llm import dedup as D
     from csv2db_spark.llm.text import bigram_lm_scores
@@ -1540,12 +1546,18 @@ def curation_v6_pipeline(
         F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     )
     scored = bigram_lm_scores(kept1, train_docs=ref)
-    w = Window.partitionBy("lang").orderBy(
-        F.col("avg_next_token_prob").desc(), F.col("doc_id")
+    from csv2db_spark.operators.ranking import grouped_ntile
+
+    bucketed = grouped_ntile(
+        scored.join(kept1.select("doc_id", "lang", "source"), "doc_id"),
+        "lang",
+        "avg_next_token_prob",
+        "doc_id",
+        3,
+        descending=True,
+        mode=rank_mode,
+        out_col="b",
     )
-    bucketed = scored.join(
-        kept1.select("doc_id", "lang", "source"), "doc_id"
-    ).withColumn("b", F.ntile(3).over(w))
     return (
         bucketed.where(F.col("b") <= 2)
         .groupBy("lang", "source")

@@ -430,3 +430,51 @@ def test_triangles_dense_path_broadcasts_no_wedge(spark, sf_dir):
         f"expected a join-free precursor + broadcast bitmap path, found "
         f"{n_smj} SortMergeJoin(s) — a self-join regressed into the plan"
     )
+
+
+def test_ccnet_cutpoint_mode_has_no_whole_group_sort(spark, sf_dir):
+    """The 100-TB CCNet plan (rank_mode='cutpoint'): every row_number
+    window over corpus rows must be keyed by (group, score) — tie sets,
+    never a whole language — and no ntile survives anywhere. The only
+    group-keyed window left runs over the per-(group, score) histogram
+    aggregate. Plus the contract that makes the knob safe: identical
+    rows to the exact window mode."""
+    from csv2db_spark.queries.analytics2 import ccnet_buckets
+
+    cut = ccnet_buckets(spark, sf_dir, rank_mode="cutpoint")
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, "cutpoint mode must rank via row_number over tie sets"
+    for ln in rn_lines:
+        assert "_gr_ord" in ln, (
+            f"doc-level rank window not keyed by the score column: {ln}"
+        )
+    win = {
+        (r.doc_id): (r.lang, r.score_scaled, r.n_bigrams, r.ppl_bucket)
+        for r in ccnet_buckets(spark, sf_dir, rank_mode="window").collect()
+    }
+    got = {
+        (r.doc_id): (r.lang, r.score_scaled, r.n_bigrams, r.ppl_bucket)
+        for r in cut.collect()
+    }
+    assert got == win
+
+
+def test_curation_v6_rank_modes_equal(spark, sf_dir):
+    """v6's tail-drop stage through the cutpoint tercile plan returns
+    the exact rows of the gate's window plan (the knob never changes
+    results, only the shuffle key)."""
+    from csv2db_spark.queries.curation import curation_v6_pipeline
+
+    w = {
+        (r.lang, r.source): (r.n_docs, r.total_bigrams)
+        for r in curation_v6_pipeline(spark, sf_dir).collect()
+    }
+    c = {
+        (r.lang, r.source): (r.n_docs, r.total_bigrams)
+        for r in curation_v6_pipeline(
+            spark, sf_dir, rank_mode="cutpoint"
+        ).collect()
+    }
+    assert w == c

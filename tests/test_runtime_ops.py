@@ -960,3 +960,83 @@ def test_vacuum_stages_age_gated(spark, tmp_path):
     assert vacuum_stages(root) == [stage_name]
     assert sorted(os.listdir(root)) == ["not-a-stage"]
     assert vacuum_stages(str(tmp_path / "missing")) == []
+
+
+# ------------------------------------------------- skew-safe exact rank
+
+
+def _rank_fixture(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # one dominant group with heavy score ties (the skew shape), one
+    # tiny group, one singleton, plus NULL scores in the big group
+    for i in range(400):
+        rows.append(("en", i, float(rng.randint(0, 9))))
+    for i in range(400, 405):
+        rows.append(("fr", i, float(rng.randint(0, 2))))
+    rows.append(("xx", 999, 5.0))
+    rows.extend([("en", 1000 + j, None) for j in range(3)])
+    return spark.createDataFrame(rows, "lang string, doc_id long, s double")
+
+
+def test_grouped_rank_cutpoint_equals_window(spark):
+    from csv2db_spark.operators.ranking import grouped_rank
+
+    df = _rank_fixture(spark)
+    for desc in (False, True):
+        w = {
+            (r.lang, r.doc_id): r._rn
+            for r in grouped_rank(
+                df, "lang", "s", "doc_id", descending=desc, mode="window"
+            ).collect()
+        }
+        c = {
+            (r.lang, r.doc_id): r._rn
+            for r in grouped_rank(
+                df, "lang", "s", "doc_id", descending=desc, mode="cutpoint"
+            ).collect()
+        }
+        assert w == c
+
+
+def test_grouped_ntile_cutpoint_equals_window(spark):
+    from csv2db_spark.operators.ranking import grouped_ntile
+
+    df = _rank_fixture(spark)
+    # k spanning: < group size, = singleton, > tiny-group size (n < k)
+    for k in (2, 3, 5, 7):
+        w = {
+            (r.lang, r.doc_id): r.bucket
+            for r in grouped_ntile(
+                df, "lang", "s", "doc_id", k, descending=True, mode="window"
+            ).collect()
+        }
+        c = {
+            (r.lang, r.doc_id): r.bucket
+            for r in grouped_ntile(
+                df, "lang", "s", "doc_id", k, descending=True, mode="cutpoint"
+            ).collect()
+        }
+        assert w == c
+
+
+def test_quantile_filter_modes_equal(spark):
+    from pyspark.sql import functions as F
+
+    from csv2db_spark.llm.curation import quantile_filter
+
+    df = _rank_fixture(spark).withColumnRenamed("s", "score")
+    out = {}
+    for m in ("window", "cutpoint"):
+        got = quantile_filter(
+            df, F.col("score"), group_col="lang", drop_frac=0.25,
+            id_col="doc_id", rank_mode=m,
+        )
+        out[m] = {
+            (r.doc_id, r.lang): (r.quality_score, r.pr) for r in got.collect()
+        }
+    assert out["window"] == out["cutpoint"]
+    # contract spot-checks survive the refactor: singleton kept
+    assert (999, "xx") in out["window"]
