@@ -187,6 +187,7 @@ def lsh_ann_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in ANY of
     ``n_tables`` hash tables, then exact cosine rank on candidates only.
@@ -195,7 +196,21 @@ def lsh_ann_topk(
     the join is equi on (table_id, bucket) — a hash join on a low-card
     key — and the expensive cosine runs on ~corpus/2^planes * tables
     rows per query instead of the full corpus.
-    """
+
+    ``max_bucket`` caps the CORPUS side of each (table, bucket): a
+    boilerplate-heavy corpus (millions of near-identical embeddings)
+    lands in one hot bucket, and every query probing it pays
+    |bucket| cosine rows — the LSH pruning silently degrades to
+    brute force. Policy is deterministic SAMPLING, not wholesale drop
+    (the minhash-band cap drops, because identical docs belong to exact
+    dedup; an ANN query in a hot bucket still deserves its best-effort
+    neighbors): members survive with probability ``max_bucket/|bucket|``
+    by an xxhash64 coin on (id, table, bucket), so the expected survivor
+    count is the cap, results are reproducible across runs and
+    partitionings, and no per-bucket sort or shuffle is added — the
+    bucket census is at most ``n_tables * 2^n_planes`` rows, joined back
+    as a broadcast. Recall on hot buckets becomes cap-proportional
+    (bounded-candidate test in tests/test_llm.py)."""
     planes = _hyperplanes(dim, n_planes, n_tables)
     budf = _bucket_udf(planes)
 
@@ -209,6 +224,23 @@ def lsh_ann_topk(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(budf(F.col(vec_col))).alias("table_id", "bucket"),
     )
+    if max_bucket is not None:
+        census = ck.groupBy("table_id", "bucket").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        # keep iff uniform_coin < cap/|bucket|, as integer arithmetic:
+        # pmod(hash, 1e6) * n < 1e6 * cap
+        coin = F.pmod(
+            F.xxhash64("neighbor_id", "table_id", "bucket"), F.lit(1_000_000)
+        )
+        ck = (
+            ck.join(F.broadcast(census), ["table_id", "bucket"])
+            .where(
+                (F.col("_n") <= max_bucket)
+                | (coin * F.col("_n") < F.lit(1_000_000 * max_bucket))
+            )
+            .drop("_n")
+        )
     qk = queries.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(budf(F.col(vec_col))).alias("table_id", "bucket"),

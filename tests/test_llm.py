@@ -1177,3 +1177,37 @@ def test_compressibility_violations_empty_on_fixture(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     assert compressibility_violations(docs, sample_n=64).count() == 0
+
+
+def test_lsh_ann_hot_bucket_cap_bounds_candidates(spark):
+    """All-identical embeddings: every corpus vector lands in the SAME
+    bucket of every table, so uncapped LSH degrades to brute force
+    (each query scores the whole corpus). The cap must bound per-query
+    candidates near max_bucket while still returning usable (cos=1)
+    neighbors — sampling, not wholesale drop."""
+    from csv2db_spark.llm.similarity import lsh_ann_topk
+
+    vec = [1.0, 0.0, 2.0, -1.0, 0.5, 0.0, 0.0, 1.0]
+    corpus = spark.createDataFrame(
+        [(i, vec) for i in range(400)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(10_000 + i, vec) for i in range(5)], ["vec_id", "embedding"]
+    )
+    kw = dict(k=1000, n_planes=4, n_tables=2, dim=8)
+    uncapped = lsh_ann_topk(corpus, queries, **kw)
+    per_q = {r.query_id: r.cnt for r in
+             uncapped.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()}
+    assert set(per_q.values()) == {400}  # brute force: whole corpus per query
+    capped = lsh_ann_topk(corpus, queries, max_bucket=20, **kw)
+    per_q = {r.query_id: r.cnt for r in
+             capped.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()}
+    # expected survivors ~20/table, union over 2 tables; allow binomial
+    # spread but pin the order of magnitude (vs 400 uncapped)
+    assert all(1 <= n <= 80 for n in per_q.values()), per_q
+    assert capped.where(F.col("cos_sim") < 0.999999).count() == 0
+    # determinism: the hash coin makes the capped result reproducible
+    again = lsh_ann_topk(corpus, queries, max_bucket=20, **kw)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, again.collect())
+    )
