@@ -115,21 +115,44 @@ def read_csv_buffer(
     data: str,
     has_header: bool = True,
     delimiter: str = ",",
+    spill_threshold: int = 32 << 20,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """stdin-equivalent CSV source (reference ``--input-file --``,
     csv2db.go:174-176): parse an in-memory string into the same all-string
     frame ``read_csv`` produces.
 
-    stdin data is driver-local by definition, so it is parsed with
-    Python's csv module (full quoting semantics, embedded newlines) and
-    handed to the cluster via ``createDataFrame`` — there is nothing to
-    distribute until the rows exist. Ragged rows raise, matching Go
+    Small buffers (the CLI-parity case) are parsed with Python's csv
+    module (full quoting semantics, embedded newlines) and handed to the
+    cluster via ``createDataFrame`` — there is nothing to distribute
+    until the rows exist. Ragged rows raise immediately, matching Go
     encoding/csv's ErrFieldCount under the reference's FAILFAST posture.
+
+    Buffers past ``spill_threshold`` characters take the SPILL path: the
+    reference streams stdin constant-memory (csv2db.go:174-176), and a
+    multi-GB pipe parsed row-by-row on the driver then serialized
+    through ``createDataFrame`` is driver-bound twice over. The spill
+    splits the raw text into record-aligned chunks (boundaries only at
+    newlines with even quote parity, so quoted embedded newlines never
+    split a record — an O(n) scan that materializes no rows), writes
+    them under ``spill_dir`` (a tempdir by default), and returns a
+    distributed FAILFAST scan over the chunk files: one task per chunk
+    (``multiLine`` per-file parse), executor-side parsing, identical
+    rows to the driver path (pinned in tests/test_ingest.py). Semantics
+    deltas, documented not hidden: ragged rows surface as Spark's
+    FAILFAST read error at ACTION time (the distributed scan cannot
+    raise at build time), and the chunk files live until the caller is
+    done with the DataFrame — pass ``spill_dir`` to own cleanup, else
+    they age out with the system tempdir.
     """
     if len(delimiter) != 1:
         raise ValueError(f"delimiter must be a single character, got {delimiter!r}")
     import io
 
+    if len(data) > spill_threshold:
+        return _read_csv_buffer_spilled(
+            spark, data, has_header, delimiter, spill_threshold, spill_dir
+        )
     rows = list(_pycsv.reader(io.StringIO(data), delimiter=delimiter))
     if not rows:
         raise ValueError("empty CSV input: <buffer>")
@@ -142,6 +165,100 @@ def read_csv_buffer(
             )
     schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
     return spark.createDataFrame([tuple(r) for r in body], schema)
+
+
+def _split_first_record(data: str) -> tuple[str, str]:
+    """(first_record_text, rest) split at the first record boundary — a
+    newline with even running quote parity, so a quoted header name with
+    an embedded newline stays whole. Doubled quotes ("") flip parity
+    twice, a no-op, which is exactly RFC-4180 escaping."""
+    parity = 0
+    pos = 0
+    for line in data.split("\n"):
+        end = pos + len(line)
+        parity ^= line.count('"') & 1
+        if parity == 0:
+            return data[:end], data[end + 1 :]
+        pos = end + 1
+    return data, ""
+
+
+def _record_chunks(data: str, chunk_chars: int):
+    """Yield record-aligned text chunks of ~``chunk_chars``: the running
+    quote parity marks which newlines are record boundaries (even) vs
+    embedded in a quoted field (odd); chunks only break at the former."""
+    buf: list[str] = []
+    size = 0
+    parity = 0
+    for line in data.split("\n"):
+        buf.append(line)
+        size += len(line) + 1
+        parity ^= line.count('"') & 1
+        if parity == 0 and size >= chunk_chars:
+            yield "\n".join(buf)
+            buf, size = [], 0
+    tail = "\n".join(buf)
+    if tail.strip():
+        yield tail
+
+
+def _read_csv_buffer_spilled(
+    spark: SparkSession,
+    data: str,
+    has_header: bool,
+    delimiter: str,
+    spill_threshold: int,
+    spill_dir: str | None,
+) -> DataFrame:
+    import io
+    import os
+    import tempfile
+
+    if has_header:
+        head, data = _split_first_record(data)
+        names = next(_pycsv.reader(io.StringIO(head), delimiter=delimiter))
+    else:
+        head, _ = _split_first_record(data)
+        names = [
+            f"col{i}"
+            for i in range(
+                len(next(_pycsv.reader(io.StringIO(head), delimiter=delimiter)))
+            )
+        ]
+    if not data.strip() and not has_header:
+        raise ValueError("empty CSV input: <buffer>")
+    schema = T.StructType([T.StructField(x, T.StringType(), True) for x in names])
+    if not data.strip():  # header-only buffer: empty frame, driver-path parity
+        return spark.createDataFrame([], schema)
+    d = spill_dir or tempfile.mkdtemp(prefix="c2s_stdin_spill_")
+    os.makedirs(d, exist_ok=True)
+    # chunk size targets one task per default-parallelism slot, floored
+    # at threshold/8 so a buffer just past the threshold doesn't shatter
+    # into thousands of tiny files (default threshold -> 4 MB floor)
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    chunk = max(len(data) // par + 1, spill_threshold // 8, 1)
+    n = 0
+    for i, text in enumerate(_record_chunks(data, chunk)):
+        with open(os.path.join(d, f"chunk-{i:05d}.csv"), "w", encoding="utf-8") as fh:
+            fh.write(text)
+        n += 1
+    if n == 0:
+        raise ValueError("empty CSV input: <buffer>")
+    df = (
+        spark.read.schema(schema)
+        .options(
+            header="false",
+            sep=delimiter,
+            mode="FAILFAST",
+            quote='"',
+            escape='"',
+            multiLine="true",
+        )
+        .csv(d)
+    )
+    return df.select(
+        *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in df.columns]
+    )
 
 
 def ingest_csv_buffer(
