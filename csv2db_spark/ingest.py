@@ -40,15 +40,45 @@ _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _INT_RE = r"^[+-]?\d+$"
 
 
-def _sniff_first_line(spark: SparkSession, path: str, delimiter: str) -> list[str]:
-    """Fields of the first line, from ONE driver job (schema binding is
-    deferred to the first row in the reference too — csv2db.go:88-106).
-    The single collected line serves both the column count and, with a
-    header, the column names."""
-    first = spark.read.text(path).limit(1).collect()
+# Spark 4's CSV reader only accepts these charsets natively; anything
+# else (shift_jis, euc-kr, cp1251, ...) needs the JVM charset registry
+# re-enabled — the reference delegates to Go's charset package with the
+# same any-registered-encoding breadth (csv2db.go:190-199).
+_SPARK_NATIVE_CHARSETS = frozenset(
+    {"iso-8859-1", "us-ascii", "utf-16", "utf-16be", "utf-16le", "utf-32", "utf-8"}
+)
+
+
+def _enable_charset(spark: SparkSession, encoding: str) -> None:
+    if encoding.lower().replace("_", "-") not in _SPARK_NATIVE_CHARSETS:
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+
+
+def _sniff_first_line(
+    spark: SparkSession, path: str, delimiter: str, encoding: str = "UTF-8"
+) -> list[str]:
+    """Fields of the first RECORD, from ONE limit-1 job (schema binding
+    is deferred to the first row in the reference too — csv2db.go:88-106).
+    The single collected record serves both the column count and, with a
+    header, the column names. Sniffed through the CSV reader itself (not
+    the UTF-8-only text source) so non-ASCII header names decode
+    correctly under any charset the data does."""
+    _enable_charset(spark, encoding)
+    first = (
+        spark.read.options(
+            header="false",
+            sep=delimiter,
+            encoding=encoding,
+            quote='"',
+            escape='"',
+        )
+        .csv(path)
+        .limit(1)
+        .collect()
+    )
     if not first:
         raise ValueError(f"empty CSV input: {path}")
-    return next(_pycsv.reader([first[0].value], delimiter=delimiter))
+    return ["" if v is None else v for v in first[0]]
 
 
 def read_csv(
@@ -78,16 +108,19 @@ def read_csv(
     newlines, so each FILE becomes one task (the 100 TB tradeoff: ship
     many medium files, not one giant one, when records span lines).
 
-    The header sniff reads the first line as UTF-8 (Spark's text source
-    has no encoding option); for non-UTF8 ``encoding`` values the DATA is
-    decoded correctly by the CSV reader, but header NAMES must be
-    ASCII-compatible — same constraint the reference's charset map
-    effectively imposes on practical inputs (csv2db.go:190-199).
+    Charset breadth matches the reference's any-registered-encoding
+    contract (csv2db.go:190-199): Spark 4's native CSV allowlist is
+    UTF-8/16/32 + latin-1 + ascii, so other charsets (shift_jis,
+    euc-kr, cp1251, ...) re-enable the full JVM registry via
+    ``spark.sql.legacy.javaCharsets`` — and the header sniff goes
+    through the CSV reader under the same encoding, so non-ASCII header
+    NAMES decode correctly too (tests/test_ingest.py charset matrix).
     """
     if len(delimiter) != 1:
         # config.go:67-72 rejects multi-char delimiters
         raise ValueError(f"delimiter must be a single character, got {delimiter!r}")
-    first = _sniff_first_line(spark, path, delimiter)
+    _enable_charset(spark, encoding)
+    first = _sniff_first_line(spark, path, delimiter, encoding)
     names = first if has_header else [f"col{i}" for i in range(len(first))]
     schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
     df = (

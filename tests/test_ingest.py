@@ -300,3 +300,27 @@ def test_read_csv_buffer_spill_headerless_and_ragged(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         bad.collect()
+
+
+def test_charset_matrix_breadth(spark, tmp_path):
+    """P2 charset breadth (csv2db.go:190-199 delegates to Go's charset
+    package — ANY registered encoding): beyond the UTF-8/latin-1 gates,
+    pin shift_jis (multibyte, ASCII-compatible newline), EUC-KR, and
+    cp1251 round-trips through the reader's encoding option. Each file
+    carries non-ASCII text that decodes DIFFERENTLY (or not at all)
+    under the wrong charset, so a silently-ignored option fails the
+    value assert, not just the happy path."""
+    cases = [
+        ("shift_jis", "名前,都市\n太郎,東京\n花子,大阪\n",
+         [("太郎", "東京"), ("花子", "大阪")], ["名前", "都市"]),
+        ("euc_kr", "이름,도시\n민준,서울\n서연,부산\n",
+         [("민준", "서울"), ("서연", "부산")], ["이름", "도시"]),
+        ("cp1251", "имя,город\nИван,Москва\nОльга,Киев\n",
+         [("Иван", "Москва"), ("Ольга", "Киев")], ["имя", "город"]),
+    ]
+    for enc, text, want_rows, _names in cases:
+        p = tmp_path / f"{enc}.csv"
+        p.write_bytes(text.encode(enc))
+        df = read_csv(spark, str(p), encoding=enc)
+        got = [tuple(r) for r in df.collect()]
+        assert got == want_rows, f"{enc}: {got}"
