@@ -842,6 +842,7 @@ def score_quantile_normalize(
     group_col: str,
     score_col: str,
     id_col: str = "doc_id",
+    rank_mode: str = "window",
 ) -> DataFrame:
     """Percent-rank a quality score WITHIN each source so scores become
     comparable ACROSS sources — the fix for mixing heterogeneous
@@ -849,14 +850,37 @@ def score_quantile_normalize(
     web-crawl scorer mean different things; their within-source ranks
     do not). Ties break on the id so the rank is total and
     reproducible. Adds ``pct`` in [0, 1] ((rank-1)/(n-1), the
-    percent_rank definition — an exact integer ratio, one IEEE
-    division, hash-checkable).
+    percent_rank definition over the (score, id) total order — an
+    exact integer ratio, one IEEE division, hash-checkable).
 
-    One keyed window per group; the common next step is a corpus-wide
+    NOTE the tie semantics: percent_rank() with id in the ORDER BY
+    (this function since round 4) already gives tied scores distinct
+    pct values, so the (rank-1)/(n-1) reconstruction is exact, not an
+    approximation of tie-averaged percent_rank.
+
+    ``rank_mode='window'`` is one keyed window per group —
+    single-reducer total sort of the dominant source at corpus scale;
+    ``'cutpoint'`` derives the identical pct from
+    operators/ranking.grouped_rank's histogram-offset rank (bit-equal,
+    tests/test_runtime_ops.py). The common next step is a corpus-wide
     quantile filter on ``pct`` (see quantile_filter), now fair across
     sources."""
-    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
-    return df.withColumn("pct", F.percent_rank().over(w))
+    if rank_mode == "window":
+        w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+        return df.withColumn("pct", F.percent_rank().over(w))
+    from csv2db_spark.operators.ranking import grouped_rank
+
+    ranked = grouped_rank(df, group_col, score_col, id_col, mode=rank_mode)
+    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(totals), group_col)
+        .withColumn(
+            "pct",
+            F.when(F.col("_n") > 1, (F.col("_rn") - 1) / (F.col("_n") - 1))
+            .otherwise(F.lit(0.0)),
+        )
+        .select(*df.columns, "pct")
+    )
 
 
 def importance_weights(

@@ -1040,3 +1040,20 @@ def test_quantile_filter_modes_equal(spark):
     assert out["window"] == out["cutpoint"]
     # contract spot-checks survive the refactor: singleton kept
     assert (999, "xx") in out["window"]
+
+
+def test_score_quantile_normalize_modes_equal(spark):
+    from csv2db_spark.llm.curation import score_quantile_normalize
+
+    df = _rank_fixture(spark).withColumnRenamed("lang", "source")
+    w = {
+        (r.source, r.doc_id): r.pct
+        for r in score_quantile_normalize(df, "source", "s").collect()
+    }
+    c = {
+        (r.source, r.doc_id): r.pct
+        for r in score_quantile_normalize(
+            df, "source", "s", rank_mode="cutpoint"
+        ).collect()
+    }
+    assert w == c
