@@ -1028,7 +1028,17 @@ def containment_pairs(
     self-join (a shingle in m docs fans out m²/2 join rows; boilerplate
     carries no containment signal), keeping the join linear in the
     postings list. At 100 TB this runs after an LSH candidate pass the
-    same way jaccard verification does."""
+    same way jaccard verification does.
+
+    Negative result (round 9, PLANS.md): rebuilding this as grouped
+    postings + in-group pair expansion (the minhash_candidates shape —
+    sort_array(collect_set) per shingle, unordered pairs via nested
+    ``transform``, directed rows emitted after the count) measured
+    1.5-2x SLOWER at sf0.1 despite halving pair traffic: the expansion
+    lambdas evaluate interpreted over a corpus-sized posting table —
+    the same HOF lesson as the signature pass — where minhash applies
+    them only to the tiny >=2-member band buckets. The two-sided SMJ
+    stays."""
     if max_doc_freq is not None:
         hot = (
             exploded.groupBy(key)
