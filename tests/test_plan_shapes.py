@@ -444,6 +444,9 @@ def test_ccnet_cutpoint_mode_has_no_whole_group_sort(spark, sf_dir):
     cut = ccnet_buckets(spark, sf_dir, rank_mode="cutpoint")
     plan = cut._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan
+    # the null-safe histogram join must stay a KEYED join (coalesce/
+    # isnull composite keys), never a nested-loop fallback
+    assert "BroadcastNestedLoopJoin" not in plan
     rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
     assert rn_lines, "cutpoint mode must rank via row_number over tie sets"
     for ln in rn_lines:
