@@ -212,6 +212,43 @@ def test_merge_into_update_and_insert(spark, table):
     }
 
 
+def test_merge_into_version_col_recency_conditioned(spark, table):
+    """version_col makes the merge order-invariant: a STALE delta
+    (lower version) must not clobber a fresher matched row, a NEWER one
+    must, NULL target versions always lose, and inserts pass through.
+    Applying two deltas in either order must land the same table."""
+    base = spark.createDataFrame(
+        [(1, 10.0, 5), (2, 20.0, 5), (3, 30.0, None)],
+        "id long, val double, ver long",
+    )
+    fresh = spark.createDataFrame(
+        [(1, 111.0, 9), (4, 40.0, 1)], "id long, val double, ver long"
+    )
+    stale = spark.createDataFrame(
+        [(1, -1.0, 3), (2, -2.0, 2), (3, 33.0, 1)],
+        "id long, val double, ver long",
+    )
+    table.create(base)
+    table.merge_into(fresh, on="id", version_col="ver")
+    table.merge_into(stale, on="id", version_col="ver")
+    want = {1: (111.0, 9), 2: (20.0, 5), 3: (33.0, 1), 4: (40.0, 1)}
+    assert {r.id: (r.val, r.ver) for r in table.read().collect()} == want
+    # reversed application order -> identical end state
+    import tempfile
+
+    from csv2db_spark.snapshots import SnapshotTable
+
+    t2 = SnapshotTable(spark, tempfile.mkdtemp(prefix="c2s_vmerge_"))
+    t2.create(base)
+    t2.merge_into(stale, on="id", version_col="ver")
+    t2.merge_into(fresh, on="id", version_col="ver")
+    assert {r.id: (r.val, r.ver) for r in t2.read().collect()} == want
+    # version tie: the source row wins (deterministic, documented)
+    tie = spark.createDataFrame([(2, 222.0, 5)], "id long, val double, ver long")
+    table.merge_into(tie, on="id", version_col="ver")
+    assert {r.id: r.val for r in table.read().collect()}[2] == 222.0
+
+
 def test_merge_into_pure_insert_keeps_files_verbatim(spark, table):
     table.create(spark.range(0, 10).toDF("id").withColumn("v", F.lit(1.0)))
     before = set(table._manifest(1)["files"])
