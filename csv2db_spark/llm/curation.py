@@ -968,6 +968,7 @@ def token_budget_sample(
     budget_tokens: int,
     group_col: str = "source",
     text_col: str = "text",
+    rank_mode: str = "window",
 ) -> DataFrame:
     """Token-budget corpus assembly: admit documents per group, in
     deterministic md5(doc_id) order, until the group's TOKEN budget is
@@ -985,23 +986,36 @@ def token_budget_sample(
     real mix tolerates).
 
     Output: (doc_id, group, n_tokens, cum_tokens) for admitted docs.
-    One window sort per group over (16-byte rank, token count) pairs —
-    token counts ride the scan (size(split)), the text never shuffles."""
+    ``rank_mode='window'``: one window sort per group over (16-byte
+    rank, token count) pairs — token counts ride the scan
+    (size(split)), the text never shuffles; the dominant group is a
+    single-task sort at corpus scale. ``'cutpoint'``: the identical
+    cumulative via operators/ranking.grouped_prefix_sum, bucketed on a
+    2-hex md5 prefix — the admission key is uniform by construction, so
+    the 256 buckets split every group's sort ~evenly (bit-equal,
+    tests/test_runtime_ops.py)."""
     from csv2db_spark.llm.corpus import tokens
+    from csv2db_spark.operators.ranking import grouped_prefix_sum
 
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     n_tok = F.size(tokens(text_col)).cast("long")
     sized = docs.select(
         "doc_id",
         F.col(group_col).alias("group"),
         n_tok.alias("n_tokens"),
-        F.sum(n_tok).over(w).alias("cum_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("_rk"),
     )
-    return sized.where(F.col("cum_tokens") <= budget_tokens)
+    sized = grouped_prefix_sum(
+        sized,
+        "group",
+        ["_rk", "doc_id"],
+        "n_tokens",
+        bucket=F.substring("_rk", 1, 2),
+        mode=rank_mode,
+        out_col="cum_tokens",
+    )
+    return sized.where(F.col("cum_tokens") <= budget_tokens).select(
+        "doc_id", "group", "n_tokens", "cum_tokens"
+    )
 
 
 def dataset_card(docs: DataFrame) -> DataFrame:

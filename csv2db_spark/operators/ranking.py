@@ -110,6 +110,72 @@ def grouped_rank(
     )
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: str | list[str],
+    order_cols: list[str],
+    value_col: str,
+    bucket: Column,
+    mode: str = "window",
+    out_col: str = "_cum",
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` over (group) ordered by
+    ``order_cols`` — the token-budget / admission-order shape. The
+    window mode is the plain unbounded-preceding frame (one per-group
+    total sort). ``mode='cutpoint'`` needs ``bucket``: an ORDER-
+    COARSENING of ``order_cols[0]`` (bucket(r1) < bucket(r2) must imply
+    order(r1) < order(r2) — e.g. a fixed-length prefix of the md5 rank
+    string, whose lexicographic order refines the prefix order). The
+    running sum then decomposes exactly into the bucket's offset (a
+    cumulative over the per-(group, bucket) HISTOGRAM) plus the
+    within-bucket prefix (a window keyed by (group, bucket)): with a
+    uniformly-distributed rank key — which md5 admission order is by
+    construction — every sort task holds ~|group|/|buckets| rows, never
+    a whole group. Bit-identical to the window mode
+    (tests/test_runtime_ops.py)."""
+    gs = _groups(group_cols)
+    ords = [F.col(c) for c in order_cols]
+    if mode == "window":
+        w = (
+            Window.partitionBy(*gs)
+            .orderBy(*ords)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return df.withColumn(out_col, F.sum(value_col).over(w))
+    if mode != "cutpoint":
+        raise ValueError(f"unknown prefix-sum mode {mode!r}")
+    base = df.withColumn("_gp_b", bucket)
+    hist = (
+        base.groupBy(*gs, "_gp_b")
+        .agg(F.sum(value_col).alias("_gp_s"))
+        .withColumn(
+            "_gp_off",
+            F.sum("_gp_s").over(Window.partitionBy(*gs).orderBy("_gp_b"))
+            - F.col("_gp_s"),
+        )
+        .select(
+            *[F.col(c).alias(f"_h_{c}") for c in gs],
+            F.col("_gp_b").alias("_h_b"),
+            "_gp_off",
+        )
+    )
+    cond = reduce(
+        Column.__and__,
+        [base[c].eqNullSafe(F.col(f"_h_{c}")) for c in gs]
+        + [base["_gp_b"].eqNullSafe(F.col("_h_b"))],
+    )
+    tw = (
+        Window.partitionBy(*gs, "_gp_b")
+        .orderBy(*ords)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(hist, cond)
+        .withColumn(out_col, F.col("_gp_off") + F.sum(value_col).over(tw))
+        .select(*df.columns, out_col)
+    )
+
+
 def grouped_ntile(
     df: DataFrame,
     group_cols: str | list[str],

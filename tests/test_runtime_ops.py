@@ -1057,3 +1057,51 @@ def test_score_quantile_normalize_modes_equal(spark):
         ).collect()
     }
     assert w == c
+
+
+def test_grouped_prefix_sum_modes_equal(spark):
+    from pyspark.sql import functions as F
+
+    from csv2db_spark.operators.ranking import grouped_prefix_sum
+
+    df = (
+        _rank_fixture(spark)
+        .where(F.col("s").isNotNull())
+        .withColumn("_rk", F.md5(F.col("doc_id").cast("string")))
+    )
+    kw = dict(
+        group_cols="lang",
+        order_cols=["_rk", "doc_id"],
+        value_col="s",
+        bucket=F.substring("_rk", 1, 1),
+    )
+    w = {
+        (r.lang, r.doc_id): r._cum
+        for r in grouped_prefix_sum(df, mode="window", **kw).collect()
+    }
+    c = {
+        (r.lang, r.doc_id): r._cum
+        for r in grouped_prefix_sum(df, mode="cutpoint", **kw).collect()
+    }
+    assert w == c
+
+
+def test_token_budget_sample_modes_equal(spark):
+    from csv2db_spark.llm.curation import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [
+            (i, "src" + str(i % 3), "tok " * (1 + i % 17))
+            for i in range(300)
+        ],
+        ["doc_id", "source", "text"],
+    )
+    w = {
+        r.doc_id: (r.group, r.n_tokens, r.cum_tokens)
+        for r in token_budget_sample(docs, 200).collect()
+    }
+    c = {
+        r.doc_id: (r.group, r.n_tokens, r.cum_tokens)
+        for r in token_budget_sample(docs, 200, rank_mode="cutpoint").collect()
+    }
+    assert w == c and len(w) > 0
