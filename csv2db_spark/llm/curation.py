@@ -1029,25 +1029,28 @@ def dataset_card(docs: DataFrame) -> DataFrame:
     counts are exact longs, the mean is one IEEE division of exact
     operands, the median is the order-statistic at ⌈n/2⌉ (lower median:
     an actual document's length, never an interpolation), and the
-    language share is floor-permille. One corpus groupBy + one
-    |docs|-row window for the median rank."""
+    language share is floor-permille. The median comes straight off the
+    per-(source, length) HISTOGRAM — the smallest length whose
+    cumulative count reaches ⌈n/2⌉ — so the only window runs over
+    histogram rows (distinct lengths per source), never documents: the
+    round-4 row_number formulation sorted every source on one task, the
+    exact skew shape this round's cutpoint ranks exist to avoid, and an
+    order statistic needs no per-row rank at all."""
     toks = F.size(F.split(F.col("text"), " "))
     base = docs.select(
         "source",
         "lang",
         toks.alias("_ntok"),
     )
-    w = Window.partitionBy("source").orderBy("_ntok")
-    ranked = base.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(
-            Window.partitionBy("source").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
+    hist = base.groupBy("source", "_ntok").agg(F.count(F.lit(1)).alias("_c"))
+    cum = hist.withColumn(
+        "_cum", F.sum("_c").over(Window.partitionBy("source").orderBy("_ntok"))
+    ).withColumn("_n", F.sum("_c").over(Window.partitionBy("source")))
+    med = (
+        cum.where(F.col("_cum") >= F.ceil(F.col("_n") / 2))
+        .groupBy("source")
+        .agg(F.min("_ntok").alias("median_tokens"))
     )
-    med = ranked.where(
-        F.col("_rn") == F.ceil(F.col("_n") / 2).cast("int")
-    ).select("source", F.col("_ntok").alias("median_tokens"))
     agg = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("lang").alias("n_langs"),
