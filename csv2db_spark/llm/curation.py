@@ -124,18 +124,60 @@ def decontaminate_semantic(
 
 
 def stratified_sample(
-    df: DataFrame, strata_col: str, k: int, id_col: str = "doc_id"
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    rank_mode: str = "window",
 ) -> DataFrame:
     """Exactly ``min(k, |stratum|)`` rows per stratum, deterministically:
     rank by md5 of the id within each stratum (uniform pseudo-random
-    order, stable across runs and engines), keep rank <= k."""
-    w = Window.partitionBy(strata_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    order, stable across runs and engines), keep rank <= k.
+
+    ``rank_mode='window'`` sorts each stratum on one task — the
+    dominant stratum IS the corpus at 100 TB. ``'cutpoint'`` exploits
+    that the admission key is a uniform md5: a 2-hex-prefix bucket
+    histogram gives every bucket its exact rank offset, buckets whose
+    offset already exceeds ``k`` are dropped BEFORE any sort (for
+    k ≪ |stratum| that is ~every row), and survivors rank inside their
+    (stratum, bucket) — bounded tie sets, identical rows to the window
+    mode (tests/test_runtime_ops.py)."""
+    rk = F.md5(F.col(id_col).cast("string"))
+    if rank_mode == "window":
+        w = Window.partitionBy(strata_col).orderBy(rk, F.col(id_col))
+        return (
+            df.withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= k)
+            .drop("sample_rank")
+        )
+    if rank_mode != "cutpoint":
+        raise ValueError(f"unknown rank mode {rank_mode!r}")
+    base = df.withColumn("_rk", rk).withColumn("_b", F.substring("_rk", 1, 2))
+    hist = (
+        base.groupBy(strata_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_off",
+            F.sum("_c").over(Window.partitionBy(strata_col).orderBy("_b"))
+            - F.col("_c"),
+        )
+        .where(F.col("_off") < k)  # bucket can still reach rank <= k
+        .select(
+            F.col(strata_col).alias("_h_s"), F.col("_b").alias("_h_b"), "_off"
+        )
+    )
+    tw = Window.partitionBy(strata_col, "_b").orderBy(
+        F.col("_rk"), F.col(id_col)
     )
     return (
-        df.withColumn("sample_rank", F.row_number().over(w))
-        .where(F.col("sample_rank") <= k)
-        .drop("sample_rank")
+        base.join(
+            F.broadcast(hist),
+            base[strata_col].eqNullSafe(F.col("_h_s"))
+            & (base["_b"] == F.col("_h_b")),
+        )
+        .withColumn("_rn", F.col("_off") + F.row_number().over(tw))
+        .where(F.col("_rn") <= k)
+        .select(*df.columns)
     )
 
 

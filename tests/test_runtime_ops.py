@@ -1105,3 +1105,30 @@ def test_token_budget_sample_modes_equal(spark):
         for r in token_budget_sample(docs, 200, rank_mode="cutpoint").collect()
     }
     assert w == c and len(w) > 0
+
+
+def test_stratified_sample_modes_equal(spark):
+    from csv2db_spark.llm.curation import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 4)) for i in range(500)] + [(9999, "tiny")],
+        ["doc_id", "source"],
+    )
+    for k in (1, 7, 200):  # k < bucket spread, k ~ stratum, k > stratum
+        w = {
+            (r.source, r.doc_id)
+            for r in stratified_sample(docs, "source", k).collect()
+        }
+        c = {
+            (r.source, r.doc_id)
+            for r in stratified_sample(
+                docs, "source", k, rank_mode="cutpoint"
+            ).collect()
+        }
+        assert w == c
+        assert all(
+            n == min(k, 125 if s != "tiny" else 1)
+            for s, n in __import__("collections").Counter(
+                s for s, _ in c
+            ).items()
+        )
