@@ -825,6 +825,7 @@ def domain_cap(
     k: int = 5,
     salt: str = "cap",
     id_col: str = "doc_id",
+    rank_mode: str = "window",
 ) -> DataFrame:
     """Per-domain document cap — the CCNet/Gopher-style guard against
     one domain flooding the training mix: keep at most ``k`` documents
@@ -834,15 +835,49 @@ def domain_cap(
     salt change redraws it). Returns the surviving rows plus their
     ``cap_rank``.
 
-    Scale shape: one window over the group — the shuffle carries only
-    (group, hash) ordering state; with the usual power-law domain
-    sizes, the heaviest domain is one partition, so for extreme skew
-    pre-filter with a count-based TABLESAMPLE before the exact cap."""
+    Scale shape, by ``rank_mode``: ``'window'`` is one window over the
+    group — with power-law domain sizes the heaviest domain is one
+    sort task. ``'cutpoint'`` is the stratified_sample plan: a
+    2-hex-prefix histogram of the (uniform) salted hash gives exact
+    bucket offsets, buckets whose offset already exceeds ``k`` drop
+    before any sort, survivors rank within bounded (group, bucket) tie
+    sets — identical rows AND cap_rank values
+    (tests/test_runtime_ops.py)."""
     h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    if rank_mode == "window":
+        w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+        return (
+            docs.withColumn("cap_rank", F.row_number().over(w))
+            .where(F.col("cap_rank") <= k)
+        )
+    if rank_mode != "cutpoint":
+        raise ValueError(f"unknown rank mode {rank_mode!r}")
+    base = docs.withColumn("_rk", h).withColumn("_b", F.substring("_rk", 1, 2))
+    hist = (
+        base.groupBy(group_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_off",
+            F.sum("_c").over(Window.partitionBy(group_col).orderBy("_b"))
+            - F.col("_c"),
+        )
+        .where(F.col("_off") < k)
+        .select(
+            F.col(group_col).alias("_h_g"), F.col("_b").alias("_h_b"), "_off"
+        )
+    )
+    tw = Window.partitionBy(group_col, "_b").orderBy(
+        F.col("_rk"), F.col(id_col)
+    )
     return (
-        docs.withColumn("cap_rank", F.row_number().over(w))
+        base.join(
+            F.broadcast(hist),
+            base[group_col].eqNullSafe(F.col("_h_g"))
+            & (base["_b"] == F.col("_h_b")),
+        )
+        .withColumn("cap_rank", (F.col("_off") + F.row_number().over(tw)).cast("int"))
         .where(F.col("cap_rank") <= k)
+        .select(*docs.columns, "cap_rank")
     )
 
 

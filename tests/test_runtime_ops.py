@@ -1132,3 +1132,21 @@ def test_stratified_sample_modes_equal(spark):
                 s for s, _ in c
             ).items()
         )
+
+
+def test_domain_cap_modes_equal(spark):
+    from csv2db_spark.llm.curation import domain_cap
+
+    docs = spark.createDataFrame(
+        [(i, "d" + str(i % 3)) for i in range(400)], ["doc_id", "source"]
+    )
+    for k in (1, 5, 300):
+        w = {
+            (r.source, r.doc_id): r.cap_rank
+            for r in domain_cap(docs, k=k).collect()
+        }
+        c = {
+            (r.source, r.doc_id): r.cap_rank
+            for r in domain_cap(docs, k=k, rank_mode="cutpoint").collect()
+        }
+        assert w == c
