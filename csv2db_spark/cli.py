@@ -8,7 +8,8 @@ Mapping to the reference:
   or the engine-native ``parquet:/dir`` scheme backed by
   ParquetTableStore — same mode matrix either way (sink.py).
 - ``--input-file --`` reads stdin (csv2db.go:174-176) through
-  ``ingest_csv_buffer``.
+  ``ingest_csv_stdin`` (constant-memory; spills big pipes
+  to executor-parsed chunks).
 - ``schema.table`` splits into schema + table (load_config.go:22-28);
   the qualified name is passed through to the database.
 - Presets (P23, config.go:100-165, load_config.go:9-64): a named config
@@ -273,7 +274,7 @@ def resolve_auth(
 
 
 def run(conf: Config, spark=None, password: str = "") -> int:
-    from csv2db_spark.ingest import ingest_csv, ingest_csv_buffer
+    from csv2db_spark.ingest import ingest_csv, ingest_csv_stdin
     from csv2db_spark.sink import ParquetTableStore, write_jdbc
 
     if spark is None:
@@ -303,8 +304,14 @@ def run(conf: Config, spark=None, password: str = "") -> int:
 
     target = _target_schema(spark, conf, user, pw)
     if conf.file_name in ("--", "-"):
-        df = ingest_csv_buffer(
-            spark, sys.stdin.read(), target, conf.has_header, conf.delimiter
+        # constant-memory stdin (csv2db.go:174-176 streams the pipe):
+        # small pipes parse on the driver; anything past the spill
+        # threshold chunks to temp files and parses executor-side
+        df = ingest_csv_stdin(
+            spark,
+            target=target,
+            has_header=conf.has_header,
+            delimiter=conf.delimiter,
         )
     else:
         df = ingest_csv(

@@ -324,3 +324,70 @@ def test_charset_matrix_breadth(spark, tmp_path):
         df = read_csv(spark, str(p), encoding=enc)
         got = [tuple(r) for r in df.collect()]
         assert got == want_rows, f"{enc}: {got}"
+
+
+def test_read_csv_stdin_constant_memory_paths(spark, tmp_path):
+    """read_csv_stdin: a pipe ending inside the peek takes the driver
+    path; a longer pipe streams to executor-parsed chunks without ever
+    holding the whole input — including when the peek boundary cuts a
+    QUOTED field mid-record (the head/stream seam)."""
+    import io
+
+    from csv2db_spark.ingest import read_csv_stdin
+
+    rows = []
+    for i in range(800):
+        if i % 5 == 0:
+            rows.append(f'{i},"multi\nline {i}, quoted",t{i}')
+        else:
+            rows.append(f"{i},plain {i},t{i}")
+    data = "a,b,c\n" + "\n".join(rows) + "\n"
+
+    small = read_csv_stdin(spark, io.StringIO(data))  # fits in the peek
+    want = {tuple(r) for r in small.collect()}
+    assert len(want) == 800
+
+    # threshold of 97 chars lands the seam inside a quoted field
+    big = read_csv_stdin(
+        spark,
+        io.StringIO(data),
+        spill_threshold=97,
+        spill_dir=str(tmp_path / "sp"),
+    )
+    assert big.columns == ["a", "b", "c"]
+    assert {tuple(r) for r in big.collect()} == want
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "sp" / "chunk-*.csv"))) >= 2
+
+    # headerless: first record is DATA and must survive the peel-off
+    hb = read_csv_stdin(
+        spark,
+        io.StringIO("1,x\n2,y\n3,z\n"),
+        has_header=False,
+        spill_threshold=4,
+        spill_dir=str(tmp_path / "sp2"),
+    )
+    assert hb.columns == ["col0", "col1"]
+    assert {tuple(r) for r in hb.collect()} == {("1", "x"), ("2", "y"), ("3", "z")}
+
+
+def test_cli_stdin_still_ingests(spark, tmp_path, monkeypatch):
+    """The CLI's -- path through ingest_csv_stdin keeps P1-P8 semantics
+    (reconcile by name + typed cast + empty->NULL iff nullable)."""
+    import io
+
+    from pyspark.sql import types as T
+
+    from csv2db_spark.ingest import ingest_csv_stdin
+
+    target = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    got = ingest_csv_stdin(
+        spark, io.StringIO("b,a\nx,1\n,\n"), target=target
+    ).collect()
+    assert {tuple(r) for r in got} == {(1, "x"), (None, None)}
