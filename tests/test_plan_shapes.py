@@ -481,3 +481,39 @@ def test_curation_v6_rank_modes_equal(spark, sf_dir):
         ).collect()
     }
     assert w == c
+
+
+def test_sampling_cutpoint_modes_have_no_whole_group_sort(spark, sf_dir):
+    """stratified_sample / domain_cap / token_budget_sample in cutpoint
+    mode: every row_number / running-sum window over corpus rows must be
+    keyed by (group, bucket) — the md5-prefix bucket rides the partition
+    spec — and the only group-keyed windows left run over histogram
+    aggregates."""
+    from csv2db_spark.llm.curation import (
+        domain_cap,
+        stratified_sample,
+        token_budget_sample,
+    )
+    from csv2db_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plans = {
+        "stratified": stratified_sample(docs, "lang", 5, rank_mode="cutpoint"),
+        "cap": domain_cap(docs, k=5, rank_mode="cutpoint"),
+        "budget": token_budget_sample(docs, 10_000, rank_mode="cutpoint"),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rn_lines = [
+            ln
+            for ln in plan.splitlines()
+            if "row_number()" in ln
+            or ("Window" in ln and "sum(" in ln and "_gp_b" not in ln
+                and "_c#" not in ln and "_gr_cnt" not in ln)
+        ]
+        doc_level = [
+            ln
+            for ln in rn_lines
+            if "_b#" not in ln and "_gp_b" not in ln
+        ]
+        assert not doc_level, f"{name}: doc-level window without bucket key: {doc_level}"
