@@ -505,3 +505,72 @@ def test_decontaminate_semantic_matches_numpy(
         assert got[i][0] == 100 + best
         assert got[i][1] == cos[best]  # bit-exact: same quantized operands
         assert got[i][2] == bool(cos[best] >= tau)
+
+
+# ----------------------------------------- cutpoint-mode rank equivalence
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", "xx"]),
+            st.one_of(st.none(), st.integers(0, 6).map(float)),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    descending=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_grouped_rank_modes_equivalent_property(spark, rows, descending):
+    """For ANY group/score distribution (heavy ties, NULLs, singleton
+    groups, both sort directions) the cutpoint rank must equal the
+    window rank bit for bit."""
+    from csv2db_spark.operators.ranking import grouped_rank
+
+    df = spark.createDataFrame(
+        [(g, i, s) for i, (g, s) in enumerate(rows)],
+        "lang string, doc_id long, s double",
+    )
+    w = {
+        (r.lang, r.doc_id): r._rn
+        for r in grouped_rank(
+            df, "lang", "s", "doc_id", descending=descending, mode="window"
+        ).collect()
+    }
+    c = {
+        (r.lang, r.doc_id): r._rn
+        for r in grouped_rank(
+            df, "lang", "s", "doc_id", descending=descending, mode="cutpoint"
+        ).collect()
+    }
+    assert w == c
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 9)),
+        min_size=1,
+        max_size=50,
+    ),
+    k=st.sampled_from([1, 2, 3, 7]),
+)
+@settings(**_SETTINGS)
+def test_grouped_ntile_modes_equivalent_property(spark, rows, k):
+    from csv2db_spark.operators.ranking import grouped_ntile
+
+    df = spark.createDataFrame(
+        [(g, i, float(s)) for i, (g, s) in enumerate(rows)],
+        "g string, doc_id long, s double",
+    )
+    w = {
+        (r.g, r.doc_id): r.bucket
+        for r in grouped_ntile(df, "g", "s", "doc_id", k, mode="window").collect()
+    }
+    c = {
+        (r.g, r.doc_id): r.bucket
+        for r in grouped_ntile(
+            df, "g", "s", "doc_id", k, mode="cutpoint"
+        ).collect()
+    }
+    assert w == c
