@@ -207,6 +207,12 @@ CHECK_FIRST: tuple[str, ...] = (
 # q_text_compressibility_parity (zlib compressibility quality signal —
 #   the Arrow-batched pandas_udf slow path; executor-vs-driver byte
 #   parity on a bounded 256-doc sample, empty-set hash oracle).
+# Round 9 registers ZERO new gates by policy (r8 verdict #8: the
+# registry is feature-complete against SURVEY §2/§8; prefer
+# driver-record freshness, scale-mode knobs, and measured perf) — the
+# round's work lands as recency-conditioned CDC merge, cutpoint rank
+# modes, charset breadth, constant-memory stdin, and the triangle
+# orientation, all under EXISTING gates plus pytest/property coverage.
 
 
 def load_all_queries() -> dict[str, QueryDef]:
