@@ -466,6 +466,125 @@ def stateful_attribution(
     )
 
 
+def stateful_attribution_buffered(
+    stream: DataFrame,
+    delay: str,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_hours: int = 168,
+) -> DataFrame:
+    """OUT-OF-ORDER-tolerant last-touch attribution — the production
+    face of ``stateful_attribution``, which (like any sequential fold)
+    is only correct when each user's events arrive in event-time order
+    across micro-batches; Spark's file-listing batch grouping guarantees
+    no such thing (the r08 cdc lesson, applied to the one stateful shape
+    that cannot be made order-free algebraically).
+
+    Per user, GroupState holds a BUFFER of pending events plus the
+    folded (last-touch) state. Each invocation merges new arrivals into
+    the buffer, then folds — in (ts, event_id) order — exactly the
+    MATURED prefix: events at or below the current event-time watermark,
+    which no still-admissible arrival can precede (anything older than
+    the watermark is dropped by Spark before it reaches the state
+    function). Unmatured events wait; an event-time TIMEOUT re-fires
+    the key when the watermark passes its oldest pending event, so
+    buffered tails flush without new data for that user (Spark's
+    closing no-data micro-batch drives the final flush). Result: for
+    disorder bounded by ``delay``, the emitted rows equal the in-order
+    fold of the event-time-sorted stream under ANY batch split —
+    pinned by the adversarial maxFilesPerTrigger=1 test in
+    tests/test_streaming.py.
+
+    State per user: the folded triple + the pending buffer, whose size
+    is bounded by the user's arrivals within one watermark delay — the
+    same bound every watermarked stream-stream join buffers; a user
+    emitting faster than the watermark advances is backpressure, not a
+    leak. Events inside the final watermark window of an availableNow
+    run stay pending (they might still be preceded in a live stream) —
+    the standard watermark finality contract."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, conversion_id bigint, conversion_ts_us bigint, "
+        "touch_id bigint, touch_type string, seconds_since_touch bigint"
+    )
+    state_schema = (
+        "pend_ts array<bigint>, pend_id array<bigint>, pend_type array<string>, "
+        "t_us bigint, t_id bigint, t_type string"
+    )
+    lookback_us = lookback_hours * 3600 * 1_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            p_ts, p_id, p_ty, t_us, t_id, t_ty = state.get
+            pend = list(zip(p_ts, p_id, p_ty))
+        else:
+            pend, t_us, t_id, t_ty = [], None, None, None
+        for pdf in pdf_iter:
+            for r in pdf.itertuples(index=False):
+                pend.append((int(r.ts_us), int(r.event_id), r.event_type))
+        pend.sort()
+        out = []
+        i = 0
+        while i < len(pend) and pend[i][0] <= wm_us:
+            ts, eid, ety = pend[i]
+            i += 1
+            if (
+                ety == conversion_type
+                and t_us is not None
+                and (ts - t_us) <= lookback_us
+            ):
+                out.append(
+                    (key[0], eid, ts, t_id, t_ty, (ts - t_us) // 1_000_000)
+                )
+            if ety in touch_types:
+                t_us, t_id, t_ty = ts, eid, ety
+        pend = pend[i:]
+        state.update(
+            (
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                [p[2] for p in pend],
+                t_us,
+                t_id,
+                t_ty,
+            )
+        )
+        if pend:
+            # fire when the watermark passes the oldest pending event;
+            # must stay strictly above the current watermark
+            state.setTimeoutTimestamp(
+                max(pend[0][0] // 1000, wm_us // 1000 + 1)
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "conversion_id",
+                "conversion_ts_us",
+                "touch_id",
+                "touch_type",
+                "seconds_since_touch",
+            ],
+        )
+
+    return (
+        stream.withColumn("ts_us", F.unix_micros("ts_i"))
+        .withWatermark("ts_i", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_stream_join(
     stream_a: DataFrame,
     stream_b: DataFrame,

@@ -144,3 +144,103 @@ def test_stateful_user_stats_skips_null_values(spark, tmp_path):
     assert last[1].last_event_type == "error"
     assert last[2].n_events == 1
     assert last[2].sum_value_cents == 0
+
+
+def test_buffered_attribution_out_of_order_batches(spark, tmp_path):
+    """The order-sensitivity class the cdc fix addressed, for the one
+    stateful shape that can't be made order-free algebraically: the
+    conversion arrives in an EARLIER micro-batch than its touches
+    (adversarial mtime-ordered files, maxFilesPerTrigger=1). The plain
+    sequential fold emits nothing; the watermark-buffered fold must
+    emit the in-event-time-order answer — the purchase attributed to
+    the latest preceding touch."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from csv2db_spark.streaming.ops import (
+        run_to_df,
+        stateful_attribution,
+        stateful_attribution_buffered,
+    )
+
+    T0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ev(eid, uid, ety, minutes):
+        return (eid, uid, ety, T0 + dt.timedelta(minutes=minutes))
+
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    src = tmp_path / "cdc_attr_src"
+    src.mkdir()
+
+    def stage(rows, name, mtime):
+        d = tmp_path / ("w_" + name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), str(src / name))
+        os.utime(src / name, (mtime, mtime))
+
+    # batch 0: the conversion (t+8min); batch 1: its touches (t, t+5min);
+    # batch 2: a sentinel 2h later that pushes the watermark past it all
+    stage([ev(3, 1, "purchase", 8)], "b0.parquet", 1_000)
+    stage([ev(1, 1, "click", 0), ev(2, 1, "view", 5)], "b1.parquet", 2_000)
+    stage([ev(99, 99, "view", 120)], "b2.parquet", 3_000)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .withColumn("ts_i", F.col("ts"))
+        )
+
+    buffered = run_to_df(
+        stateful_attribution_buffered(stream(), "600 seconds"), spark
+    ).collect()
+    assert [
+        (r.user_id, r.conversion_id, r.touch_id, r.touch_type,
+         r.seconds_since_touch)
+        for r in buffered
+    ] == [(1, 3, 2, "view", 180)]
+
+    # the sequential fold under the same arrival order: conversion saw
+    # no touch yet -> zero rows (why the buffered variant exists)
+    plain = run_to_df(
+        stateful_attribution(stream(), "600 seconds"), spark
+    ).collect()
+    assert plain == []
+
+
+def test_buffered_attribution_matches_plain_on_ordered_stream(spark, sf_dir):
+    """On the fixture's naturally ordered single-batch stream the
+    buffered fold must agree with the sequential fold for every
+    conversion that MATURES (event time at or below the final
+    watermark); the pending tail inside the last delay window is the
+    watermark finality contract, not a discrepancy."""
+    from csv2db_spark.streaming.ops import (
+        events_stream,
+        run_to_df,
+        stateful_attribution,
+        stateful_attribution_buffered,
+    )
+
+    delay = "300 seconds"
+    plain = run_to_df(
+        stateful_attribution(events_stream(spark, sf_dir), delay), spark
+    ).collect()
+    buf = run_to_df(
+        stateful_attribution_buffered(events_stream(spark, sf_dir), delay),
+        spark,
+    ).collect()
+    max_us = max(r.conversion_ts_us for r in plain) if plain else 0
+    wm_us = max_us - 300 * 1_000_000
+    key = lambda r: (
+        r.user_id, r.conversion_id, r.conversion_ts_us, r.touch_id,
+        r.touch_type, r.seconds_since_touch,
+    )
+    want = sorted(key(r) for r in plain if r.conversion_ts_us <= wm_us)
+    got_all = {key(r) for r in buf}
+    got_mature = sorted(k for k in got_all if k[2] <= wm_us)
+    assert got_mature == want
+    # and nothing the buffered op emitted disagrees with the plain fold
+    assert got_all <= {key(r) for r in plain}
