@@ -388,6 +388,81 @@ def stateful_ewma(stream: DataFrame, delay: str, alpha: float = 0.25) -> DataFra
     )
 
 
+def stateful_ewma_buffered(
+    stream: DataFrame, delay: str, alpha: float = 0.25
+) -> DataFrame:
+    """OUT-OF-ORDER-tolerant ``stateful_ewma`` — the "production job
+    buffers by watermark first" its sibling's docstring promises, made
+    real with the same mechanism as ``stateful_attribution_buffered``:
+    pending (ts, event_id, value) triples live in GroupState, each
+    invocation folds exactly the watermark-MATURED prefix in
+    (ts, event_id) order through the recursion, and an event-time
+    timeout re-fires keys so buffered tails flush on the closing
+    no-data micro-batch. For disorder bounded by ``delay`` the final
+    emission per key equals the in-order recursion over the event-time-
+    sorted stream under ANY batch split (adversarial test in
+    tests/test_streaming.py). Update mode; rows report only the matured
+    observation count, so consumers can tell finality from arrival."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_obs bigint, ewma double"
+    state_schema = (
+        "pend_ts array<bigint>, pend_id array<bigint>, "
+        "pend_val array<double>, n bigint, y double"
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            p_ts, p_id, p_val, n, y = state.get
+            pend = list(zip(p_ts, p_id, p_val))
+        else:
+            pend, n, y = [], 0, 0.0
+        for pdf in pdf_iter:
+            for r in pdf.itertuples(index=False):
+                pend.append((int(r.ts_us), int(r.event_id), float(r.value)))
+        pend.sort()
+        i = 0
+        while i < len(pend) and pend[i][0] <= wm_us:
+            v = pend[i][2]
+            y = v if n == 0 else alpha * v + (1.0 - alpha) * y
+            n += 1
+            i += 1
+        pend = pend[i:]
+        state.update(
+            (
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                [p[2] for p in pend],
+                n,
+                y,
+            )
+        )
+        if pend:
+            state.setTimeoutTimestamp(
+                max(pend[0][0] // 1000, wm_us // 1000 + 1)
+            )
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_obs": [n], "ewma": [y]}
+        )
+
+    return (
+        stream.where(F.col("value").isNotNull())
+        .withColumn("ts_us", F.unix_micros("ts_i"))
+        .withWatermark("ts_i", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stateful_attribution(
     stream: DataFrame,
     delay: str,

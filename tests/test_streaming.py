@@ -244,3 +244,68 @@ def test_buffered_attribution_matches_plain_on_ordered_stream(spark, sf_dir):
     assert got_mature == want
     # and nothing the buffered op emitted disagrees with the plain fold
     assert got_all <= {key(r) for r in plain}
+
+
+def test_buffered_ewma_out_of_order_batches(spark, tmp_path):
+    """EWMA is a non-commutative recursion: feeding x1, x2, x3 in
+    arrival order (x3 first) gives a different smoother than event-time
+    order. The buffered variant must produce the event-time-order
+    recursion under an adversarial batch split; the plain fold must
+    not (which is why the buffered one exists)."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from csv2db_spark.streaming.ops import (
+        run_to_df,
+        stateful_ewma,
+        stateful_ewma_buffered,
+    )
+
+    T0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ev(eid, uid, val, minutes):
+        return (eid, uid, val, T0 + dt.timedelta(minutes=minutes))
+
+    schema = "event_id bigint, user_id bigint, value double, ts timestamp"
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+
+    def stage(rows, name, mtime):
+        d = tmp_path / ("w_" + name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), str(src / name))
+        os.utime(src / name, (mtime, mtime))
+
+    # event-time order for user 1: 10.0 @t0, 20.0 @t3, 40.0 @t6 —
+    # but the LAST value arrives FIRST
+    stage([ev(3, 1, 40.0, 6)], "b0.parquet", 1_000)
+    stage([ev(1, 1, 10.0, 0), ev(2, 1, 20.0, 3)], "b1.parquet", 2_000)
+    stage([ev(99, 99, 1.0, 120)], "b2.parquet", 3_000)  # watermark push
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .withColumn("ts_i", F.col("ts"))
+        )
+
+    alpha = 0.25
+    want = 10.0
+    for v in (20.0, 40.0):
+        want = alpha * v + (1 - alpha) * want
+
+    buf = run_to_df(
+        stateful_ewma_buffered(stream(), "600 seconds"), spark, "update"
+    )
+    # update mode emits one row per key per invocation; the final state
+    # is the row with the highest matured count (collect order is not
+    # emission order)
+    u1 = [(r.n_obs, r.ewma) for r in buf.collect() if r.user_id == 1]
+    assert max(u1) == (3, want)
+
+    plain = run_to_df(stateful_ewma(stream(), "600 seconds"), spark, "update")
+    p1 = [(r.n_obs, r.ewma) for r in plain.collect() if r.user_id == 1]
+    assert abs(max(p1)[1] - want) > 1e-9  # arrival order really differs
