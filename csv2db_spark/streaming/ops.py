@@ -351,9 +351,10 @@ def stateful_ewma(stream: DataFrame, delay: str, alpha: float = 0.25) -> DataFra
 
     Within each micro-batch rows fold in (ts, event_id) order; the
     recursion is correct when batches arrive in event-time order per
-    key (file replay does; a production job buffers by watermark
-    first). Emits (user_id, n_obs, ewma) per key per batch in update
-    mode — the last emission is the final state.
+    key (file replay does; for out-of-order streams use
+    ``stateful_ewma_buffered``, which IS this recursion behind a
+    watermark buffer). Emits (user_id, n_obs, ewma) per key per batch
+    in update mode — the last emission is the final state.
 
     Scale shape: state is (count, one float) per key; each batch
     shuffles only its own rows to their key's state partition."""
@@ -481,8 +482,10 @@ def stateful_attribution(
 
     Rows fold in (ts, event_id) order within each batch; correctness
     across batches needs event-time-ordered arrival per key (file
-    replay provides it; production buffers by watermark). State: one
-    (ts_us, id, type) triple per user, forever."""
+    replay provides it; for out-of-order streams use
+    ``stateful_attribution_buffered`` — the same fold behind a
+    watermark buffer). State: one (ts_us, id, type) triple per user,
+    forever."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
