@@ -292,6 +292,13 @@ def stateful_user_stats(stream: DataFrame, delay: str) -> DataFrame:
     express (custom merge logic, per-key ML state, CEP-ish patterns). The
     reference's closest artifact is its per-run row counter
     (``common/inserter/batch.go:25-29``) — not stateful streaming at all.
+
+    Batch-split-INVARIANT by algebra, no buffering needed: count and the
+    exact-cents sum are commutative, and ``last_event_type`` is
+    recency-conditioned on the event's own (ts, event_id) — the cdc
+    merge trick — so the state equals the event-time answer under any
+    micro-batch grouping or ordering (the event_id tiebreak closes the
+    equal-timestamp nondeterminism the ts-only compare had).
     """
     import pandas as pd  # noqa: F401  (worker-side)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -299,11 +306,13 @@ def stateful_user_stats(stream: DataFrame, delay: str) -> DataFrame:
     out_schema = (
         "user_id bigint, n_events bigint, sum_value_cents bigint, last_event_type string"
     )
-    state_schema = "n bigint, cents bigint, last_us bigint, last_type string"
+    state_schema = (
+        "n bigint, cents bigint, last_us bigint, last_id bigint, last_type string"
+    )
 
     def update(key, pdf_iter, state: GroupState):
-        n, cents, last_us, last_type = (
-            state.get if state.exists else (0, 0, -1, "")
+        n, cents, last_us, last_id, last_type = (
+            state.get if state.exists else (0, 0, -1, -1, "")
         )
         for pdf in pdf_iter:
             n += len(pdf)
@@ -313,12 +322,14 @@ def stateful_user_stats(stream: DataFrame, delay: str) -> DataFrame:
             cents += int(
                 (pdf["value"].dropna() * 100).round().astype("int64").sum()
             )
-            us = pdf["ts_us"].astype("int64")
-            top = int(us.idxmax())
-            if int(us.loc[top]) > last_us:
-                last_us = int(us.loc[top])
-                last_type = str(pdf["event_type"].loc[top])
-        state.update((n, cents, last_us, last_type))
+            for r in pdf.itertuples(index=False):
+                # event_id tiebreak when the source carries one; a
+                # source without ids keeps the ts-only compare
+                cand = (int(r.ts_us), int(getattr(r, "event_id", -1)))
+                if cand > (last_us, last_id):
+                    last_us, last_id = cand
+                    last_type = str(r.event_type)
+        state.update((n, cents, last_us, last_id, last_type))
         import pandas as pd
 
         yield pd.DataFrame(
