@@ -3558,21 +3558,29 @@ def q_curate_ccnet_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic string comparison both engines evaluate
     identically). Per (lang, bucket): total docs and kept docs — head
     rows must show n_kept = n_docs, tail rows n_kept = 0, middle rows
-    the coin's exact outcome."""
+    the coin's exact outcome. Terciles route through
+    operators/ranking.grouped_ntile — gate-exact window mode here,
+    the cutpoint scale knob one argument away."""
     from csv2db_spark.llm.curation import md5_threshold
     from csv2db_spark.llm.text import bigram_lm_scores
+    from csv2db_spark.operators.ranking import grouped_ntile
 
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.where(
         F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     )
     scored = bigram_lm_scores(docs, train_docs=ref)
-    w = Window.partitionBy("lang").orderBy(
-        F.col("avg_next_token_prob").desc(), F.col("doc_id")
-    )
-    bucketed = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
-        "doc_id", "lang", F.ntile(3).over(w).alias("ppl_bucket")
-    )
+    bucketed = grouped_ntile(
+        scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+            "doc_id", "lang", "avg_next_token_prob"
+        ),
+        "lang",
+        "avg_next_token_prob",
+        "doc_id",
+        3,
+        descending=True,
+        out_col="ppl_bucket",
+    ).drop("avg_next_token_prob")
     coin = F.md5(
         F.concat(F.lit("ccnet-mid"), F.col("doc_id").cast("string"))
     ) < F.lit(md5_threshold(0.5))
