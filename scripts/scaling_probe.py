@@ -79,6 +79,14 @@ DEFAULT_QUERIES = [
     "q_graph_triangles",
     "q_dedup_span_removal",
     "q_pipeline_curation_v5",
+    # round 9: the rank/sample family that grew cutpoint scale modes —
+    # tracked in their gate-default window mode so a regression in
+    # EITHER the default plan or the shared grouped_* machinery shows
+    # up as a beta jump
+    "q_text_ccnet_buckets",
+    "q_curate_quantile_filter",
+    "q_curate_token_budget",
+    "q_curate_stratified_sample",
 ]
 
 
