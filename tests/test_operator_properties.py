@@ -574,3 +574,38 @@ def test_grouped_ntile_modes_equivalent_property(spark, rows, k):
         ).collect()
     }
     assert w == c
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(**_SETTINGS)
+def test_grouped_prefix_sum_modes_equivalent_property(spark, rows):
+    """Running sums must agree between modes for ANY distribution when
+    the bucket order-coarsens the leading sort key (1-hex md5 prefix of
+    the md5 rank string)."""
+    from csv2db_spark.operators.ranking import grouped_prefix_sum
+
+    df = spark.createDataFrame(
+        [(g, i, float(v)) for i, (g, v) in enumerate(rows)],
+        "g string, doc_id long, v double",
+    ).withColumn("_rk", F.md5(F.col("doc_id").cast("string")))
+    kw = dict(
+        group_cols="g",
+        order_cols=["_rk", "doc_id"],
+        value_col="v",
+        bucket=F.substring("_rk", 1, 1),
+    )
+    w = {
+        (r.g, r.doc_id): r._cum
+        for r in grouped_prefix_sum(df, mode="window", **kw).collect()
+    }
+    c = {
+        (r.g, r.doc_id): r._cum
+        for r in grouped_prefix_sum(df, mode="cutpoint", **kw).collect()
+    }
+    assert w == c
