@@ -3,9 +3,16 @@
 Reference behaviors reproduced (file:line cites into /root/reference):
 
 - P1/P3: CSV source with configurable single-char delimiter
-  (csv2db.go:170-205, config.go:67-72) → ``spark.read.csv`` options.
+  (csv2db.go:170-205, config.go:67-72) → ``spark.read.csv`` options;
+  stdin (``--input-file --``, csv2db.go:174-176) → ``read_csv_stdin``:
+  constant-memory like the Go loop — small pipes parse driver-side,
+  larger ones stream into record-aligned chunk files for executor-side
+  parse (``read_csv_buffer`` is the in-memory-string sibling with the
+  same spill).
 - P2: charset decode via ``--encoding`` (csv2db.go:190-199) →
-  ``.option("encoding", ...)``.
+  ``.option("encoding", ...)``, widened to the full JVM charset
+  registry (shift_jis/euc-kr/cp1251/... via legacy.javaCharsets) with
+  the header sniff decoding under the same charset.
 - P4: header row consumed as schema, else synthesized ``col0..colN``
   names (common/schema.go:144-169) → header option + rename.
 - P7: schema reconcile — intersect CSV columns with target columns by
