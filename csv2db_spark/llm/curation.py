@@ -312,6 +312,7 @@ def quantile_filter(
     drop_frac: float = 0.25,
     id_col: str = "doc_id",
     rank_mode: str = "window",
+    rank_bucket: Column | None = None,
 ) -> DataFrame:
     """Per-group quantile filtering — the CCNet-style curation step "drop
     the worst X% of documents *within each language/domain bucket*"
@@ -340,7 +341,11 @@ def quantile_filter(
     rank via operators/ranking.grouped_rank's histogram-offset +
     tie-rank plan: no task ever sorts a whole group, and the output is
     bit-identical (pinned in tests/test_runtime_ops.py), so gates hash
-    the same in either mode.
+    the same in either mode. For a CONTINUOUS score pass
+    ``rank_bucket`` (a monotone coarsening over ``quality_score``,
+    e.g. ``F.floor(F.col("quality_score") * 4096)``) — see
+    operators/ranking.grouped_rank: without it a distinct-per-doc score
+    makes the cutpoint histogram group-sized again.
     """
     from csv2db_spark.operators.ranking import grouped_rank
 
@@ -348,7 +353,12 @@ def quantile_filter(
         F.col(id_col), F.col(group_col), score.alias("quality_score")
     )
     ranked = grouped_rank(
-        scored, group_col, "quality_score", id_col, mode=rank_mode
+        scored,
+        group_col,
+        "quality_score",
+        id_col,
+        mode=rank_mode,
+        bucket=rank_bucket,
     )
     if rank_mode == "window":
         ranked = ranked.withColumn(
@@ -920,6 +930,7 @@ def score_quantile_normalize(
     score_col: str,
     id_col: str = "doc_id",
     rank_mode: str = "window",
+    rank_bucket: Column | None = None,
 ) -> DataFrame:
     """Percent-rank a quality score WITHIN each source so scores become
     comparable ACROSS sources — the fix for mixing heterogeneous
@@ -947,7 +958,9 @@ def score_quantile_normalize(
         return df.withColumn("pct", F.percent_rank().over(w))
     from csv2db_spark.operators.ranking import grouped_rank
 
-    ranked = grouped_rank(df, group_col, score_col, id_col, mode=rank_mode)
+    ranked = grouped_rank(
+        df, group_col, score_col, id_col, mode=rank_mode, bucket=rank_bucket
+    )
     totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     return (
         ranked.join(F.broadcast(totals), group_col)

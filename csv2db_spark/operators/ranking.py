@@ -59,26 +59,43 @@ def grouped_rank(
     descending: bool = False,
     mode: str = "window",
     out_col: str = "_rn",
+    bucket: Column | None = None,
 ) -> DataFrame:
     """``row_number() OVER (PARTITION BY group ORDER BY order_col
     [DESC], id_col)`` — exact, total (the id tiebreak), identical in
     both modes. ``mode='window'`` is the plain window (gate scale);
     ``mode='cutpoint'`` is the histogram-offset + tie-rank plan with no
-    whole-group sort (see module doc). NULL scores order the way the
-    window would (NULLS FIRST asc / NULLS LAST desc); the histogram
-    join is null-safe so they rank, not vanish."""
+    whole-group DOC sort (see module doc). NULL scores order the way
+    the window would (NULLS FIRST asc / NULLS LAST desc); the histogram
+    join is null-safe so they rank, not vanish.
+
+    ``bucket`` (cutpoint mode only) is an ORDER-COARSENING of the score
+    — any monotone nondecreasing expression over it, e.g.
+    ``F.floor(F.col(score) * 4096)`` for a [0, 1] probability. Without
+    it the histogram is per DISTINCT score, which is only small for
+    quantized scores: a continuous (double) score makes |histogram| =
+    |group| and hands its cumulative window a group-sized single task
+    right back. With it the histogram has |buckets| rows, the
+    cumulative runs over buckets, and rows rank within (group, bucket)
+    by the TRUE (score, id) order — still exact for any granularity,
+    task size bounded by bucket occupancy. (The one shape neither form
+    fixes: a group where one exact (score)—or (bucket)—value dominates;
+    then the ordering lives entirely in the id tiebreak and the tie set
+    IS the group.)"""
     gs = _groups(group_cols)
+    ordc = F.col(order_col).desc() if descending else F.col(order_col).asc()
     if mode == "window":
-        ordc = F.col(order_col).desc() if descending else F.col(order_col).asc()
         w = Window.partitionBy(*gs).orderBy(ordc, F.col(id_col).asc())
         return df.withColumn(out_col, F.row_number().over(w))
     if mode != "cutpoint":
         raise ValueError(f"unknown rank mode {mode!r}")
     ord_alias = "_gr_ord"
-    base = df.withColumn(ord_alias, F.col(order_col))
-    hord = F.col(ord_alias).desc() if descending else F.col(ord_alias).asc()
+    base = df.withColumn(ord_alias, F.col(order_col)).withColumn(
+        "_gr_b", bucket if bucket is not None else F.col(order_col)
+    )
+    hord = F.col("_gr_b").desc() if descending else F.col("_gr_b").asc()
     hist = (
-        base.groupBy(*gs, ord_alias)
+        base.groupBy(*gs, "_gr_b")
         .agg(F.count(F.lit(1)).alias("_gr_cnt"))
         .withColumn(
             "_gr_below",
@@ -87,19 +104,23 @@ def grouped_rank(
         )
         .select(
             *[F.col(c).alias(f"_h_{c}") for c in gs],
-            F.col(ord_alias).alias("_h_ord"),
+            F.col("_gr_b").alias("_h_b"),
             "_gr_below",
         )
     )
     cond = reduce(
         Column.__and__,
         [base[c].eqNullSafe(F.col(f"_h_{c}")) for c in gs]
-        + [base[ord_alias].eqNullSafe(F.col("_h_ord"))],
+        + [base["_gr_b"].eqNullSafe(F.col("_h_b"))],
     )
-    # tie window keyed by (group, score): tasks sort tie SETS, never a
-    # whole group; the join keys match the window keys so EnsureRequirements
-    # satisfies both with one exchange
-    tw = Window.partitionBy(*gs, ord_alias).orderBy(F.col(id_col).asc())
+    # tie window keyed by (group, bucket): tasks sort bucket occupancies,
+    # never a whole group; ordering inside uses the TRUE score so a
+    # coarse bucket stays exact. The join keys match the window keys so
+    # EnsureRequirements satisfies both with one exchange.
+    ord_in = (
+        F.col(ord_alias).desc() if descending else F.col(ord_alias).asc()
+    )
+    tw = Window.partitionBy(*gs, "_gr_b").orderBy(ord_in, F.col(id_col).asc())
     return (
         base.join(hist, cond)
         .withColumn(
@@ -185,20 +206,30 @@ def grouped_ntile(
     descending: bool = False,
     mode: str = "window",
     out_col: str = "bucket",
+    bucket: Column | None = None,
 ) -> DataFrame:
     """``ntile(k) OVER (PARTITION BY group ORDER BY order_col [DESC],
     id_col)`` in both modes. The cutpoint mode reconstructs Spark's
     ntile arithmetic exactly: with n group rows, the first ``n % k``
     buckets hold ``n // k + 1`` rows, the rest ``n // k`` — a closed
     form over the cutpoint rank plus one broadcast join of per-group
-    totals (|groups| rows — languages/domains, never corpus-sized)."""
+    totals (|groups| rows — languages/domains, never corpus-sized).
+    ``bucket`` passes through to ``grouped_rank`` (order-coarsening for
+    continuous scores)."""
     gs = _groups(group_cols)
     if mode == "window":
         ordc = F.col(order_col).desc() if descending else F.col(order_col).asc()
         w = Window.partitionBy(*gs).orderBy(ordc, F.col(id_col).asc())
         return df.withColumn(out_col, F.ntile(k).over(w))
     ranked = grouped_rank(
-        df, gs, order_col, id_col, descending, mode=mode, out_col="_gr_rn"
+        df,
+        gs,
+        order_col,
+        id_col,
+        descending,
+        mode=mode,
+        out_col="_gr_rn",
+        bucket=bucket,
     )
     totals = df.groupBy(*gs).agg(F.count(F.lit(1)).alias("_gr_n"))
     n, rn = F.col("_gr_n"), F.col("_gr_rn")

@@ -3143,6 +3143,9 @@ def ccnet_buckets(
         descending=True,
         mode=rank_mode,
         out_col="ppl_bucket",
+        # continuous [0,1] probability: the 4096-cell quantization keeps
+        # the cutpoint histogram bucket-sized instead of corpus-sized
+        bucket=F.floor(F.col("avg_next_token_prob") * 4096),
     )
 
 

@@ -1557,6 +1557,9 @@ def curation_v6_pipeline(
         descending=True,
         mode=rank_mode,
         out_col="b",
+        # order-coarsening for the continuous probability (see
+        # operators/ranking.grouped_rank): histogram stays 4096 cells
+        bucket=F.floor(F.col("avg_next_token_prob") * 4096),
     )
     return (
         bucketed.where(F.col("b") <= 2)

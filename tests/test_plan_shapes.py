@@ -450,8 +450,11 @@ def test_ccnet_cutpoint_mode_has_no_whole_group_sort(spark, sf_dir):
     rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
     assert rn_lines, "cutpoint mode must rank via row_number over tie sets"
     for ln in rn_lines:
-        assert "_gr_ord" in ln, (
-            f"doc-level rank window not keyed by the score column: {ln}"
+        # partitioned by the quantized score bucket (the continuous
+        # avg_next_token_prob would otherwise make the histogram — and
+        # its cumulative window — group-sized again)
+        assert "_gr_b" in ln, (
+            f"doc-level rank window not keyed by the score bucket: {ln}"
         )
     win = {
         (r.doc_id): (r.lang, r.score_scaled, r.n_bigrams, r.ppl_bucket)

@@ -982,6 +982,8 @@ def _rank_fixture(spark):
 
 
 def test_grouped_rank_cutpoint_equals_window(spark):
+    from pyspark.sql import functions as F
+
     from csv2db_spark.operators.ranking import grouped_rank
 
     df = _rank_fixture(spark)
@@ -999,6 +1001,23 @@ def test_grouped_rank_cutpoint_equals_window(spark):
             ).collect()
         }
         assert w == c
+        # order-coarsening bucket (continuous-score shape): coarser
+        # histogram, same exact ranks — including a 1-cell degenerate
+        # coarsening, which must collapse to pure (score, id) tie-rank
+        for b in (F.floor(F.col("s") / 3), F.lit(0)):
+            cb = {
+                (r.lang, r.doc_id): r._rn
+                for r in grouped_rank(
+                    df,
+                    "lang",
+                    "s",
+                    "doc_id",
+                    descending=desc,
+                    mode="cutpoint",
+                    bucket=b,
+                ).collect()
+            }
+            assert cb == w
 
 
 def test_grouped_ntile_cutpoint_equals_window(spark):
