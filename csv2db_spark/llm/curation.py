@@ -347,7 +347,7 @@ def quantile_filter(
     operators/ranking.grouped_rank: without it a distinct-per-doc score
     makes the cutpoint histogram group-sized again.
     """
-    from csv2db_spark.operators.ranking import grouped_rank
+    from csv2db_spark.operators.ranking import grouped_rank, join_totals_nullsafe
 
     scored = docs.select(
         F.col(id_col), F.col(group_col), score.alias("quality_score")
@@ -366,7 +366,8 @@ def quantile_filter(
         )
     else:
         totals = scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-        ranked = ranked.join(F.broadcast(totals), group_col)
+        # null-safe: NULL groups rank in both modes (ADVICE r9)
+        ranked = join_totals_nullsafe(ranked, totals, [group_col])
     return (
         ranked.where(F.col("_rn") > F.floor(F.lit(drop_frac) * F.col("_n")))
         .select(
@@ -862,6 +863,8 @@ def domain_cap(
         )
     if rank_mode != "cutpoint":
         raise ValueError(f"unknown rank mode {rank_mode!r}")
+    from csv2db_spark.operators.ranking import checked_int_rank as _checked_int_rank
+
     base = docs.withColumn("_rk", h).withColumn("_b", F.substring("_rk", 1, 2))
     hist = (
         base.groupBy(group_col, "_b")
@@ -885,7 +888,11 @@ def domain_cap(
             base[group_col].eqNullSafe(F.col("_h_g"))
             & (base["_b"] == F.col("_h_b")),
         )
-        .withColumn("cap_rank", (F.col("_off") + F.row_number().over(tw)).cast("int"))
+        # checked: a wrapped negative rank would sail through `<= k`
+        .withColumn(
+            "cap_rank",
+            _checked_int_rank(F.col("_off") + F.row_number().over(tw), "cap_rank"),
+        )
         .where(F.col("cap_rank") <= k)
         .select(*docs.columns, "cap_rank")
     )
@@ -956,14 +963,15 @@ def score_quantile_normalize(
     if rank_mode == "window":
         w = Window.partitionBy(group_col).orderBy(score_col, id_col)
         return df.withColumn("pct", F.percent_rank().over(w))
-    from csv2db_spark.operators.ranking import grouped_rank
+    from csv2db_spark.operators.ranking import grouped_rank, join_totals_nullsafe
 
     ranked = grouped_rank(
         df, group_col, score_col, id_col, mode=rank_mode, bucket=rank_bucket
     )
     totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     return (
-        ranked.join(F.broadcast(totals), group_col)
+        # null-safe: NULL groups rank in both modes (ADVICE r9)
+        join_totals_nullsafe(ranked, totals, [group_col])
         .withColumn(
             "pct",
             F.when(F.col("_n") > 1, (F.col("_rn") - 1) / (F.col("_n") - 1))

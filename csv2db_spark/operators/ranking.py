@@ -51,6 +51,48 @@ def _groups(group_cols: str | list[str]) -> list[str]:
     return [group_cols] if isinstance(group_cols, str) else list(group_cols)
 
 
+_INT_MAX = 2_147_483_647
+
+
+def checked_int_rank(rank: Column, what: str) -> Column:
+    """Cast a long rank to int for window-mode dtype parity, ERRORING
+    past 2^31-1 instead of silently wrapping (ADVICE r9): the cutpoint
+    mode exists precisely for groups that can exceed int range, where a
+    wrapped rank would silently corrupt every downstream cut. The guard
+    is one codegen'd comparison per row; the assert_true branch only
+    evaluates on overflow."""
+    over = rank > F.lit(_INT_MAX)
+    return F.when(
+        over,
+        F.assert_true(
+            ~over, F.lit(f"{what} exceeds int32 range; rank would wrap")
+        ).cast("int"),
+    ).otherwise(rank.cast("int"))
+
+
+def join_totals_nullsafe(
+    ranked: DataFrame, totals: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Broadcast-join per-group totals back onto ranked rows with
+    NULL-SAFE key equality. A plain ``join(totals, cols)`` drops rows
+    whose group value is NULL — while the window modes rank NULL groups
+    as a real partition (and grouped_rank's histogram join is already
+    eqNullSafe) — so the documented bit-identical mode equivalence broke
+    for NULL-group data (ADVICE r9). Null-safe equality is a supported
+    hash-join key, so this stays a BroadcastHashJoin."""
+    renamed = totals.select(
+        *[F.col(c).alias(f"_t_{c}") for c in group_cols],
+        *[c for c in totals.columns if c not in group_cols],
+    )
+    cond = reduce(
+        Column.__and__,
+        [ranked[c].eqNullSafe(renamed[f"_t_{c}"]) for c in group_cols],
+    )
+    return ranked.join(F.broadcast(renamed), cond).drop(
+        *[f"_t_{c}" for c in group_cols]
+    )
+
+
 def grouped_rank(
     df: DataFrame,
     group_cols: str | list[str],
@@ -125,7 +167,9 @@ def grouped_rank(
         base.join(hist, cond)
         .withColumn(
             out_col,
-            (F.col("_gr_below") + F.row_number().over(tw)).cast("int"),
+            checked_int_rank(
+                F.col("_gr_below") + F.row_number().over(tw), "cutpoint rank"
+            ),
         )
         .select(*df.columns, out_col)  # window-mode column order parity
     )
@@ -243,7 +287,7 @@ def grouped_ntile(
         .otherwise(r + F.ceil((rn - thr) / F.greatest(q, F.lit(1))))
     )
     return (
-        ranked.join(F.broadcast(totals), gs)
+        join_totals_nullsafe(ranked, totals, gs)
         .withColumn(out_col, bucket.cast("int"))
         .select(*df.columns, out_col)  # window-mode column order parity
     )

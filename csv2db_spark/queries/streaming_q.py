@@ -992,9 +992,96 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        _cdc_diag(spark, sf_dir, t, out, base, latest, ev)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def _cdc_diag(spark, sf_dir, t, out, base, latest, ev) -> None:
+    """Self-evidencing for q_stream_cdc_upsert (VERDICT r9 item 1): the
+    driver's record for this gate was red in r08/r09 while every local
+    run — including driver-shaped local[32] sessions — matched. A
+    boolean hash_match can't say WHICH batch interleaving the driver
+    saw, so the gate appends one JSON line per run to STREAM_DIAG.jsonl
+    at the repo root: the manifest history (op strings carry the
+    stream-merge:{batch_id} markers, so this pins how many micro-batches
+    the file source produced and in what order they committed), the
+    final aggregate row, a pure-batch twin of the same aggregate
+    (global max_by + full-outer merge, no streaming — what the oracle
+    computes), the duplicate-key count of the final table (>0 would
+    prove the copy-on-write hit-file probe missed a file and the merge
+    took the pure-insert path — the phantom-row failure mode), and the
+    session fingerprint (master / shuffle partitions / timezone). All
+    driver-side work is bounded: two 1-row collects, one dup-count agg
+    at the gate's sf. Best-effort by design — a read-only checkout or
+    any error must never fail the gate itself."""
+    import json
+    import os
+    import time
+
+    try:
+        row = out.collect()[0].asDict()
+        lat = latest(ev.select("event_id", "user_id", "value"))
+        twin_row = (
+            base.select("user_id")
+            .join(
+                lat.select("user_id", F.col("last_value").alias("_lv")),
+                "user_id",
+                "full_outer",
+            )
+            .select(
+                "user_id",
+                F.coalesce("_lv", F.lit(-1.0)).alias("last_value"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("user_id").alias("min_u"),
+                F.max("user_id").alias("max_u"),
+                F.sum((F.col("last_value") == -1.0).cast("long")).alias(
+                    "n_untouched"
+                ),
+                F.sum(F.col("last_value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_last"),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        dup_keys = (
+            t.read()
+            .groupBy("user_id")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        hist = t.history()
+        rec = {
+            "gate": "q_stream_cdc_upsert",
+            "ts": time.time(),
+            "sf_dir": sf_dir,
+            "history": [
+                {"v": h["version"], "op": h["op"], "n_files": h["n_files"]}
+                for h in hist
+            ],
+            "n_stream_batches": sum(
+                1 for h in hist if str(h["op"]).startswith("stream-merge:")
+            ),
+            "result": row,
+            "batch_twin": twin_row,
+            "stream_equals_batch_twin": row == twin_row,
+            "dup_keys_in_final_table": dup_keys,
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "session_tz": spark.conf.get("spark.sql.session.timeZone"),
+        }
+        root_dir = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        with open(os.path.join(root_dir, "STREAM_DIAG.jsonl"), "a") as fh:
+            fh.write(json.dumps(rec, default=str) + "\n")
+    except Exception:
+        pass
 
 
 @query(

@@ -326,6 +326,65 @@ def test_charset_matrix_breadth(spark, tmp_path):
         assert got == want_rows, f"{enc}: {got}"
 
 
+def test_sniff_fallback_glob_non_ascii_header(spark, tmp_path):
+    """A glob path can't take the zero-job driver-local sniff, so it
+    exercises the CSV-reader fallback — which must still decode a
+    non-ASCII header under the requested charset (the r9 fix)."""
+    d = tmp_path / "sj"
+    d.mkdir()
+    (d / "part.csv").write_bytes("名前,都市\n太郎,東京\n".encode("shift_jis"))
+    df = read_csv(spark, str(d / "*.csv"), encoding="shift_jis")
+    assert df.columns == ["名前", "都市"]
+    assert [tuple(r) for r in df.collect()] == [("太郎", "東京")]
+
+
+def test_charset_alias_does_not_enable_java_registry(spark, tmp_path):
+    """ADVICE r9: 'UTF8' / 'latin1' spellings are native charsets and
+    must NOT flip the session-wide legacy.javaCharsets conf; a genuinely
+    non-native charset on a non-local path still does."""
+    p = tmp_path / "a.csv"
+    p.write_text("a,b\n1,2\n")
+    spark.conf.unset("spark.sql.legacy.javaCharsets")
+    for alias in ("UTF8", "latin1", "L1", "utf_8", "ASCII"):
+        read_csv(spark, str(p), encoding=alias).collect()
+        assert (
+            spark.conf.get("spark.sql.legacy.javaCharsets", None) is None
+        ), alias
+    # non-native charset via the Spark-reader sniff (glob) sets it
+    d = tmp_path / "g"
+    d.mkdir()
+    (d / "x.csv").write_bytes("a,b\n1,2\n".encode("euc_kr"))
+    read_csv(spark, str(d / "*.csv"), encoding="euc_kr").collect()
+    assert spark.conf.get("spark.sql.legacy.javaCharsets") == "true"
+
+
+def test_whitespace_only_rows_survive_spill(spark, tmp_path):
+    """ADVICE r9 parity break: a single-column CSV whose rows are
+    unquoted spaces kept those rows on the driver-side csv.reader path
+    but dropped them on the spill path (flush/_record_chunks skipped
+    whitespace-only chunk text). Both paths must agree."""
+    import io
+
+    from csv2db_spark.ingest import read_csv_buffer, read_csv_stdin
+
+    data = "c\n \nx\n  \ny\n"
+    small = read_csv_buffer(spark, data)
+    want = sorted(r.c for r in small.collect())
+    assert want == [" ", "  ", "x", "y"]
+    # force the spill path with a tiny threshold
+    spilled = read_csv_buffer(
+        spark, data, spill_threshold=2, spill_dir=str(tmp_path / "sp")
+    )
+    assert sorted(r.c for r in spilled.collect()) == want
+    streamed = read_csv_stdin(
+        spark,
+        io.StringIO(data),
+        spill_threshold=4,
+        spill_dir=str(tmp_path / "sp2"),
+    )
+    assert sorted(r.c for r in streamed.collect()) == want
+
+
 def test_read_csv_stdin_constant_memory_paths(spark, tmp_path):
     """read_csv_stdin: a pipe ending inside the peek takes the driver
     path; a longer pipe streams to executor-parsed chunks without ever

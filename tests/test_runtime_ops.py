@@ -978,6 +978,10 @@ def _rank_fixture(spark):
         rows.append(("fr", i, float(rng.randint(0, 2))))
     rows.append(("xx", 999, 5.0))
     rows.extend([("en", 1000 + j, None) for j in range(3)])
+    # NULL GROUP rows (ADVICE r9): window mode ranks NULL groups as a
+    # real partition; every cutpoint-mode totals join must be null-safe
+    # or these rows silently vanish from one mode only
+    rows.extend([(None, 2000 + j, float(j % 4)) for j in range(6)])
     return spark.createDataFrame(rows, "lang string, doc_id long, s double")
 
 
@@ -1039,6 +1043,26 @@ def test_grouped_ntile_cutpoint_equals_window(spark):
             ).collect()
         }
         assert w == c
+
+
+def test_checked_int_rank_errors_instead_of_wrapping(spark):
+    """ADVICE r9: past 2^31 rows per group the cutpoint rank used to
+    cast('int') and silently WRAP; it must now raise. Exercised with a
+    literal long (nobody materializes 2^31 rows in a unit test)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from csv2db_spark.operators.ranking import checked_int_rank
+
+    one = spark.range(1)
+    ok = one.select(
+        checked_int_rank(F.lit(2_147_483_647).cast("long"), "r").alias("r")
+    ).collect()
+    assert ok[0].r == 2_147_483_647
+    with pytest.raises(Exception, match="int32 range"):
+        one.select(
+            checked_int_rank(F.lit(2_147_483_648).cast("long"), "r").alias("r")
+        ).collect()
 
 
 def test_quantile_filter_modes_equal(spark):
