@@ -88,6 +88,95 @@ def _config_path() -> str:
     )
 
 
+# go-yaml lowercases struct field names (config.go:32-42), so a
+# reference-written ~/.csv2db.yaml spells them like this:
+_YAML_FIELD_MAP = {
+    "dburl": "db_url",
+    "tablemode": "table_mode",
+    "filename": "file_name",
+    "hasheader": "has_header",
+}
+
+
+def _parse_flat_yaml(text: str) -> dict:
+    """Minimal parser for EXACTLY the shape go-yaml emits for the
+    reference's ConfigStorage (config.go:100-165: a two-level mapping —
+    ``presets:`` -> preset name -> flat scalar fields). Supports
+    comments, blank lines, single/double-quoted scalars, and bools;
+    anything structurally richer (lists, anchors, multiline) raises
+    ValueError and the caller warns-and-ignores, matching the
+    reference's unreadable-config-is-a-warning contract. A stdlib-only
+    subset beats a vendored YAML dependency for one fixed file shape."""
+    root: dict = {}
+    stack: list[tuple[int, dict]] = [(-1, root)]
+    pending: tuple[int, str] | None = None
+    for ln in text.splitlines():
+        if not ln.strip() or ln.lstrip().startswith("#"):
+            continue
+        indent = len(ln) - len(ln.lstrip(" "))
+        body = ln.strip()
+        if ":" not in body:
+            raise ValueError(f"unsupported yaml line: {ln!r}")
+        key, _, val = body.partition(":")
+        key, val = key.strip(), val.strip()
+        if val.startswith("#"):
+            val = ""
+        if pending is not None:
+            p_indent, p_key = pending
+            if indent > p_indent:  # the pending key was a mapping
+                child: dict = {}
+                stack[-1][1][p_key] = child
+                stack.append((p_indent, child))
+            else:
+                stack[-1][1][p_key] = ""
+            pending = None
+        while stack and indent <= stack[-1][0]:
+            stack.pop()
+        if not val:
+            pending = (indent, key)
+            continue
+        if val and val[0] in "\"'" and val[-1] == val[0] and len(val) >= 2:
+            sval: object = val[1:-1]
+        elif val.lower() in ("true", "false"):
+            sval = val.lower() == "true"
+        else:
+            sval = val.split(" #")[0].strip()
+        stack[-1][1][key] = sval
+    if pending is not None:
+        stack[-1][1][pending[1]] = ""
+    return root
+
+
+def _yaml_path() -> str:
+    return os.path.join(os.path.expanduser("~"), ".csv2db.yaml")
+
+
+def _load_yaml_presets() -> dict:
+    """Read a reference-written ``~/.csv2db.yaml`` (config.go:151-165)
+    so an existing csv2db user's presets work unconverted. Only
+    consulted when the native JSON config is absent; saving always
+    writes the JSON file (one source of truth going forward)."""
+    try:
+        with open(_yaml_path()) as f:
+            raw = _parse_flat_yaml(f.read())
+    except FileNotFoundError:
+        return {}
+    except (OSError, ValueError) as e:
+        log.warning("cannot load config %s: %s", _yaml_path(), e)
+        return {}
+    presets = {
+        k.lower(): v for k, v in raw.items() if isinstance(v, dict)
+    }.get("presets", {})
+    out = {}
+    for name, c in presets.items():
+        if isinstance(c, dict):
+            out[name] = {
+                _YAML_FIELD_MAP.get(k.lower(), k.lower()): v
+                for k, v in c.items()
+            }
+    return {"presets": out}
+
+
 def load_presets() -> dict[str, Config]:
     try:
         with open(_config_path()) as f:
@@ -97,7 +186,9 @@ def load_presets() -> dict[str, Config]:
         # (config.go:107-127)
         if not isinstance(e, FileNotFoundError):
             log.warning("cannot load config %s: %s", _config_path(), e)
-        return {}
+            return {}
+        # migration path: fall back to the reference's YAML config
+        raw = _load_yaml_presets()
     out = {}
     for name, c in raw.get("presets", {}).items():
         known = {f.name for f in fields(Config)}

@@ -1078,8 +1078,15 @@ def _cdc_diag(spark, sf_dir, t, out, base, latest, ev) -> None:
         root_dir = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-        with open(os.path.join(root_dir, "STREAM_DIAG.jsonl"), "a") as fh:
+        p = os.path.join(root_dir, "STREAM_DIAG.jsonl")
+        with open(p, "a") as fh:
             fh.write(json.dumps(rec, default=str) + "\n")
+        # bounded artifact: keep the newest 200 runs
+        with open(p) as fh:
+            lines = fh.readlines()
+        if len(lines) > 200:
+            with open(p, "w") as fh:
+                fh.writelines(lines[-200:])
     except Exception:
         pass
 

@@ -52,6 +52,49 @@ def test_store_then_apply_preset(config_path):
     assert conf.delimiter == ";"
 
 
+def test_reference_yaml_presets_fallback(config_path, tmp_path, monkeypatch):
+    """A reference user's ~/.csv2db.yaml (go-yaml field spellings,
+    config.go:151-165) works unconverted when the native JSON config is
+    absent; once a preset is SAVED, the JSON file takes precedence."""
+    monkeypatch.setenv("HOME", str(tmp_path))
+    (tmp_path / ".csv2db.yaml").write_text(
+        "# migrated from csv2db\n"
+        "presets:\n"
+        "  default:\n"
+        "    dburl: jdbc:pg\n"
+        "    tablemode: create\n"
+        "    delimiter: ';'\n"
+        "    hasheader: true\n"
+        "  alt:\n"
+        '    filename: "/data/in.csv"\n'
+        "    encoding: latin1\n"
+    )
+    conf = parse(["-p", "default", "-t", "t1"])
+    assert conf.db_url == "jdbc:pg" and conf.table_mode == "create"
+    assert conf.delimiter == ";"
+    conf2 = parse(["-p", "alt", "-t", "t2"])
+    assert conf2.file_name == "/data/in.csv" and conf2.encoding == "latin1"
+    # JSON config (written by a save) wins over the YAML fallback
+    parse(["--url", "jdbc:new", "-t", "tt", "-s", "default"])
+    conf3 = parse(["-p", "default", "-t", "t3"])
+    assert conf3.db_url == "jdbc:new"
+
+
+def test_parse_flat_yaml_rejects_rich_structures():
+    import pytest as _pytest
+
+    from csv2db_spark.cli import _parse_flat_yaml
+
+    assert _parse_flat_yaml("presets:\n  a:\n    k: v\n") == {
+        "presets": {"a": {"k": "v"}}
+    }
+    # empty mapping value and trailing comment scalars
+    got = _parse_flat_yaml("presets:\n  a:\n    k: v # c\n    b: true\n")
+    assert got["presets"]["a"] == {"k": "v", "b": True}
+    with _pytest.raises(ValueError):
+        _parse_flat_yaml("presets:\n  - listitem\n")
+
+
 def test_unknown_preset_warns_not_fatal(config_path, caplog):
     conf = parse(["-p", "nope", "-t", "t1"])
     assert conf.table == "t1"
