@@ -520,3 +520,26 @@ def test_sampling_cutpoint_modes_have_no_whole_group_sort(spark, sf_dir):
             if "_b#" not in ln and "_gp_b" not in ln
         ]
         assert not doc_level, f"{name}: doc-level window without bucket key: {doc_level}"
+
+
+def test_nullsafe_totals_join_stays_broadcast_hash(spark, sf_dir):
+    """join_totals_nullsafe (ADVICE r9 NULL-group fix) must not
+    degrade the plan: Spark rewrites eqNullSafe keys to
+    coalesce+isnull HASH keys, so the per-group totals join stays a
+    BroadcastHashJoin — a BroadcastNestedLoopJoin here would evaluate
+    |corpus| x |groups| comparisons at scale. The grouped_rank
+    histogram SMJ (exchange shared with the tie window by design) is
+    the only sort-merge allowed in the ntile plan."""
+    from pyspark.sql import functions as F
+
+    from csv2db_spark.operators.ranking import grouped_ntile
+    from csv2db_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = grouped_ntile(docs, "lang", "n_chars", "doc_id", 3,
+                        mode="cutpoint")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoop") == 0, plan
+    bhj = [ln for ln in plan.splitlines()
+           if "BroadcastHashJoin" in ln and "_t_lang" in ln]
+    assert bhj, f"totals join is not a BroadcastHashJoin:\n{plan}"
