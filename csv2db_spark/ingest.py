@@ -103,7 +103,9 @@ def _enable_charset(spark: SparkSession, encoding: str) -> None:
         spark.conf.set("spark.sql.legacy.javaCharsets", "true")
 
 
-def _sniff_local(path: str, delimiter: str, encoding: str) -> list[str] | None:
+def _sniff_local(
+    path: str, delimiter: str, encoding: str, multiline: bool = False
+) -> list[str] | None:
     """Driver-local first-record sniff: ZERO Spark jobs.
 
     The reference reads the header on the driver too (csv2db.go:88-106 —
@@ -129,14 +131,30 @@ def _sniff_local(path: str, delimiter: str, encoding: str) -> list[str] | None:
         return None
     with open(p, encoding="utf-8-sig" if name == "utf-8" else encoding,
               errors="replace", newline="") as fh:
-        for rec in _pycsv.reader(fh, delimiter=delimiter):
-            if rec:  # univocity skips blank lines; match it
-                return rec
+        if multiline:
+            # record semantics: a quoted newline keeps the record open,
+            # exactly like the multiLine=true reader below
+            for rec in _pycsv.reader(fh, delimiter=delimiter):
+                if rec:  # univocity skips blank lines; match it
+                    return rec
+        else:
+            # line semantics: the multiLine=false reader treats each
+            # physical line as one record, so the sniff must too — a
+            # full-record csv parse here would swallow a (malformed)
+            # quoted newline the main read will NOT swallow
+            for line in fh:
+                line = line.rstrip("\r\n")
+                if line:
+                    return next(_pycsv.reader([line], delimiter=delimiter))
     raise ValueError(f"empty CSV input: {path}")
 
 
 def _sniff_first_line(
-    spark: SparkSession, path: str, delimiter: str, encoding: str = "UTF-8"
+    spark: SparkSession,
+    path: str,
+    delimiter: str,
+    encoding: str = "UTF-8",
+    multiline: bool = False,
 ) -> list[str]:
     """Fields of the first RECORD (schema binding is deferred to the
     first row in the reference too — csv2db.go:88-106). The single
@@ -145,7 +163,7 @@ def _sniff_first_line(
     jobs (_sniff_local); globs/directories/remote paths go through the
     CSV reader itself (not the UTF-8-only text source) so non-ASCII
     header names decode correctly under any charset the data does."""
-    local = _sniff_local(path, delimiter, encoding)
+    local = _sniff_local(path, delimiter, encoding, multiline)
     if local is not None:
         return local
     _enable_charset(spark, encoding)
@@ -156,6 +174,7 @@ def _sniff_first_line(
             encoding=encoding,
             quote='"',
             escape='"',
+            multiLine=str(multiline).lower(),
         )
         .csv(path)
         .limit(1)
@@ -209,7 +228,7 @@ def read_csv(
     # off unless the charset is genuinely non-native (ADVICE r9)
     encoding, _ = _normalize_charset(encoding)
     _enable_charset(spark, encoding)
-    first = _sniff_first_line(spark, path, delimiter, encoding)
+    first = _sniff_first_line(spark, path, delimiter, encoding, multiline)
     names = first if has_header else [f"col{i}" for i in range(len(first))]
     schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
     df = (

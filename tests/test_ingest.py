@@ -338,6 +338,18 @@ def test_sniff_fallback_glob_non_ascii_header(spark, tmp_path):
     assert [tuple(r) for r in df.collect()] == [("太郎", "東京")]
 
 
+def test_multiline_header_sniff_matches_reader_semantics(spark, tmp_path):
+    """multiline=True: a quoted newline in a HEADER NAME spans lines in
+    both the sniff and the read; multiline=False: the header is one
+    physical line to both (the local sniff must not swallow a quoted
+    newline the line-based reader won't)."""
+    p = tmp_path / "mh.csv"
+    p.write_text('a,"b\nc"\n1,2\n')
+    df = read_csv(spark, str(p), multiline=True)
+    assert df.columns == ["a", "b\nc"]
+    assert [tuple(r) for r in df.collect()] == [("1", "2")]
+
+
 def test_charset_alias_does_not_enable_java_registry(spark, tmp_path):
     """ADVICE r9: 'UTF8' / 'latin1' spellings are native charsets and
     must NOT flip the session-wide legacy.javaCharsets conf; a genuinely
