@@ -287,3 +287,54 @@ def test_cli_sql_limit(spark, sf_dir, capsys):
     )
     assert rc == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == 4
+
+
+def test_parse_flat_yaml_roundtrip_property():
+    """Property: any ConfigStorage-shaped preset dict, serialized the
+    way go-yaml lays it out (two-level mapping, lowercased keys,
+    quoted-or-bare scalars), parses back to the same values. Runs the
+    hypothesis tier's job for the migration path without Spark."""
+    import pytest as _pytest
+
+    hyp = _pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from csv2db_spark.cli import _parse_flat_yaml
+
+    bare = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_-./:",
+        min_size=1,
+        max_size=20,
+    ).filter(lambda s: s.lower() not in ("true", "false") and not s.startswith("#"))
+    key = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12)
+    scalar = st.one_of(bare, st.booleans())
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        presets=st.dictionaries(
+            key, st.dictionaries(key, scalar, max_size=6), min_size=0, max_size=4
+        )
+    )
+    def check(presets):
+        lines = ["presets:"]
+        for name, fieldsd in presets.items():
+            lines.append(f"  {name}:")
+            for k, v in fieldsd.items():
+                if isinstance(v, bool):
+                    lines.append(f"    {k}: {'true' if v else 'false'}")
+                else:
+                    lines.append(f'    {k}: "{v}"')
+        got = _parse_flat_yaml("\n".join(lines) + "\n")
+        # an empty mapping value parses as "" (scalar-empty), same shape
+        # go-yaml gives an empty Presets map
+        if not presets:
+            assert got["presets"] in ({}, "")
+            return
+        for n, f in presets.items():
+            if f:
+                assert got["presets"][n] == f
+            else:
+                assert got["presets"][n] in ({}, "")
+
+    check()
