@@ -78,25 +78,25 @@ def main() -> None:
                 except Exception:
                     pass
 
-    # Headline protocol continuity: `queries`/`value` stay the FIRST
-    # timed run after warmup (the r1 protocol the BASELINE bar was set
-    # under). Runs 2-3 feed a best-of-3 twin (`queries_best3` /
-    # `value_best3`) recorded alongside since round 10: the r3/r5/r7/r9
-    # drift adjudications showed single-shot readings swing 25-35% with
-    # hypervisor-neighbor contention (3% avg /proc/stat steal measured
-    # r10 while the VM itself was idle), and a same-file best-of-3 is
-    # the standard steady-state floor estimator — the judge gets a
-    # noise-robust series without the canonical metric changing.
+    # Headline protocol continuity: `queries`/`value` are the FIRST timed
+    # run after warmup, one query after another in the ORIGINAL order —
+    # exactly the r1 protocol the BASELINE bar was set under. The extra
+    # best-of-3 runs happen in a SEPARATE sweep AFTER the whole headline
+    # sweep (ADVICE r10: interleaving runs 2-3 between headline timings
+    # handed later queries a warmer JVM/page cache than the baseline
+    # protocol ever did, quietly decoupling `value` from BASELINE).
+    # `queries_best3`/`value_best3` (recorded since round 10) take the
+    # min over the headline run plus the two follow-up runs: the
+    # r3/r5/r7/r9 drift adjudications showed single-shot readings swing
+    # 25-35% with hypervisor-neighbor contention (3% avg /proc/stat
+    # steal measured r10 while the VM itself was idle), and a same-file
+    # best-of-3 is the standard steady-state floor estimator — the judge
+    # gets a noise-robust series without the canonical metric changing.
     times: dict[str, float] = {}
-    times_best3: dict[str, float] = {}
     for name, qd in sorted(bench_queries.items()):
-        series = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            series.append(time.perf_counter() - t0)
-        times[name] = round(series[0], 3)
-        times_best3[name] = round(min(series), 3)
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
 
     # Secondary ingest bench (BASELINE.md): the reference's canonical
     # workload — 200k rows x 10 cols x 32-char random strings (~66 MB CSV,
@@ -109,6 +109,16 @@ def main() -> None:
     t0 = time.perf_counter()
     ingest_csv(spark, csv_path).write.format("noop").mode("overwrite").save()
     times["ingest_200k_x10_csv"] = round(time.perf_counter() - t0, 3)
+
+    # Second sweep: two more runs per query for the best-of-3 floor.
+    times_best3: dict[str, float] = {}
+    for name, qd in sorted(bench_queries.items()):
+        series = [times[name]]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            series.append(round(time.perf_counter() - t0, 3))
+        times_best3[name] = min(series)
     ing = [times["ingest_200k_x10_csv"]]
     for _ in range(2):
         t0 = time.perf_counter()

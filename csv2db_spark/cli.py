@@ -98,22 +98,69 @@ _YAML_FIELD_MAP = {
 }
 
 
+# go-yaml double-quotes scalars that need escaping and writes the usual
+# C-style escapes; these are the ones a flat ConfigStorage can contain
+# (a tab delimiter saved as "\t" is the real-world case — ADVICE r10).
+_DQ_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "0": "\0", '"': '"', "\\": "\\"}
+
+
+def _yaml_scalar(val: str) -> object:
+    """Decode one flat YAML scalar: quoted (with go-yaml escapes inside
+    double quotes, '' inside single quotes), trailing inline comments,
+    bools. Raises ValueError on anything malformed — the caller
+    warns-and-ignores the whole file."""
+    if val[0] in "\"'":
+        q = val[0]
+        out: list[str] = []
+        i, n = 1, len(val)
+        while i < n:
+            ch = val[i]
+            if q == '"' and ch == "\\" and i + 1 < n:
+                out.append(_DQ_ESCAPES.get(val[i + 1], val[i + 1]))
+                i += 2
+                continue
+            if ch == q:
+                if q == "'" and i + 1 < n and val[i + 1] == "'":
+                    out.append("'")  # YAML single-quote escape: '' -> '
+                    i += 2
+                    continue
+                break
+            out.append(ch)
+            i += 1
+        else:
+            raise ValueError(f"unterminated quoted scalar: {val!r}")
+        rest = val[i + 1 :].strip()
+        if rest and not rest.startswith("#"):
+            raise ValueError(f"trailing content after quoted scalar: {val!r}")
+        return "".join(out)
+    sval = val.split(" #")[0].strip()
+    if sval.lower() in ("true", "false"):
+        return sval.lower() == "true"
+    return sval
+
+
 def _parse_flat_yaml(text: str) -> dict:
     """Minimal parser for EXACTLY the shape go-yaml emits for the
     reference's ConfigStorage (config.go:100-165: a two-level mapping —
     ``presets:`` -> preset name -> flat scalar fields). Supports
-    comments, blank lines, single/double-quoted scalars, and bools;
-    anything structurally richer (lists, anchors, multiline) raises
-    ValueError and the caller warns-and-ignores, matching the
-    reference's unreadable-config-is-a-warning contract. A stdlib-only
-    subset beats a vendored YAML dependency for one fixed file shape."""
+    comments, blank lines, single/double-quoted scalars (including
+    go-yaml backslash escapes like a "\\t" delimiter), trailing inline
+    comments, and bools; anything structurally richer (lists, anchors,
+    multiline) — and tab indentation, which is not YAML and would
+    otherwise silently flatten the mapping — raises ValueError and the
+    caller warns-and-ignores, matching the reference's
+    unreadable-config-is-a-warning contract. A stdlib-only subset beats
+    a vendored YAML dependency for one fixed file shape."""
     root: dict = {}
     stack: list[tuple[int, dict]] = [(-1, root)]
     pending: tuple[int, str] | None = None
     for ln in text.splitlines():
         if not ln.strip() or ln.lstrip().startswith("#"):
             continue
-        indent = len(ln) - len(ln.lstrip(" "))
+        leading = ln[: len(ln) - len(ln.lstrip())]
+        if "\t" in leading:
+            raise ValueError(f"tab indentation is not valid yaml: {ln!r}")
+        indent = len(leading)
         body = ln.strip()
         if ":" not in body:
             raise ValueError(f"unsupported yaml line: {ln!r}")
@@ -135,13 +182,7 @@ def _parse_flat_yaml(text: str) -> dict:
         if not val:
             pending = (indent, key)
             continue
-        if val and val[0] in "\"'" and val[-1] == val[0] and len(val) >= 2:
-            sval: object = val[1:-1]
-        elif val.lower() in ("true", "false"):
-            sval = val.lower() == "true"
-        else:
-            sval = val.split(" #")[0].strip()
-        stack[-1][1][key] = sval
+        stack[-1][1][key] = _yaml_scalar(val)
     if pending is not None:
         stack[-1][1][pending[1]] = ""
     return root

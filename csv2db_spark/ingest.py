@@ -116,36 +116,55 @@ def _sniff_local(
     case — ONE concrete local file — decode the first record in-process
     under the requested codec (non-ASCII header names stay correct, the
     r9 fix's point). Returns None when the path is not a single local
-    file (glob, directory, remote scheme) or the codec name is unknown
-    to Python — callers fall back to the CSV-reader sniff. utf-8-sig
-    for UTF-8 mirrors the JVM CSV reader's BOM skip."""
+    file (glob, directory, remote scheme, file:// with a non-local
+    host) or the codec name is unknown to Python, and — decoding
+    STRICT, not errors='replace' — when the header bytes are invalid in
+    the requested charset (ADVICE r10: a silent U+FFFD column name is
+    worse than handing the decode to the JVM reader); callers fall back
+    to the CSV-reader sniff in every None case. utf-8-sig for UTF-8
+    mirrors the JVM CSV reader's BOM skip."""
     import codecs
     import os
+    from urllib.parse import unquote, urlparse
 
-    p = path[7:] if path.startswith("file://") else path
+    p = path
+    if path.startswith("file:"):
+        # all spellings: file:/p, file:///p, file://localhost/p — and
+        # file://otherhost/p, which is NOT this machine: fall back
+        # (ADVICE r10: the old exact-prefix strip left 'file:/p' with
+        # its scheme attached and silently took the Spark path)
+        u = urlparse(path)
+        if u.netloc not in ("", "localhost"):
+            return None
+        p = unquote(u.path)
     if any(ch in p for ch in "*?[{") or not os.path.isfile(p):
         return None
     try:
         name = codecs.lookup(encoding).name
     except LookupError:
         return None
-    with open(p, encoding="utf-8-sig" if name == "utf-8" else encoding,
-              errors="replace", newline="") as fh:
-        if multiline:
-            # record semantics: a quoted newline keeps the record open,
-            # exactly like the multiLine=true reader below
-            for rec in _pycsv.reader(fh, delimiter=delimiter):
-                if rec:  # univocity skips blank lines; match it
-                    return rec
-        else:
-            # line semantics: the multiLine=false reader treats each
-            # physical line as one record, so the sniff must too — a
-            # full-record csv parse here would swallow a (malformed)
-            # quoted newline the main read will NOT swallow
-            for line in fh:
-                line = line.rstrip("\r\n")
-                if line:
-                    return next(_pycsv.reader([line], delimiter=delimiter))
+    try:
+        with open(p, encoding="utf-8-sig" if name == "utf-8" else encoding,
+                  errors="strict", newline="") as fh:
+            if multiline:
+                # record semantics: a quoted newline keeps the record
+                # open, exactly like the multiLine=true reader below
+                for rec in _pycsv.reader(fh, delimiter=delimiter):
+                    if rec:  # univocity skips blank lines; match it
+                        return rec
+            else:
+                # line semantics: the multiLine=false reader treats each
+                # physical line as one record, so the sniff must too — a
+                # full-record csv parse here would swallow a (malformed)
+                # quoted newline the main read will NOT swallow
+                for line in fh:
+                    line = line.rstrip("\r\n")
+                    if line:
+                        return next(
+                            _pycsv.reader([line], delimiter=delimiter)
+                        )
+    except UnicodeDecodeError:
+        return None
     raise ValueError(f"empty CSV input: {path}")
 
 

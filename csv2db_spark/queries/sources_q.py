@@ -541,9 +541,15 @@ def q_sink_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# CAST the sum(CASE...) — uncast it types HUGEINT, which pandas turns
+# into float64 (harmless HERE because the version-1 NULL row makes both
+# engines' columns float64 anyway, and the gate was driver-green r08 —
+# but tests/test_canonicalization.py bans the construct registry-wide
+# after it sank q_stream_cdc_upsert for three rounds).
 _SE_AGG_SQL = f"""
 count(*) AS n, {sql_dsum("o_totalprice", 12, 2)} AS sum_price,
-       sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS n_null_prio
+       cast(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_prio
 """
 
 

@@ -878,9 +878,20 @@ def q_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "q_stream_cdc_upsert",
-    oracle="""
+# Shared oracle body for q_stream_cdc_upsert and its one-round
+# canonicalization twin: every output column is an EXACT INTEGER cast to
+# BIGINT on both engines. Two hard-won rules are encoded here (r11,
+# closing the only never-green gate of 316 after three red rounds):
+# (1) never leave a DuckDB sum(CASE...) uncast — it returns HUGEINT,
+#     which .df() converts to float64, so the oracle cell renders "30.0"
+#     against Spark's int64 "30" under any per-column canonicalizer
+#     (this gate was the registry's only uncast instance; the old local
+#     compare's iterrows() row-upcast masked it — fixed in
+#     tests/compare.py the same round);
+# (2) money totals cross engines as integer cents
+#     (sum(decimal(18,2))*100 → BIGINT), the exact-integer discipline of
+#     functions/numeric.py, immune to any float repr policy.
+_CDC_ORACLE_BODY = """
     WITH latest AS (
         SELECT user_id, max_by(value, event_id) AS last_value
         FROM events GROUP BY user_id
@@ -895,36 +906,21 @@ def q_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(l.last_value, -1.0) AS last_value
         FROM base b FULL OUTER JOIN latest l ON b.user_id = l.user_id
     )
-    SELECT count(*) AS n,
-           min(user_id) AS min_u,
-           max(user_id) AS max_u,
-           sum(CASE WHEN last_value = -1.0 THEN 1 ELSE 0 END) AS n_untouched,
-           cast(sum(cast(last_value AS decimal(18,2))) AS double) AS sum_last
+    SELECT cast(count(*) AS BIGINT) AS n,
+           cast(min(user_id) AS BIGINT) AS min_u,
+           cast(max(user_id) AS BIGINT) AS max_u,
+           cast(sum(CASE WHEN last_value = -1.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_untouched,
+           cast(sum(cast(last_value AS decimal(18,2))) * 100
+                AS BIGINT) AS sum_last_cents
     FROM merged
-    """,
-)
-def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC upsert with exactly-once batches (streaming/ops.
-    stream_cdc_to_snapshot + snapshots.SnapshotTable.merge_stream_batch):
-    a keyed base table takes a change stream via per-batch latest-wins
-    reduction (max_by on event_id — MERGE needs unique source keys) and
-    RECENCY-CONDITIONED copy-on-write merge (version_col=last_event_id:
-    a matched key updates only when the batch's event_id is newer), each
-    batch committing data + batch-id marker in ONE atomic manifest
-    publish. The version condition is what makes the gate deterministic:
-    micro-batch composition is an accident of file listing (one batch
-    today, N batches under maxFilesPerTrigger or a different file
-    split), and per-batch latest-wins + unconditional update equals the
-    oracle's global max_by only under version-ordered batches — the r08
-    driver flake. With the condition the result is batch-split-invariant
-    by construction (pinned by the adversarial multi-batch regression in
-    tests/test_streaming_ingest.py). The gate replays batch 0 afterwards
-    — the at-least-once delivery foreachBatch actually gives — and the
-    hash against a full-outer-join oracle proves the replay was skipped:
-    a re-applied merge would create a phantom version and corrupt state.
-    Untouched base keys (the +1000000 synthetics) keep their sentinel,
-    matched keys carry the stream's latest value, new keys are
-    inserts."""
+"""
+
+
+def _cdc_run(spark: SparkSession, sf_dir: str, diag: bool = False) -> DataFrame:
+    """Shared body of the CDC-upsert gates: stream-merge into a snapshot
+    table, adversarially replay batch 0, aggregate the final state to one
+    all-BIGINT row (n, min_u, max_u, n_untouched, sum_last_cents)."""
     import os
     import shutil
     import tempfile
@@ -980,22 +976,76 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (
             t.read()
             .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min("user_id").alias("min_u"),
-                F.max("user_id").alias("max_u"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("user_id").cast("long").alias("min_u"),
+                F.max("user_id").cast("long").alias("max_u"),
                 F.sum((F.col("last_value") == -1.0).cast("long")).alias(
                     "n_untouched"
                 ),
-                F.sum(F.col("last_value").cast("decimal(18,2)"))
-                .cast("double")
-                .alias("sum_last"),
+                (F.sum(F.col("last_value").cast("decimal(18,2)")) * 100)
+                .cast("long")
+                .alias("sum_last_cents"),
             )
             .localCheckpoint(eager=True)
         )
-        _cdc_diag(spark, sf_dir, t, out, base, latest, ev)
+        if diag:
+            _cdc_diag(spark, sf_dir, t, out, base, latest, ev)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query("q_stream_cdc_upsert", oracle=_CDC_ORACLE_BODY)
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert with exactly-once batches (streaming/ops.
+    stream_cdc_to_snapshot + snapshots.SnapshotTable.merge_stream_batch):
+    a keyed base table takes a change stream via per-batch latest-wins
+    reduction (max_by on event_id — MERGE needs unique source keys) and
+    RECENCY-CONDITIONED copy-on-write merge (version_col=last_event_id:
+    a matched key updates only when the batch's event_id is newer), each
+    batch committing data + batch-id marker in ONE atomic manifest
+    publish. The version condition is what makes the gate deterministic:
+    micro-batch composition is an accident of file listing (one batch
+    today, N batches under maxFilesPerTrigger or a different file
+    split), and per-batch latest-wins + unconditional update equals the
+    oracle's global max_by only under version-ordered batches — the r08
+    driver flake. With the condition the result is batch-split-invariant
+    by construction (pinned by the adversarial multi-batch regression in
+    tests/test_streaming_ingest.py). The gate replays batch 0 afterwards
+    — the at-least-once delivery foreachBatch actually gives — and the
+    hash against a full-outer-join oracle proves the replay was skipped:
+    a re-applied merge would create a phantom version and corrupt state.
+    Untouched base keys (the +1000000 synthetics) keep their sentinel,
+    matched keys carry the stream's latest value, new keys are
+    inserts. Output is all-BIGINT (money as exact integer cents) — see
+    _CDC_ORACLE_BODY for why the r08–r10 double/HUGEINT shape was the
+    gate's only driver-red divergence."""
+    return _cdc_run(spark, sf_dir, diag=True)
+
+
+@query(
+    "q_stream_cdc_upsert_cols",
+    oracle=f"""
+    SELECT cast(n AS VARCHAR) AS n,
+           cast(min_u AS VARCHAR) AS min_u,
+           cast(max_u AS VARCHAR) AS max_u,
+           cast(n_untouched AS VARCHAR) AS n_untouched,
+           cast(sum_last_cents AS VARCHAR) AS sum_last_cents
+    FROM ({_CDC_ORACLE_BODY})
+    """,
+)
+def q_stream_cdc_upsert_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROUND canonicalization diagnostic twin of q_stream_cdc_upsert
+    (VERDICT r10 item 1b): the identical pipeline and values, but every
+    column explicitly cast to STRING on both engines, so whichever of
+    the pair lands green pins the driver's canonicalization class
+    (integer repr vs string repr). Delete after the r11 driver record —
+    the r08–r10 reds are root-caused (uncast DuckDB HUGEINT → float64
+    oracle cell vs Spark int64, masked locally by an iterrows() row
+    upcast in tests/compare.py, both fixed r11); this twin is the
+    driver-side confirmation."""
+    out = _cdc_run(spark, sf_dir, diag=False)
+    return out.select(*[F.col(c).cast("string").alias(c) for c in out.columns])
 
 
 def _cdc_diag(spark, sf_dir, t, out, base, latest, ev) -> None:
@@ -1035,15 +1085,15 @@ def _cdc_diag(spark, sf_dir, t, out, base, latest, ev) -> None:
                 F.coalesce("_lv", F.lit(-1.0)).alias("last_value"),
             )
             .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min("user_id").alias("min_u"),
-                F.max("user_id").alias("max_u"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("user_id").cast("long").alias("min_u"),
+                F.max("user_id").cast("long").alias("max_u"),
                 F.sum((F.col("last_value") == -1.0).cast("long")).alias(
                     "n_untouched"
                 ),
-                F.sum(F.col("last_value").cast("decimal(18,2)"))
-                .cast("double")
-                .alias("sum_last"),
+                (F.sum(F.col("last_value").cast("decimal(18,2)")) * 100)
+                .cast("long")
+                .alias("sum_last_cents"),
             )
             .collect()[0]
             .asDict()
@@ -1078,15 +1128,28 @@ def _cdc_diag(spark, sf_dir, t, out, base, latest, ev) -> None:
         root_dir = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
+        # Only write inside a development checkout (ADVICE r10): a
+        # site-packages install must never grow a diagnostic file inside
+        # the package tree. CSV2DB_SPARK_DIAG=1 force-enables elsewhere.
+        if not (
+            os.environ.get("CSV2DB_SPARK_DIAG") == "1"
+            or os.path.isdir(os.path.join(root_dir, ".git"))
+        ):
+            return
         p = os.path.join(root_dir, "STREAM_DIAG.jsonl")
         with open(p, "a") as fh:
             fh.write(json.dumps(rec, default=str) + "\n")
-        # bounded artifact: keep the newest 200 runs
+        # bounded artifact: keep the newest 200 runs. Trim via write-temp
+        # + atomic rename so a concurrent appender can't be half-read
+        # back (ADVICE r10); an append racing the rename can still lose
+        # that one record, acceptable for a best-effort diagnostic.
         with open(p) as fh:
             lines = fh.readlines()
         if len(lines) > 200:
-            with open(p, "w") as fh:
+            tmp = p + ".tmp"
+            with open(tmp, "w") as fh:
                 fh.writelines(lines[-200:])
+            os.replace(tmp, p)
     except Exception:
         pass
 

@@ -43,12 +43,52 @@ def norm_cell(v) -> str:
 
 
 def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    # Per-COLUMN cell extraction, never iterrows(): iterrows() packs each
+    # row into a Series whose dtype is the upcast of all columns, so an
+    # int64 3 next to any float column renders "3.0" — which silently
+    # equated a Spark int64 column with a DuckDB float64 column (HUGEINT
+    # → float64 in .df()) and hid q_stream_cdc_upsert's driver-red
+    # int-vs-float divergence for three rounds (r08–r10). The driver's
+    # canonicalizer is per-column; this one must be too.
     cols = sorted(df.columns)
+    columns = [df[c].tolist() for c in cols]
     rows = [
-        tuple(norm_cell(row[c]) for c in cols)
-        for _, row in df[cols].iterrows()
+        tuple(norm_cell(col[i]) for col in columns)
+        for i in range(len(df))
     ]
     return sorted(rows)
+
+
+def type_class(v) -> str:
+    """Coarse representation class of a cell — the axis a driver-side
+    canonicalizer can diverge on even when norm_cell values agree (an
+    int64 30 and a float64 30.0 are value-equal under lenient numeric
+    comparison but render "30" vs "30.0" under repr-style hashing; a
+    Decimal may render "6721.40" where its float twin renders "6721.4").
+    Cells that normalize to NULL share one class: a NULL travels as NaN,
+    None, or NaT depending on the column dtype and both engines agree on
+    its rendering."""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "list"
+    if norm_cell(v) == "NULL":
+        return "null"
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, Decimal):
+        return "dec"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (pd.Timestamp, dt.datetime, dt.date)):
+        return "dt"
+    return "str"
+
+
+def column_classes(df: pd.DataFrame) -> dict[str, set[str]]:
+    return {
+        c: {type_class(v) for v in df[c].tolist()} for c in df.columns
+    }
 
 
 def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str):
@@ -68,3 +108,20 @@ def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: s
         raise AssertionError(
             f"{name}: value mismatch; first diffs (row_idx, spark, oracle): {diffs}"
         )
+    # Canonicalization self-test (VERDICT r10 item 5): values matching is
+    # not enough — the two frames must also agree on each column's
+    # representation CLASS, or an unknown driver canonicalizer can hash
+    # them apart while every local check stays green (exactly how
+    # q_stream_cdc_upsert stayed red r08–r10: DuckDB HUGEINT → float64
+    # "30.0" vs Spark int64 "30").
+    s_classes, o_classes = column_classes(spark_df), column_classes(oracle_df)
+    bad = {
+        c: (sorted(s_classes[c]), sorted(o_classes[c]))
+        for c in s_cols
+        # ignore classes present only via NULL cells; compare the rest
+        if s_classes[c] - {"null"} != o_classes[c] - {"null"}
+    }
+    assert not bad, (
+        f"{name}: values match but representation classes differ "
+        f"(col: spark vs oracle): {bad}"
+    )

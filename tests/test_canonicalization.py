@@ -1,0 +1,98 @@
+"""Canonicalization self-tests (VERDICT r10 item 5).
+
+q_stream_cdc_upsert sat driver-red for three rounds while every local
+check said MATCH, because two defects lined up:
+
+1. The gate's oracle left a DuckDB ``sum(CASE...)`` uncast. DuckDB types
+   that HUGEINT, and ``.df()`` converts HUGEINT to float64 — so the
+   oracle cell was 30.0 against Spark's int64 30.
+2. The local comparator canonicalized with ``iterrows()``, which upcasts
+   every row to the widest dtype across ALL columns — so the int64 30
+   rendered "30.0" too and the frames compared equal. The driver's
+   canonicalizer is per-column, saw "30" vs "30.0", and hashed them
+   apart.
+
+These tests pin both fixes so neither can regress silently:
+``canonical_rows`` must be per-column (a value-equal int/float pair must
+NOT compare equal), ``assert_frames_match`` must reject value-equal but
+representation-class-unequal frames, and no registered oracle may type
+any result column HUGEINT.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.compare import (
+    assert_frames_match,
+    canonical_rows,
+    column_classes,
+    norm_cell,
+    type_class,
+)
+
+
+def test_int_float_columns_render_differently():
+    """The iterrows() regression: an int64 column must not be upcast to
+    float by a float64 sibling column in the same row."""
+    df = pd.DataFrame({"a": np.array([3], dtype=np.int64), "b": [1.5]})
+    assert canonical_rows(df) == [("3", "1.5")]
+
+
+def test_frames_int_vs_float_mismatch_detected():
+    spark_like = pd.DataFrame(
+        {"n": np.array([30], dtype=np.int64), "s": [677.95]}
+    )
+    oracle_like = pd.DataFrame({"n": [30.0], "s": [677.95]})  # HUGEINT→float64
+    with pytest.raises(AssertionError, match="n"):
+        assert_frames_match(spark_like, oracle_like, "hugeint_regression")
+
+
+def test_decimal_vs_float_class_detected():
+    from decimal import Decimal
+
+    a = pd.DataFrame({"v": [Decimal("6721.40")]})
+    b = pd.DataFrame({"v": [6721.4]})
+    # values normalize identically (repr of the same float) ...
+    assert canonical_rows(a) == canonical_rows(b)
+    # ... but the representation classes must still be flagged
+    with pytest.raises(AssertionError, match="representation classes"):
+        assert_frames_match(a, b, "decimal_class")
+
+
+def test_null_cells_share_one_class():
+    a = pd.DataFrame({"v": [np.nan, 1.5]})
+    b = pd.DataFrame({"v": [None, 1.5]}).astype(float)
+    assert_frames_match(a, b, "null_class")
+    assert type_class(np.nan) == "null"
+    assert norm_cell(np.nan) == "NULL"
+
+
+def test_column_classes_per_column():
+    df = pd.DataFrame(
+        {"i": np.array([1], dtype=np.int64), "f": [2.5], "s": ["x"]}
+    )
+    assert column_classes(df) == {"i": {"int"}, "f": {"float"}, "s": {"str"}}
+
+
+def test_no_oracle_types_hugeint(duck):
+    """Registry-wide census: every oracle's DuckDB result schema must be
+    HUGEINT-free — an uncast sum(CASE...)/sum(int) becomes float64 in
+    pandas and can only ever hash-diverge from a Spark integer column."""
+    from csv2db_spark.registry import load_all_queries
+
+    offenders = {}
+    for name, qd in load_all_queries().items():
+        if not qd.oracle:
+            continue
+        rel = duck.sql(qd.oracle)
+        hug = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper()
+        ]
+        if hug:
+            offenders[name] = hug
+    assert not offenders, f"HUGEINT-typed oracle columns: {offenders}"

@@ -95,6 +95,32 @@ def test_parse_flat_yaml_rejects_rich_structures():
         _parse_flat_yaml("presets:\n  - listitem\n")
 
 
+def test_parse_flat_yaml_advice_r10_fixes():
+    """ADVICE r10: tab indentation must raise (not silently flatten the
+    mapping), a quoted scalar with a trailing inline comment must drop
+    both quotes and comment, and go-yaml escapes inside double quotes
+    must decode (a "\\t" delimiter preset must reach read_csv as one
+    tab character, not a two-char backslash-t)."""
+    import pytest as _pytest
+
+    from csv2db_spark.cli import _parse_flat_yaml
+
+    with _pytest.raises(ValueError, match="tab indentation"):
+        _parse_flat_yaml("presets:\n\ta:\n\t\tk: v\n")
+    got = _parse_flat_yaml('presets:\n  a:\n    k: "x" # c\n')
+    assert got["presets"]["a"]["k"] == "x"
+    got = _parse_flat_yaml(
+        'presets:\n  a:\n    delimiter: "\\t"\n    n: "a\\"b"\n'
+        "    s: 'it''s' # q\n"
+    )
+    assert got["presets"]["a"] == {"delimiter": "\t", "n": 'a"b', "s": "it's"}
+    # unterminated quote / junk after the closing quote stay fatal
+    with _pytest.raises(ValueError):
+        _parse_flat_yaml('presets:\n  a:\n    k: "x\n')
+    with _pytest.raises(ValueError):
+        _parse_flat_yaml('presets:\n  a:\n    k: "x" y\n')
+
+
 def test_unknown_preset_warns_not_fatal(config_path, caplog):
     conf = parse(["-p", "nope", "-t", "t1"])
     assert conf.table == "t1"

@@ -338,6 +338,32 @@ def test_sniff_fallback_glob_non_ascii_header(spark, tmp_path):
     assert [tuple(r) for r in df.collect()] == [("太郎", "東京")]
 
 
+def test_sniff_local_uri_spellings_and_strict_decode(spark, tmp_path):
+    """ADVICE r10 fixes: every file: URI spelling reaches the zero-job
+    local sniff (the old code stripped only the exact 'file://' prefix),
+    a file://HOST/ path falls back to the Spark sniff, and header bytes
+    invalid in the requested charset fall back instead of silently
+    minting U+FFFD column names."""
+    from csv2db_spark.ingest import _sniff_local
+
+    p = tmp_path / "u.csv"
+    p.write_text("a,b\n1,2\n")
+    assert _sniff_local(str(p), ",", "UTF-8") == ["a", "b"]
+    assert _sniff_local(f"file:{p}", ",", "UTF-8") == ["a", "b"]
+    assert _sniff_local(f"file://{p}", ",", "UTF-8") == ["a", "b"]
+    assert _sniff_local(f"file://localhost{p}", ",", "UTF-8") == ["a", "b"]
+    assert _sniff_local(f"file://otherhost{p}", ",", "UTF-8") is None
+    # invalid bytes under the requested codec: local sniff declines...
+    bad = tmp_path / "bad.csv"
+    bad.write_bytes("名前,都市\nx,y\n".encode("shift_jis"))
+    assert _sniff_local(str(bad), ",", "UTF-8") is None
+    # ...and read_csv still works end-to-end via each path
+    df = read_csv(spark, f"file:{p}")
+    assert df.columns == ["a", "b"]
+    df = read_csv(spark, str(bad), encoding="shift_jis")
+    assert df.columns == ["名前", "都市"]
+
+
 def test_multiline_header_sniff_matches_reader_semantics(spark, tmp_path):
     """multiline=True: a quoted newline in a HEADER NAME spans lines in
     both the sniff and the read; multiline=False: the header is one
