@@ -212,6 +212,10 @@ CHECK_FIRST: tuple[str, ...] = (
 # round's work lands as recency-conditioned CDC merge, cutpoint rank
 # modes, charset breadth, constant-memory stdin, and the triangle
 # orientation, all under EXISTING gates plus pytest/property coverage.
+# Round 11 registers exactly ONE gate, and it is temporary:
+# q_stream_cdc_upsert_cols, the string-typed canonicalization twin of
+# the root-caused cdc gate (VERDICT r10 item 1b) — DELETE it once a
+# green driver record exists for both.
 
 
 def load_all_queries() -> dict[str, QueryDef]:

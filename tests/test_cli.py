@@ -333,8 +333,16 @@ def test_parse_flat_yaml_roundtrip_property():
         min_size=1,
         max_size=20,
     ).filter(lambda s: s.lower() not in ("true", "false") and not s.startswith("#"))
+    # values go-yaml would double-quote-and-escape (ADVICE r10: a tab
+    # delimiter round-trips as "\t"); serialized below with the same
+    # escapes go-yaml emits
+    escaped = st.text(
+        alphabet='abc\t\n"\\',
+        min_size=1,
+        max_size=8,
+    )
     key = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12)
-    scalar = st.one_of(bare, st.booleans())
+    scalar = st.one_of(bare, st.booleans(), escaped)
 
     @settings(max_examples=200, deadline=None)
     @given(
@@ -350,7 +358,13 @@ def test_parse_flat_yaml_roundtrip_property():
                 if isinstance(v, bool):
                     lines.append(f"    {k}: {'true' if v else 'false'}")
                 else:
-                    lines.append(f'    {k}: "{v}"')
+                    enc = (
+                        v.replace("\\", "\\\\")
+                        .replace('"', '\\"')
+                        .replace("\t", "\\t")
+                        .replace("\n", "\\n")
+                    )
+                    lines.append(f'    {k}: "{enc}"')
         got = _parse_flat_yaml("\n".join(lines) + "\n")
         # an empty mapping value parses as "" (scalar-empty), same shape
         # go-yaml gives an empty Presets map
