@@ -116,7 +116,12 @@ def _yaml_scalar(val: str) -> object:
         while i < n:
             ch = val[i]
             if q == '"' and ch == "\\" and i + 1 < n:
-                out.append(_DQ_ESCAPES.get(val[i + 1], val[i + 1]))
+                esc = _DQ_ESCAPES.get(val[i + 1])
+                if esc is None:
+                    # \x.. \u.. etc: refusing beats silently dropping
+                    # the backslash and corrupting the preset value
+                    raise ValueError(f"unsupported escape in scalar: {val!r}")
+                out.append(esc)
                 i += 2
                 continue
             if ch == q:

@@ -125,18 +125,21 @@ def _sniff_local(
     mirrors the JVM CSV reader's BOM skip."""
     import codecs
     import os
-    from urllib.parse import unquote, urlparse
+    from urllib.parse import urlparse
 
     p = path
     if path.startswith("file:"):
         # all spellings: file:/p, file:///p, file://localhost/p — and
         # file://otherhost/p, which is NOT this machine: fall back
         # (ADVICE r10: the old exact-prefix strip left 'file:/p' with
-        # its scheme attached and silently took the Spark path)
+        # its scheme attached and silently took the Spark path).
+        # NO percent-decoding: Hadoop's Path treats %XX literally, so
+        # unquoting here could sniff a DIFFERENT file than the JVM
+        # read loads — the exact sniff-vs-reader parity bug class.
         u = urlparse(path)
         if u.netloc not in ("", "localhost"):
             return None
-        p = unquote(u.path)
+        p = u.path
     if any(ch in p for ch in "*?[{") or not os.path.isfile(p):
         return None
     try:

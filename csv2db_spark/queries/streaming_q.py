@@ -917,6 +917,22 @@ _CDC_ORACLE_BODY = """
 """
 
 
+def _cdc_agg(df: DataFrame) -> DataFrame:
+    """The gates' shared final aggregate — ONE definition, because
+    _cdc_run's gate output and _cdc_diag's batch twin must aggregate
+    identically or stream_equals_batch_twin stops meaning anything.
+    All-BIGINT by construction (see _CDC_ORACLE_BODY)."""
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("user_id").cast("long").alias("min_u"),
+        F.max("user_id").cast("long").alias("max_u"),
+        F.sum((F.col("last_value") == -1.0).cast("long")).alias("n_untouched"),
+        (F.sum(F.col("last_value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("sum_last_cents"),
+    )
+
+
 def _cdc_run(spark: SparkSession, sf_dir: str, diag: bool = False) -> DataFrame:
     """Shared body of the CDC-upsert gates: stream-merge into a snapshot
     table, adversarially replay batch 0, aggregate the final state to one
@@ -973,21 +989,7 @@ def _cdc_run(spark: SparkSession, sf_dir: str, diag: bool = False) -> DataFrame:
             )
             is None
         )
-        out = (
-            t.read()
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.min("user_id").cast("long").alias("min_u"),
-                F.max("user_id").cast("long").alias("max_u"),
-                F.sum((F.col("last_value") == -1.0).cast("long")).alias(
-                    "n_untouched"
-                ),
-                (F.sum(F.col("last_value").cast("decimal(18,2)")) * 100)
-                .cast("long")
-                .alias("sum_last_cents"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        out = _cdc_agg(t.read()).localCheckpoint(eager=True)
         if diag:
             _cdc_diag(spark, sf_dir, t, out, base, latest, ev)
     finally:
@@ -1065,35 +1067,39 @@ def _cdc_diag(spark, sf_dir, t, out, base, latest, ev) -> None:
     session fingerprint (master / shuffle partitions / timezone). All
     driver-side work is bounded: two 1-row collects, one dup-count agg
     at the gate's sf. Best-effort by design — a read-only checkout or
-    any error must never fail the gate itself."""
+    any error must never fail the gate itself. The checkout/env guard
+    runs FIRST: a site-packages install must not pay for diagnostic
+    Spark jobs whose record it will never write."""
     import json
     import os
     import time
 
     try:
+        root_dir = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        # Only write inside a development checkout (ADVICE r10);
+        # .git may be a FILE in worktrees/submodules, hence exists().
+        # CSV2DB_SPARK_DIAG=1 force-enables elsewhere.
+        if not (
+            os.environ.get("CSV2DB_SPARK_DIAG") == "1"
+            or os.path.exists(os.path.join(root_dir, ".git"))
+        ):
+            return
         row = out.collect()[0].asDict()
         lat = latest(ev.select("event_id", "user_id", "value"))
         twin_row = (
-            base.select("user_id")
-            .join(
-                lat.select("user_id", F.col("last_value").alias("_lv")),
-                "user_id",
-                "full_outer",
-            )
-            .select(
-                "user_id",
-                F.coalesce("_lv", F.lit(-1.0)).alias("last_value"),
-            )
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.min("user_id").cast("long").alias("min_u"),
-                F.max("user_id").cast("long").alias("max_u"),
-                F.sum((F.col("last_value") == -1.0).cast("long")).alias(
-                    "n_untouched"
-                ),
-                (F.sum(F.col("last_value").cast("decimal(18,2)")) * 100)
-                .cast("long")
-                .alias("sum_last_cents"),
+            _cdc_agg(
+                base.select("user_id")
+                .join(
+                    lat.select("user_id", F.col("last_value").alias("_lv")),
+                    "user_id",
+                    "full_outer",
+                )
+                .select(
+                    "user_id",
+                    F.coalesce("_lv", F.lit(-1.0)).alias("last_value"),
+                )
             )
             .collect()[0]
             .asDict()
@@ -1125,17 +1131,6 @@ def _cdc_diag(spark, sf_dir, t, out, base, latest, ev) -> None:
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "session_tz": spark.conf.get("spark.sql.session.timeZone"),
         }
-        root_dir = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        # Only write inside a development checkout (ADVICE r10): a
-        # site-packages install must never grow a diagnostic file inside
-        # the package tree. CSV2DB_SPARK_DIAG=1 force-enables elsewhere.
-        if not (
-            os.environ.get("CSV2DB_SPARK_DIAG") == "1"
-            or os.path.isdir(os.path.join(root_dir, ".git"))
-        ):
-            return
         p = os.path.join(root_dir, "STREAM_DIAG.jsonl")
         with open(p, "a") as fh:
             fh.write(json.dumps(rec, default=str) + "\n")

@@ -86,9 +86,26 @@ def type_class(v) -> str:
 
 
 def column_classes(df: pd.DataFrame) -> dict[str, set[str]]:
-    return {
-        c: {type_class(v) for v in df[c].tolist()} for c in df.columns
-    }
+    """Per-column representation classes. Non-object dtypes determine
+    the class wholesale (no per-cell walk — the class check would
+    otherwise re-normalize every cell a second time after
+    canonical_rows); object columns (strings, Decimals, dates, mixed)
+    fall back to scanning cells."""
+    out: dict[str, set[str]] = {}
+    for c in df.columns:
+        s = df[c]
+        k = getattr(s.dtype, "kind", "O")
+        if k in "iu":
+            out[c] = {"int"}
+        elif k == "f":
+            out[c] = {"float"} if s.notna().any() else {"null"}
+        elif k == "b":
+            out[c] = {"bool"}
+        elif k == "M":
+            out[c] = {"dt"} if s.notna().any() else {"null"}
+        else:
+            out[c] = {type_class(v) for v in s.tolist()}
+    return out
 
 
 def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str):

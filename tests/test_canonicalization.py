@@ -77,6 +77,30 @@ def test_column_classes_per_column():
     assert column_classes(df) == {"i": {"int"}, "f": {"float"}, "s": {"str"}}
 
 
+def test_column_classes_dtype_shortcut_matches_cell_scan():
+    """The dtype fast path must agree with a per-cell type_class scan
+    (modulo the null class, which the comparison discards) on every
+    column shape the gates produce."""
+    from decimal import Decimal
+
+    df = pd.DataFrame(
+        {
+            "i": np.array([1, 2], dtype=np.int64),
+            "f": [1.5, np.nan],
+            "fnan": [np.nan, np.nan],
+            "b": [True, False],
+            "t": pd.to_datetime(["2024-01-01", None]),
+            "s": ["x", None],
+            "d": [Decimal("1.5"), None],
+        }
+    )
+    fast = column_classes(df)
+    slow = {c: {type_class(v) for v in df[c].tolist()} for c in df.columns}
+    for c in df.columns:
+        assert fast[c] - {"null"} == slow[c] - {"null"}, c
+    assert fast["fnan"] == {"null"}
+
+
 def test_no_oracle_types_hugeint(duck):
     """Registry-wide census: every oracle's DuckDB result schema must be
     HUGEINT-free — an uncast sum(CASE...)/sum(int) becomes float64 in

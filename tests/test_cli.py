@@ -119,6 +119,10 @@ def test_parse_flat_yaml_advice_r10_fixes():
         _parse_flat_yaml('presets:\n  a:\n    k: "x\n')
     with _pytest.raises(ValueError):
         _parse_flat_yaml('presets:\n  a:\n    k: "x" y\n')
+    # escapes outside the supported go-yaml set refuse rather than
+    # silently dropping the backslash (code-review r11)
+    with _pytest.raises(ValueError, match="unsupported escape"):
+        _parse_flat_yaml('presets:\n  a:\n    k: "\\x1f"\n')
 
 
 def test_unknown_preset_warns_not_fatal(config_path, caplog):

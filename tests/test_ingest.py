@@ -353,6 +353,14 @@ def test_sniff_local_uri_spellings_and_strict_decode(spark, tmp_path):
     assert _sniff_local(f"file://{p}", ",", "UTF-8") == ["a", "b"]
     assert _sniff_local(f"file://localhost{p}", ",", "UTF-8") == ["a", "b"]
     assert _sniff_local(f"file://otherhost{p}", ",", "UTF-8") is None
+    # %XX stays LITERAL, matching Hadoop Path semantics: the sniff must
+    # read the same file the JVM read will load (code-review r11) —
+    # with both x%20y.csv and x y.csv present, file://...x%20y.csv
+    # means the literal %20 file, never the space-named decoy
+    pct = tmp_path / "x%20y.csv"
+    pct.write_text("h1,h2\n1,2\n")
+    (tmp_path / "x y.csv").write_text("w1,w2\n1,2\n")
+    assert _sniff_local(f"file://{pct}", ",", "UTF-8") == ["h1", "h2"]
     # invalid bytes under the requested codec: local sniff declines...
     bad = tmp_path / "bad.csv"
     bad.write_bytes("名前,都市\nx,y\n".encode("shift_jis"))
