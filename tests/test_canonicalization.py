@@ -101,6 +101,60 @@ def test_column_classes_dtype_shortcut_matches_cell_scan():
     assert fast["fnan"] == {"null"}
 
 
+def test_comparator_properties_random_frames():
+    """Property pass over the comparator itself (it now gates all 327
+    oracles): any frame must match a dtype-preserving copy of itself
+    (reflexivity — no false positives from the class check), must
+    reject a single perturbed cell (sensitivity), and must reject an
+    int column recast to float even though values are numerically equal
+    (the cdc class)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.pandas import column, data_frames, range_indexes
+
+    frames = data_frames(
+        columns=[
+            column("i", dtype=np.int64),
+            column(
+                "f",
+                elements=st.floats(
+                    allow_nan=False, allow_infinity=False, width=64
+                ),
+                dtype=np.float64,
+            ),
+            column(
+                "s",
+                elements=st.text(
+                    alphabet="abcXYZ019 _", min_size=0, max_size=8
+                ),
+            ),
+        ],
+        index=range_indexes(min_size=1, max_size=12),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(df=frames)
+    def check(df):
+        assert_frames_match(df, df.copy(deep=True), "reflexive")
+        # int-vs-float class divergence must be caught even when values
+        # are numerically identical (skip rows where the int does not
+        # survive the float round-trip — those fail on value already)
+        recast = df.copy(deep=True)
+        recast["i"] = recast["i"].astype(np.float64)
+        with _pytest.raises(AssertionError):
+            assert_frames_match(df, recast, "class")
+        # single-cell perturbation
+        bad = df.copy(deep=True)
+        bad.loc[bad.index[0], "i"] = bad.loc[bad.index[0], "i"] ^ 1
+        with _pytest.raises(AssertionError):
+            assert_frames_match(df, bad, "cell")
+
+    check()
+
+
 def test_no_oracle_types_hugeint(duck):
     """Registry-wide census: every oracle's DuckDB result schema must be
     HUGEINT-free — an uncast sum(CASE...)/sum(int) becomes float64 in
