@@ -98,10 +98,21 @@ _YAML_FIELD_MAP = {
 }
 
 
-# go-yaml double-quotes scalars that need escaping and writes the usual
-# C-style escapes; these are the ones a flat ConfigStorage can contain
-# (a tab delimiter saved as "\t" is the real-world case — ADVICE r10).
-_DQ_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "0": "\0", '"': '"', "\\": "\\"}
+# go-yaml double-quotes scalars that need escaping. Its emitter
+# (yaml.v2/v3 emitterc.go, yaml_emitter_write_double_quoted_scalar)
+# writes the FULL YAML 1.1 single-char escape set — not just \t/\n — so
+# the decoder must accept all of them or a preset holding e.g. a \a or
+# \e byte makes _yaml_scalar raise and the whole file gets
+# warn-and-ignored, dropping every preset (ADVICE r11). \xXX/\uXXXX/
+# \UXXXXXXXX for other non-printables are handled in _yaml_scalar.
+_DQ_ESCAPES = {
+    "0": "\0", "a": "\a", "b": "\b", "t": "\t", "n": "\n",
+    "v": "\v", "f": "\f", "r": "\r", "e": "\x1b", " ": " ",
+    '"': '"', "/": "/", "\\": "\\",
+    "N": "\u0085", "_": "\u00a0", "L": "\u2028", "P": "\u2029",
+    # go-yaml also escapes a literal TAB as "\t"; a raw tab inside the
+    # quotes (hand-edited file) is handled by the plain-char path.
+}
 
 
 def _yaml_scalar(val: str) -> object:
@@ -116,14 +127,26 @@ def _yaml_scalar(val: str) -> object:
         while i < n:
             ch = val[i]
             if q == '"' and ch == "\\" and i + 1 < n:
-                esc = _DQ_ESCAPES.get(val[i + 1])
-                if esc is None:
-                    # \x.. \u.. etc: refusing beats silently dropping
-                    # the backslash and corrupting the preset value
-                    raise ValueError(f"unsupported escape in scalar: {val!r}")
-                out.append(esc)
-                i += 2
-                continue
+                tag = val[i + 1]
+                esc = _DQ_ESCAPES.get(tag)
+                if esc is not None:
+                    out.append(esc)
+                    i += 2
+                    continue
+                width = {"x": 2, "u": 4, "U": 8}.get(tag)
+                hexs = val[i + 2 : i + 2 + width] if width else ""
+                if width and len(hexs) == width:
+                    try:
+                        out.append(chr(int(hexs, 16)))
+                    except (ValueError, OverflowError):
+                        raise ValueError(
+                            f"bad \\{tag} escape in scalar: {val!r}"
+                        ) from None
+                    i += 2 + width
+                    continue
+                # anything else: refusing beats silently dropping the
+                # backslash and corrupting the preset value
+                raise ValueError(f"unsupported escape in scalar: {val!r}")
             if ch == q:
                 if q == "'" and i + 1 < n and val[i + 1] == "'":
                     out.append("'")  # YAML single-quote escape: '' -> '

@@ -125,7 +125,6 @@ def _sniff_local(
     mirrors the JVM CSV reader's BOM skip."""
     import codecs
     import os
-    from urllib.parse import urlparse
 
     p = path
     if path.startswith("file:"):
@@ -133,13 +132,21 @@ def _sniff_local(
         # file://otherhost/p, which is NOT this machine: fall back
         # (ADVICE r10: the old exact-prefix strip left 'file:/p' with
         # its scheme attached and silently took the Spark path).
-        # NO percent-decoding: Hadoop's Path treats %XX literally, so
+        # Scheme/netloc are split BY HAND, not with urlparse: Hadoop's
+        # Path treats '?' and '#' in a file name literally, while
+        # urlparse would truncate u.path at them and the sniff would
+        # silently fall back on a perfectly local file (ADVICE r11).
+        # NO percent-decoding either: Path treats %XX literally, so
         # unquoting here could sniff a DIFFERENT file than the JVM
         # read loads — the exact sniff-vs-reader parity bug class.
-        u = urlparse(path)
-        if u.netloc not in ("", "localhost"):
-            return None
-        p = u.path
+        rest = path[len("file:") :]
+        if rest.startswith("//"):
+            netloc, slash, tail = rest[2:].partition("/")
+            if netloc not in ("", "localhost"):
+                return None
+            p = slash + tail
+        else:
+            p = rest
     if any(ch in p for ch in "*?[{") or not os.path.isfile(p):
         return None
     try:

@@ -918,9 +918,7 @@ _CDC_ORACLE_BODY = """
 
 
 def _cdc_agg(df: DataFrame) -> DataFrame:
-    """The gates' shared final aggregate — ONE definition, because
-    _cdc_run's gate output and _cdc_diag's batch twin must aggregate
-    identically or stream_equals_batch_twin stops meaning anything.
+    """The cdc gate's final aggregate over the merged table state.
     All-BIGINT by construction (see _CDC_ORACLE_BODY)."""
     return df.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -933,7 +931,7 @@ def _cdc_agg(df: DataFrame) -> DataFrame:
     )
 
 
-def _cdc_run(spark: SparkSession, sf_dir: str, diag: bool = False) -> DataFrame:
+def _cdc_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared body of the CDC-upsert gates: stream-merge into a snapshot
     table, adversarially replay batch 0, aggregate the final state to one
     all-BIGINT row (n, min_u, max_u, n_untouched, sum_last_cents)."""
@@ -990,8 +988,6 @@ def _cdc_run(spark: SparkSession, sf_dir: str, diag: bool = False) -> DataFrame:
             is None
         )
         out = _cdc_agg(t.read()).localCheckpoint(eager=True)
-        if diag:
-            _cdc_diag(spark, sf_dir, t, out, base, latest, ev)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -1021,132 +1017,13 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched keys carry the stream's latest value, new keys are
     inserts. Output is all-BIGINT (money as exact integer cents) — see
     _CDC_ORACLE_BODY for why the r08–r10 double/HUGEINT shape was the
-    gate's only driver-red divergence."""
-    return _cdc_run(spark, sf_dir, diag=True)
-
-
-@query(
-    "q_stream_cdc_upsert_cols",
-    oracle=f"""
-    SELECT cast(n AS VARCHAR) AS n,
-           cast(min_u AS VARCHAR) AS min_u,
-           cast(max_u AS VARCHAR) AS max_u,
-           cast(n_untouched AS VARCHAR) AS n_untouched,
-           cast(sum_last_cents AS VARCHAR) AS sum_last_cents
-    FROM ({_CDC_ORACLE_BODY})
-    """,
-)
-def q_stream_cdc_upsert_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONE-ROUND canonicalization diagnostic twin of q_stream_cdc_upsert
-    (VERDICT r10 item 1b): the identical pipeline and values, but every
-    column explicitly cast to STRING on both engines, so whichever of
-    the pair lands green pins the driver's canonicalization class
-    (integer repr vs string repr). Delete after the r11 driver record —
-    the r08–r10 reds are root-caused (uncast DuckDB HUGEINT → float64
-    oracle cell vs Spark int64, masked locally by an iterrows() row
-    upcast in tests/compare.py, both fixed r11); this twin is the
-    driver-side confirmation."""
-    out = _cdc_run(spark, sf_dir, diag=False)
-    return out.select(*[F.col(c).cast("string").alias(c) for c in out.columns])
-
-
-def _cdc_diag(spark, sf_dir, t, out, base, latest, ev) -> None:
-    """Self-evidencing for q_stream_cdc_upsert (VERDICT r9 item 1): the
-    driver's record for this gate was red in r08/r09 while every local
-    run — including driver-shaped local[32] sessions — matched. A
-    boolean hash_match can't say WHICH batch interleaving the driver
-    saw, so the gate appends one JSON line per run to STREAM_DIAG.jsonl
-    at the repo root: the manifest history (op strings carry the
-    stream-merge:{batch_id} markers, so this pins how many micro-batches
-    the file source produced and in what order they committed), the
-    final aggregate row, a pure-batch twin of the same aggregate
-    (global max_by + full-outer merge, no streaming — what the oracle
-    computes), the duplicate-key count of the final table (>0 would
-    prove the copy-on-write hit-file probe missed a file and the merge
-    took the pure-insert path — the phantom-row failure mode), and the
-    session fingerprint (master / shuffle partitions / timezone). All
-    driver-side work is bounded: two 1-row collects, one dup-count agg
-    at the gate's sf. Best-effort by design — a read-only checkout or
-    any error must never fail the gate itself. The checkout/env guard
-    runs FIRST: a site-packages install must not pay for diagnostic
-    Spark jobs whose record it will never write."""
-    import json
-    import os
-    import time
-
-    try:
-        root_dir = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        # Only write inside a development checkout (ADVICE r10);
-        # .git may be a FILE in worktrees/submodules, hence exists().
-        # CSV2DB_SPARK_DIAG=1 force-enables elsewhere.
-        if not (
-            os.environ.get("CSV2DB_SPARK_DIAG") == "1"
-            or os.path.exists(os.path.join(root_dir, ".git"))
-        ):
-            return
-        row = out.collect()[0].asDict()
-        lat = latest(ev.select("event_id", "user_id", "value"))
-        twin_row = (
-            _cdc_agg(
-                base.select("user_id")
-                .join(
-                    lat.select("user_id", F.col("last_value").alias("_lv")),
-                    "user_id",
-                    "full_outer",
-                )
-                .select(
-                    "user_id",
-                    F.coalesce("_lv", F.lit(-1.0)).alias("last_value"),
-                )
-            )
-            .collect()[0]
-            .asDict()
-        )
-        dup_keys = (
-            t.read()
-            .groupBy("user_id")
-            .count()
-            .where(F.col("count") > 1)
-            .count()
-        )
-        hist = t.history()
-        rec = {
-            "gate": "q_stream_cdc_upsert",
-            "ts": time.time(),
-            "sf_dir": sf_dir,
-            "history": [
-                {"v": h["version"], "op": h["op"], "n_files": h["n_files"]}
-                for h in hist
-            ],
-            "n_stream_batches": sum(
-                1 for h in hist if str(h["op"]).startswith("stream-merge:")
-            ),
-            "result": row,
-            "batch_twin": twin_row,
-            "stream_equals_batch_twin": row == twin_row,
-            "dup_keys_in_final_table": dup_keys,
-            "master": spark.sparkContext.master,
-            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-            "session_tz": spark.conf.get("spark.sql.session.timeZone"),
-        }
-        p = os.path.join(root_dir, "STREAM_DIAG.jsonl")
-        with open(p, "a") as fh:
-            fh.write(json.dumps(rec, default=str) + "\n")
-        # bounded artifact: keep the newest 200 runs. Trim via write-temp
-        # + atomic rename so a concurrent appender can't be half-read
-        # back (ADVICE r10); an append racing the rename can still lose
-        # that one record, acceptable for a best-effort diagnostic.
-        with open(p) as fh:
-            lines = fh.readlines()
-        if len(lines) > 200:
-            tmp = p + ".tmp"
-            with open(tmp, "w") as fh:
-                fh.writelines(lines[-200:])
-            os.replace(tmp, p)
-    except Exception:
-        pass
+    gate's only driver-red divergence. The r09–r11 self-evidencing
+    diagnostic (_cdc_diag, one STREAM_DIAG.jsonl line per run with
+    manifest history, a pure-batch twin aggregate, and a dup-key count)
+    was removed in r12 once the gate went driver-green at sf0.01 and
+    sf0.1 — its invariants live on as the adversarial multi-batch
+    regression in tests/test_streaming_ingest.py."""
+    return _cdc_run(spark, sf_dir)
 
 
 @query(

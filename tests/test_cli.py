@@ -119,10 +119,21 @@ def test_parse_flat_yaml_advice_r10_fixes():
         _parse_flat_yaml('presets:\n  a:\n    k: "x\n')
     with _pytest.raises(ValueError):
         _parse_flat_yaml('presets:\n  a:\n    k: "x" y\n')
-    # escapes outside the supported go-yaml set refuse rather than
-    # silently dropping the backslash (code-review r11)
+    # r12 (ADVICE r11): the FULL go-yaml emitter escape set decodes —
+    # \xXX/\uXXXX/\UXXXXXXXX included — so a preset holding any control
+    # or special char no longer gets the whole file warn-and-ignored
+    got = _parse_flat_yaml(
+        'presets:\n  a:\n    k: "\\x1f\\a\\e\\v\\f\\N\\_\\L\\P\\u0101\\U0001f600"\n'
+    )
+    assert got["presets"]["a"]["k"] == (
+        "\x1f\a\x1b\v\f\u0085\u00a0\u2028\u2029\u0101\U0001f600"
+    )
+    # escapes outside the go-yaml set still refuse rather than silently
+    # dropping the backslash (code-review r11), as do truncated hex forms
     with _pytest.raises(ValueError, match="unsupported escape"):
-        _parse_flat_yaml('presets:\n  a:\n    k: "\\x1f"\n')
+        _parse_flat_yaml('presets:\n  a:\n    k: "\\q"\n')
+    with _pytest.raises(ValueError):
+        _parse_flat_yaml('presets:\n  a:\n    k: "\\u00"\n')
 
 
 def test_unknown_preset_warns_not_fatal(config_path, caplog):
@@ -380,5 +391,73 @@ def test_parse_flat_yaml_roundtrip_property():
                 assert got["presets"][n] == f
             else:
                 assert got["presets"][n] in ({}, "")
+
+    check()
+
+
+def test_dq_escape_decoder_against_goyaml_emitter_model():
+    """Property (VERDICT r11 item 8): decode the exact double-quoted
+    encodings go-yaml's emitter can produce. The model below mirrors
+    yaml.v2/v3 emitterc.go yaml_emitter_write_double_quoted_scalar with
+    unicode=true (what yaml.Marshal uses): the YAML 1.1 single-char
+    escapes \\0 \\a \\b \\t \\n \\v \\f \\r \\e \\" \\\\ \\N \\_ \\L \\P
+    for their code points, hex forms \\xXX / \\uXXXX / \\UXXXXXXXX for
+    any other non-printable, and everything else literal. Any string a
+    reference-written ~/.csv2db.yaml preset can contain must survive
+    encode->_parse_flat_yaml unchanged — the r11 failure mode was one
+    exotic escape poisoning the whole config file."""
+    import pytest as _pytest
+
+    _pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from csv2db_spark.cli import _parse_flat_yaml
+
+    specials = {
+        "\0": "\\0", "\a": "\\a", "\b": "\\b", "\t": "\\t", "\n": "\\n",
+        "\v": "\\v", "\f": "\\f", "\r": "\\r", "\x1b": "\\e",
+        '"': '\\"', "\\": "\\\\",
+        "\u0085": "\\N", "\u00a0": "\\_", "\u2028": "\\L", "\u2029": "\\P",
+    }
+
+    def printable(cp: int) -> bool:
+        # emitterc.go is_printable (unicode branch)
+        return (
+            cp == 0x09
+            or 0x20 <= cp <= 0x7E
+            or cp == 0x85
+            or (0xA0 <= cp <= 0xD7FF)
+            or (0xE000 <= cp <= 0xFFFD)
+            or (0x10000 <= cp <= 0x10FFFF)
+        )
+
+    def goyaml_dq(s: str) -> str:
+        out = ['"']
+        for ch in s:
+            if ch in specials:
+                out.append(specials[ch])
+            elif not printable(ord(ch)):
+                cp = ord(ch)
+                if cp <= 0xFF:
+                    out.append(f"\\x{cp:02X}")
+                elif cp <= 0xFFFF:
+                    out.append(f"\\u{cp:04X}")
+                else:
+                    out.append(f"\\U{cp:08X}")
+            else:
+                out.append(ch)
+        out.append('"')
+        return "".join(out)
+
+    # surrogates can't round-trip through a file read; go strings are
+    # UTF-8 and can't hold them either
+    chars = st.characters(blacklist_categories=("Cs",))
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(alphabet=chars, max_size=24))
+    def check(s):
+        got = _parse_flat_yaml(f"presets:\n  a:\n    k: {goyaml_dq(s)}\n")
+        assert got["presets"]["a"]["k"] == s
 
     check()

@@ -361,6 +361,14 @@ def test_sniff_local_uri_spellings_and_strict_decode(spark, tmp_path):
     pct.write_text("h1,h2\n1,2\n")
     (tmp_path / "x y.csv").write_text("w1,w2\n1,2\n")
     assert _sniff_local(f"file://{pct}", ",", "UTF-8") == ["h1", "h2"]
+    # '#' in a file name is literal to Hadoop Path; urlparse would have
+    # truncated the URI at the fragment and silently skipped the local
+    # sniff (ADVICE r11). '?' stays a fallback — it's a Hadoop glob char.
+    frag = tmp_path / "x#y.csv"
+    frag.write_text("f1,f2\n1,2\n")
+    assert _sniff_local(f"file://{frag}", ",", "UTF-8") == ["f1", "f2"]
+    assert _sniff_local(f"file:{frag}", ",", "UTF-8") == ["f1", "f2"]
+    assert _sniff_local(str(frag), ",", "UTF-8") == ["f1", "f2"]
     # invalid bytes under the requested codec: local sniff declines...
     bad = tmp_path / "bad.csv"
     bad.write_bytes("名前,都市\nx,y\n".encode("shift_jis"))
