@@ -135,13 +135,24 @@ def _yaml_scalar(val: str) -> object:
                     continue
                 width = {"x": 2, "u": 4, "U": 8}.get(tag)
                 hexs = val[i + 2 : i + 2 + width] if width else ""
-                if width and len(hexs) == width:
-                    try:
-                        out.append(chr(int(hexs, 16)))
-                    except (ValueError, OverflowError):
+                # strict hex only: int(, 16) alone would accept
+                # whitespace/'+'/'_' and silently decode a corrupted
+                # escape to the wrong char (code-review r12); lone
+                # surrogates are refused too — go strings are UTF-8 and
+                # the emitter can never produce one, and a surrogate-
+                # poisoned preset would crash far away on the first
+                # UTF-8 encode
+                if (
+                    width
+                    and len(hexs) == width
+                    and all(c in "0123456789abcdefABCDEF" for c in hexs)
+                ):
+                    cp = int(hexs, 16)
+                    if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
                         raise ValueError(
                             f"bad \\{tag} escape in scalar: {val!r}"
-                        ) from None
+                        )
+                    out.append(chr(cp))
                     i += 2 + width
                     continue
                 # anything else: refusing beats silently dropping the
@@ -167,22 +178,53 @@ def _yaml_scalar(val: str) -> object:
     return sval
 
 
+def _quote_close_idx(s: str, q: str) -> int | None:
+    """Index of the quote CLOSING the scalar opened at s[0], or None if
+    the scalar stays open past the end of s (a folded line break).
+    Escape-aware: backslash escapes inside double quotes, '' pairs
+    inside single quotes."""
+    i, n = 1, len(s)
+    while i < n:
+        ch = s[i]
+        if q == '"' and ch == "\\":
+            i += 2
+            continue
+        if ch == q:
+            if q == "'" and i + 1 < n and s[i + 1] == "'":
+                i += 2
+                continue
+            return i
+        i += 1
+    return None
+
+
 def _parse_flat_yaml(text: str) -> dict:
     """Minimal parser for EXACTLY the shape go-yaml emits for the
     reference's ConfigStorage (config.go:100-165: a two-level mapping —
     ``presets:`` -> preset name -> flat scalar fields). Supports
     comments, blank lines, single/double-quoted scalars (including
     go-yaml backslash escapes like a "\\t" delimiter), trailing inline
-    comments, and bools; anything structurally richer (lists, anchors,
-    multiline) — and tab indentation, which is not YAML and would
-    otherwise silently flatten the mapping — raises ValueError and the
-    caller warns-and-ignores, matching the reference's
+    comments, bools, and the emitter's WIDTH FOLDING (code-review r12:
+    go-yaml breaks any scalar longer than best_width=80 at a space —
+    quoted or plain — so a long file path used to make the whole config
+    warn-and-ignored). Folding decodes per the YAML flow rules: one
+    break -> one space, n breaks -> n-1 newlines, an odd trailing
+    backslash in double quotes escapes the break, and a '\\ ' at a
+    continuation start is the emitter protecting a second space.
+    Anything structurally richer (lists, anchors, block scalars) — and
+    tab indentation, which is not YAML and would otherwise silently
+    flatten the mapping — raises ValueError and the caller
+    warns-and-ignores, matching the reference's
     unreadable-config-is-a-warning contract. A stdlib-only subset beats
     a vendored YAML dependency for one fixed file shape."""
     root: dict = {}
     stack: list[tuple[int, dict]] = [(-1, root)]
     pending: tuple[int, str] | None = None
-    for ln in text.splitlines():
+    lines = text.splitlines()
+    li = 0
+    while li < len(lines):
+        ln = lines[li]
+        li += 1
         if not ln.strip() or ln.lstrip().startswith("#"):
             continue
         leading = ln[: len(ln) - len(ln.lstrip())]
@@ -210,6 +252,47 @@ def _parse_flat_yaml(text: str) -> dict:
         if not val:
             pending = (indent, key)
             continue
+        if val[0] in "\"'":
+            # absorb folded continuation lines until the quote closes
+            q, breaks = val[0], 0
+            while _quote_close_idx(val, q) is None:
+                if li >= len(lines):
+                    raise ValueError(f"unterminated quoted scalar: {val!r}")
+                chunk = lines[li].strip()
+                li += 1
+                if not chunk:
+                    breaks += 1  # blank line: extra break
+                    continue
+                joiner = " " if breaks == 0 else "\n" * breaks
+                if q == '"':
+                    nbs = len(val) - len(val.rstrip("\\"))
+                    if nbs % 2 == 1:  # odd run: the last \ escapes the break
+                        val = val[:-1]
+                        if breaks == 0:
+                            joiner = ""
+                val = val + joiner + chunk
+                breaks = 0
+        else:
+            # plain-scalar fold: a deeper-indented following line that
+            # cannot be a key line is the emitter's continuation (a
+            # plain scalar containing ': ' or ending ':' would have
+            # been quoted, so the discriminator is exact for go-yaml
+            # output)
+            while li < len(lines):
+                nxt = lines[li]
+                chunk = nxt.strip()
+                nindent = len(nxt) - len(nxt.lstrip())
+                if (
+                    not chunk
+                    or chunk.startswith("#")
+                    or nindent <= indent
+                    or chunk.endswith(":")
+                    or ": " in chunk
+                    or "\t" in nxt[:nindent]
+                ):
+                    break
+                val = val + " " + chunk
+                li += 1
         stack[-1][1][key] = _yaml_scalar(val)
     if pending is not None:
         stack[-1][1][pending[1]] = ""

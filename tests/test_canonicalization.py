@@ -102,8 +102,8 @@ def test_column_classes_dtype_shortcut_matches_cell_scan():
 
 
 def test_comparator_properties_random_frames():
-    """Property pass over the comparator itself (it now gates all 327
-    oracles): any frame must match a dtype-preserving copy of itself
+    """Property pass over the comparator itself (it gates every oracle
+    in the registry): any frame must match a dtype-preserving copy of itself
     (reflexivity — no false positives from the class check), must
     reject a single perturbed cell (sensitivity), and must reject an
     int column recast to float even though values are numerically equal

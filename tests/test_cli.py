@@ -432,32 +432,102 @@ def test_dq_escape_decoder_against_goyaml_emitter_model():
             or (0x10000 <= cp <= 0x10FFFF)
         )
 
-    def goyaml_dq(s: str) -> str:
-        out = ['"']
-        for ch in s:
-            if ch in specials:
-                out.append(specials[ch])
-            elif not printable(ord(ch)):
-                cp = ord(ch)
-                if cp <= 0xFF:
-                    out.append(f"\\x{cp:02X}")
-                elif cp <= 0xFFFF:
-                    out.append(f"\\u{cp:04X}")
-                else:
-                    out.append(f"\\U{cp:08X}")
-            else:
-                out.append(ch)
-        out.append('"')
-        return "".join(out)
+    def enc_char(ch: str) -> str:
+        if ch in specials:
+            return specials[ch]
+        cp = ord(ch)
+        if not printable(cp):
+            if cp <= 0xFF:
+                return f"\\x{cp:02X}"
+            if cp <= 0xFFFF:
+                return f"\\u{cp:04X}"
+            return f"\\U{cp:08X}"
+        return ch
+
+    def goyaml_dq(s: str, start_col: int, cont_indent: int, width: int = 80) -> str:
+        """Mirror of the emitter's write loop INCLUDING width folding:
+        past best_width it emits a line break instead of a space (the
+        parse-side fold restores it) and protects a following space
+        with a leading backslash on the continuation line."""
+        lines_out: list[str] = []
+        cur = ['"']
+        col = start_col + 1
+        spaces = False
+        for i, ch in enumerate(s):
+            if ch == " " and not spaces and col > width and 0 < i < len(s) - 1:
+                lines_out.append("".join(cur))
+                cur = [" " * cont_indent]
+                col = cont_indent
+                if s[i + 1] == " ":
+                    cur.append("\\")
+                    col += 1
+                spaces = True
+                continue
+            e = enc_char(ch)
+            cur.append(e)
+            col += len(e)
+            spaces = ch == " "
+        cur.append('"')
+        lines_out.append("".join(cur))
+        return "\n".join(lines_out)
 
     # surrogates can't round-trip through a file read; go strings are
     # UTF-8 and can't hold them either
     chars = st.characters(blacklist_categories=("Cs",))
+    words = st.text(alphabet=chars, min_size=0, max_size=12)
 
     @settings(max_examples=500, deadline=None)
-    @given(st.text(alphabet=chars, max_size=24))
+    @given(st.lists(words, min_size=1, max_size=30).map(" ".join))
     def check(s):
-        got = _parse_flat_yaml(f"presets:\n  a:\n    k: {goyaml_dq(s)}\n")
+        enc = goyaml_dq(s, start_col=len("    k: "), cont_indent=6)
+        got = _parse_flat_yaml(f"presets:\n  a:\n    k: {enc}\n")
         assert got["presets"]["a"]["k"] == s
 
     check()
+
+
+def test_parse_flat_yaml_width_folding_cases():
+    """Explicit folds (code-review r12): go-yaml breaks scalars longer
+    than best_width=80 at a space — double-quoted, single-quoted, and
+    plain styles all fold. One poisoned long value used to take every
+    preset with it (the parser saw an 'unterminated quoted scalar' or
+    an 'unsupported yaml line' and warned-and-ignored the whole
+    file)."""
+    from csv2db_spark.cli import _parse_flat_yaml
+
+    long_path = "/data/" + " ".join(f"dir{i:02d}" for i in range(20)) + "/in.csv"
+    # double-quoted fold: break replaces one space
+    cut = long_path.index(" ", 70)  # the emitter breaks AT a space
+    head = f'"{long_path[:cut]}'
+    tail = long_path[cut:]
+    assert tail.startswith(" ")
+    got = _parse_flat_yaml(
+        f"presets:\n  a:\n    filename: {head}\n      {tail[1:]}\"\n"
+    )
+    assert got["presets"]["a"]["filename"] == long_path
+    # double-quoted escaped break: odd trailing backslash joins with NO space
+    got = _parse_flat_yaml('presets:\n  a:\n    k: "ab\\\n      cd"\n')
+    assert got["presets"]["a"]["k"] == "abcd"
+    # ...while an escaped backslash (even run) before the break folds normally
+    got = _parse_flat_yaml('presets:\n  a:\n    k: "ab\\\\\n      cd"\n')
+    assert got["presets"]["a"]["k"] == "ab\\ cd"
+    # protected second space: continuation starts with backslash-space
+    got = _parse_flat_yaml('presets:\n  a:\n    k: "ab\n      \\ cd"\n')
+    assert got["presets"]["a"]["k"] == "ab  cd"
+    # blank line inside the quotes = an extra break = a real newline
+    got = _parse_flat_yaml('presets:\n  a:\n    k: "ab\n\n      cd"\n')
+    assert got["presets"]["a"]["k"] == "ab\ncd"
+    # single-quoted fold
+    got = _parse_flat_yaml("presets:\n  a:\n    k: 'ab\n      cd'\n")
+    assert got["presets"]["a"]["k"] == "ab cd"
+    # plain fold: deeper-indented non-key line joins with a space...
+    got = _parse_flat_yaml("presets:\n  a:\n    k: ab\n      cd\n    j: x\n")
+    assert got["presets"]["a"] == {"k": "ab cd", "j": "x"}
+    # ...but a key-shaped line (': ' or trailing ':') never joins
+    got = _parse_flat_yaml("presets:\n  a:\n    k: ab\n    j: x\n")
+    assert got["presets"]["a"] == {"k": "ab", "j": "x"}
+    # unterminated quote at EOF still refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unterminated"):
+        _parse_flat_yaml('presets:\n  a:\n    k: "ab\n      cd\n')
