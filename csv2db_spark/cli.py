@@ -172,7 +172,9 @@ def _yaml_scalar(val: str) -> object:
         if rest and not rest.startswith("#"):
             raise ValueError(f"trailing content after quoted scalar: {val!r}")
         return "".join(out)
-    sval = val.split(" #")[0].strip()
+    # ASCII strip only: a Unicode-aware strip would delete trailing Zs
+    # spaces (U+2003, U+3000, ...) that are legal plain-scalar content
+    sval = val.split(" #")[0].strip(" \t")
     if sval.lower() in ("true", "false"):
         return sval.lower() == "true"
     return sval
@@ -227,15 +229,21 @@ def _parse_flat_yaml(text: str) -> dict:
         li += 1
         if not ln.strip() or ln.lstrip().startswith("#"):
             continue
-        leading = ln[: len(ln) - len(ln.lstrip())]
+        leading = ln[: len(ln) - len(ln.lstrip(" \t"))]
         if "\t" in leading:
             raise ValueError(f"tab indentation is not valid yaml: {ln!r}")
         indent = len(leading)
-        body = ln.strip()
+        # strips are ASCII space/tab ONLY throughout this parser:
+        # Python's default str.strip() is Unicode-aware and would
+        # silently delete Zs spaces (U+2003, U+00A0, U+3000, ...) that
+        # go-yaml emits RAW (they are printable and not is_space to its
+        # emitter), corrupting the preset value — while YAML folding
+        # strips only space/tab (code-review r12)
+        body = ln.strip(" \t")
         if ":" not in body:
             raise ValueError(f"unsupported yaml line: {ln!r}")
         key, _, val = body.partition(":")
-        key, val = key.strip(), val.strip()
+        key, val = key.strip(" \t"), val.strip(" \t")
         if val.startswith("#"):
             val = ""
         if pending is not None:
@@ -258,9 +266,9 @@ def _parse_flat_yaml(text: str) -> dict:
             while _quote_close_idx(val, q) is None:
                 if li >= len(lines):
                     raise ValueError(f"unterminated quoted scalar: {val!r}")
-                chunk = lines[li].strip()
+                chunk = lines[li].strip(" \t")
                 li += 1
-                if not chunk:
+                if not chunk:  # only space/tab counts as blank
                     breaks += 1  # blank line: extra break
                     continue
                 joiner = " " if breaks == 0 else "\n" * breaks
@@ -280,8 +288,8 @@ def _parse_flat_yaml(text: str) -> dict:
             # output)
             while li < len(lines):
                 nxt = lines[li]
-                chunk = nxt.strip()
-                nindent = len(nxt) - len(nxt.lstrip())
+                chunk = nxt.strip(" \t")
+                nindent = len(nxt) - len(nxt.lstrip(" \t"))
                 if (
                     not chunk
                     or chunk.startswith("#")

@@ -531,3 +531,79 @@ def test_parse_flat_yaml_width_folding_cases():
 
     with _pytest.raises(ValueError, match="unterminated"):
         _parse_flat_yaml('presets:\n  a:\n    k: "ab\n      cd\n')
+    # Unicode Zs spaces are CONTENT, not whitespace (code-review r12):
+    # go-yaml emits U+2003 etc. raw (printable, not is_space to its
+    # emitter) and YAML folding strips only space/tab, so a Unicode-
+    # aware strip() would silently corrupt the preset value
+    got = _parse_flat_yaml('presets:\n  a:\n    k: "ab\u2003\n      \u2003cd"\n')
+    assert got["presets"]["a"]["k"] == "ab\u2003 \u2003cd"
+    # a continuation line holding ONLY U+2003 is content, not a blank
+    got = _parse_flat_yaml('presets:\n  a:\n    k: "ab\n      \u2003\n      cd"\n')
+    assert got["presets"]["a"]["k"] == "ab \u2003 cd"
+    # plain fold keeps Zs too, and a single-line plain value keeps a
+    # trailing Zs (only space/tab are stripped)
+    got = _parse_flat_yaml("presets:\n  a:\n    k: ab\n      \u2003cd\n")
+    assert got["presets"]["a"]["k"] == "ab \u2003cd"
+    got = _parse_flat_yaml("presets:\n  a:\n    k: ab\u2003 \n")
+    assert got["presets"]["a"]["k"] == "ab\u2003"
+
+
+def test_parse_flat_yaml_differential_vs_pyyaml():
+    """Differential property (code-review r12): on emitter-shaped config
+    files, _parse_flat_yaml must agree with a real YAML parser. PyYAML
+    serves as the reference implementation (available in this image;
+    importorskip keeps the suite portable). The generator emits the
+    two-level ConfigStorage shape with values in all three styles the
+    go-yaml emitter uses — plain, single-quoted, double-quoted with
+    escapes and width folds — so this cross-checks the fold decoding,
+    the escape map, and the Zs-content rule against an independent
+    implementation rather than only against our own emitter model."""
+    import pytest as _pytest
+
+    yaml = _pytest.importorskip("yaml")
+    _pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from csv2db_spark.cli import _parse_flat_yaml
+
+    # characters legal in all three styles and uninteresting to YAML
+    # syntax, plus the ones that exercise escapes/folds/Zs handling
+    content = st.text(
+        alphabet="abXY9 _-./\t\n\"'\\ é",
+        min_size=0,
+        max_size=120,
+    )
+    key = st.text(alphabet="abcdefghij", min_size=1, max_size=8)
+
+    def dump(presets: dict) -> str:
+        # PyYAML's emitter folds at best_width like go-yaml (both are
+        # libyaml ports), so its OUTPUT is a fair stand-in for a
+        # reference-written file, including folded long scalars
+        return yaml.safe_dump(
+            {"presets": presets}, default_flow_style=False, width=80,
+            allow_unicode=True,
+        )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        presets=st.dictionaries(
+            key, st.dictionaries(key, content, min_size=1, max_size=4),
+            min_size=1, max_size=3,
+        )
+    )
+    def check(presets):
+        text = dump(presets)
+        # block scalars (|-, >-) and flow style are out of the subset
+        # the go-yaml ConfigStorage shape produces for FLAT string
+        # fields only when values hold newlines; skip those dumps
+        if any(
+            ln.lstrip().startswith(("|", ">")) or ": |" in ln or ": >" in ln
+            for ln in text.splitlines()
+        ):
+            return
+        got = _parse_flat_yaml(text)
+        want = yaml.safe_load(text)
+        assert got == want
+
+    check()
