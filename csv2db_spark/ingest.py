@@ -142,7 +142,10 @@ def _sniff_local(
         rest = path[len("file:") :]
         if rest.startswith("//"):
             netloc, slash, tail = rest[2:].partition("/")
-            if netloc not in ("", "localhost"):
+            # RFC 3986 §3.2.2: host comparison is case-insensitive —
+            # file://LOCALHOST/p is this machine (ADVICE r12: urlparse
+            # lowercased netloc; the hand split must too).
+            if netloc.lower() not in ("", "localhost"):
                 return None
             p = slash + tail
         else:

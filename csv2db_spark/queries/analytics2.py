@@ -3108,15 +3108,17 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     triage: keep head, sample middle, drop tail — per language, so
     high-resource languages don't crowd out the rest. Model-corpus
     scan + corpus scan + one |docs|-row window; the LM itself is a
-    |vocab|-row broadcastable table. The gate runs rank_mode='window'
-    (the exact-oracle twin); ccnet_buckets(..., rank_mode='cutpoint')
-    is the 100-TB plan — identical terciles, no per-language
-    single-task sort (operators/ranking.grouped_ntile)."""
+    |vocab|-row broadcastable table. Since r13 (VERDICT r12 item 4) the
+    gate runs rank_mode='cutpoint' — the 100-TB plan: identical
+    terciles from the histogram-offset rank, no per-language
+    single-task sort (operators/ranking.grouped_ntile); 'window' stays
+    as the exact-twin knob and the modes are equality-pinned in
+    tests/test_runtime_ops.py."""
     return ccnet_buckets(spark, sf_dir)
 
 
 def ccnet_buckets(
-    spark: SparkSession, sf_dir: str, rank_mode: str = "window"
+    spark: SparkSession, sf_dir: str, rank_mode: str = "cutpoint"
 ) -> DataFrame:
     """q_text_ccnet_buckets body with the tercile plan knob exposed
     (see operators/ranking for the window-vs-cutpoint tradeoff)."""
@@ -3562,8 +3564,9 @@ def q_curate_ccnet_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically). Per (lang, bucket): total docs and kept docs — head
     rows must show n_kept = n_docs, tail rows n_kept = 0, middle rows
     the coin's exact outcome. Terciles route through
-    operators/ranking.grouped_ntile — gate-exact window mode here,
-    the cutpoint scale knob one argument away."""
+    operators/ranking.grouped_ntile in cutpoint mode (the r13 default
+    plan: no per-language single-task sort; bit-equal to window mode
+    per tests/test_runtime_ops.py)."""
     from csv2db_spark.llm.curation import md5_threshold
     from csv2db_spark.llm.text import bigram_lm_scores
     from csv2db_spark.operators.ranking import grouped_ntile
@@ -3582,7 +3585,11 @@ def q_curate_ccnet_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         3,
         descending=True,
+        mode="cutpoint",
         out_col="ppl_bucket",
+        # continuous [0,1] probability: 4096-cell order-coarsening keeps
+        # the cutpoint histogram bucket-sized (see grouped_rank)
+        bucket=F.floor(F.col("avg_next_token_prob") * 4096),
     ).drop("avg_next_token_prob")
     coin = F.md5(
         F.concat(F.lit("ccnet-mid"), F.col("doc_id").cast("string"))

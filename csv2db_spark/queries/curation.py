@@ -1502,7 +1502,7 @@ def curation_v6_pipeline(
     sf_dir: str,
     materialize: str = "local",
     stage_path: str | None = None,
-    rank_mode: str = "window",
+    rank_mode: str = "cutpoint",
 ) -> DataFrame:
     """The v6 pipeline body with its scale knobs exposed:
     ``materialize`` picks how the multi-consumer survivor set persists
@@ -1511,12 +1511,13 @@ def curation_v6_pipeline(
     an executor loss on a real cluster kills the truncated lineage and
     the job restarts); a 100 TB run passes 'reliable' + a staging dir so
     the boundary is durable parquet. ``rank_mode`` picks the CCNet
-    tercile plan the same way: 'window' is the plain per-language ntile
-    (single-task sort of the dominant language at corpus scale);
-    'cutpoint' derives the identical terciles from
+    tercile plan the same way: 'cutpoint' (the DEFAULT since r13,
+    VERDICT r12 item 4) derives the terciles from
     operators/ranking.grouped_ntile's histogram-offset rank with no
-    whole-group sort. All modes are row-for-row equal
-    (tests/test_runtime_ops.py)."""
+    whole-group sort; 'window' is the plain per-language ntile — a
+    single-task sort of the dominant language at corpus scale, kept as
+    the exact-twin knob. All modes are row-for-row equal
+    (tests/test_runtime_ops.py), so the gate hashes identically."""
     from csv2db_spark.llm import dedup as D
     from csv2db_spark.llm.text import bigram_lm_scores
     from csv2db_spark.operators.stage import materialize_stage

@@ -6,6 +6,7 @@ driver uses. Usage: python scripts/driver_sim.py [sf_dir]"""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,13 +26,27 @@ TABLES = (
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = (
-        SparkSession.builder.master("local[16]")
+    # DRIVER_SIM_MASTER=local-cluster[2,8,4096] runs the same sweep with
+    # SEPARATE executor JVMs (standalone workers): flushes assumptions a
+    # single-JVM local[N] hides — closure/serialization, task-side file
+    # paths, and broadcast/accumulator transport (VERDICT r12 item 1).
+    master = os.environ.get("DRIVER_SIM_MASTER", "local[16]")
+    builder = (
+        SparkSession.builder.master(master)
         .appName("driver-sim")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        # pip-installed pyspark: workers need SPARK_HOME + the jars dir
+        import pyspark
+
+        os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("DRIVER_SIM_EXEC_MEM", "4g"),
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e

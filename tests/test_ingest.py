@@ -352,7 +352,12 @@ def test_sniff_local_uri_spellings_and_strict_decode(spark, tmp_path):
     assert _sniff_local(f"file:{p}", ",", "UTF-8") == ["a", "b"]
     assert _sniff_local(f"file://{p}", ",", "UTF-8") == ["a", "b"]
     assert _sniff_local(f"file://localhost{p}", ",", "UTF-8") == ["a", "b"]
+    # RFC 3986 host comparison is case-insensitive (ADVICE r12: the
+    # hand split must lowercase like urlparse did)
+    assert _sniff_local(f"file://LOCALHOST{p}", ",", "UTF-8") == ["a", "b"]
+    assert _sniff_local(f"file://LocalHost{p}", ",", "UTF-8") == ["a", "b"]
     assert _sniff_local(f"file://otherhost{p}", ",", "UTF-8") is None
+    assert _sniff_local(f"file://OTHERHOST{p}", ",", "UTF-8") is None
     # %XX stays LITERAL, matching Hadoop Path semantics: the sniff must
     # read the same file the JVM read will load (code-review r11) —
     # with both x%20y.csv and x y.csv present, file://...x%20y.csv
