@@ -45,17 +45,29 @@ def test_real_decode_with_pillow(spark):
         img.save(buf, format="PNG")
         return buf.getvalue()
 
+    def rgb_png(w, h, rgb):
+        img = Image.new("RGB", (w, h), color=rgb)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
     rows = [
         (1, "image", bytearray(png(8, 4, 0))),
         (2, "image", bytearray(png(16, 16, 255))),
         (3, "audio", bytearray(b"\x00" * 10)),  # non-image: filtered out
+        # RGB: luma plane via ITU-R 601 (Pillow convert("L")):
+        # L = (19595 R + 38470 G + 7471 B + 0x8000) >> 16
+        (4, "image", bytearray(rgb_png(4, 4, (255, 0, 0)))),
     ]
     df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
     out = {r.media_id: r for r in decode_image_real(df).collect()}
-    assert set(out) == {1, 2}
+    assert set(out) == {1, 2, 4}
     assert (out[1].width, out[1].height) == (8, 4)
     assert out[1].mean_byte == 0.0 and out[1].hist[0] == 32
     assert out[2].mean_byte == 255.0 and out[2].hist[15] == 256
+    luma = (19595 * 255 + 0x8000) >> 16  # pure red -> 76
+    assert out[4].mode == "RGB" and out[4].mean_byte == float(luma)
+    assert out[4].hist[luma >> 4] == 16 and sum(out[4].hist) == 16
 
 
 def test_decode_outputs_fixed_hist_shape(spark, sf_dir):
