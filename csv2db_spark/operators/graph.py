@@ -310,8 +310,9 @@ def triangle_count(
 
     Adaptive physical strategy (same exact result either way):
 
-    - **Dense small-ID graphs** (node-ID span <= ``dense_node_span``):
-      each node's neighbor set packs into a fixed-width BITMAP (span/64
+    - **Dense small-ID graphs** (node-ID span <= ``dense_node_span``
+      AND 16·|E| >= span², the density gate): each node's neighbor set
+      packs into a fixed-width BITMAP (span/64
       plain long columns — the bitset idiom this repo uses for exact
       Jaccard), and the count is one broadcast join of the edge list
       against the KB-to-MB-sized adjacency table on both endpoints with
@@ -320,6 +321,15 @@ def triangle_count(
       each corner's triangles exactly twice. Cost is |E| rows through a
       map-side join — no wedge materialization (the wedge set of a 43%-
       dense 1000-node graph is ~46M rows; the bitmap plan touches 215k).
+      The density term is measured, not guessed (PLANS.md round-13
+      A/B): the bitmap build pays O(n_words)=O(span/64) per edge row,
+      so a SPARSE graph inside the span cap loses to the wedge path —
+      synthetic N=4000/E=200k (fill 2.5%) ran 3.9s bitmap vs 3.0s
+      general, N=10000/E=200k at a widened span 16384 ran 7.0s vs 2.0s
+      (the VERDICT r12 "widen the span gate" suggestion, measured and
+      REJECTED), while dense N=1000/E=200k (fill 40%) ran 1.3s bitmap
+      vs 5.2s general. 16·|E| >= span² puts the crossover at avg degree
+      span/8, flat-region-safe at both measured boundaries.
 
     - **General graphs** (any ID type, unbounded span): DEGREE-ORDERED
       wedge enumeration. Nodes are totally ordered by (degree, id) and
@@ -359,11 +369,14 @@ def triangle_count(
     # handles any orderable type via least/greatest.
     if dict(e.dtypes)["lo"] in ("tinyint", "smallint", "int", "bigint"):
         bounds = e.agg(
-            F.min("lo").alias("mn"), F.max("hi").alias("mx")
+            F.min("lo").alias("mn"),
+            F.max("hi").alias("mx"),
+            F.count(F.lit(1)).alias("ne"),
         ).collect()[0]
         if bounds["mn"] is not None:
             span = int(bounds["mx"]) - int(bounds["mn"]) + 1
-            if 0 < span <= dense_node_span:
+            dense = 16 * int(bounds["ne"]) >= span * span
+            if 0 < span <= dense_node_span and dense:
                 return _triangle_count_bitmap(e, int(bounds["mn"]), span)
     o = _orient_by_degree(e)
     w1 = o.select("x", F.col("y").alias("b"), F.col("ky").alias("kb"))
