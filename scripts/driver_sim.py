@@ -42,9 +42,14 @@ def main() -> int:
         import pyspark
 
         os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+        # default executor memory = the master string's worker-memory
+        # field (local-cluster[n,cores,MEM_MB]) — a fixed default above
+        # the worker's capacity would make the standalone master reject
+        # every executor and the app hang waiting for resources
+        worker_mb = master.rstrip("]").split(",")[-1].strip()
         builder = builder.config(
             "spark.executor.memory",
-            os.environ.get("DRIVER_SIM_EXEC_MEM", "4g"),
+            os.environ.get("DRIVER_SIM_EXEC_MEM", f"{worker_mb}m"),
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

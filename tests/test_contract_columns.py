@@ -32,16 +32,33 @@ def test_every_registered_gate_cited_in_survey():
     assert not missing, f"gates not cited in SURVEY.md: {missing}"
 
 
+# Round-13 exception to the round-7 only-oracle-gates window policy:
+# VERDICT r12 item 3 explicitly asked for the 10 rows-only liveness
+# gates' driver records (stale r06; one missing entirely) to be
+# refreshed "in a green r13 window", overriding the r6 burned-slots
+# rule for exactly one round. Empty this set at the r14 rotation.
+ROWS_ONLY_WINDOW_EXCEPTION = frozenset({
+    "q_agg_approx_distinct", "q_agg_approx_percentile",
+    "q_embed_pca_project", "q_sim_ann_pq", "q_sim_ann_ivfpq",
+    "q_text_bpe_train", "q_dedup_minhash_lsh_xxh", "q_sim_ann_lsh",
+    "q_sim_ann_ivf", "q_stream_stateful_ewma",
+})
+
+
 def test_correctness_window_contains_only_oracle_gates():
     """Round-7 policy pin: the driver records a rows-only gate as
     `err: no_oracle` by construction (round 6 burned 8 window slots
     proving it), so CHECK_FIRST must name only registered gates WITH
-    oracles."""
+    oracles — except the documented one-round liveness refresh above,
+    whose members must each keep a registered hash-gated twin."""
     from csv2db_spark.registry import CHECK_FIRST
 
     for name in CHECK_FIRST:
         assert name in QUERIES, f"{name} in CHECK_FIRST but not registered"
-        assert QUERIES[name].oracle is not None, (
+        assert (
+            QUERIES[name].oracle is not None
+            or name in ROWS_ONLY_WINDOW_EXCEPTION
+        ), (
             f"{name} is rows-only: it can never go green in the driver "
             "window — replace it with a never-checked oracle gate"
         )

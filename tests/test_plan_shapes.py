@@ -468,14 +468,19 @@ def test_ccnet_cutpoint_mode_has_no_whole_group_sort(spark, sf_dir):
 
 
 def test_curation_v6_rank_modes_equal(spark, sf_dir):
-    """v6's tail-drop stage through the cutpoint tercile plan returns
-    the exact rows of the gate's window plan (the knob never changes
-    results, only the shuffle key)."""
+    """v6's tail-drop stage through the cutpoint tercile plan (the
+    gate's DEFAULT since r13) returns the exact rows of the window
+    plan (the knob never changes results, only the shuffle key).
+    Both modes are named EXPLICITLY — when the default flipped to
+    cutpoint this test silently became cutpoint-vs-cutpoint until a
+    review caught it (round-13 /code-review finding 2)."""
     from csv2db_spark.queries.curation import curation_v6_pipeline
 
     w = {
         (r.lang, r.source): (r.n_docs, r.total_bigrams)
-        for r in curation_v6_pipeline(spark, sf_dir).collect()
+        for r in curation_v6_pipeline(
+            spark, sf_dir, rank_mode="window"
+        ).collect()
     }
     c = {
         (r.lang, r.source): (r.n_docs, r.total_bigrams)

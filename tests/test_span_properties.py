@@ -30,6 +30,8 @@ import pytest
 
 pytestmark = pytest.mark.slow
 
+pytest.importorskip("hypothesis")
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
