@@ -62,13 +62,35 @@ def test_correctness_window_contains_only_oracle_gates():
             f"{name} is rows-only: it can never go green in the driver "
             "window — replace it with a never-checked oracle gate"
         )
+    # the exception's own invariants, ENFORCED not commented
+    # (round-13 /code-review second pass): every member must keep its
+    # registered hash-gated twin, and the moment the r13 driver record
+    # exists the refresh is done — the r14 rotation must empty the
+    # window of rows-only gates or this fails loudly.
+    for name in ROWS_ONLY_WINDOW_EXCEPTION:
+        assert name in QUERIES and QUERIES[name].oracle is None, (
+            f"{name} in the rows-only exception but not a registered "
+            "rows-only gate — prune the exception set"
+        )
+        twin = CONTRACT_TWINS[name]
+        assert twin in QUERIES and QUERIES[twin].oracle is not None, (
+            f"exception member {name} lost its hash-gated twin {twin}"
+        )
+    import pathlib
+
+    r13_done = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "CORRECTNESS_r13.json"
+    ).exists()
+    if r13_done:
+        leftover = ROWS_ONLY_WINDOW_EXCEPTION & set(CHECK_FIRST)
+        assert not leftover, (
+            "the r13 liveness refresh has its driver record — rotate "
+            f"these rows-only gates OUT of CHECK_FIRST: {sorted(leftover)}"
+        )
 
 
-def test_every_rows_only_gate_has_a_hash_gated_contract_twin():
-    """Every approximate/engine-specific gate the driver can only
-    rows-check must keep a registered hash-gated twin that pins its
-    semantics (empty-oracle violation views / parity checks)."""
-    twins = {
+CONTRACT_TWINS = {
         "q_agg_approx_distinct": "q_agg_approx_distinct_bounds",
         "q_agg_approx_percentile": "q_agg_approx_percentile_bounds",
         "q_sim_ann_lsh": "q_sim_ann_lsh_recall",
@@ -80,12 +102,19 @@ def test_every_rows_only_gate_has_a_hash_gated_contract_twin():
         "q_stream_stateful_ewma": "q_stream_ewma_parity",
         "q_dedup_minhash_lsh_xxh": "q_dedup_minhash_xxh_precision",
     }
+
+
+def test_every_rows_only_gate_has_a_hash_gated_contract_twin():
+    """Every approximate/engine-specific gate the driver can only
+    rows-check must keep a registered hash-gated twin that pins its
+    semantics (empty-oracle violation views / parity checks)."""
     rows_only = {n for n, q in QUERIES.items() if q.oracle is None}
-    assert rows_only == set(twins), (
+    assert rows_only == set(CONTRACT_TWINS), (
         "rows-only gate set changed: update the twin map (and give any "
-        f"new rows-only gate a hash-gated twin); diff={rows_only ^ set(twins)}"
+        "new rows-only gate a hash-gated twin); "
+        f"diff={rows_only ^ set(CONTRACT_TWINS)}"
     )
-    for gate, twin in twins.items():
+    for gate, twin in CONTRACT_TWINS.items():
         assert twin in QUERIES and QUERIES[twin].oracle is not None, (
             f"{gate}'s contract twin {twin} missing or oracle-less"
         )

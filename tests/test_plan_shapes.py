@@ -432,6 +432,39 @@ def test_triangles_dense_path_broadcasts_no_wedge(spark, sf_dir):
     )
 
 
+def test_tercile_consumers_default_to_cutpoint():
+    """VERDICT r12 item 4's headline property, pinned at the SIGNATURE
+    (round-13 /code-review second pass: making the equality test's
+    modes explicit un-pinned the defaults): the registered v6/CCNet
+    gates run their DEFAULT arguments, so a silent default flip back to
+    'window' would regress every default plan to the per-language
+    single-task sort with zero other test signal."""
+    import inspect
+
+    from csv2db_spark.queries.analytics2 import ccnet_buckets
+    from csv2db_spark.queries.curation import curation_v6_pipeline
+
+    for fn in (ccnet_buckets, curation_v6_pipeline):
+        got = inspect.signature(fn).parameters["rank_mode"].default
+        assert got == "cutpoint", f"{fn.__name__} rank_mode default: {got}"
+
+
+def test_ccnet_default_plan_has_no_whole_group_sort(spark, sf_dir):
+    """The DEFAULT-argument ccnet plan (not an explicit mode) must be
+    the cutpoint shape: no ntile, ranks keyed by the score bucket."""
+    from csv2db_spark.queries.analytics2 import ccnet_buckets
+
+    plan = (
+        ccnet_buckets(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" not in plan
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines and all("_gr_b" in ln for ln in rn_lines)
+
+
 def test_ccnet_cutpoint_mode_has_no_whole_group_sort(spark, sf_dir):
     """The 100-TB CCNet plan (rank_mode='cutpoint'): every row_number
     window over corpus rows must be keyed by (group, score) — tie sets,
