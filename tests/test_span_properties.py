@@ -122,6 +122,35 @@ def test_duplicated_spans_matches_brute_force(spark, docs, w):
 
 @given(docs=_corpus, w=_w)
 @settings(**_SETTINGS)
+def test_duplicated_window_stats_matches_brute_force(spark, docs, w):
+    """The stats sibling (how MUCH is copied, not which tokens): every
+    doc reports its window count and how many of its windows occur >= 2
+    times corpus-wide — including twice within the same document."""
+    corpus = {100 + i: toks for i, toks in enumerate(docs)}
+    freq: Counter = Counter()
+    for toks in corpus.values():
+        freq.update(tuple(toks[i : i + w]) for i in range(len(toks) - w + 1))
+    want = sorted(
+        (
+            d,
+            max(0, len(toks) - w + 1),
+            sum(
+                freq[tuple(toks[i : i + w])] >= 2
+                for i in range(len(toks) - w + 1)
+            ),
+        )
+        for d, toks in corpus.items()
+        if len(toks) >= w  # size<w docs emit no windows, hence no row
+    )
+    got = sorted(
+        (r.doc_id, r.n_windows, r.n_dup_windows)
+        for r in D.duplicated_window_stats(_df(spark, corpus), w=w).collect()
+    )
+    assert got == want
+
+
+@given(docs=_corpus, w=_w)
+@settings(**_SETTINGS)
 def test_remove_duplicated_spans_matches_brute_force(spark, docs, w):
     corpus = {100 + i: toks for i, toks in enumerate(docs)}
     got = sorted(
