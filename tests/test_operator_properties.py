@@ -513,7 +513,10 @@ def test_decontaminate_semantic_matches_numpy(
 @given(
     rows=st.lists(
         st.tuples(
-            st.sampled_from(["en", "fr", "xx"]),
+            # NULL groups included: the mode equivalence broke on them
+            # once (ADVICE r9 -> join_totals_nullsafe) and must stay
+            # pinned property-wide, not just in fixtures
+            st.one_of(st.none(), st.sampled_from(["en", "fr", "xx"])),
             st.one_of(st.none(), st.integers(0, 6).map(float)),
         ),
         min_size=1,
@@ -549,7 +552,10 @@ def test_grouped_rank_modes_equivalent_property(spark, rows, descending):
 
 @given(
     rows=st.lists(
-        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 9)),
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b"])),
+            st.integers(0, 9),
+        ),
         min_size=1,
         max_size=50,
     ),
@@ -578,7 +584,10 @@ def test_grouped_ntile_modes_equivalent_property(spark, rows, k):
 
 @given(
     rows=st.lists(
-        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b"])),
+            st.integers(0, 50),
+        ),
         min_size=1,
         max_size=60,
     ),
