@@ -1,0 +1,108 @@
+"""Property tests for the graph operators against pure-Python models:
+connected components (both the pointer-chasing and the
+large-star/small-star O(log n) variants) vs union-find, and
+triangle_count vs brute-force triple enumeration — ACROSS the density
+gate, so both physical strategies (degree-ordered wedge join and the
+adjacency bitmap) are exercised and must agree with the model on the
+same random graphs."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+pytest.importorskip("hypothesis")
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from csv2db_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+    triangle_count,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# small id space forces dense multi-edge graphs; self-loop-free pairs
+_edges = st.lists(
+    st.tuples(st.integers(1, 12), st.integers(1, 12)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _uf_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _partition(labels: dict[int, int]) -> set[frozenset[int]]:
+    groups: dict[int, set[int]] = {}
+    for n, c in labels.items():
+        groups.setdefault(c, set()).add(n)
+    return {frozenset(g) for g in groups.values()}
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = _partition(_uf_components(edges))
+    got_pc = _partition(
+        {r.node: r.component for r in connected_components(df).collect()}
+    )
+    got_star = _partition(
+        {r.node: r.component for r in connected_components_star(df).collect()}
+    )
+    assert got_pc == want
+    assert got_star == want
+
+
+def _brute_triangles(edges):
+    es = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in es for n in e})
+    per_node: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            for n in (a, b, c):
+                per_node[n] = per_node.get(n, 0) + 1
+    return per_node
+
+
+@given(edges=_edges, span_gate=st.sampled_from([0, 4096]))
+@settings(**_SETTINGS)
+def test_triangle_count_matches_brute_force_both_paths(
+    spark, edges, span_gate
+):
+    """span_gate=0 forces the degree-ordered wedge path; 4096 lets the
+    density gate decide (these 12-node graphs are dense enough to take
+    the bitmap path whenever 16|E| >= span^2) — both must equal the
+    brute-force triple scan."""
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_count(df, dense_node_span=span_gate).collect()
+    }
+    assert got == _brute_triangles(edges)
