@@ -38,13 +38,21 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def executor_pids() -> set[int]:
+def executor_pids(app_id: str) -> set[int]:
+    """Pids of THIS app's executor JVMs only — the executor command
+    line carries --app-id, and matching on it keeps a concurrent
+    local-cluster session's executors (e.g. a driver_sim sweep on the
+    same host) out of the kill set."""
     out = subprocess.run(
-        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+        ["pgrep", "-af", "CoarseGrainedExecutorBackend"],
         capture_output=True,
         text=True,
     )
-    return {int(p) for p in out.stdout.split()}
+    return {
+        int(line.split(None, 1)[0])
+        for line in out.stdout.splitlines()
+        if app_id in line
+    }
 
 
 def main() -> int:
@@ -71,22 +79,33 @@ def main() -> int:
     )
     expect = sorted(tuple(r) for r in base.collect())
 
+    app_id = spark.sparkContext.applicationId
     failures = 0
+    stage_dirs: list[str] = []
     for mode in ("reliable", "local"):
-        stage_dir = tempfile.mkdtemp(prefix=f"chaos_{mode}_")
-        staged = materialize_stage(
-            base, mode=mode, path=stage_dir if mode == "reliable" else None
-        )
+        if mode == "reliable":
+            stage_dir = tempfile.mkdtemp(prefix="chaos_reliable_")
+            stage_dirs.append(stage_dir)
+        else:
+            stage_dir = None
+        staged = materialize_stage(base, mode=mode, path=stage_dir)
         n0 = staged.count()
-        before = executor_pids()
-        assert before, "no executor JVMs found — not running multi-JVM?"
+        before = executor_pids(app_id)
+        assert len(before) >= 2, (
+            f"need >= 2 executor JVMs to spread blocks, found {len(before)}"
+        )
         victim = sorted(before)[0]
-        os.kill(victim, signal.SIGKILL)
-        # wait for the standalone worker to notice and relaunch
+        try:
+            os.kill(victim, signal.SIGKILL)
+        except ProcessLookupError:
+            pass  # raced with its own exit; the loss already happened
+        # wait for the worker to notice AND relaunch a replacement, so
+        # the next iteration stages its blocks across a full cluster
+        # again (victim-gone alone fires while only the survivor runs)
         deadline = time.time() + 60
         while time.time() < deadline:
-            now = executor_pids()
-            if victim not in now and now:
+            now = executor_pids(app_id)
+            if victim not in now and len(now) >= len(before):
                 break
             time.sleep(1)
         time.sleep(3)  # let the replacement register with the driver
@@ -108,6 +127,11 @@ def main() -> int:
                 print(f"reliable: MUST survive executor loss but raised "
                       f"{type(ex).__name__}: {msg} — BUG")
                 failures += 1
+    spark.stop()
+    import shutil
+
+    for d in stage_dirs:  # standing per-round check: don't litter /tmp
+        shutil.rmtree(d, ignore_errors=True)
     return 1 if failures else 0
 
 

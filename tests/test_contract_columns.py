@@ -88,10 +88,12 @@ def test_correctness_window_contains_only_oracle_gates():
         / "CORRECTNESS_r14.json"
     ).exists()
     if r14_done:
-        leftover = ROWS_ONLY_WINDOW_EXCEPTION & set(CHECK_FIRST)
-        assert not leftover, (
-            "the r13 liveness-refresh exception has expired — rotate "
-            f"these rows-only gates OUT of CHECK_FIRST: {sorted(leftover)}"
+        # the whole carve-out expires, not just its window membership:
+        # a lingering non-empty set is a reusable hole in the policy
+        assert not ROWS_ONLY_WINDOW_EXCEPTION, (
+            "the r13 liveness-refresh exception has expired — empty "
+            "ROWS_ONLY_WINDOW_EXCEPTION and rotate its members out of "
+            f"CHECK_FIRST: {sorted(ROWS_ONLY_WINDOW_EXCEPTION)}"
         )
 
 

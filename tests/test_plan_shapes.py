@@ -438,7 +438,9 @@ def test_tercile_consumers_default_to_cutpoint():
     modes explicit un-pinned the defaults): the registered v6/CCNet
     gates run their DEFAULT arguments, so a silent default flip back to
     'window' would regress every default plan to the per-language
-    single-task sort with zero other test signal."""
+    single-task sort with zero other test signal. The default PLAN
+    shape itself is covered by the signature pin here plus the explicit
+    cutpoint plan test below — the same composition, compiled once."""
     import inspect
 
     from csv2db_spark.queries.analytics2 import ccnet_buckets
@@ -447,22 +449,6 @@ def test_tercile_consumers_default_to_cutpoint():
     for fn in (ccnet_buckets, curation_v6_pipeline):
         got = inspect.signature(fn).parameters["rank_mode"].default
         assert got == "cutpoint", f"{fn.__name__} rank_mode default: {got}"
-
-
-def test_ccnet_default_plan_has_no_whole_group_sort(spark, sf_dir):
-    """The DEFAULT-argument ccnet plan (not an explicit mode) must be
-    the cutpoint shape: no ntile, ranks keyed by the score bucket."""
-    from csv2db_spark.queries.analytics2 import ccnet_buckets
-
-    plan = (
-        ccnet_buckets(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "ntile" not in plan
-    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
-    assert rn_lines and all("_gr_b" in ln for ln in rn_lines)
 
 
 def test_ccnet_cutpoint_mode_has_no_whole_group_sort(spark, sf_dir):

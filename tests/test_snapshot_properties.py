@@ -75,7 +75,20 @@ def _df(spark, rows):
 @given(initial=_rows1, ops=st.lists(_op, min_size=1, max_size=6))
 @settings(**_SETTINGS)
 def test_snapshot_op_sequences_match_bag_model(spark, initial, ops):
-    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="c2s_fuzz_"))
+    # mkdtemp per EXAMPLE (tmp_path is function-scoped and hypothesis
+    # reuses the fixture across examples — create() would conflict);
+    # removed in the finally so fuzz runs don't litter /tmp
+    table_dir = tempfile.mkdtemp(prefix="c2s_fuzz_")
+    try:
+        _run_sequence(spark, table_dir, initial, ops)
+    finally:
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+
+
+def _run_sequence(spark, table_dir, initial, ops):
+    t = SnapshotTable(spark, table_dir)
     t.create(_df(spark, initial))
     model: dict[int, Counter] = {1: Counter(initial)}
     head = Counter(initial)
