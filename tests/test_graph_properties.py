@@ -91,6 +91,63 @@ def _brute_triangles(edges):
     return per_node
 
 
+def _model_k_core(edges, k):
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items()}
+
+
+@given(edges=_edges, k=st.sampled_from([2, 3]))
+@settings(**_SETTINGS)
+def test_k_core_fixpoint_matches_peeling_model(spark, edges, k):
+    """Fixpoint-mode k_core vs an order-free Python peel: the k-core is
+    unique (peeling is confluent), so any removal order must land on
+    the same surviving (node, within-core degree) set — including the
+    all-peeled empty core."""
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from csv2db_spark.operators.graph import k_core
+
+    got = {r.node: r.degree for r in k_core(df, k).collect()}
+    assert got == _model_k_core(edges, k)
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_pagerank_step_matches_float_model(spark, edges):
+    """One power-iteration vs a Python replay of the documented math:
+    rank' = (1-d) + d * Σ rank_src/out_deg_src over INCOMING edges with
+    multiplicity (duplicate edges each contribute), dangling nodes
+    contributing nothing, in-degree-0 nodes at the (1-d) floor. The
+    1e-9 tolerance absorbs the decimal(28,12) contribution quantization
+    (bit-parity across engines is the oracle gates' job; the property
+    pins the math)."""
+    from csv2db_spark.operators.graph import pagerank_step
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank_step(df).collect()}
+    nodes = {n for e in edges for n in e}
+    out_deg: dict[int, int] = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    in_sum: dict[int, float] = {}
+    for s, d_ in edges:
+        in_sum[d_] = in_sum.get(d_, 0.0) + 1.0 / out_deg[s]
+    want = {n: 0.15 + 0.85 * in_sum.get(n, 0.0) for n in nodes}
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
+
+
 @given(edges=_edges, span_gate=st.sampled_from([0, 4096]))
 @settings(**_SETTINGS)
 def test_triangle_count_matches_brute_force_both_paths(
