@@ -148,6 +148,38 @@ def test_pagerank_step_matches_float_model(spark, edges):
         assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
 
 
+# forests: node i (2..n) optionally points at a lower-numbered parent —
+# acyclic and single-parent by construction, arbitrary depth/branching
+_forest = st.lists(st.integers(0, 10), min_size=1, max_size=14).map(
+    lambda picks: [
+        (i + 2, (p % (i + 1)) + 1)
+        for i, p in enumerate(picks)
+        if p != 0  # 0 = this node joins as a root (no edge)
+    ]
+).filter(lambda es: es)
+
+
+@given(edges=_forest)
+@settings(**_SETTINGS)
+def test_resolve_hierarchy_matches_pointer_walk(spark, edges):
+    """Pointer-doubling root/depth vs a naive parent-at-a-time walk:
+    log-rounds compression must land on the same (root, depth) for
+    every node of the forest, at any depth the generator produces."""
+    from csv2db_spark.operators.graph import resolve_hierarchy
+
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {r.node: (r.root, r.depth) for r in resolve_hierarchy(df).collect()}
+    parent = {c: p for c, p in edges}
+    want = {}
+    for n in {x for e in edges for x in e}:
+        d, cur = 0, n
+        while cur in parent:
+            cur = parent[cur]
+            d += 1
+        want[n] = (cur, d)
+    assert got == want
+
+
 @given(edges=_edges, span_gate=st.sampled_from([0, 4096]))
 @settings(**_SETTINGS)
 def test_triangle_count_matches_brute_force_both_paths(

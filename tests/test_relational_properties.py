@@ -92,6 +92,54 @@ def test_scd2_build_intervals_tile_the_change_sequence(spark, changes):
     assert got == sorted(want)
 
 
+_events = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2]),  # user
+        st.integers(0, 400),  # seconds offset — clusters AND gaps vs 60s
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(events=_events)
+@settings(**_SETTINGS)
+def test_sessionize_matches_gap_replay(spark, events):
+    """Gap-based session assignment vs a per-user replay: a session
+    breaks exactly when the gap is STRICTLY exceeded (ts == prev + gap
+    stays in-session), duplicate timestamps tie-break on event_id, and
+    session ids are 1-based per user in time order."""
+    import datetime as dt
+
+    from csv2db_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (eid, u, t0 + dt.timedelta(seconds=s))
+        for eid, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r.event_id: r.session_id
+        for r in sessionize(df, gap="60 seconds").collect()
+    }
+    want = {}
+    by_user: dict[int, list] = {}
+    for eid, u, ts in rows:
+        by_user.setdefault(u, []).append((ts, eid))
+    for u, seq in by_user.items():
+        seq.sort()
+        sid, prev = 0, None
+        for ts, eid in seq:
+            if prev is None or (ts - prev).total_seconds() > 60:
+                sid += 1
+            want[eid] = sid
+            prev = ts
+    assert got == want
+
+
 _base = st.dictionaries(
     st.integers(0, 6), st.integers(-9, 9), min_size=0, max_size=5
 )
