@@ -34,15 +34,10 @@ def test_every_registered_gate_cited_in_survey():
 
 # Round-13 exception to the round-7 only-oracle-gates window policy:
 # VERDICT r12 item 3 explicitly asked for the 10 rows-only liveness
-# gates' driver records (stale r06; one missing entirely) to be
-# refreshed "in a green r13 window", overriding the r6 burned-slots
-# rule for exactly one round. Empty this set at the r14 rotation.
-ROWS_ONLY_WINDOW_EXCEPTION = frozenset({
-    "q_agg_approx_distinct", "q_agg_approx_percentile",
-    "q_embed_pca_project", "q_sim_ann_pq", "q_sim_ann_ivfpq",
-    "q_text_bpe_train", "q_dedup_minhash_lsh_xxh", "q_sim_ann_lsh",
-    "q_sim_ann_ivf", "q_stream_stateful_ewma",
-})
+# gates' driver records to be refreshed in a green r13 window. That
+# refresh happened (CORRECTNESS_r13: all 10 recorded) and the r14
+# rotation emptied this set per the carve-out's own expiry contract.
+ROWS_ONLY_WINDOW_EXCEPTION: frozenset[str] = frozenset()
 
 
 def test_correctness_window_contains_only_oracle_gates():
@@ -78,15 +73,16 @@ def test_correctness_window_contains_only_oracle_gates():
         )
     import pathlib
 
-    # deadline trigger: CORRECTNESS_r13.json is written by the driver
-    # at the END of round 13 and the judge re-runs this suite on that
-    # same tree — so the r13 record must NOT trip the assert. The r14
-    # record is the deadline: by the time it exists, the r14 rotation
-    # must have dropped every rows-only gate from the window.
-    r14_done = (
-        pathlib.Path(__file__).resolve().parent.parent
-        / "CORRECTNESS_r14.json"
-    ).exists()
+    # deadline trigger (ADVICE r13: glob any later-round record, not
+    # just the exact r14 filename, so the expiry can never silently
+    # miss): by the time any post-r13 driver record exists, the
+    # rotation must have dropped every rows-only gate from the window.
+    root = pathlib.Path(__file__).resolve().parent.parent
+    r14_done = bool(
+        [p for p in root.glob("CORRECTNESS_r*.json")
+         if p.stem.removeprefix("CORRECTNESS_r").isdigit()
+         and int(p.stem.removeprefix("CORRECTNESS_r")) >= 14]
+    )
     if r14_done:
         # the whole carve-out expires, not just its window membership:
         # a lingering non-empty set is a reusable hole in the policy
