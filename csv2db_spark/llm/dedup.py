@@ -1010,6 +1010,9 @@ def containment_pairs(
     min_permille: int = 700,
     key: str = "s",
     max_doc_freq: int | None = None,
+    pair_filter: str | None = None,
+    materialize: str = "local",
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Asymmetric shingle containment C(A→B) = |S(A)∩S(B)| / |S(A)| —
     the quote / sub-document detector (Broder's containment, the measure
@@ -1038,27 +1041,71 @@ def containment_pairs(
     lambdas evaluate interpreted over a corpus-sized posting table —
     the same HOF lesson as the signature pass — where minhash applies
     them only to the tiny >=2-member band buckets. The two-sided SMJ
-    stays."""
+    stays.
+
+    Round-14 shape (guide §2.4 — share one exchange, materialize the
+    multi-consumer boundary): the postings table is consumed THREE
+    times (both self-join legs + the size census) and its prep chain
+    (per-doc dedup, df census, stop-shingle anti) was replanned per
+    consumer — the final AQE plan at sf0.1 carried 19 Exchanges / 21
+    FileScans with only 2 reused. Now ONE ``repartition(key)`` exchange
+    serves everything: the (doc_id, key) dedup and the df census both
+    reuse the key-clustering (aggregate keys ⊇ partition key), the
+    postings are sorted by ``key`` within partitions, and the prepared
+    table is materialized once (``operators/stage.materialize_stage``;
+    eager localCheckpoint preserves partitioning AND ordering through
+    LogicalRDD), so the SMJ legs need no exchange and no sort. Two
+    corpus-sized exchanges total: the repartition and the pair-count
+    aggregate. ``materialize='reliable'`` + ``stage_path`` stages via
+    durable parquet at cluster scale (same knob as curation v6);
+    ``materialize='none'`` keeps the lazy recompute plan.
+
+    ``pair_filter='a_gt_b'`` restricts the join to doc_a > doc_b pairs
+    BEFORE the pair-count aggregate (guide §2.3 — shuffle fewer bytes):
+    consumers that only ever keep that direction (curation v6's
+    keep-smaller-id drop rule) halve the join output and the aggregate
+    traffic; emitted rows are bit-identical to filtering afterwards.
+
+    Input need not be pre-deduplicated: per-doc distinct is enforced
+    here (on the shared exchange), so callers should pass
+    ``shingle_table(..., distinct=False)`` and skip the upstream
+    dedup shuffle entirely."""
+    from csv2db_spark.operators.stage import materialize_stage
+
+    dd = exploded.repartition(F.col(key)).dropDuplicates(["doc_id", key])
     if max_doc_freq is not None:
+        # after the per-doc dedup, doc frequency is a plain count —
+        # count_distinct would pay a second corpus aggregate for nothing
         hot = (
-            exploded.groupBy(key)
-            .agg(F.count_distinct("doc_id").alias("_df"))
+            dd.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_df"))
             .where(F.col("_df") > max_doc_freq)
             .select(key)
         )
-        exploded = exploded.join(F.broadcast(hot), key, "anti")
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    e1, e2 = exploded.alias("e1"), exploded.alias("e2")
+        dd = dd.join(F.broadcast(hot), key, "anti")
+    dd = dd.sortWithinPartitions(key)
+    if materialize != "none":
+        dd = materialize_stage(dd, mode=materialize, path=stage_path)
+    sizes = dd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    e1, e2 = dd.alias("e1"), dd.alias("e2")
     # the postings self-join must NEVER broadcast: both sides are the
     # exploded corpus, and Catalyst's size estimate of an exploded
     # intermediate undershoots badly enough to pick a corpus-sized
     # BroadcastExchange (observed OOM at sf0.1 inside a composed
     # pipeline). merge-hint pins the sort-merge plan — the only shape
-    # that survives 100 TB postings anyway.
+    # that survives 100 TB postings anyway (and after the shared
+    # repartition+sort above it runs exchange-free and sort-free).
+    if pair_filter not in (None, "a_gt_b"):
+        raise ValueError(f"unknown pair_filter {pair_filter!r}")
+    pair_cond = (
+        F.col("e1.doc_id") > F.col("e2.doc_id")
+        if pair_filter == "a_gt_b"
+        else F.col("e1.doc_id") != F.col("e2.doc_id")
+    )
     inter = (
         e1.hint("merge")
         .join(e2, F.col(f"e1.{key}") == F.col(f"e2.{key}"))
-        .where(F.col("e1.doc_id") != F.col("e2.doc_id"))
+        .where(pair_cond)
         .groupBy(
             F.col("e1.doc_id").alias("doc_a"),
             F.col("e2.doc_id").alias("doc_b"),

@@ -1528,8 +1528,20 @@ def curation_v6_pipeline(
     # round-8). The shingle subtree still reads only (doc_id, text):
     # Catalyst prunes lang/source below the explode.
     aug = augmented_docs(spark, sf_dir, with_meta=True)
-    ex = D.shingle_table(aug.select("doc_id", "text"))
-    cont = D.containment_pairs(ex, min_permille=900, max_doc_freq=64)
+    # distinct=False + pair_filter: containment_pairs dedups (doc_id, s)
+    # on its own shared postings exchange (round-14), and this pipeline
+    # only ever keeps the doc_a > doc_b direction, so the directed
+    # filter runs BEFORE the pair-count aggregate — half the pair
+    # shuffle for bit-identical drop decisions (guide §2.3).
+    ex = D.shingle_table(aug.select("doc_id", "text"), distinct=False)
+    cont = D.containment_pairs(
+        ex,
+        min_permille=900,
+        max_doc_freq=64,
+        pair_filter="a_gt_b",
+        materialize=materialize,
+        stage_path=stage_path,
+    )
     dropped = (
         cont.where(F.col("doc_a") > F.col("doc_b"))
         .select(F.col("doc_a").alias("doc_id"))

@@ -2166,8 +2166,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     their originals even where Jaccard would sit below a dedup
     threshold. Stop-shingle cap (df > 64) applied to numerator and
     denominator; threshold enforced by integer permille — every
-    emitted pair hash-verified."""
-    ex = D.shingle_table(augmented_docs(spark, sf_dir))
+    emitted pair hash-verified. distinct=False: containment_pairs
+    dedups (doc_id, s) itself on its shared postings exchange
+    (round-14), so the upstream dedup shuffle would be pure waste."""
+    ex = D.shingle_table(augmented_docs(spark, sf_dir), distinct=False)
     return D.containment_pairs(ex, min_permille=700, max_doc_freq=64)
 
 
