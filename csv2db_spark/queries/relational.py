@@ -18,12 +18,14 @@ from pyspark.sql import types as T
 from csv2db_spark.functions.numeric import (
     davg,
     dsum,
+    dsum_unscaled,
     money,
     rate,
     sql_davg,
     sql_dsum,
     sql_money,
     sql_rate,
+    unscaled,
 )
 from csv2db_spark.operators import asof_join, range_join, top_k
 from csv2db_spark.operators.runtime_filter import bitset_prefilter_join
@@ -36,8 +38,12 @@ _REV = "cast(sum({m} * (1 - {r})) as double)".format(
 
 
 def _revenue():
-    return F.sum(money("l_extendedprice") * (F.lit(1) - rate("l_discount"))).cast(
-        "double"
+    # round-14 unscaled fast path — bit-identical to
+    # cast(sum(money*(1-rate)) as double); see functions/numeric.py
+    return dsum_unscaled(
+        unscaled("l_extendedprice", 12, 2)
+        * (F.lit(100) - unscaled("l_discount", 4, 2)),
+        4,
     )
 
 
