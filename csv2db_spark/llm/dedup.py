@@ -1052,11 +1052,12 @@ def containment_pairs(
     serves everything: the (doc_id, key) dedup and the df census both
     reuse the key-clustering (aggregate keys ⊇ partition key), the
     postings are sorted by ``key`` within partitions, and the prepared
-    table is materialized once (``operators/stage.materialize_stage``;
-    eager localCheckpoint preserves partitioning AND ordering through
-    LogicalRDD), so the SMJ legs need no exchange and no sort. Two
-    corpus-sized exchanges total: the repartition and the pair-count
-    aggregate. ``materialize='reliable'`` + ``stage_path`` stages via
+    table is materialized once (``operators/stage.materialize_stage``
+    with ``preserve_partitioning=True`` — plain localCheckpoint under
+    AQE reports UnknownPartitioning and hands both exchanges and sorts
+    right back, see stage.py), so the SMJ legs need no exchange and no
+    sort. Two corpus-sized exchanges total: the repartition and the
+    pair-count aggregate. ``materialize='reliable'`` + ``stage_path`` stages via
     durable parquet at cluster scale (same knob as curation v6);
     ``materialize='none'`` keeps the lazy recompute plan.
 
@@ -1085,7 +1086,12 @@ def containment_pairs(
         dd = dd.join(F.broadcast(hot), key, "anti")
     dd = dd.sortWithinPartitions(key)
     if materialize != "none":
-        dd = materialize_stage(dd, mode=materialize, path=stage_path)
+        dd = materialize_stage(
+            dd,
+            mode=materialize,
+            path=stage_path,
+            preserve_partitioning=True,
+        )
     sizes = dd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     e1, e2 = dd.alias("e1"), dd.alias("e2")
     # the postings self-join must NEVER broadcast: both sides are the

@@ -34,7 +34,10 @@ from pyspark.sql import DataFrame
 
 
 def materialize_stage(
-    df: DataFrame, mode: str = "local", path: str | None = None
+    df: DataFrame,
+    mode: str = "local",
+    path: str | None = None,
+    preserve_partitioning: bool = False,
 ) -> DataFrame:
     """Materialize a pipeline stage boundary once (see module doc).
 
@@ -50,9 +53,34 @@ def materialize_stage(
     ``vacuum_stages(path)`` (age-gated, mirroring
     ``snapshots.SnapshotTable.vacuum``) or by deleting ``path``
     wholesale between runs.
+
+    ``preserve_partitioning=True`` (``local`` mode only): carry the
+    stage's physical hash-partitioning and sort order through the
+    checkpoint so downstream joins/aggregates on the same keys plan
+    exchange-free and sort-free. ``Dataset.checkpoint`` copies the
+    executed plan's outputPartitioning/outputOrdering onto the
+    LogicalRDD, but under AQE the executed plan is an
+    AdaptiveSparkPlanExec that reports UnknownPartitioning — measured
+    on Spark 4.1: a repartition(k)+sortWithinPartitions stage
+    checkpointed with AQE on re-plans a downstream self-join with BOTH
+    exchanges and sorts back (guide §2.4). The flag disables AQE just
+    for the eager checkpoint build (restored in a finally), trading
+    AQE's coalesce/skew handling on that one staging job for the
+    preserved metadata every consumer then rides. Callers pick the
+    stage's partition count explicitly (their ``repartition`` call),
+    so the build job does not depend on AQE coalescing; production
+    sizes it via spark.sql.shuffle.partitions as usual.
     """
     if mode == "local":
-        return df.localCheckpoint(eager=True)
+        if not preserve_partitioning:
+            return df.localCheckpoint(eager=True)
+        conf = df.sparkSession.conf
+        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.localCheckpoint(eager=True)
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
     if mode == "reliable":
         if not path:
             raise ValueError("mode='reliable' requires a staging path")

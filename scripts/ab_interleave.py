@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Interleaved A/B timer: legs alternate OLD/NEW within ONE session so
+host noise hits both shapes equally (OPTIMIZATION_r14.md protocol).
+
+The OLD leg is produced by monkeypatching a named toggle; the NEW leg
+is the tree as-is. Usage:
+
+    python scripts/ab_interleave.py <toggle> q_a [q_b ...] [--reps N]
+
+Toggles are registered in TOGGLES below: each entry is (apply_old,
+undo_old) callables. Prints one JSON line per query with both series
+and the steal delta per leg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def steal() -> int:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
+def _toggle_preserve_partitioning():
+    """OLD = materialize_stage ignores preserve_partitioning."""
+    import csv2db_spark.operators.stage as stage
+
+    orig = stage.materialize_stage
+
+    def old(df, mode="local", path=None, preserve_partitioning=False):
+        return orig(df, mode=mode, path=path, preserve_partitioning=False)
+
+    def apply_old():
+        stage.materialize_stage = old
+        # consumers import the symbol inside the function body, so the
+        # module attribute swap is sufficient
+    def undo_old():
+        stage.materialize_stage = orig
+
+    return apply_old, undo_old
+
+
+TOGGLES = {
+    "preserve_partitioning": _toggle_preserve_partitioning,
+}
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reps = 4
+    for a in sys.argv[1:]:
+        if a.startswith("--reps"):
+            reps = int(a.split("=")[1])
+    toggle_name, names = args[0], args[1:]
+    apply_old, undo_old = TOGGLES[toggle_name]()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from csv2db_spark import get_spark
+    from csv2db_spark.registry import load_all_queries
+
+    spark = get_spark("ab-interleave")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = load_all_queries()
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    for name in names:
+        qd = queries[name]
+        for wd in ("/root/testdata/sf0.001", sf_dir):
+            noop(qd.fn(spark, wd))
+        res = {"old": {"series": [], "steal": 0},
+               "new": {"series": [], "steal": 0}}
+        for _ in range(reps):
+            for leg in ("old", "new"):
+                if leg == "old":
+                    apply_old()
+                try:
+                    s0, t0 = steal(), time.perf_counter()
+                    noop(qd.fn(spark, sf_dir))
+                    res[leg]["series"].append(
+                        round(time.perf_counter() - t0, 3))
+                    res[leg]["steal"] += steal() - s0
+                finally:
+                    if leg == "old":
+                        undo_old()
+        for leg in res:
+            res[leg]["best"] = min(res[leg]["series"])
+        print(json.dumps({"query": name, "toggle": toggle_name, **res}),
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
