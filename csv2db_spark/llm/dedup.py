@@ -777,37 +777,80 @@ def remove_duplicated_spans(
     Output: (doc_id, clean_text, n_tokens) — documents whose every
     token fell inside a doomed span drop out entirely (both engines).
 
-    Shape at scale: the occurrence ranking is a window over the digest
-    shuffle (no join); doomed windows merge to spans per doc; the cut
-    is a doc_id-keyed ANTI join of exploded token positions against the
-    span list (equi on doc_id + range residual — never a cartesian),
-    and the rebuild groupBy reuses the same doc_id partitioning. Cost
-    is corpus-linear + output-sized; no pairwise document join exists
-    anywhere."""
+    Shape at scale (round-14, guide §8 — decide with small rows, never
+    move the payload): the occurrence ranking is a window over the
+    digest shuffle (no join); doomed windows merge to spans per doc.
+    The CUT then happens on the document's token ARRAY in place: the
+    per-doc span list (small — sized by duplicated content, disjoint
+    sorted intervals by construction of the island merge) joins back to
+    the corpus on doc_id, and one row-local expression slices the kept
+    intervals out of the split array and rejoins them. The r13 shape
+    instead exploded every corpus token, anti-joined positions against
+    the spans, and re-shuffled ALL tokens by doc_id for a
+    collect_list/array_sort rebuild — two corpus-sized token passes
+    (explode + shuffle) replaced by zero; text never moves at all when
+    the span table broadcasts. The per-row lambdas here iterate over a
+    doc's SPANS (few), not its tokens — each slice() is one array copy,
+    so the rebuild stays O(tokens) per doc with no interpreted
+    per-token work (the round-8 HOF rule is about corpus-sized
+    per-element lambdas, which this is not)."""
     occ = _window_fingerprints(docs, text_col, w)
     rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "i"))
     doomed = occ.withColumn("_rn", rn).where(F.col("_rn") > 1).drop("_rn")
     spans = _merge_islands(doomed, w)
-    pos = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
-    ).select("doc_id", (F.col("p0") + 1).alias("i"), "tok")
-    kept = pos.join(
-        spans,
-        on=[
-            pos["doc_id"] == spans["doc_id"],
-            pos["i"].between(spans["span_start"], spans["span_end"]),
-        ],
-        how="left_anti",
+    sp_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            )
+        ).alias("_sp")
     )
-    ordered = F.array_sort(
-        F.collect_list(F.struct(F.col("i").alias("i"), F.col("tok").alias("tok")))
+    toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_t")
     )
-    # .getField on array<struct> is the codegen GetArrayStructFields
-    # projection — no interpreted per-element lambda
-    return kept.groupBy("doc_id").agg(
-        F.concat_ws(" ", ordered.getField("tok")).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_tokens"),
+    joined = toks.join(sp_doc, "doc_id", "left")
+    # kept intervals = the complement of the doomed spans inside
+    # [1, size(_t)]; spans are disjoint and sorted, so one fold builds
+    # the gap list and the closing lambda appends the tail interval.
+    # Docs the spans cover entirely produce an empty interval list and
+    # drop out — exactly the rows the anti-join shape lost.
+    ivs = F.expr(
+        """
+        aggregate(
+          coalesce(_sp, cast(array() as array<struct<s:bigint,e:bigint>>)),
+          named_struct(
+            'nxt', cast(1 as bigint),
+            'out', cast(array() as array<struct<s:bigint,e:bigint>>)),
+          (acc, x) -> named_struct(
+            'nxt', x.e + 1,
+            'out', if(x.s > acc.nxt,
+                      concat(acc.out, array(named_struct(
+                        's', acc.nxt, 'e', x.s - cast(1 as bigint)))),
+                      acc.out)),
+          acc -> if(acc.nxt <= size(_t),
+                    concat(acc.out, array(named_struct(
+                      's', acc.nxt, 'e', cast(size(_t) as bigint)))),
+                    acc.out)
+        )
+        """
+    )
+    return (
+        joined.withColumn("_ivs", ivs)
+        .where(F.size("_ivs") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(flatten(transform(_ivs, iv ->"
+                " slice(_t, cast(iv.s as int),"
+                " cast(iv.e - iv.s + 1 as int)))), ' ')"
+            ).alias("clean_text"),
+            F.expr(
+                "aggregate(_ivs, cast(0 as bigint),"
+                " (a, iv) -> a + iv.e - iv.s + 1)"
+            ).alias("n_tokens"),
+        )
     )
 
 

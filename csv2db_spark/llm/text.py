@@ -254,12 +254,33 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(l1.isNotNull(), F.concat_ws(" ", "w", l1)).alias("g2"),
         F.when(l2.isNotNull(), F.concat_ws(" ", "w", l1, l2)).alias("g3"),
     )
-    tagged = grams.where(F.col("g2").isNotNull()).select(
-        "doc_id", F.lit(2).alias("n"), F.col("g2").alias("g")
-    ).unionAll(
-        grams.where(F.col("g3").isNotNull()).select(
-            "doc_id", F.lit(3).alias("n"), F.col("g3").alias("g")
+    # tag both gram sizes in ONE pass: explode a 2-element array of
+    # tagged structs (null when that gram doesn't exist at this
+    # position) — the 2-way unionAll shape this replaces replanned the
+    # explode+window subtree once per leg, doubling the dominant cost
+    # (round-14, guide §2.4)
+    tagged = (
+        grams.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.when(
+                        F.col("g2").isNotNull(),
+                        F.struct(
+                            F.lit(2).alias("n"), F.col("g2").alias("g")
+                        ),
+                    ),
+                    F.when(
+                        F.col("g3").isNotNull(),
+                        F.struct(
+                            F.lit(3).alias("n"), F.col("g3").alias("g")
+                        ),
+                    ),
+                )
+            ).alias("t"),
         )
+        .where(F.col("t").isNotNull())
+        .select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
     )
     counts = tagged.groupBy("doc_id", "n", "g").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -359,6 +380,15 @@ def bm25_topk(
     non-query terms), (doc, term) tf counts, a |terms|-row df broadcast,
     a 1-row corpus-stats broadcast, and a TakeOrdered top-k with doc-id
     tiebreak. Linear in corpus size, output k rows.
+
+    Round-14 (guide §2.4): tf and dl are each consumed twice (tf by the
+    scoring join AND the df broadcast; dl by the length join AND the
+    corpus-stats aggregate), and without a boundary each consumer
+    replanned its whole corpus subtree — the sf0.1 plan parsed/split
+    the corpus text FOUR times. Both are checkpointed once: tf is tiny
+    (docs containing a query term x |terms|), dl is |docs| rows of two
+    longs; the corpus is now read and split exactly twice (the explode
+    pass and the length pass), the minimum this shape needs.
     """
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
@@ -366,7 +396,7 @@ def bm25_topk(
     dl = docs.select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).alias("dl"),
-    )
+    ).localCheckpoint(eager=True)
     stats = F.broadcast(
         dl.agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -377,6 +407,7 @@ def bm25_topk(
         toks.where(F.col("t").isin(*terms))
         .groupBy(id_col, "t")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df_t = F.broadcast(
         tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
@@ -630,9 +661,15 @@ def bigram_lm_scores(
     # codegen on every corpus row (see PLANS.md round-6 HOF pitfalls)
     occ = _occurrences(docs)
     model_occ = occ if train_docs is None else _occurrences(train_docs)
+    # checkpoint the pair-count table: it feeds BOTH the prefix fold
+    # and the scoring join, and without a boundary each consumer
+    # replanned the model corpus' explode+aggregate — the sf0.1 gate
+    # plan carried THREE corpus bigram explodes where two are the
+    # minimum (round-14, guide §2.4). The table is |distinct bigrams|
+    # rows — vocabulary-sized, far below the corpus it folds.
     pair_counts = model_occ.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("cnt_pair")
-    )
+    ).localCheckpoint(eager=True)
     prefix_counts = pair_counts.groupBy("a").agg(
         F.sum("cnt_pair").alias("cnt_prefix")
     )

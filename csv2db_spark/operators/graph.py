@@ -390,10 +390,13 @@ def triangle_count(
         .join(closing, ["b", "c"])
         .select(F.col("x").alias("a"), "b", "c")
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # credit all three corners by exploding ONE pass over the triangle
+    # set — the 3-way unionAll shape replanned the wedge join (the
+    # expensive subtree) once PER LEG, tripling the dominant cost
+    # (round-14, guide §2.4: share the subtree instead of re-deriving
+    # it per consumer). Same rows, same counts.
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
@@ -456,6 +459,14 @@ def _triangle_count_bitmap(e: DataFrame, mn: int, span: int) -> DataFrame:
             for w in range(n_words)
         ]
     )
+    # the adjacency table is consumed by BOTH broadcast legs below; its
+    # build is the 2|E|-row x n_words-expression aggregate, and without
+    # a boundary each leg replans it into its own BroadcastExchange
+    # (observed at sf0.1: FOUR adjacency builds in one gate plan —
+    # 2 legs x the 2-way corner union this path used to share with the
+    # general path). Checkpoint once: span <= dense_node_span rows of
+    # n_words longs, KB-to-MB sized (round-14, guide §2.4).
+    adj = adj.localCheckpoint(eager=True)
     a = adj.select(
         F.col("u").alias("lo"), *[F.col(f"w{w}").alias(f"a{w}") for w in range(n_words)]
     )
@@ -471,8 +482,11 @@ def _triangle_count_bitmap(e: DataFrame, mn: int, span: int) -> DataFrame:
         .join(F.broadcast(b), "hi")
         .select("lo", "hi", common.alias("c"))
     )
-    corners = per_edge.select(F.col("lo").alias("node"), "c").unionAll(
-        per_edge.select(F.col("hi").alias("node"), "c")
+    # one pass over per_edge, exploding the two endpoints — the 2-way
+    # unionAll replanned the per-edge popcount join (and its adjacency
+    # builds) once per leg (round-14, guide §2.4)
+    corners = per_edge.select(
+        F.explode(F.array("lo", "hi")).alias("node"), "c"
     )
     return (
         corners.groupBy("node")

@@ -1559,6 +1559,13 @@ def curation_v6_pipeline(
         F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     )
     scored = bigram_lm_scores(kept1, train_docs=ref)
+    # second stage boundary (round-14, guide §2.4): `scored` feeds the
+    # tercile histogram, the rank attach, AND (via n_bigrams) the final
+    # rollup — without it the sf0.1 plan evaluated the whole LM-scoring
+    # subtree (kept1 bigram explode + model join) THREE times. The
+    # table is |kept1| rows of four numbers, far lighter than the
+    # text corpus the same knob already stages for kept1.
+    scored = materialize_stage(scored, mode=materialize, path=stage_path)
     from csv2db_spark.operators.ranking import grouped_ntile
 
     bucketed = grouped_ntile(

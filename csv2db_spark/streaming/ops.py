@@ -1089,6 +1089,11 @@ def stream_minhash_dedup(
                 F.greatest("a.doc_id", "n.doc_id").alias("doc_b"),
             )
             .distinct()
+            # bounded candidate set consumed FOUR times below (both id
+            # legs + both verify joins); without the boundary each
+            # consumer replanned the whole band join over the store
+            # (round-14, guide §2.4)
+            .localCheckpoint(eager=True)
         )
         ids = (
             cand.select(F.col("doc_a").alias("doc_id"))
