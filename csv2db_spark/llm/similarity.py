@@ -91,6 +91,39 @@ def cos_from_parts(dot: Column, nrm2_a: Column, nrm2_b: Column) -> Column:
     )
 
 
+def _topk_per_query(
+    scored: DataFrame,
+    k: int,
+    order: list,
+    shard_on: str = "neighbor_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Exact per-query top-k in TWO window stages (round-14, guide
+    §2.5 skew): a single ``Window.partitionBy(query_id)`` over a
+    corpus-sized scored table sorts |corpus| rows on ONE reduce task
+    per query — the classic straggler once the corpus outgrows a task.
+    Stage 1 ranks within (query_id, shard) — the deterministic shard
+    key spreads each query's rows over ``n_shards`` tasks — and keeps
+    k rows per shard; stage 2 ranks the surviving k*n_shards rows per
+    query. Every global top-k row has shard-rank <= its global rank
+    <= k, so stage 1 never drops a winner and the output (including
+    the rank column, produced only by stage 2 under the identical
+    total order) is bit-identical to the one-window form. Total
+    shuffle bytes are unchanged; the per-query sort bound drops from
+    |corpus| to k * n_shards rows."""
+    shard = F.pmod(F.xxhash64(F.col(shard_on)), F.lit(n_shards))
+    w1 = Window.partitionBy(F.col("query_id"), shard).orderBy(*order)
+    pruned = (
+        scored.withColumn("_srn", F.row_number().over(w1))
+        .where(F.col("_srn") <= k)
+        .drop("_srn")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -113,14 +146,9 @@ def cosine_topk(
             F.col("c_nrm2"),
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _topk_per_query(
+        scored, k, [F.col("cos_sim").desc(), F.col("neighbor_id")]
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
 # ------------------------------------------------------------------ LSH ANN
@@ -861,12 +889,11 @@ def hamming_topk(
             F.bit_count(F.expr("signature ^ sig_q")).alias("hamming"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "hamming", "rank")
-    )
+    # two-stage exact top-k: the corpus-sized scored table never sorts
+    # on one task per query (see _topk_per_query)
+    return _topk_per_query(
+        scored, k, [F.col("hamming"), F.col("neighbor_id")]
+    ).select("query_id", "neighbor_id", "hamming", "rank")
 
 
 def hamming_rerank_topk(

@@ -47,8 +47,33 @@ def _toggle_preserve_partitioning():
     return apply_old, undo_old
 
 
+def _toggle_single_window_topk():
+    """OLD = _topk_per_query ranks with one per-query window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import csv2db_spark.llm.similarity as sim
+
+    orig = sim._topk_per_query
+
+    def old(scored, k, order, shard_on="neighbor_id", n_shards=64):
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+
+    def apply_old():
+        sim._topk_per_query = old
+
+    def undo_old():
+        sim._topk_per_query = orig
+
+    return apply_old, undo_old
+
+
 TOGGLES = {
     "preserve_partitioning": _toggle_preserve_partitioning,
+    "single_window_topk": _toggle_single_window_topk,
 }
 
 
