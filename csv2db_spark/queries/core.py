@@ -16,13 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csv2db_spark.functions.numeric import (
-    davg_unscaled,
-    dsum_unscaled,
+    davg,
+    dsum,
+    money,
+    rate,
     sql_davg,
     sql_dsum,
     sql_money,
     sql_rate,
-    unscaled,
 )
 from csv2db_spark.registry import query
 from csv2db_spark.sources import load_table
@@ -49,32 +50,34 @@ GROUP BY l_returnflag, l_linestatus
 
 @query("q01_pricing_summary", oracle=_ORACLE, bench=True)
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Round-14 (guide §1.2 per-task work): the six exact-decimal
-    # aggregates run in the unscaled-integer fast path — same decimal
-    # casts, integer products in codegen longs, one decimal(38,0) sum +
-    # exact rescale per output — bit-identical to the all-decimal form
-    # the oracle keeps (functions/numeric.py docs the equivalence and
-    # the overflow domain). Measured 1.48 → ~0.8 s at sf0.1: the
-    # three-factor charge product alone was a per-row 38-digit
-    # BigDecimal before.
+    # Round-14 NEGATIVE RESULT (guide §1.1 — re-measure in the real
+    # harness): the unscaled-integer fast path (functions/numeric.py)
+    # was applied here early in the round on the strength of an
+    # isolated one-aggregate measurement (1.14 vs 0.61 s for the charge
+    # product), but the GATE-level interleaved two-tree A/B showed the
+    # full q01 consistently ~0.25-0.3 s SLOWER with it (quiet-leg
+    # floors 1.35/1.40/1.78 all-decimal vs 1.65/1.66/2.06 unscaled over
+    # three leg-pairs): extracting each unscaled value costs a per-row
+    # DECIMAL multiply by 10^s per column, which at seven aggregates
+    # outweighs the BigDecimal products it avoids, while the simple
+    # sums (qty, base price) stay compact-long decimal adds either way.
+    # Reverted to the all-decimal form; the unscaled helpers remain for
+    # shapes where the product, not the extraction, dominates (the
+    # shared _revenue() aggregate measured flat and keeps them).
     li = load_table(spark, sf_dir, "lineitem")
-    qty_c = unscaled("l_quantity")  # 10^2 * decimal(18,2)
-    ep_c = unscaled("l_extendedprice", 12, 2)
-    d_c = unscaled("l_discount", 4, 2)
-    t_c = unscaled("l_tax", 4, 2)
-    disc_u = ep_c * (F.lit(100) - d_c)  # unscaled at 10^-4
-    charge_u = disc_u * (F.lit(100) + t_c)  # unscaled at 10^-6
+    disc_price = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    charge = disc_price * (F.lit(1) + rate("l_tax"))
     return (
         li.where(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum_unscaled(qty_c, 2).alias("sum_qty"),
-            dsum_unscaled(ep_c, 2).alias("sum_base_price"),
-            dsum_unscaled(disc_u, 4).alias("sum_disc_price"),
-            dsum_unscaled(charge_u, 6).alias("sum_charge"),
-            davg_unscaled(qty_c, 2).alias("avg_qty"),
-            davg_unscaled(ep_c, 2).alias("avg_price"),
-            davg_unscaled(d_c, 2).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice", 12, 2).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice", 12, 2).alias("avg_price"),
+            davg("l_discount", 4, 2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
