@@ -257,11 +257,19 @@ def q_dedup_minhash_lsh_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    from csv2db_spark.operators.stage import materialize_stage
+
     # exploded (all-codegen) hashset build: measured 2.31 s vs 3.28 s
     # for the interpreted-HOF variant end-to-end at sf0.1, identical
-    # pair set — PLANS.md round-7 xxh measurement
-    hs = D.minhash_doc_hashsets_xxh_exploded(
-        docs.join(F.broadcast(ids), "doc_id")
+    # pair set — PLANS.md round-7 xxh measurement. The build is
+    # checkpointed because it feeds BOTH join legs (sa and sb): without
+    # the boundary each leg re-plans the corpus scan + shingle explode
+    # + collect_set, doubling the gate's corpus passes; the table is
+    # bounded by the candidate set, so the checkpoint is tiny.
+    hs = materialize_stage(
+        D.minhash_doc_hashsets_xxh_exploded(
+            docs.join(F.broadcast(ids), "doc_id")
+        )
     )
     sa = hs.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
     sb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
@@ -305,10 +313,18 @@ def q_dedup_minhash_xxh_precision(spark: SparkSession, sf_dir: str) -> DataFrame
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    ss = docs.join(F.broadcast(ids), "doc_id").where(
-        F.size(tokens("text")) >= 3
-    ).select(
-        "doc_id", F.array_distinct(shingles(tokens("text"))).alias("sset")
+    from csv2db_spark.operators.stage import materialize_stage
+
+    # checkpointed for the same two-consumer reason as the gate's hset
+    # build: sa and sb would otherwise each re-plan the corpus scan +
+    # string-shingle set build; bounded by the emitted pair set.
+    ss = materialize_stage(
+        docs.join(F.broadcast(ids), "doc_id")
+        .where(F.size(tokens("text")) >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(shingles(tokens("text"))).alias("sset"),
+        )
     )
     sa = ss.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa"))
     sb = ss.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb"))
