@@ -640,8 +640,27 @@ def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
     score = F.length("text").cast("double") / (F.lit(1) + spaces)
+    # cutpoint rank (round-14, guide §2.5): the window mode sorts each
+    # whole language on one task — the straggler shape once a language
+    # outgrows a task. The histogram-offset rank is bit-identical
+    # (pinned in tests/test_runtime_ops.py) and never sorts a group;
+    # the bucket coarsens the continuous score so the histogram stays
+    # bounded (see operators/ranking.grouped_rank). The scored sample
+    # (three narrow columns, no text) is checkpointed first because the
+    # cutpoint plan has three consumers (histogram, tie-rank join leg,
+    # group totals) — the v6 pattern from §3.10.
+    from csv2db_spark.operators.stage import materialize_stage
+
+    scored = materialize_stage(
+        samp.select("doc_id", "lang", score.alias("quality_score"))
+    )
     kept_ids = C.quantile_filter(
-        samp, score, group_col="lang", drop_frac=0.25
+        scored,
+        F.col("quality_score"),
+        group_col="lang",
+        drop_frac=0.25,
+        rank_mode="cutpoint",
+        rank_bucket=F.floor(F.col("quality_score") * 4096),
     ).select("doc_id")
     kept = samp.join(kept_ids, "doc_id")
     exact = kept.groupBy("lang", "text").agg(F.min("doc_id").alias("doc_id"))
