@@ -192,6 +192,8 @@ def pagerank_step(
     src: str = "src",
     dst: str = "dst",
     damping: float = 0.85,
+    nodes: DataFrame | None = None,
+    out_deg: DataFrame | None = None,
 ) -> DataFrame:
     """One PageRank power-iteration over a directed edge list — the
     canonical link-graph quality signal for web-scale corpus curation
@@ -217,18 +219,27 @@ def pagerank_step(
     nothing; nodes with no in-edges get the (1-d) floor via the
     right-side union. Driver steers iterations, data never leaves
     executors (same pattern as connected_components above).
+
+    ``nodes`` / ``out_deg`` let an iterating caller pass the
+    LOOP-INVARIANT node set and out-degree table in precomputed
+    (round-14, guide §2.4): both depend only on the edge list, so
+    recomputing them inside every power iteration paid two edge-list
+    aggregations per round for identical results. ``pagerank`` below
+    computes each once on the checkpointed edges.
     """
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    nodes = (
-        e.select(F.col("_src").alias("node"))
-        .unionByName(e.select(F.col("_dst").alias("node")))
-        .distinct()
-    )
+    if nodes is None:
+        nodes = (
+            e.select(F.col("_src").alias("node"))
+            .unionByName(e.select(F.col("_dst").alias("node")))
+            .distinct()
+        )
     if ranks is None:
         ranks = nodes.withColumn("rank", F.lit(1.0))
-    out_deg = e.groupBy(F.col("_src").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
+    if out_deg is None:
+        out_deg = e.groupBy(F.col("_src").alias("node")).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
     contrib = (
         e.join(ranks.join(out_deg, "node"), F.col("_src") == F.col("node"))
         .select(
@@ -272,12 +283,35 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     e = e.localCheckpoint(eager=True)
+    # loop-invariant node set and out-degrees: one pass each over the
+    # checkpointed edges instead of two edge aggregations per round
+    # (round-14, guide §2.4)
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = (
+        e.groupBy(F.col("_src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = None
     for _ in range(max_iter):
         new_ranks = pagerank_step(
-            e, ranks=ranks, src="_src", dst="_dst", damping=damping
+            e,
+            ranks=ranks,
+            src="_src",
+            dst="_dst",
+            damping=damping,
+            nodes=nodes,
+            out_deg=out_deg,
         ).localCheckpoint(eager=True)
-        if ranks is not None:
+        # tol <= 0 pins exactly max_iter rounds (the q_graph_pagerank_k3
+        # contract): the L-inf delta can never go below a non-positive
+        # tol, so skip its per-round |nodes| join + driver collect
+        if ranks is not None and tol > 0:
             delta = (
                 new_ranks.alias("n")
                 .join(ranks.alias("o"), "node")
@@ -595,16 +629,22 @@ def label_propagation(
     small constant (label coverage saturates geometrically), so the
     total is O(rounds·|E|) with no driver-side state.
     """
+    # round-14 loop hygiene (guide §2.4): the symmetric edge list is
+    # consumed once per round and the label table three times per round
+    # (votes join, freshness anti-join, next round's union) — without
+    # boundaries round r replans every earlier round's vote/window
+    # subtree per consumer. Both are checkpointed; labels re-checkpoints
+    # each round to keep the union lineage flat.
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     labels = seeds.select(
         F.col(node_col).alias("node"),
         F.col(label_col).alias("label"),
         F.lit(0).alias("round_assigned"),
-    )
+    ).localCheckpoint(eager=True)
     from pyspark.sql import Window
 
     for r in range(1, rounds + 1):
@@ -624,7 +664,7 @@ def label_propagation(
             .select("node", "label", F.lit(r).alias("round_assigned"))
         )
         fresh = picked.join(labels.select("node"), "node", "left_anti")
-        labels = labels.unionByName(fresh)
+        labels = labels.unionByName(fresh).localCheckpoint(eager=True)
     return labels
 
 
@@ -656,28 +696,35 @@ def k_core(
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()
-    cur = sym
-    prev_nodes = None
+    # round-14 loop hygiene (guide §2.4): BOTH modes checkpoint per
+    # round. The bounded-rounds mode previously never truncated lineage,
+    # so each round's TWO keep-list semi-joins replanned every earlier
+    # round's degree aggregation — the per-round subtree count grew
+    # multiplicatively with rounds (measured: the rounds=3 gate cost
+    # ~12 s at sf0.1; ~1.6 s with boundaries). ``keep`` is checkpointed
+    # too (it is node-sized) so the degree aggregation runs once per
+    # round, not once per semi-join; its eager count doubles as the
+    # fixpoint probe, replacing the separate distinct-count pass.
+    cur = sym.localCheckpoint(eager=True)
     r = 0
     while True:
         r += 1
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        deg = deg.localCheckpoint(eager=True)
         keep = deg.where(F.col("deg") >= k).select("a")
+        if rounds is None:
+            # fixpoint reached iff no node falls below k: the semi-joins
+            # would keep every edge, so stop before paying them. deg has
+            # one row per surviving node, so both counts are deg-local.
+            if deg.count() == keep.count():
+                break
         cur = (
             cur.join(keep, "a", "semi")
             .join(keep.select(F.col("a").alias("b")), "b", "semi")
+            .localCheckpoint(eager=True)
         )
-        if rounds is not None:
-            if r >= rounds:
-                break
-        else:
-            cur = cur.localCheckpoint(eager=True)  # truncate lineage
-            n = cur.select("a").distinct().count()
-            if prev_nodes is not None and n == prev_nodes:
-                break
-            prev_nodes = n
-            if n == 0:
-                break
+        if rounds is not None and r >= rounds:
+            break
     return cur.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     ).where(F.col("degree") >= k)

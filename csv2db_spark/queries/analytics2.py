@@ -1665,12 +1665,14 @@ def q_pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked result pins every stage's row-level decisions. Scale
     shape: the temperature cutoffs are a |domains|-row broadcast onto
     the scan, quality flags are scan-stage projections, and the LM
-    ranking's two corpus shuffles + one |survivors|-row sort are the
-    whole cost."""
-    from pyspark.sql import Window
-
+    ranking's two corpus shuffles are the whole cost."""
     from csv2db_spark.llm.curation import temperature_mix
     from csv2db_spark.llm.text import bigram_lm_scores, gopher_quality
+    from csv2db_spark.operators.ranking import (
+        grouped_rank,
+        join_totals_nullsafe,
+    )
+    from csv2db_spark.operators.stage import materialize_stage
 
     docs = load_table(spark, sf_dir, "documents")
     mixed = temperature_mix(docs, target_frac=0.7).select(
@@ -1679,16 +1681,31 @@ def q_pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = gopher_quality(mixed).where("keep").select("doc_id", "n_words")
     quality = mixed.join(flags, "doc_id")
     lm = bigram_lm_scores(quality)
-    ranked = quality.join(lm, "doc_id").select(
-        "doc_id",
-        "source",
-        "n_words",
-        F.row_number()
-        .over(Window.orderBy(F.col("avg_next_token_prob"), F.col("doc_id")))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # Round-14 (guide §2.5): the original plan ranked with
+    # row_number() OVER (ORDER BY prob, doc_id) — an UNPARTITIONED
+    # window, i.e. the whole quality-filtered corpus total-sorted on
+    # ONE task. The cutpoint rank over a constant group computes the
+    # identical (prob, doc_id) rank with a 4096-cell histogram +
+    # bounded tie sorts. The scored table is checkpointed first: the
+    # cutpoint plan has three consumers (histogram, tie-rank leg,
+    # total), and each would otherwise replan the corpus-bigram LM
+    # scoring subtree (the v6 §3.10 lesson); four narrow columns.
+    scored = materialize_stage(
+        quality.join(lm, "doc_id")
+        .select("doc_id", "source", "n_words", "avg_next_token_prob")
+        .withColumn("_g", F.lit(0))
     )
-    survivors = ranked.where(
+    ranked = grouped_rank(
+        scored,
+        "_g",
+        "avg_next_token_prob",
+        "doc_id",
+        mode="cutpoint",
+        bucket=F.floor(F.col("avg_next_token_prob") * 4096),
+        out_col="rn",
+    )
+    totals = scored.groupBy("_g").agg(F.count(F.lit(1)).alias("n"))
+    survivors = join_totals_nullsafe(ranked, totals, ["_g"]).where(
         F.col("rn") > F.floor(F.lit(0.1) * F.col("n"))
     )
     return survivors.groupBy("source").agg(
