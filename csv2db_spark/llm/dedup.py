@@ -417,26 +417,61 @@ def jaccard_pairs(
     equi-join quadratic; heavy hitters carry no dedup signal. Frequency
     is corpus-global (counted on the full input, before any candidate
     restriction); the hot list is a tiny aggregate, applied as a
-    broadcast anti-join."""
-    if max_doc_freq is not None:
-        hot = (
-            exploded.groupBy(key)
-            .agg(F.count_distinct("doc_id").alias("_df"))
-            .where(F.col("_df") > max_doc_freq)
-            .select(key)
+    broadcast anti-join.
+
+    Round-14 shape for the UNRESTRICTED path (guide §2.4, the
+    containment_pairs fix applied here too): the postings fed FOUR
+    consumers (df census, size census, both SMJ legs), each replanning
+    the shingle-explode prep chain — the gate plan carried 46 Exchanges
+    / 48 parquet scans. Now one ``repartition(key)`` exchange serves
+    everything (census aggregates reuse the key clustering; the per-doc
+    dedup — when the input is a multiset — and the df census run on it
+    too), the postings sort within partitions by ``key`` and
+    materialize once with the partitioning preserved, so the self-join
+    legs plan exchange-free and sort-free. The candidate-restricted
+    path is left alone: its postings are band-collision-sized and the
+    broadcast join is the fast path (a corpus repartition there would
+    cost more than it saves)."""
+    if candidate_pairs is None:
+        from csv2db_spark.operators.stage import materialize_stage
+
+        dd = exploded.repartition(F.col(key))
+        if not distinct_input:
+            dd = dd.dropDuplicates(["doc_id", key])
+        if max_doc_freq is not None:
+            # postings are (doc_id, key)-distinct here, so doc frequency
+            # is a plain count — count_distinct would pay a second
+            # corpus aggregate for the same value
+            hot = (
+                dd.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") > max_doc_freq)
+                .select(key)
+            )
+            dd = dd.join(F.broadcast(hot), key, "anti")
+        exploded = materialize_stage(
+            dd.sortWithinPartitions(key), preserve_partitioning=True
         )
-        exploded = exploded.join(F.broadcast(hot), key, "anti")
-    if candidate_pairs is not None:
+    else:
+        if max_doc_freq is not None:
+            hot = (
+                exploded.groupBy(key)
+                .agg(F.count_distinct("doc_id").alias("_df"))
+                .where(F.col("_df") > max_doc_freq)
+                .select(key)
+            )
+            exploded = exploded.join(F.broadcast(hot), key, "anti")
         cand_docs = (
             candidate_pairs.select(F.col("doc_a").alias("doc_id"))
             .unionByName(candidate_pairs.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
         exploded = exploded.join(F.broadcast(cand_docs), "doc_id", "semi")
-    if not distinct_input:
-        # set semantics over a multiset input: dedup AFTER the candidate
-        # restriction, so the shuffle only touches surviving docs
-        exploded = exploded.dropDuplicates(["doc_id", key])
+        if not distinct_input:
+            # set semantics over a multiset input: dedup AFTER the
+            # candidate restriction, so the shuffle only touches
+            # surviving docs
+            exploded = exploded.dropDuplicates(["doc_id", key])
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     e1, e2 = exploded.alias("e1"), exploded.alias("e2")
     # unrestricted (no candidate_pairs): both sides are the exploded
@@ -508,7 +543,14 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance. Pigeonhole banding: with 4
     bands, any pair within hamming<=3 shares at least one identical band →
-    the self-join only compares band-colliding docs."""
+    the self-join only compares band-colliding docs.
+
+    The signature table is checkpointed first (round-14, guide §2.4):
+    both self-join legs consume it, and each would otherwise replan the
+    full signature computation — for the gate that means the corpus
+    tokenize + 60-counter aggregate running TWICE per query. sig is two
+    longs per document, the cheapest possible boundary."""
+    sig = sig.localCheckpoint(eager=True)
     bands = []
     mask = (1 << _BAND_WIDTH) - 1
     for b in range(SIMHASH_BANDS):
