@@ -128,14 +128,16 @@ def stratified_sample(
     strata_col: str,
     k: int,
     id_col: str = "doc_id",
-    rank_mode: str = "window",
+    rank_mode: str = "cutpoint",
 ) -> DataFrame:
     """Exactly ``min(k, |stratum|)`` rows per stratum, deterministically:
     rank by md5 of the id within each stratum (uniform pseudo-random
     order, stable across runs and engines), keep rank <= k.
 
     ``rank_mode='window'`` sorts each stratum on one task — the
-    dominant stratum IS the corpus at 100 TB. ``'cutpoint'`` exploits
+    dominant stratum IS the corpus at 100 TB. ``'cutpoint'`` (the
+    default since round 14 — the admission key is its own uniform
+    md5 bucket, so no caller-supplied coarsening is needed) exploits
     that the admission key is a uniform md5: a 2-hex-prefix bucket
     histogram gives every bucket its exact rank offset, buckets whose
     offset already exceeds ``k`` are dropped BEFORE any sort (for
@@ -836,7 +838,7 @@ def domain_cap(
     k: int = 5,
     salt: str = "cap",
     id_col: str = "doc_id",
-    rank_mode: str = "window",
+    rank_mode: str = "cutpoint",
 ) -> DataFrame:
     """Per-domain document cap — the CCNet/Gopher-style guard against
     one domain flooding the training mix: keep at most ``k`` documents
@@ -853,7 +855,8 @@ def domain_cap(
     bucket offsets, buckets whose offset already exceeds ``k`` drop
     before any sort, survivors rank within bounded (group, bucket) tie
     sets — identical rows AND cap_rank values
-    (tests/test_runtime_ops.py)."""
+    (tests/test_runtime_ops.py). Cutpoint is the default since round
+    14: the salted hash is its own uniform bucket key."""
     h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
     if rank_mode == "window":
         w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
@@ -1066,7 +1069,7 @@ def token_budget_sample(
     budget_tokens: int,
     group_col: str = "source",
     text_col: str = "text",
-    rank_mode: str = "window",
+    rank_mode: str = "cutpoint",
 ) -> DataFrame:
     """Token-budget corpus assembly: admit documents per group, in
     deterministic md5(doc_id) order, until the group's TOKEN budget is
@@ -1087,11 +1090,16 @@ def token_budget_sample(
     ``rank_mode='window'``: one window sort per group over (16-byte
     rank, token count) pairs — token counts ride the scan
     (size(split)), the text never shuffles; the dominant group is a
-    single-task sort at corpus scale. ``'cutpoint'``: the identical
-    cumulative via operators/ranking.grouped_prefix_sum, bucketed on a
-    2-hex md5 prefix — the admission key is uniform by construction, so
-    the 256 buckets split every group's sort ~evenly (bit-equal,
-    tests/test_runtime_ops.py)."""
+    single-task sort at corpus scale. ``'cutpoint'`` (the default since
+    round 14 — no single-task group sorts in default plans): the
+    identical cumulative via operators/ranking.grouped_prefix_sum,
+    bucketed on a 2-hex md5 prefix — the admission key is uniform by
+    construction, so the 256 buckets split every group's sort ~evenly
+    (bit-equal, tests/test_runtime_ops.py). In cutpoint mode the sized
+    table (4 narrow columns, no text) is checkpointed first: the
+    cutpoint plan consumes it twice (histogram + join leg), and each
+    consumer would otherwise replan the upstream tokenize (guide
+    §2.4)."""
     from csv2db_spark.llm.corpus import tokens
     from csv2db_spark.operators.ranking import grouped_prefix_sum
 
@@ -1102,6 +1110,8 @@ def token_budget_sample(
         n_tok.alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("_rk"),
     )
+    if rank_mode == "cutpoint":
+        sized = sized.localCheckpoint(eager=True)
     sized = grouped_prefix_sum(
         sized,
         "group",

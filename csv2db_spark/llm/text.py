@@ -804,10 +804,15 @@ def hashed_linear_classifier(
     score(d) = sum_b tf(d,b) * w(b), predict positive iff score > 0.
 
     Scale shape: the model is ``n_features`` rows — aggregated in one
-    pass, broadcast back; the corpus is touched twice but never joined
-    against itself, and per-doc scoring shuffles (doc_id, bucket) tf
-    partials only. No vocabulary state, no OOV handling, no Python —
-    pure codegen end to end."""
+    pass, broadcast back; the corpus is tokenized ONCE: the per-doc tf
+    table (<= |docs| x n_features numeric rows, _pos riding along as a
+    doc-constant key) is eagerly checkpointed, and BOTH the per-bucket
+    class counts (train) and the per-doc scores (apply) fold from it —
+    round-14, guide §2.4: the previous shape planned the corpus
+    explode once per leg. The corpus is never joined against itself,
+    and per-doc scoring shuffles (doc_id, bucket) tf partials only. No
+    vocabulary state, no OOV handling, no Python — pure codegen end to
+    end."""
     from csv2db_spark.llm.corpus import tokens
 
     tok = docs.select(
@@ -820,9 +825,20 @@ def hashed_linear_classifier(
         % n_features
     ).alias("bucket")
     hashed = tok.select("doc_id", "_pos", bucket)
-    per_bucket = hashed.groupBy("bucket").agg(
-        F.sum(F.col("_pos").cast("long")).alias("cnt_pos"),
-        F.sum((~F.col("_pos")).cast("long")).alias("cnt_neg"),
+    # _pos is doc-constant, so grouping by it too yields the same
+    # groups as (doc_id, bucket) while keeping the label on the row;
+    # per-token class counts then fold from tf (sum of counts = count)
+    tf = hashed.groupBy("doc_id", "_pos", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tf = tf.localCheckpoint(eager=True)
+    per_bucket = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_pos"), F.col("tf")).otherwise(0)).alias(
+            "cnt_pos"
+        ),
+        F.sum(F.when(~F.col("_pos"), F.col("tf")).otherwise(0)).alias(
+            "cnt_neg"
+        ),
     )
     totals = per_bucket.agg(
         F.sum("cnt_pos").alias("tot_pos"), F.sum("cnt_neg").alias("tot_neg")
@@ -833,9 +849,6 @@ def hashed_linear_classifier(
             F.col("cnt_pos") * F.col("tot_neg")
             - F.col("cnt_neg") * F.col("tot_pos")
         ).alias("w"),
-    )
-    tf = hashed.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("tf")
     )
     return (
         tf.join(F.broadcast(weights), "bucket")

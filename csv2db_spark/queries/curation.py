@@ -503,12 +503,24 @@ def q_curate_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles self-calibrate where a global threshold would gut
     low-resource languages. The cut drops exactly floor(0.25*n) rows
     per group (row_number/count, integer-exact — small groups are never
-    over-dropped). One window shuffle keyed by lang; the (score,
-    doc_id) ordering is total, so the cut is bit-deterministic."""
+    over-dropped). Round-14 (guide §2.5): cutpoint rank instead of the
+    per-lang window — the window sorts each whole language on one task;
+    the histogram-offset rank is bit-identical under the same total
+    (score, doc_id) order. The bucket coarsens the continuous
+    mean-word-length score (range is a few tens) to floor(score*256),
+    keeping the histogram small while tie sorts stay bounded by bucket
+    occupancy."""
     d = load_table(spark, sf_dir, "documents")
     spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
     score = F.length("text").cast("double") / (F.lit(1) + spaces)
-    return C.quantile_filter(d, score, group_col="lang", drop_frac=0.25)
+    return C.quantile_filter(
+        d,
+        score,
+        group_col="lang",
+        drop_frac=0.25,
+        rank_mode="cutpoint",
+        rank_bucket=F.floor(F.col("quality_score") * 256),
+    )
 
 
 _W_CRAWL = 0.2
@@ -1190,13 +1202,18 @@ def q_curate_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm/curation.score_quantile_normalize) — makes scores comparable
     across heterogeneous sources before a corpus-wide quantile filter.
     (rank-1)/(n-1) is an exact integer ratio, so the normalized scores
-    hash-match. One keyed window per source."""
+    hash-match. Round-14 (guide §2.5): cutpoint rank instead of one
+    window per source (single-task sort of the dominant source);
+    n_chars is an integer, so it is its own bounded histogram bucket —
+    no coarsening expression needed."""
     from csv2db_spark.llm.curation import score_quantile_normalize
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    return score_quantile_normalize(docs, "source", "n_chars")
+    return score_quantile_normalize(
+        docs, "source", "n_chars", rank_mode="cutpoint"
+    )
 
 
 @query(
@@ -1401,6 +1418,7 @@ def q_pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     final token counts)."""
     from csv2db_spark.llm import dedup as D
     from csv2db_spark.llm import text as X
+    from csv2db_spark.operators.stage import materialize_stage
 
     docs = augmented_docs(spark, sf_dir)
     trimmed = D.remove_duplicated_spans(docs, w=5).select(
@@ -1409,9 +1427,18 @@ def q_pipeline_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("base_id"), "lang"
     )
-    labeled = trimmed.join(
-        F.broadcast(base), trimmed["doc_id"] % 100000 == base["base_id"]
-    ).select("doc_id", "text", "lang", (F.col("lang") == "en").alias("_pos"))
+    # Round-14 (guide §2.4): labeled has three consumers (classifier
+    # tokenize, the keep join, the budget sampler via keep) — without a
+    # boundary each replanned the span-removal subtree (28 scans of
+    # documents.parquet in one gate plan). One materialization, the
+    # dedup runs once.
+    labeled = materialize_stage(
+        trimmed.join(
+            F.broadcast(base), trimmed["doc_id"] % 100000 == base["base_id"]
+        ).select(
+            "doc_id", "text", "lang", (F.col("lang") == "en").alias("_pos")
+        )
+    )
     scored = X.hashed_linear_classifier(labeled, "_pos")
     keep = labeled.join(
         scored.where(F.col("predicted_pos")).select("doc_id"), "doc_id"

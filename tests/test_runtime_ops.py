@@ -1139,9 +1139,11 @@ def test_token_budget_sample_modes_equal(spark):
         ],
         ["doc_id", "source", "text"],
     )
+    # window leg explicit: the default flipped to cutpoint in round 14,
+    # and this test exists to pin the two modes against each other
     w = {
         r.doc_id: (r.group, r.n_tokens, r.cum_tokens)
-        for r in token_budget_sample(docs, 200).collect()
+        for r in token_budget_sample(docs, 200, rank_mode="window").collect()
     }
     c = {
         r.doc_id: (r.group, r.n_tokens, r.cum_tokens)
@@ -1158,9 +1160,12 @@ def test_stratified_sample_modes_equal(spark):
         ["doc_id", "source"],
     )
     for k in (1, 7, 200):  # k < bucket spread, k ~ stratum, k > stratum
+        # window leg explicit: the default flipped to cutpoint in r14
         w = {
             (r.source, r.doc_id)
-            for r in stratified_sample(docs, "source", k).collect()
+            for r in stratified_sample(
+                docs, "source", k, rank_mode="window"
+            ).collect()
         }
         c = {
             (r.source, r.doc_id)
@@ -1184,9 +1189,10 @@ def test_domain_cap_modes_equal(spark):
         [(i, "d" + str(i % 3)) for i in range(400)], ["doc_id", "source"]
     )
     for k in (1, 5, 300):
+        # window leg explicit: the default flipped to cutpoint in r14
         w = {
             (r.source, r.doc_id): r.cap_rank
-            for r in domain_cap(docs, k=k).collect()
+            for r in domain_cap(docs, k=k, rank_mode="window").collect()
         }
         c = {
             (r.source, r.doc_id): r.cap_rank
