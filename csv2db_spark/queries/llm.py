@@ -1137,7 +1137,14 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = augmented_docs(spark, sf_dir)
     qual = docs.where(F.size(_tokens("text")) >= 30)
-    exact = qual.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # Round-14 (guide §2.4): exact has two consumers (the shingle/LSH
+    # chain and the final anti join), each replanning the corpus
+    # text-keyed dedup shuffle. One materialization, one dedup pass.
+    from csv2db_spark.operators.stage import materialize_stage
+
+    exact = materialize_stage(
+        qual.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    )
     exh = D.shingle_hashes(D.shingle_table(exact, distinct=False))
     sig = D.minhash_signatures(exh)
     cand = D.minhash_candidates(D.minhash_bands(sig))
