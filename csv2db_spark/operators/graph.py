@@ -55,6 +55,18 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # convergence probe (round-14, guide §2.4): labels are MIN-monotone
+    # (new = min(own, neighbors) can never increase), so the label set
+    # is unchanged iff the exact sum of labels is unchanged — one
+    # scalar aggregate over the fresh checkpoint instead of the old
+    # node-keyed self-join + count (two node-table shuffles per round).
+    # decimal(38,0) keeps the sum exact at any node count / id width.
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # candidate label per node: min over own label and neighbors' labels
         neighbor = (
@@ -67,15 +79,11 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("node", "component")
 
 
@@ -162,14 +170,18 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     rounds = 0
+    e_cnt = e.count()
     for _ in range(max_iter):
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
         rounds += 1
-        # set fixpoint: same cardinality and no new edges
-        if nxt.count() == e.count() and nxt.subtract(e).count() == 0:
+        # set fixpoint: same cardinality and no new edges. The previous
+        # round's count is carried instead of recounted (round-14); the
+        # subtract only runs when cardinalities already match.
+        nxt_cnt = nxt.count()
+        if nxt_cnt == e_cnt and nxt.subtract(e).count() == 0:
             e = nxt
             break
-        e = nxt
+        e, e_cnt = nxt, nxt_cnt
     # test instrumentation: rounds used by the most recent call
     connected_components_star.last_rounds = rounds
     return (

@@ -376,9 +376,18 @@ def test_training_data_drop_list_anti_join_broadcasts(spark, sf_dir):
 # scale), and TPC-H Q21's lineitem-vs-lineitem anti join is big-big by
 # construction. scripts/audit_anti_joins.py re-derives this list; the
 # pins below make a silent Catalyst/AQE strategy flip loud in CI.
+#
+# Round 14: k_core and label_propagation checkpoint per round (the
+# bounded-rounds mode replanned every earlier round's subtree — 376
+# Exchanges in one k_core plan), so their per-round joins no longer
+# appear in the FINAL plan at all; each round's joins are planned at
+# checkpoint time with real sizes (AQE picks broadcast at fixture
+# scale, SMJ once the survivor set is big — the adaptive choice the
+# audit wanted). Their pins drop to 0: the assert now catches lineage
+# leaking back into the final plan.
 SMJ_ANTI_SEMI_ADJUDICATED = {
-    "q_graph_k_core": 26,
-    "q_graph_label_propagation": 1,
+    "q_graph_k_core": 0,
+    "q_graph_label_propagation": 0,
     "q_tpch_q21_waiting": 1,
 }
 
