@@ -32,6 +32,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _stage_edges_by_key(edges: DataFrame, key: str) -> DataFrame:
+    """Stage a loop-invariant edge list partitioned by its per-round
+    join key (round-14, guide §2.2).
+
+    Two steps, because the partition WIDTH must come from the data, not
+    from a conf constant: (1) an eager ``localCheckpoint`` under AQE —
+    coalescing sizes the stage to the advisory partition bytes, exactly
+    what the loop rounds should run at (a conf-default 200 would drag
+    200-task rounds through a KB-sized gate graph and undersize a
+    100 TB one); (2) re-exchange the cached blocks by ``key`` at that
+    measured width, sort within partitions, and carry the partitioning
+    + sort order through a second checkpoint
+    (``materialize_stage(preserve_partitioning=True)``). Every round's
+    edge-leg join then plans exchange-free and sort-free — only the
+    node-sized table moves per round. The second exchange reads
+    executor-cached blocks, and it replaces one edge-sized exchange PER
+    ROUND, so it pays for itself from round two."""
+    from csv2db_spark.operators.stage import materialize_stage
+
+    flat = edges.localCheckpoint(eager=True)
+    # floor at 2: the planner treats a single-partition side like
+    # SinglePartition and re-shuffles BOTH join legs to the conf
+    # default (measured on 4.1) — any width >= 2 is reused as-is
+    n = max(2, flat.rdd.getNumPartitions())
+    return materialize_stage(
+        flat.repartition(n, F.col(key)).sortWithinPartitions(key),
+        preserve_partitioning=True,
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -43,11 +73,16 @@ def connected_components(
     ``edges``: undirected pair list (any orientation, duplicates fine).
     Returns (node, component).
     """
-    sym = (
+    # the symmetric edge list is loop-invariant and every round joins it
+    # on ``b`` — stage it ONCE partitioned by the join key (round-14,
+    # guide §2.2, see _stage_edges_by_key): each round's join plans the
+    # edge leg exchange-free and sort-free, so only the node-sized label
+    # table moves per round.
+    sym = _stage_edges_by_key(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "b",
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -293,8 +328,16 @@ def pagerank(
     every iteration. Edges are reused across rounds — cache them
     upstream if the input is an expensive subquery.
     """
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    e = e.localCheckpoint(eager=True)
+    # round-14 (guide §2.2): every power iteration joins the edge list
+    # on ``_src`` — stage it once partitioned by the join key
+    # (_stage_edges_by_key), so each round's contribution join plans the
+    # edge leg exchange-free (only the node-sized rank table moves per
+    # round) and the out-degree aggregate below rides the same
+    # partitioning without its own exchange.
+    e = _stage_edges_by_key(
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")),
+        "_src",
+    )
     # loop-invariant node set and out-degrees: one pass each over the
     # checkpointed edges instead of two edge aggregations per round
     # (round-14, guide §2.4)
@@ -647,11 +690,16 @@ def label_propagation(
     # boundaries round r replans every earlier round's vote/window
     # subtree per consumer. Both are checkpointed; labels re-checkpoints
     # each round to keep the union lineage flat.
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct().localCheckpoint(eager=True)
+    # round-14 (guide §2.2): the per-round votes join keys the edge list
+    # on ``b`` — stage it once partitioned by the join key
+    # (_stage_edges_by_key) so only the label frontier shuffles per
+    # round.
+    sym = _stage_edges_by_key(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct(),
+        "b",
+    )
     labels = seeds.select(
         F.col(node_col).alias("node"),
         F.col(label_col).alias("label"),

@@ -71,9 +71,64 @@ def _toggle_single_window_topk():
     return apply_old, undo_old
 
 
+def _toggle_staged_edges():
+    """OLD = graph loops checkpoint the edge list unpartitioned (the
+    pre-round-14 shape: a fresh edge shuffle in every round's join)."""
+    import csv2db_spark.operators.graph as graph
+
+    orig = graph._stage_edges_by_key
+
+    def old(edges, key):
+        return edges.localCheckpoint(eager=True)
+
+    def apply_old():
+        graph._stage_edges_by_key = old
+
+    def undo_old():
+        graph._stage_edges_by_key = orig
+
+    return apply_old, undo_old
+
+
+def _toggle_window_rank_modes():
+    """OLD = the round-13 rank shapes: per-group window sorts in the
+    curation samplers/quantiles (overrides both the r14 cutpoint
+    defaults and the call sites that now pass cutpoint explicitly)."""
+    import csv2db_spark.llm.curation as cur
+
+    names = (
+        "quantile_filter",
+        "score_quantile_normalize",
+        "stratified_sample",
+        "domain_cap",
+        "token_budget_sample",
+    )
+    origs = {n: getattr(cur, n) for n in names}
+
+    def wrap(fn):
+        def old(*args, **kwargs):
+            kwargs["rank_mode"] = "window"
+            kwargs.pop("rank_bucket", None)
+            return fn(*args, **kwargs)
+
+        return old
+
+    def apply_old():
+        for n, fn in origs.items():
+            setattr(cur, n, wrap(fn))
+
+    def undo_old():
+        for n, fn in origs.items():
+            setattr(cur, n, fn)
+
+    return apply_old, undo_old
+
+
 TOGGLES = {
     "preserve_partitioning": _toggle_preserve_partitioning,
     "single_window_topk": _toggle_single_window_topk,
+    "staged_edges": _toggle_staged_edges,
+    "window_rank_modes": _toggle_window_rank_modes,
 }
 
 

@@ -576,3 +576,50 @@ def test_nullsafe_totals_join_stays_broadcast_hash(spark, sf_dir):
     bhj = [ln for ln in plan.splitlines()
            if "BroadcastHashJoin" in ln and "_t_lang" in ln]
     assert bhj, f"totals join is not a BroadcastHashJoin:\n{plan}"
+
+
+def test_graph_loop_edge_leg_plans_exchange_free(spark):
+    """The iterative graph operators (connected_components,
+    label_propagation, pagerank) pre-partition their loop-invariant
+    edge list by the per-round join key and carry the partitioning +
+    sort order through the checkpoint (round-14, guide §2.2). This pins
+    the mechanism: joining the staged edge table against a node table
+    under forced SMJ must plan the EDGE leg with no Exchange and no
+    Sort — only the node-sized side shuffles per round. If the
+    LogicalRDD ever stops reporting hashpartitioning (an AQE or
+    checkpoint regression), both appear and this fails."""
+    from pyspark.sql import functions as F
+
+    from csv2db_spark.operators.graph import _stage_edges_by_key
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.range(2000).select(
+            (F.col("id") % 500).alias("a"),
+            ((F.col("id") * 7) % 500).alias("b"),
+        )
+        sym = _stage_edges_by_key(
+            edges.unionByName(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            ).distinct(),
+            "b",
+        )
+        labels = spark.range(500).select(
+            F.col("id").alias("node"), F.col("id").alias("component")
+        )
+        j = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), "component"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # exactly one Exchange and one Sort node: the labels leg. The
+        # edge leg rides the preserved hashpartitioning(b) + sort order.
+        # ("Sort [" keys the Sort operator; bare "Sort" would also count
+        # the SortMergeJoin line.)
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange") == 1, plan
+        assert plan.count("Sort [") == 1, plan
+        rows = {tuple(r) for r in j.collect()}
+        assert len(rows) > 900  # the join actually ran
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
