@@ -33,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from csv2db_spark.llm.similarity import quantize
+from csv2db_spark.llm.similarity import _topk_per_query, quantize
+from csv2db_spark.operators.stage import materialize_stage
 
 
 def _subvectors(df: DataFrame, id_alias: str, m: int, sub: int) -> DataFrame:
@@ -74,7 +75,19 @@ def pq_codebook(
     """Per-subspace codebooks: the K lowest-id vectors seed each
     subspace, then ONE exact-integer Lloyd step refines them (mean of
     assigned subvectors, floor division — empty cells keep their seed).
-    Returns (m, code, code_iv). Deterministic end to end."""
+    Returns (m, code, code_iv). Deterministic end to end.
+
+    The returned table is EAGERLY CHECKPOINTED (round-14, guide §2.4):
+    it is M·K rows, but its plan contains the corpus-sized assignment
+    pass — and every consumer that broadcasts it (``pq_encode``'s
+    argmin join AND ``pq_query_codes``'s per-query distance table)
+    re-planned that whole subtree, so one ``pq_topk`` trained the
+    codebook twice and ``q_sim_ann_pq_persisted`` (inline + build)
+    three times. The checkpoint makes training run exactly once per
+    call. ``seeds`` (also M·K rows, two consumers: the assignment leg
+    and the empty-cell fallback join) is checkpointed for the same
+    reason — without it each consumer replans the seed-selection scan
+    of the corpus."""
     sub = dim // m
     q = quantize(corpus, id_col, vec_col, "_vid", "x_")
     # seed with the K lowest-id vectors BY RANK (not "_vid < k", which
@@ -109,13 +122,29 @@ def pq_codebook(
             F.col("_s.sub_iv").alias("code_iv"),
         )
     )
+    seeds = materialize_stage(seeds)
     subs = _subvectors(q, "_vid", m, sub)
     asn = (
         subs.join(F.broadcast(seeds), "m")
         .select("_vid", "m", "code", "sub_iv", _d2(F.col("sub_iv"), F.col("code_iv")).alias("_d2"))
     )
-    w = Window.partitionBy("_vid", "m").orderBy("_d2", "code")
-    assigned = asn.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    # argmin per (vector, subspace) as a partially-aggregated min(struct)
+    # instead of a row_number window (round-14, guide §2.3): the window
+    # shuffled and sorted ALL n·M·K scored rows; min(struct(_d2, code,
+    # sub_iv)) combines map-side to one row per group before the exchange.
+    # Struct ordering is field-lexicographic and (d2, code) is unique in
+    # each group (sub_iv is group-constant), so the winner — ties to the
+    # lower code id — is bit-identical to the window form.
+    assigned = (
+        asn.groupBy("_vid", "m")
+        .agg(F.min(F.struct("_d2", "code", "sub_iv")).alias("_b"))
+        .select(
+            "_vid",
+            "m",
+            F.col("_b.code").alias("code"),
+            F.col("_b.sub_iv").alias("sub_iv"),
+        )
+    )
     # one Lloyd step: exact-integer mean per (m, code, dim-position)
     el = assigned.select(
         "m", "code", F.posexplode("sub_iv").alias("pos", "v")
@@ -133,7 +162,7 @@ def pq_codebook(
         )
     )
     # empty cells (no assignment) keep their seed
-    return (
+    return materialize_stage(
         seeds.alias("s")
         .join(refined.alias("r"), ["m", "code"], "left")
         .select(
@@ -163,11 +192,14 @@ def pq_encode(
     scored = subs.join(F.broadcast(codebook), "m").select(
         "_vid", "m", "code", _d2(F.col("sub_iv"), F.col("code_iv")).alias("_d2")
     )
-    w = Window.partitionBy("_vid", "m").orderBy("_d2", "code")
+    # same argmin-as-aggregate shape as pq_codebook (guide §2.3): the
+    # K-way-exploded score rows combine map-side to one row per
+    # (vector, subspace) instead of shuffling n·M·K rows into a window
+    # sort; min(struct(_d2, code)) == row_number(orderBy _d2, code) == 1.
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(F.col("_vid").alias(id_col), "m", "code")
+        scored.groupBy("_vid", "m")
+        .agg(F.min(F.struct("_d2", "code")).alias("_b"))
+        .select(F.col("_vid").alias(id_col), "m", F.col("_b.code").alias("code"))
     )
 
 
@@ -233,14 +265,12 @@ def pq_query_codes(
         .groupBy("query_id", id_col)
         .agg(F.sum("d2").alias("approx_d2"))
     )
-    w = Window.partitionBy("query_id").orderBy("approx_d2", id_col)
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", F.col(id_col).alias("neighbor_id"), "approx_d2", "rank"
-        )
-    )
+    # ADC scans the WHOLE code table per query, so the scored table is
+    # corpus-sized per query — rank in two stages like the exact
+    # searches (§3.12 precedent), never |corpus| rows on one task.
+    return _topk_per_query(
+        scored, k, [F.col("approx_d2"), F.col(id_col)], shard_on=id_col
+    ).select("query_id", F.col(id_col).alias("neighbor_id"), "approx_d2", "rank")
 
 
 def ivfpq_topk(
