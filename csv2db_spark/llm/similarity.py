@@ -440,7 +440,11 @@ def ivf_build_index(
     spark.createDataFrame(
         [(i, [float(x) for x in centers[i]]) for i in range(len(centers))],
         "cell int, weights array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+        # repartition(1), NOT coalesce(1): coalescing a parallelized local
+        # collection computes all defaultParallelism parents sequentially
+        # in one task, one Python-worker round-trip each (~5 s measured);
+        # consumers sort by cell after collect, so file order is free
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
 
     # assignment uses the SAME nearest-centroid routine as
     # ivf_append_index (not model.transform), so incremental appends are

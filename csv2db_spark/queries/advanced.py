@@ -256,8 +256,13 @@ def q_src_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = spark.createDataFrame(
         [(i, f"s{i}") for i in range(10, 20)], "id long, y string"
     )
-    v1.coalesce(1).write.mode("overwrite").parquet(_MS_DIR + "/v1")
-    v2.coalesce(1).write.mode("overwrite").parquet(_MS_DIR + "/v2")
+    # repartition(1), NOT coalesce(1) (round-14, guide §2.6): coalescing a
+    # parallelized local collection makes ONE task compute all
+    # defaultParallelism parent partitions sequentially, each paying a
+    # Python-worker round-trip (~5 s/write measured at local[32]);
+    # repartition computes them in parallel and shuffles one tiny file.
+    v1.repartition(1).write.mode("overwrite").parquet(_MS_DIR + "/v1")
+    v2.repartition(1).write.mode("overwrite").parquet(_MS_DIR + "/v2")
     df = spark.read.option("mergeSchema", "true").parquet(
         _MS_DIR + "/v1", _MS_DIR + "/v2"
     )

@@ -762,6 +762,10 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for b in range(4):
             tmp = os.path.join(work, f"w{b}")
+            # coalesce(1) kept deliberately (round-14 A/B): repartition(1)
+            # measured ~2 s SLOWER at sf0.1 — it shuffles the full text
+            # payload (plus sortBeforeRepartition) where coalesce computes
+            # the cheap filter in-task and moves nothing
             aug.where(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(tmp)
