@@ -240,11 +240,22 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB switch to approx_percentile (t-digest) and accept the rows-only
     gate."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.25).alias("p25"),
-        F.percentile("l_extendedprice", 0.50).alias("p50"),
-        F.percentile("l_extendedprice", 0.90).alias("p90"),
-        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    # ONE percentile buffer via the array form (round-14, guide §1.2):
+    # four scalar percentile() aggregates each collected the full group
+    # into their own buffer — 4x the state and merge traffic for the
+    # same sorted walk; the values are identical (same function, same
+    # interpolation, one buffer queried at four points)
+    ps = F.percentile("l_extendedprice", F.array(*[F.lit(x) for x in (0.25, 0.50, 0.90, 0.99)]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("_ps"))
+        .select(
+            "l_returnflag",
+            F.col("_ps")[0].alias("p25"),
+            F.col("_ps")[1].alias("p50"),
+            F.col("_ps")[2].alias("p90"),
+            F.col("_ps")[3].alias("p99"),
+        )
     )
 
 
@@ -256,9 +267,20 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass, bounded-memory percentile for 100 TB — exact percentile
     sorts each group; the sketch merges map-side like any aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.approx_percentile("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    # one sketch queried at both points (same values: the sketch build
+    # is deterministic per group, so two identical sketches queried
+    # once each equal one sketch queried twice)
+    ap = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), F.lit(10000)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ap.alias("_ap"))
+        .select(
+            "l_returnflag",
+            F.col("_ap")[0].alias("p50_approx"),
+            F.col("_ap")[1].alias("p99_approx"),
+        )
     )
 
 
@@ -544,10 +566,23 @@ def q_agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFram
     empty under ANY merge order, so the gate is deterministic even
     though the t-digest blob itself is not."""
     li = load_table(spark, sf_dir, "lineitem")
-    both = li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_exact"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("p75_exact"),
+    both = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", 0.5, 10000).alias(
+                "p50_approx"
+            ),
+            # one exact-percentile buffer for both bounds (guide §1.2)
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.75D))"
+            ).alias("_px"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_approx",
+            F.col("_px")[0].alias("p25_exact"),
+            F.col("_px")[1].alias("p75_exact"),
+        )
     )
     return both.select("l_returnflag", "p50_approx").where(
         (F.col("p50_approx") < F.col("p25_exact"))
