@@ -210,10 +210,15 @@ def test_duplicated_spans_no_join_single_doc_sort(spark, sf_dir):
 def test_hamming_topk_broadcasts_queries_no_smj(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_sim_hamming_topk")
     # the few-row query side must broadcast (nested-loop on a 5-row
-    # side is fine; a sort-merge join against the corpus is not),
-    # and signature packing stays JVM-side
+    # side is fine; a sort-merge join against the corpus is not).
+    # Signature packing is the round-14 Arrow matmul kernel
+    # (ArrowEvalPython, one exact-int64 batch matmul — see
+    # hyperplane_signatures; the JVM posexplode+join shape it replaced
+    # carried a ~150M-row intermediate); row-at-a-time Python stays
+    # banned.
     assert "SortMergeJoin" not in plan
-    assert "Python" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
     assert "Broadcast" in plan
 
 
