@@ -91,10 +91,11 @@ def pq_codebook(
     sub = dim // m
     q = quantize(corpus, id_col, vec_col, "_vid", "x_")
     # seed with the K lowest-id vectors BY RANK (not "_vid < k", which
-    # silently under-seeds when ids are sparse): one id-ordered top-K —
-    # a TakeOrdered over ids, never a corpus sort
-    seed_ids = q.select("_vid").orderBy("_vid").limit(k)
-    seed_rows = q.join(F.broadcast(seed_ids), "_vid")
+    # silently under-seeds when ids are sparse): one id-ordered top-K
+    # of the FULL quantized rows — a TakeOrdered of k skinny rows,
+    # never a corpus sort, and no ids-then-join second corpus scan
+    # (the k x dim payload through TakeOrdered is trivially small)
+    seed_rows = q.orderBy("_vid").limit(k)
     from pyspark.sql import Window as _W
 
     code_of = F.row_number().over(_W.orderBy("_vid")) - 1
