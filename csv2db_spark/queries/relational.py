@@ -18,14 +18,12 @@ from pyspark.sql import types as T
 from csv2db_spark.functions.numeric import (
     davg,
     dsum,
-    dsum_unscaled,
     money,
     rate,
     sql_davg,
     sql_dsum,
     sql_money,
     sql_rate,
-    unscaled,
 )
 from csv2db_spark.operators import asof_join, range_join, top_k
 from csv2db_spark.operators.runtime_filter import bitset_prefilter_join
@@ -38,12 +36,14 @@ _REV = "cast(sum({m} * (1 - {r})) as double)".format(
 
 
 def _revenue():
-    # round-14 unscaled fast path — bit-identical to
-    # cast(sum(money*(1-rate)) as double); see functions/numeric.py
-    return dsum_unscaled(
-        unscaled("l_extendedprice", 12, 2)
-        * (F.lit(100) - unscaled("l_discount", 4, 2)),
-        4,
+    # All-decimal form. The round-14 unscaled-integer rewrite was reverted
+    # here too (round 15): the driver's cold-JVM protocol measured both
+    # consumers slower (q_join_inner_topk best-of-3 0.656→0.885,
+    # q_join_multiway_revenue 1.059→1.248) — the per-row decimal multiply
+    # inside unscaled() extraction costs more than the BigDecimal product
+    # it avoids, the same mechanism that reverted q01 in round 14.
+    return F.sum(money("l_extendedprice") * (F.lit(1) - rate("l_discount"))).cast(
+        "double"
     )
 
 
