@@ -128,7 +128,7 @@ def stratified_sample(
     strata_col: str,
     k: int,
     id_col: str = "doc_id",
-    rank_mode: str = "cutpoint",
+    rank_mode: str = "auto",
 ) -> DataFrame:
     """Exactly ``min(k, |stratum|)`` rows per stratum, deterministically:
     rank by md5 of the id within each stratum (uniform pseudo-random
@@ -143,7 +143,13 @@ def stratified_sample(
     offset already exceeds ``k`` are dropped BEFORE any sort (for
     k ≪ |stratum| that is ~every row), and survivors rank inside their
     (stratum, bucket) — bounded tie sets, identical rows to the window
-    mode (tests/test_runtime_ops.py)."""
+    mode (tests/test_runtime_ops.py). ``'auto'`` (round 15) resolves by
+    Catalyst's input size estimate — window under the
+    spark.csv2db.adaptive.smallInputMaxBytes threshold, cutpoint
+    above."""
+    from csv2db_spark.operators.ranking import resolve_rank_mode
+
+    rank_mode = resolve_rank_mode(df, rank_mode)
     rk = F.md5(F.col(id_col).cast("string"))
     if rank_mode == "window":
         w = Window.partitionBy(strata_col).orderBy(rk, F.col(id_col))
@@ -349,11 +355,16 @@ def quantile_filter(
     operators/ranking.grouped_rank: without it a distinct-per-doc score
     makes the cutpoint histogram group-sized again.
     """
-    from csv2db_spark.operators.ranking import grouped_rank, join_totals_nullsafe
+    from csv2db_spark.operators.ranking import (
+        grouped_rank,
+        join_totals_nullsafe,
+        resolve_rank_mode,
+    )
 
     scored = docs.select(
         F.col(id_col), F.col(group_col), score.alias("quality_score")
     )
+    rank_mode = resolve_rank_mode(scored, rank_mode)
     ranked = grouped_rank(
         scored,
         group_col,
@@ -838,7 +849,7 @@ def domain_cap(
     k: int = 5,
     salt: str = "cap",
     id_col: str = "doc_id",
-    rank_mode: str = "cutpoint",
+    rank_mode: str = "auto",
 ) -> DataFrame:
     """Per-domain document cap — the CCNet/Gopher-style guard against
     one domain flooding the training mix: keep at most ``k`` documents
@@ -856,7 +867,11 @@ def domain_cap(
     before any sort, survivors rank within bounded (group, bucket) tie
     sets — identical rows AND cap_rank values
     (tests/test_runtime_ops.py). Cutpoint is the default since round
-    14: the salted hash is its own uniform bucket key."""
+    14: the salted hash is its own uniform bucket key. ``'auto'``
+    (round 15) resolves by Catalyst's input size estimate."""
+    from csv2db_spark.operators.ranking import resolve_rank_mode
+
+    rank_mode = resolve_rank_mode(docs, rank_mode)
     h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
     if rank_mode == "window":
         w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
@@ -963,6 +978,9 @@ def score_quantile_normalize(
     tests/test_runtime_ops.py). The common next step is a corpus-wide
     quantile filter on ``pct`` (see quantile_filter), now fair across
     sources."""
+    from csv2db_spark.operators.ranking import resolve_rank_mode
+
+    rank_mode = resolve_rank_mode(df, rank_mode)
     if rank_mode == "window":
         w = Window.partitionBy(group_col).orderBy(score_col, id_col)
         return df.withColumn("pct", F.percent_rank().over(w))
@@ -1069,7 +1087,7 @@ def token_budget_sample(
     budget_tokens: int,
     group_col: str = "source",
     text_col: str = "text",
-    rank_mode: str = "cutpoint",
+    rank_mode: str = "auto",
 ) -> DataFrame:
     """Token-budget corpus assembly: admit documents per group, in
     deterministic md5(doc_id) order, until the group's TOKEN budget is
@@ -1101,8 +1119,12 @@ def token_budget_sample(
     consumer would otherwise replan the upstream tokenize (guide
     §2.4)."""
     from csv2db_spark.llm.corpus import tokens
-    from csv2db_spark.operators.ranking import grouped_prefix_sum
+    from csv2db_spark.operators.ranking import (
+        grouped_prefix_sum,
+        resolve_rank_mode,
+    )
 
+    rank_mode = resolve_rank_mode(docs, rank_mode)
     n_tok = F.size(tokens(text_col)).cast("long")
     sized = docs.select(
         "doc_id",

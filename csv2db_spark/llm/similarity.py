@@ -97,6 +97,7 @@ def _topk_per_query(
     order: list,
     shard_on: str = "neighbor_id",
     n_shards: int = 64,
+    size_hint: DataFrame | None = None,
 ) -> DataFrame:
     """Exact per-query top-k in TWO window stages (round-14, guide
     §2.5 skew): a single ``Window.partitionBy(query_id)`` over a
@@ -110,7 +111,24 @@ def _topk_per_query(
     the rank column, produced only by stage 2 under the identical
     total order) is bit-identical to the one-window form. Total
     shuffle bytes are unchanged; the per-query sort bound drops from
-    |corpus| to k * n_shards rows."""
+    |corpus| to k * n_shards rows.
+
+    Adaptive (round-15, VERDICT r14 item 4): the two-stage shape costs
+    one extra exchange, which at fixture size outweighs the sort it
+    parallelizes (driver-measured −14% on cosine). When ``size_hint``
+    — the scan-level corpus input, whose Catalyst size estimate is
+    real — is small (plans.small_input), the single window is used
+    instead. Both branches are bit-identical (the equivalence argument
+    above), so the switch is invisible to every oracle; the threshold
+    conf lets tests pin either shape."""
+    if size_hint is not None:
+        from csv2db_spark.plans import small_input
+
+        if small_input(size_hint):
+            w = Window.partitionBy("query_id").orderBy(*order)
+            return scored.withColumn(
+                "rank", F.row_number().over(w)
+            ).where(F.col("rank") <= k)
     shard = F.pmod(F.xxhash64(F.col(shard_on)), F.lit(n_shards))
     w1 = Window.partitionBy(F.col("query_id"), shard).orderBy(*order)
     pruned = (
@@ -147,7 +165,10 @@ def cosine_topk(
         ).alias("cos_sim"),
     )
     return _topk_per_query(
-        scored, k, [F.col("cos_sim").desc(), F.col("neighbor_id")]
+        scored,
+        k,
+        [F.col("cos_sim").desc(), F.col("neighbor_id")],
+        size_hint=corpus,
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
@@ -195,6 +216,8 @@ def _bucket_udf(planes):
     weights = 1 << np.arange(n_planes)
 
     def _buckets(v):
+        if len(v) == 0:  # empty partition batch: np.stack would raise
+            return pd.Series([], dtype="object")
         x = np.stack(v.to_numpy())  # n x dim (float32 from Arrow)
         dots = x @ m  # n x T*P, float64
         bits = (dots > 0).reshape(len(x), n_tables, n_planes)
@@ -622,12 +645,36 @@ def lsh_all_pairs_cosine(
     with log2(corpus) (and n_tables up for recall) on bigger corpora —
     the verification stage is exact, so parameter choice affects only
     which candidates are seen, never their scores.
+
+    Round-15 (guide §2.4, VERDICT r14 item 6): the corpus is touched
+    ONCE. Previously the bucket UDF ran per self-join leg and the
+    quantized state per verify leg — four corpus passes (two of them
+    Arrow) for one result. Now a single staged table carries
+    (vid, x_iv, x_nrm2, per-table buckets) — one scan, one Arrow
+    matmul — and every leg reads the checkpoint. Values are computed
+    by the identical expressions, so results are bit-identical.
     """
+    from csv2db_spark.operators.stage import materialize_stage
+
     planes = _hyperplanes(dim, n_planes, n_tables)
     budf = _bucket_udf(planes)
-    keys = vecs.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(budf(F.col(vec_col))).alias("table_id", "bucket"),
+    state = materialize_stage(
+        vecs.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), _iel).alias("x_iv"),
+            budf(F.col(vec_col)).alias("_bkts"),
+        ).withColumn(
+            "x_nrm2",
+            F.aggregate(
+                F.transform(F.col("x_iv"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    keys = state.select(
+        "vid",
+        F.posexplode(F.col("_bkts")).alias("table_id", "bucket"),
     )
     a = keys.select(
         "table_id", "bucket", F.col("vid").alias("vec_a")
@@ -643,7 +690,6 @@ def lsh_all_pairs_cosine(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    state = quantize(vecs, id_col, vec_col, "vid", "x_")
     sa = state.select(
         F.col("vid").alias("vec_a"),
         F.col("x_iv").alias("a_iv"),
@@ -832,7 +878,12 @@ def hyperplane_signatures(
     join — interpreted lambdas, the _bucket_udf lesson again — and
     rejected.) Bit-identical: integer addition is exact and order-free,
     ties (dot exactly 0) still round to bit 0; null/empty vectors are
-    dropped exactly as posexplode dropped them."""
+    dropped exactly as posexplode dropped them. Input contract
+    (ADVICE r14): vectors must be null-element-free and dim-length —
+    a ragged or null-element vector FAILS LOUDLY in the Arrow kernel
+    (np.stack/astype raise), where the old join shape would silently
+    sum the available terms; the fixture embeddings are fixed-dim by
+    schema, and fail-loud is the right behaviour for corrupt input."""
     import hashlib
 
     import numpy as np
@@ -858,6 +909,8 @@ def hyperplane_signatures(
     pow2 = np.int64(1) << np.arange(n_bits, dtype=np.int64)
 
     def _sig(qiv):
+        if len(qiv) == 0:  # empty partition batch: np.stack would raise
+            return pd.Series([], dtype="int64")
         x = np.stack(qiv.to_numpy()).astype(np.int64)  # n x dim, exact
         dots = x @ wmat  # n x n_bits, exact int64
         return pd.Series(((dots > 0) * pow2).sum(axis=1, dtype=np.int64))
@@ -900,9 +953,13 @@ def hamming_topk(
         )
     )
     # two-stage exact top-k: the corpus-sized scored table never sorts
-    # on one task per query (see _topk_per_query)
+    # on one task per query (see _topk_per_query; single window when
+    # the signature table is estimated small)
     return _topk_per_query(
-        scored, k, [F.col("hamming"), F.col("neighbor_id")]
+        scored,
+        k,
+        [F.col("hamming"), F.col("neighbor_id")],
+        size_hint=signatures,
     ).select("query_id", "neighbor_id", "hamming", "rank")
 
 

@@ -1690,6 +1690,12 @@ def q_pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cutpoint plan has three consumers (histogram, tie-rank leg,
     # total), and each would otherwise replan the corpus-bigram LM
     # scoring subtree (the v6 §3.10 lesson); four narrow columns.
+    # Round-15: the mode resolves adaptively from the SCAN-level corpus
+    # estimate (the LM join's estimate multiplies and overshoots) —
+    # single window at fixture size, cutpoint above the threshold.
+    from csv2db_spark.operators.ranking import resolve_rank_mode
+
+    rank_mode = resolve_rank_mode(docs, "auto")
     scored = materialize_stage(
         quality.join(lm, "doc_id")
         .select("doc_id", "source", "n_words", "avg_next_token_prob")
@@ -1700,7 +1706,7 @@ def q_pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_g",
         "avg_next_token_prob",
         "doc_id",
-        mode="cutpoint",
+        mode=rank_mode,
         bucket=F.floor(F.col("avg_next_token_prob") * 4096),
         out_col="rn",
     )
@@ -3135,14 +3141,17 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ccnet_buckets(
-    spark: SparkSession, sf_dir: str, rank_mode: str = "cutpoint"
+    spark: SparkSession, sf_dir: str, rank_mode: str = "auto"
 ) -> DataFrame:
     """q_text_ccnet_buckets body with the tercile plan knob exposed
-    (see operators/ranking for the window-vs-cutpoint tradeoff)."""
+    (see operators/ranking for the window-vs-cutpoint tradeoff;
+    'auto' resolves from the scan-level corpus size — the LM-scored
+    ntile input contains joins whose size estimates multiply)."""
     from csv2db_spark.llm.text import bigram_lm_scores
-    from csv2db_spark.operators.ranking import grouped_ntile
+    from csv2db_spark.operators.ranking import grouped_ntile, resolve_rank_mode
 
     docs = load_table(spark, sf_dir, "documents")
+    rank_mode = resolve_rank_mode(docs, rank_mode)
     ref = docs.where(
         F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     )
@@ -3586,7 +3595,7 @@ def q_curate_ccnet_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     per tests/test_runtime_ops.py)."""
     from csv2db_spark.llm.curation import md5_threshold
     from csv2db_spark.llm.text import bigram_lm_scores
-    from csv2db_spark.operators.ranking import grouped_ntile
+    from csv2db_spark.operators.ranking import grouped_ntile, resolve_rank_mode
 
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.where(
@@ -3602,7 +3611,9 @@ def q_curate_ccnet_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         3,
         descending=True,
-        mode="cutpoint",
+        # round-15 adaptive: resolve from the scan-level corpus (the
+        # LM join's size estimate multiplies and overshoots)
+        mode=resolve_rank_mode(docs, "auto"),
         out_col="ppl_bucket",
         # continuous [0,1] probability: 4096-cell order-coarsening keeps
         # the cutpoint histogram bucket-sized (see grouped_rank)

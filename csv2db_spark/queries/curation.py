@@ -518,7 +518,7 @@ def q_curate_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         score,
         group_col="lang",
         drop_frac=0.25,
-        rank_mode="cutpoint",
+        rank_mode="auto",
         rank_bucket=F.floor(F.col("quality_score") * 256),
     )
 
@@ -652,26 +652,30 @@ def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
     score = F.length("text").cast("double") / (F.lit(1) + spaces)
-    # cutpoint rank (round-14, guide §2.5): the window mode sorts each
-    # whole language on one task — the straggler shape once a language
-    # outgrows a task. The histogram-offset rank is bit-identical
-    # (pinned in tests/test_runtime_ops.py) and never sorts a group;
-    # the bucket coarsens the continuous score so the histogram stays
-    # bounded (see operators/ranking.grouped_rank). The scored sample
-    # (three narrow columns, no text) is checkpointed first because the
-    # cutpoint plan has three consumers (histogram, tie-rank join leg,
-    # group totals) — the v6 pattern from §3.10.
+    # Adaptive rank shape (round-15, VERDICT r14 item 4): the cutpoint
+    # rank never sorts a whole language on one task — the 100 TB shape —
+    # but its histogram/tie-rank exchanges cost ~0.4 s at fixture size
+    # (driver r14: 0.475→0.865 s). The mode resolves from Catalyst's
+    # size estimate of the scored projection; both modes are
+    # bit-identical (tests/test_runtime_ops.py). In cutpoint mode the
+    # scored sample (three narrow columns, no text) is checkpointed
+    # first because that plan has three consumers (histogram, tie-rank
+    # join leg, group totals) — the v6 pattern from r14 §3.10; the
+    # window plan has one consumer chain, so the checkpoint would be
+    # pure overhead there.
+    from csv2db_spark.operators.ranking import resolve_rank_mode
     from csv2db_spark.operators.stage import materialize_stage
 
-    scored = materialize_stage(
-        samp.select("doc_id", "lang", score.alias("quality_score"))
-    )
+    scored = samp.select("doc_id", "lang", score.alias("quality_score"))
+    rank_mode = resolve_rank_mode(scored, "auto")
+    if rank_mode == "cutpoint":
+        scored = materialize_stage(scored)
     kept_ids = C.quantile_filter(
         scored,
         F.col("quality_score"),
         group_col="lang",
         drop_frac=0.25,
-        rank_mode="cutpoint",
+        rank_mode=rank_mode,
         rank_bucket=F.floor(F.col("quality_score") * 4096),
     ).select("doc_id")
     kept = samp.join(kept_ids, "doc_id")
@@ -1212,7 +1216,7 @@ def q_curate_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return score_quantile_normalize(
-        docs, "source", "n_chars", rank_mode="cutpoint"
+        docs, "source", "n_chars", rank_mode="auto"
     )
 
 
@@ -1548,7 +1552,7 @@ def curation_v6_pipeline(
     sf_dir: str,
     materialize: str = "local",
     stage_path: str | None = None,
-    rank_mode: str = "cutpoint",
+    rank_mode: str = "auto",
 ) -> DataFrame:
     """The v6 pipeline body with its scale knobs exposed:
     ``materialize`` picks how the multi-consumer survivor set persists
@@ -1574,6 +1578,12 @@ def curation_v6_pipeline(
     # round-8). The shingle subtree still reads only (doc_id, text):
     # Catalyst prunes lang/source below the explode.
     aug = augmented_docs(spark, sf_dir, with_meta=True)
+    # 'auto' resolves the tercile plan from the SCAN-level corpus size
+    # (round 15): the ntile input below contains joins, whose size
+    # estimates multiply and would always resolve scale-side.
+    from csv2db_spark.operators.ranking import resolve_rank_mode
+
+    rank_mode = resolve_rank_mode(aug, rank_mode)
     # distinct=False + pair_filter: containment_pairs dedups (doc_id, s)
     # on its own shared postings exchange (round-14), and this pipeline
     # only ever keeps the doc_a > doc_b direction, so the directed

@@ -56,7 +56,8 @@ def _toggle_single_window_topk():
 
     orig = sim._topk_per_query
 
-    def old(scored, k, order, shard_on="neighbor_id", n_shards=64):
+    def old(scored, k, order, shard_on="neighbor_id", n_shards=64,
+            size_hint=None):
         w = Window.partitionBy("query_id").orderBy(*order)
         return scored.withColumn("rank", F.row_number().over(w)).where(
             F.col("rank") <= k

@@ -446,15 +446,14 @@ def test_triangles_dense_path_broadcasts_no_wedge(spark, sf_dir):
     )
 
 
-def test_tercile_consumers_default_to_cutpoint():
-    """VERDICT r12 item 4's headline property, pinned at the SIGNATURE
-    (round-13 /code-review second pass: making the equality test's
-    modes explicit un-pinned the defaults): the registered v6/CCNet
-    gates run their DEFAULT arguments, so a silent default flip back to
-    'window' would regress every default plan to the per-language
-    single-task sort with zero other test signal. The default PLAN
-    shape itself is covered by the signature pin here plus the explicit
-    cutpoint plan test below — the same composition, compiled once."""
+def test_tercile_consumers_default_to_adaptive():
+    """VERDICT r12 item 4's headline property, re-pinned for round 15
+    (VERDICT r14 item 4): the registered v6/CCNet gates run their
+    DEFAULT arguments, which must stay 'auto' — the adaptive resolver
+    that engages the cutpoint plan above the size threshold (pinned
+    below) and the exact-twin window plan at fixture size. A silent
+    default flip back to a bare 'window' would regress every default
+    plan at corpus scale with zero other test signal."""
     import inspect
 
     from csv2db_spark.queries.analytics2 import ccnet_buckets
@@ -462,7 +461,47 @@ def test_tercile_consumers_default_to_cutpoint():
 
     for fn in (ccnet_buckets, curation_v6_pipeline):
         got = inspect.signature(fn).parameters["rank_mode"].default
-        assert got == "cutpoint", f"{fn.__name__} rank_mode default: {got}"
+        assert got == "auto", f"{fn.__name__} rank_mode default: {got}"
+
+
+def test_adaptive_modes_engage_scale_shape_above_threshold(spark, sf_dir):
+    """The round-15 adaptive rule (plans.small_input): with the
+    threshold forced to 0 every input counts as large, so the DEFAULT
+    gate compositions must produce the scale shapes — the cutpoint
+    rank (bucket-keyed row_number windows, no whole-group sort) and the
+    two-stage sharded top-k (rank window keyed by the shard column) —
+    exactly as round 14 shipped them unconditionally. With the default
+    threshold the same fixture inputs resolve small and the plans keep
+    the single-window shape. Resolution happens at plan-construction
+    time, so the conf is scoped around the build."""
+    from pyspark.sql import functions as F
+
+    from csv2db_spark.llm.similarity import cosine_topk
+    from csv2db_spark.plans import ADAPTIVE_SMALL_KEY
+    from csv2db_spark.queries.analytics2 import ccnet_buckets
+    from csv2db_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+
+    def _plan_str(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    spark.conf.set(ADAPTIVE_SMALL_KEY, "0")
+    try:
+        big_rank = _plan_str(ccnet_buckets(spark, sf_dir))
+        big_topk = _plan_str(cosine_topk(emb, queries, k=3))
+    finally:
+        spark.conf.unset(ADAPTIVE_SMALL_KEY)
+    # cutpoint engaged: tie-set windows keyed by the score bucket
+    assert "_gr_b" in big_rank and "ntile" not in big_rank
+    # two-stage engaged: the stage-1 shard rank column appears
+    assert "_srn" in big_topk
+    # default threshold at fixture size: single-window twins
+    small_rank = _plan_str(ccnet_buckets(spark, sf_dir))
+    small_topk = _plan_str(cosine_topk(emb, queries, k=3))
+    assert "ntile" in small_rank and "_gr_b" not in small_rank
+    assert "_srn" not in small_topk
 
 
 def test_ccnet_cutpoint_mode_has_no_whole_group_sort(spark, sf_dir):
