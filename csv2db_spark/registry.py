@@ -44,45 +44,48 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 
 
 # The grading driver's correctness gate checks the FIRST 50 entries of
-# __spark_entry__.queries() in dict order.  Round-14 rotation (VERDICT
-# r13 item 1, mechanically enforced by tests/test_contract_columns.py:
-# the rows-only liveness exception EXPIRED when the r13 driver record
-# landed — all 10 rows-only gates went green-by-liveness in r13 and are
-# out of the window for good): (a) the complete r07-last-green oracle
-# cohort — all 39 of them (computed from the CORRECTNESS_r01..r13
-# union); (b) the two r08 contract twins the r13 window had no room for
-# (q_dedup_minhash_xxh_precision, q_stream_ewma_parity); (c) 9 r08
-# picks from the dedup/similarity family — chosen because round 14 is
-# the optimization round and these are the operators whose physical
-# plans it touches, so the driver oracle re-verifies exactly the
-# changed plans. After a green r14 no gate's newest driver record
-# predates r08 (r15 rotation: the remaining 34 r08 gates + r09 picks).
+# __spark_entry__.queries() in dict order.  Round-15 rotation (VERDICT
+# r14 item 7, the standing freshness plan): after the green r14 the
+# oldest driver records sit at r08 — (a) ALL 34 gates whose newest
+# green record is r08 (computed from the CORRECTNESS_r01..r14 union)
+# rotate in, including q_stream_minhash_dedup (whose store layout this
+# round rebuilds); (b) 16 r09-stratum picks fill the window, chosen by
+# the touched-operator convention: the two _revenue() consumers the
+# r14 verdict ordered re-proven (q_join_inner_topk,
+# q_join_multiway_revenue — the latter's newest record is r12, taken
+# anyway per the verdict), the adaptive-rank/top-k consumers this
+# round changes (q_sim_cosine_topk, q_pipeline_curation_v2,
+# q_pipeline_curation_v6), the r14-touched aggregates/graph/simhash
+# gates (q_agg_percentiles, q_graph_triangles, q_dedup_simhash), and
+# the remaining oldest r09 names across families. After a green r15
+# no gate's newest record predates r09.
 CHECK_FIRST: tuple[str, ...] = (
-    # (a) the complete r07-last-green oracle cohort (39)
-    "q_agg_ivm_dirty_refresh", "q_agg_ivm_retract", "q_cdc_apply",
-    "q_curate_dataset_card", "q_curate_epoch_upsample",
-    "q_curate_importance_weights", "q_curate_line_filter",
-    "q_curate_normalize_text", "q_curate_pseudonymize",
-    "q_curate_shard_shuffle", "q_curate_token_budget",
-    "q_embed_drift", "q_events_ab_welch_t", "q_events_calendar_gaps",
-    "q_events_chi_square", "q_events_funnel_windowed",
-    "q_events_rfm_segments", "q_graph_k_core",
-    "q_graph_label_propagation", "q_graph_pagerank_k3",
-    "q_link_sorted_neighborhood", "q_observe_inline_metrics",
-    "q_pipeline_curation_v5", "q_pipeline_curation_v7",
-    "q_quality_benford", "q_quality_l_diversity",
-    "q_quality_referential_integrity", "q_sim_ann_pq_persisted",
-    "q_sink_dynamic_partition_overwrite", "q_sink_partition_append",
-    "q_sink_zstd_roundtrip", "q_sql_interface", "q_src_date_spine",
-    "q_src_file_metadata", "q_text_kwic_snippets", "q_text_strip_html",
-    "q_ts_cusum_changepoints", "q_ts_linear_trend",
-    "q_ts_rolling_autocorr",
-    # (b) the two r08 contract twins rolled over from the r13 plan
-    "q_dedup_minhash_xxh_precision", "q_stream_ewma_parity",
-    # (c) 9 r08 picks: the dedup/sim operators this round optimizes
-    "q_dedup_containment", "q_dedup_span_trim", "q_dedup_span_removal",
-    "q_dedup_paragraphs", "q_dedup_keep_best", "q_sim_hamming_topk",
-    "q_sim_range_search", "q_text_feature_hash", "q_text_zipf_histogram",
+    # (a) the complete r08-last-green stratum (34)
+    "q_curate_decontaminate_semantic", "q_curate_encoding_anomalies",
+    "q_curate_leakage_safe_split", "q_ingest_csv_gzip",
+    "q_ingest_tsv_delimiter", "q_join_asof_forward",
+    "q_join_asof_nearest", "q_join_not_in_null_semantics",
+    "q_join_null_safe", "q_mm_mime_sniff", "q_retrieval_mmr_rerank",
+    "q_setop_union_by_name", "q_sim_ann_ivf_append",
+    "q_sim_ann_ivf_persisted", "q_sim_hamming_rerank",
+    "q_sim_sq8_rerank", "q_sink_compaction_plan",
+    "q_sink_snapshot_asof_read", "q_sink_snapshot_delete",
+    "q_sink_snapshot_incremental", "q_sink_snapshot_pruned_delete",
+    "q_sink_snapshot_pruned_read", "q_sink_snapshot_schema_evolution",
+    "q_sink_snapshot_timetravel", "q_src_text_lines",
+    "q_src_xml_roundtrip", "q_stream_attribution",
+    "q_stream_histogram_rollup", "q_stream_ivm_rollup",
+    "q_stream_minhash_dedup", "q_stream_trend_rollup",
+    "q_text_code_detect", "q_text_hashed_classifier",
+    "q_text_sentence_split",
+    # (b) 16 r09-stratum picks (touched-operator convention)
+    "q_join_inner_topk", "q_join_multiway_revenue",
+    "q_sim_cosine_topk", "q_pipeline_curation_v2",
+    "q_pipeline_curation_v6", "q_agg_groupby_multi",
+    "q_agg_percentiles", "q_graph_triangles", "q_dedup_simhash",
+    "q_embed_pca_bounds", "q_join_asof", "q_join_semi", "q_join_anti",
+    "q_join_left_nulls", "q_pipeline_curation_v8",
+    "q_ts_time_weighted_avg",
 )
 # Historical ledger — gates registered in round 6 with one-line intent
 # descriptions (kept for the judge; driver rows arrive as the rotation
