@@ -760,20 +760,28 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(work, "in")
     os.makedirs(stage)
     try:
+        # one corpus pass stages all four batch files (round-15, guide
+        # §2.4): the per-batch filter+coalesce(1) loop it replaces
+        # scanned the corpus FOUR times (measured 1.0 -> 0.37 s warm at
+        # sf0.1). partitionBy strips the _b routing column, so each
+        # staged file carries the identical (doc_id, text) rows the
+        # filter produced — row order differs, which the signature pass
+        # and the oracle are both invariant to.
+        tmp = os.path.join(work, "w")
+        (
+            aug.withColumn("_b", (F.col("doc_id") % 4).cast("int"))
+            .repartition(4, "_b")
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(tmp)
+        )
         for b in range(4):
-            tmp = os.path.join(work, f"w{b}")
-            # coalesce(1) kept deliberately (round-14 A/B): repartition(1)
-            # measured ~2 s SLOWER at sf0.1 — it shuffles the full text
-            # payload (plus sortBeforeRepartition) where coalesce computes
-            # the cheap filter in-task and moves nothing
-            aug.where(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            d = os.path.join(tmp, f"_b={b}")
             part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
+                f for f in os.listdir(d) if f.endswith(".parquet")
             )
             os.rename(
-                os.path.join(tmp, part), os.path.join(stage, f"batch_{b}.parquet")
+                os.path.join(d, part), os.path.join(stage, f"batch_{b}.parquet")
             )
         stream = (
             spark.readStream.schema(aug.schema)
