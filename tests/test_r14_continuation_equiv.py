@@ -113,3 +113,35 @@ def test_percentile_array_form_equals_scalar_form(spark, sf_dir):
         .collect()
     }
     assert scalar == arr and len(arr) == 3
+
+
+def test_arrow_kernels_survive_empty_partitions(spark):
+    """ADVICE r14 / VERDICT item 8: the Arrow matmul kernels
+    (hyperplane signature packer, LSH bucketizer) guard the empty-batch
+    case — np.stack raises on an empty array list — so a deliberately
+    over-partitioned input (more partitions than rows, i.e. mostly
+    EMPTY partitions) must produce the same results as the 1-partition
+    run, not a Python-worker crash."""
+    from csv2db_spark.llm.similarity import (
+        _bucket_udf,
+        _hyperplanes,
+        hyperplane_signatures,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(64)]) for i in range(3)]
+    base = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    dense = hyperplane_signatures(base.coalesce(1))
+    sparse = hyperplane_signatures(base.repartition(16))
+    assert sorted((r.vec_id, r.signature) for r in dense.collect()) == sorted(
+        (r.vec_id, r.signature) for r in sparse.collect()
+    )
+    budf = _bucket_udf(_hyperplanes(64, 6, 8))
+    got_dense = {
+        r.vec_id: list(r.b)
+        for r in base.coalesce(1).select("vec_id", budf("embedding").alias("b")).collect()
+    }
+    got_sparse = {
+        r.vec_id: list(r.b)
+        for r in base.repartition(16).select("vec_id", budf("embedding").alias("b")).collect()
+    }
+    assert got_dense == got_sparse and len(got_dense) == 3
