@@ -87,7 +87,17 @@ def pq_codebook(
     call. ``seeds`` (also M·K rows, two consumers: the assignment leg
     and the empty-cell fallback join) is checkpointed for the same
     reason — without it each consumer replans the seed-selection scan
-    of the corpus."""
+    of the corpus.
+
+    Side effects (ADVICE r14): calling this — even just to inspect the
+    returned plan — RUNS Spark jobs (two eager localCheckpoints), and
+    the two checkpoints' executor-cached blocks (2 × M·K skinny rows,
+    a few KB at the defaults) stay cached until the RDDs are
+    garbage-collected; PySpark exposes no public handle to unpersist a
+    localCheckpoint early, and freeing the seeds blocks before the
+    final checkpoint materializes would destroy data its build still
+    reads. A long-lived session training many codebooks relies on GC
+    of the returned DataFrames to reclaim the (KB-sized) blocks."""
     sub = dim // m
     q = quantize(corpus, id_col, vec_col, "_vid", "x_")
     # seed with the K lowest-id vectors BY RANK (not "_vid < k", which

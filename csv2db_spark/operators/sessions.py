@@ -144,11 +144,20 @@ def rfm_scores(
     segments on any partitioning and in the SQL oracle. The monetary
     sum rides DECIMAL (order-independent); NULL measurements count 0.
 
-    Scale shape: one map-combined groupBy(user) over the event stream,
-    then three |users|-row window passes. At 100 TB the groupBy is the
-    only corpus-sized shuffle; the windows are global sorts over the
-    (much smaller) user dimension — if |users| itself is huge, swap
-    ntile for a percentile cut over ``histogram_cells`` partials."""
+    Scale shape (round-15, guide §2.5): one map-combined groupBy(user)
+    over the event stream — the only corpus-sized shuffle — then three
+    total-order ntiles over the |users|-row aggregate. Users GROW with
+    the corpus, so a plain unpartitioned ntile is a single-task global
+    sort of the user dimension three times over; each ntile now routes
+    through ``operators/ranking.grouped_ntile`` with ``mode='auto'``
+    (resolved once from the per-user aggregate's size estimate): the
+    exact window at gate scale, the histogram-offset cutpoint rank —
+    bit-identical, no whole-table sort — above the threshold. Order
+    coarsenings: day-truncated recency, the integer event count, and
+    the floor of the decimal spend keep the cutpoint histograms
+    bounded."""
+    from csv2db_spark.operators.ranking import grouped_ntile, resolve_rank_mode
+
     per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
         F.max(ts_col).alias("last_ts"),
         F.count(F.lit(1)).alias("n_events"),
@@ -156,14 +165,29 @@ def rfm_scores(
             F.coalesce(F.col(value_col), F.lit(0.0)).cast("decimal(18,3)")
         ).alias("_monetary_dec"),
     )
-    w_r = Window.orderBy(F.col("last_ts").desc(), F.col("user_id"))
-    w_f = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
-    w_m = Window.orderBy(F.col("_monetary_dec").desc(), F.col("user_id"))
+    mode = resolve_rank_mode(per_user, "auto")
+    scored = per_user.withColumn("_g", F.lit(0))
+    for out_col, order_col, bucket in (
+        ("_nt_r", "last_ts", F.date_trunc("day", F.col("last_ts"))),
+        ("_nt_f", "n_events", None),
+        ("_nt_m", "_monetary_dec", F.floor(F.col("_monetary_dec"))),
+    ):
+        scored = grouped_ntile(
+            scored,
+            "_g",
+            order_col,
+            "user_id",
+            n_tiles,
+            descending=True,
+            mode=mode,
+            out_col=out_col,
+            bucket=bucket,
+        )
     n1 = n_tiles + 1
     return (
-        per_user.withColumn("r_score", n1 - F.ntile(n_tiles).over(w_r))
-        .withColumn("f_score", n1 - F.ntile(n_tiles).over(w_f))
-        .withColumn("m_score", n1 - F.ntile(n_tiles).over(w_m))
+        scored.withColumn("r_score", n1 - F.col("_nt_r"))
+        .withColumn("f_score", n1 - F.col("_nt_f"))
+        .withColumn("m_score", n1 - F.col("_nt_m"))
         .select(
             "user_id",
             "last_ts",
