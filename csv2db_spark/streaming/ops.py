@@ -1080,6 +1080,16 @@ def stream_minhash_dedup(
     q.awaitTermination()
 
 
+def _with_batch_col(schema):
+    """A store-root read schema: the per-batch data schema plus the
+    ``b=N`` partition directory column."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(schema.fields) + [T.StructField("b", T.IntegerType())]
+    )
+
+
 def _partition_values(path: str, key: str) -> list[int] | None:
     """Partition-column values present under a parquet directory, read
     from the ``key=value`` directory names — a driver-side listing that
@@ -1125,25 +1135,33 @@ def minhash_dedup_batch_handler(
         return F.pmod(F.xxhash64(*cols), F.lit(n_buckets))
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        sig_new = _D.minhash_doc_signatures(batch_df.select("doc_id", "text"))
+        sig_new = _D.minhash_doc_signatures(
+            batch_df.select("doc_id", "text")
+        ).withColumn("dk", _bucket(F.col("doc_id")))
         # repartition ON the partition column before each partitionBy
         # write: without it every signature-pass task writes a file per
         # bucket it holds (measured 11k files over 4 fixture batches —
         # a 6x gate slowdown from commit+listing alone); with it each
         # bucket is one task -> one file per (batch, bucket)
-        sig_new.withColumn("dk", _bucket(F.col("doc_id"))).repartition(
-            n_write_tasks, "dk"
-        ).write.mode("overwrite").partitionBy("dk").parquet(
+        sig_new.repartition(n_write_tasks, "dk").write.mode(
+            "overwrite"
+        ).partitionBy("dk").parquet(_os.path.join(sig_dir, f"b={batch_id}"))
+        # reads carry EXPLICIT schemas: an all-short-docs (or empty)
+        # micro-batch writes no partition directories at all, and a
+        # schema-inferring read of such a store would fail where the
+        # old non-partitioned layout wrote an empty file with metadata
+        sig_b = spark.read.schema(sig_new.schema).parquet(
             _os.path.join(sig_dir, f"b={batch_id}")
         )
-        sig_b = spark.read.parquet(_os.path.join(sig_dir, f"b={batch_id}"))
-        bands_new = _D.minhash_bands(sig_b.drop("dk"))
-        bands_new.withColumn(
+        bands_new = _D.minhash_bands(sig_b.drop("dk")).withColumn(
             "bk", _bucket(*[F.col(k) for k in band_keys])
-        ).repartition(n_write_tasks, "bk").write.mode("overwrite").partitionBy(
-            "bk"
-        ).parquet(_os.path.join(band_dir, f"b={batch_id}"))
-        bands_probe = spark.read.parquet(_os.path.join(band_dir, f"b={batch_id}"))
+        )
+        bands_new.repartition(n_write_tasks, "bk").write.mode(
+            "overwrite"
+        ).partitionBy("bk").parquet(_os.path.join(band_dir, f"b={batch_id}"))
+        bands_probe = spark.read.schema(bands_new.schema).parquet(
+            _os.path.join(band_dir, f"b={batch_id}")
+        )
         # the batch's bucket set becomes a plan-time literal, so the
         # standing band read below carries PartitionFilters — only bk=
         # directories the batch can collide with are listed and
@@ -1159,7 +1177,8 @@ def minhash_dedup_batch_handler(
                 r.bk for r in bands_probe.select("bk").distinct().collect()
             )
         bands_all = (
-            spark.read.parquet(band_dir)
+            spark.read.schema(_with_batch_col(bands_new.schema))
+            .parquet(band_dir)
             .where(F.col("bk").isin(probed))
             .drop("b", "bk")
         )
@@ -1196,7 +1215,8 @@ def minhash_dedup_batch_handler(
             .collect()
         )
         store = (
-            spark.read.parquet(sig_dir)
+            spark.read.schema(_with_batch_col(sig_new.schema))
+            .parquet(sig_dir)
             .where(F.col("dk").isin(dprobed))
             .drop("b", "dk")
         )

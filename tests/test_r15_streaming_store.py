@@ -63,6 +63,12 @@ def test_minhash_batch_replay_is_idempotent(spark, dedup_store):
         "replay changed the signature store"
     )
     assert first, "vacuous: no near-dup pairs found at this threshold"
+    # an EMPTY micro-batch writes no partition directories; the
+    # explicit-schema reads must cope (a schema-inferring read of the
+    # empty b=2 store partition would fail), and detection state must
+    # be unchanged
+    handle(docs.where(F.lit(False)), 2)
+    assert _pairs(spark, work) == first, "empty batch changed the pairs"
 
 
 def test_minhash_standing_reads_are_partition_pruned(spark, dedup_store):
